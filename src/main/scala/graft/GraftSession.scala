@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Tuned SparkSession factory for the graft engine.
+  *
+  * Settings chosen for scale (and verified at local[32]):
+  *  - AQE on (runtime coalescing + skew-join splitting) so plans self-correct
+  *    at 100 TB without hand-tuned partition counts.
+  *  - shuffle.partitions = cores locally; on a real cluster this is set to
+  *    ~2-3x total cores by the submitter — operators never hardcode it.
+  *  - UTC session timezone (deterministic timestamp semantics vs the oracle).
+  */
+object GraftSession {
+
+  def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+
+  def builder(appName: String = "graft"): SparkSession.Builder =
+    SparkSession
+      .builder()
+      .appName(appName)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)
+      .config("spark.sql.files.maxPartitionBytes", 128 * 1024 * 1024)
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+      // events.ts is parquet TIMESTAMP(NANOS): surface it as a nanos-since-
+      // epoch long (Spark has no ns timestamp type); operators bucket it with
+      // integer division, which matches the oracle's epoch_us() exactly.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+
+  def getOrCreate(appName: String = "graft"): SparkSession = {
+    val spark = builder(appName).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

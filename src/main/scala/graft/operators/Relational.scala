@@ -1,0 +1,287 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.Num._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Analytical query layer over the TPC-H-ish star schema (SURVEY §2 C).
+  *
+  * Design notes for scale (SURVEY §4):
+  *  - joins against dimension tables (`region nation supplier part`) are
+  *    explicitly `broadcast()`; the only shuffling joins are fact-fact
+  *    (`orders ⋈ lineitem`) on their natural keys.
+  *  - aggregations are declarative groupBy/agg → Catalyst plans partial
+  *    (map-side) aggregation automatically.
+  *  - money sums use exact DECIMAL(12,2) arithmetic (Num) so results are
+  *    independent of partition/reduction order — a correctness property any
+  *    distributed engine needs, and what the DuckDB oracle checks.
+  *  - every query ends with a deterministic ORDER BY incl. unique tie-break.
+  */
+object Relational {
+
+  private val D = "DECIMAL(12,2)"
+  private def revSql(p: String = "") =
+    s"CAST(SUM(CAST(${p}l_extendedprice AS $D) * (1 - CAST(${p}l_discount AS $D))) AS DOUBLE)"
+
+  val q1PricingSummary: Q = Q(
+    "q1_pricing_summary",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.lineitem
+        .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          sum(discPrice).cast(DoubleType).as("sum_disc_price"),
+          sum(charge).cast(DoubleType).as("sum_charge"),
+          (sum(m(col("l_quantity"))).cast(DoubleType) / count(lit(1))).as("avg_qty"),
+          (sum(m(col("l_extendedprice"))).cast(DoubleType) / count(lit(1))).as("avg_price"),
+          count(lit(1)).as("count_order")
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+    Some(s"""SELECT l_returnflag, l_linestatus,
+      CAST(SUM(CAST(l_quantity AS $D)) AS DOUBLE) AS sum_qty,
+      CAST(SUM(CAST(l_extendedprice AS $D)) AS DOUBLE) AS sum_base_price,
+      ${revSql()} AS sum_disc_price,
+      CAST(SUM(CAST(l_extendedprice AS $D) * (1 - CAST(l_discount AS $D)) * (1 + CAST(l_tax AS $D))) AS DOUBLE) AS sum_charge,
+      CAST(SUM(CAST(l_quantity AS $D)) AS DOUBLE) / COUNT(*) AS avg_qty,
+      CAST(SUM(CAST(l_extendedprice AS $D)) AS DOUBLE) / COUNT(*) AS avg_price,
+      COUNT(*) AS count_order
+    FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+    GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""")
+  )
+
+  val q3ShippingPriority: Q = Q(
+    "q3_shipping_priority",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.customer
+        .filter(col("c_mktsegment") === "BUILDING")
+        .join(t.orders, col("c_custkey") === col("o_custkey"))
+        .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+        .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(sum(discPrice).cast(DoubleType).as("revenue"))
+        .orderBy(desc("revenue"), asc("l_orderkey"))
+        .limit(10)
+    },
+    Some(s"""SELECT l_orderkey, o_orderdate, o_orderpriority, ${revSql()} AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+      AND l_shipdate > TIMESTAMP '1998-01-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey LIMIT 10""")
+  )
+
+  val q5LocalSupplier: Q = Q(
+    "q5_local_supplier",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.lineitem
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .filter(
+          col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t.supplier),
+          col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .groupBy("n_name")
+        .agg(sum(discPrice).cast(DoubleType).as("revenue"))
+        .orderBy(desc("revenue"), asc("n_name"))
+    },
+    Some(s"""SELECT n_name, ${revSql()} AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n_name ORDER BY revenue DESC, n_name""")
+  )
+
+  val qWindowTopN: Q = Q(
+    "q_window_topn",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val w = Window.partitionBy("o_custkey").orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      t.orders
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+        .orderBy("o_custkey", "rn")
+    },
+    Some("""SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders) sub
+    WHERE rn <= 2 ORDER BY o_custkey, rn""")
+  )
+
+  val qRollupRegion: Q = Q(
+    "q_rollup_region",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      // The joined input is built with the DataFrame API; the ROLLUP itself
+      // goes through Spark SQL — Dataset.rollup trips the analyzer's
+      // self-join ambiguity heuristic on its Expand node (SPARK false
+      // positive), and SQL GROUP BY ROLLUP is the same Catalyst plan.
+      val view = s"rollup_src_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      t.customer
+        .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+        .select("r_name", "n_name", "c_acctbal")
+        .createOrReplaceTempView(view)
+      s.sql(s"""SELECT r_name, n_name, COUNT(*) AS n_customers,
+        CAST(SUM(CAST(c_acctbal AS $D)) AS DOUBLE) AS total_acctbal
+        FROM $view GROUP BY ROLLUP(r_name, n_name)
+        ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""")
+    },
+    Some(s"""SELECT r_name, n_name, COUNT(*) AS n_customers,
+      CAST(SUM(CAST(c_acctbal AS $D)) AS DOUBLE) AS total_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP(r_name, n_name)
+    ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""")
+  )
+
+  val qSemiJoin: Q = Q(
+    "q_semi_join",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.customer
+        .join(t.orders, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+    Some("""SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    ORDER BY c_custkey""")
+  )
+
+  val qAntiJoin: Q = Q(
+    "q_anti_join",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.customer
+        .join(t.orders, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey")
+    },
+    Some("""SELECT c_custkey, c_name, c_acctbal FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    ORDER BY c_custkey""")
+  )
+
+  val qDistinctSegments: Q = Q(
+    "q_distinct_segments",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.customer
+        .groupBy("c_mktsegment")
+        .agg(countDistinct(col("c_nationkey")).as("n_nations"), count(lit(1)).as("n_customers"))
+        .orderBy("c_mktsegment")
+    },
+    Some("""SELECT c_mktsegment, COUNT(DISTINCT c_nationkey) AS n_nations, COUNT(*) AS n_customers
+    FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+  )
+
+  val qTopKParts: Q = Q(
+    "q_topk_parts",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.lineitem
+        .join(broadcast(t.part), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(sum(discPrice).cast(DoubleType).as("revenue"), count(lit(1)).as("n_items"))
+        .orderBy(desc("revenue"), asc("p_brand"))
+        .limit(10)
+    },
+    Some(s"""SELECT p_brand, ${revSql()} AS revenue, COUNT(*) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand ORDER BY revenue DESC, p_brand LIMIT 10""")
+  )
+
+  /** Gaps-and-islands sessionization: 30-min inactivity gap splits sessions.
+    * Batch twin of the streaming sessionizer (SURVEY §2 E2). Events carry
+    * nanosecond timestamps; both engines compare at microsecond precision
+    * (unix_micros / epoch_us) so the boundary arithmetic is identical.
+    */
+  val qSessionize: Q = Q(
+    "q_sessionize",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t.events
+        .select(col("user_id"), col("event_id"), col("value"), expr("ts DIV 1000").as("ts_us"))
+        .withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))
+        .withColumn("is_new",
+          when(col("prev_us").isNull || col("ts_us") - col("prev_us") > 1800000000L, 1).otherwise(0))
+        .withColumn("session_id", sum(col("is_new")).over(cum))
+        .groupBy("user_id", "session_id")
+        .agg(
+          count(lit(1)).as("n_events"),
+          min(col("ts_us")).as("session_start_us"),
+          sum(m(col("value"))).cast(DoubleType).as("session_value"))
+        .orderBy("user_id", "session_id")
+    },
+    Some(s"""WITH marked AS (
+      SELECT user_id, event_id, value, epoch_us(ts) AS ts_us,
+        CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) IS NULL
+          OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) > 1800000000
+        THEN 1 ELSE 0 END AS is_new
+      FROM events),
+    sess AS (
+      SELECT user_id, event_id, value, ts_us,
+        CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      FROM marked)
+    SELECT user_id, session_id, COUNT(*) AS n_events, MIN(ts_us) AS session_start_us,
+      CAST(SUM(CAST(value AS $D)) AS DOUBLE) AS session_value
+    FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id""")
+  )
+
+  /** Hourly event rollup — the batch twin of the streaming windowed
+    * aggregation (SURVEY §2 E1). Bucket surfaced as epoch seconds so both
+    * engines agree despite ns-vs-us timestamp precision.
+    */
+  val qEventBuckets: Q = Q(
+    "q_event_buckets",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.events
+        .groupBy(
+          expr("(ts DIV 3600000000000) * 3600").as("bucket_s"),
+          col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(m(col("value"))).cast(DoubleType).as("total_value"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy("bucket_s", "event_type")
+    },
+    Some(s"""SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket_s, event_type,
+      COUNT(*) AS n_events,
+      CAST(SUM(CAST(value AS $D)) AS DOUBLE) AS total_value,
+      COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2""")
+  )
+
+  val all: Seq[Q] = Seq(
+    q1PricingSummary, q3ShippingPriority, q5LocalSupplier, qWindowTopN,
+    qRollupRegion, qSemiJoin, qAntiJoin, qDistinctSegments, qTopKParts,
+    qSessionize, qEventBuckets)
+}

@@ -1,0 +1,56 @@
+package graft.operators
+
+import graft.{SparkEntry, SparkSpec}
+import org.apache.spark.sql.functions._
+
+class RelationalSpec extends SparkSpec {
+
+  test("every registered relational query returns rows at sf0.001") {
+    // q_anti_join is legitimately empty at sf0.001 (every customer has
+    // orders there); the partition test below still pins its semantics.
+    for (q <- Relational.all if q.name != "q_anti_join") {
+      val n = q.fn(spark, sfDir).count()
+      assert(n > 0, s"${q.name} returned no rows")
+    }
+  }
+
+  test("q1 groups are the distinct (returnflag, linestatus) pairs") {
+    val df = Relational.q1PricingSummary.fn(spark, sfDir)
+    val n = df.count()
+    assert(n >= 1 && n <= 6)
+    // exact decimal accounting: sum_disc_price <= sum_base_price
+    val bad = df.filter(col("sum_disc_price") > col("sum_base_price")).count()
+    assert(bad == 0)
+  }
+
+  test("semi + anti join partition the customer table") {
+    val t = graft.Tables(spark, sfDir)
+    val total = t.customer.count()
+    val semi = Relational.qSemiJoin.fn(spark, sfDir).count()
+    val anti = Relational.qAntiJoin.fn(spark, sfDir).count()
+    assert(semi + anti == total)
+  }
+
+  test("window top-n yields at most 2 rows per customer, ranked") {
+    val df = Relational.qWindowTopN.fn(spark, sfDir)
+    val overMax = df.groupBy("o_custkey").count().filter(col("count") > 2).count()
+    assert(overMax == 0)
+    assert(df.filter(col("rn") > 2).count() == 0)
+  }
+
+  test("sessionize: session ids are dense per user starting at 1") {
+    val df = Relational.qSessionize.fn(spark, sfDir)
+    val byUser = df.groupBy("user_id")
+      .agg(min("session_id").as("mn"), max("session_id").as("mx"), count(lit(1)).as("n"))
+    assert(byUser.filter(col("mn") =!= 1 || col("mx") =!= col("n")).count() == 0)
+  }
+
+  test("entry flagship returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("queries and oracleSql keys line up") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+    assert(SparkEntry.registry.map(_.name).distinct.size == SparkEntry.registry.size)
+  }
+}
