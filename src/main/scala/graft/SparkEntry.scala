@@ -10,7 +10,7 @@ object SparkEntry {
 
   /** All registered operations, module by module (SURVEY §2 sections). */
   def registry: Seq[Q] =
-    operators.Relational.all
+    operators.Relational.all ++ operators.IngestLake.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,128 @@
+package graft.lake
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+import graft.sources.SchemaTools
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Lakehouse table layer: namespaces, managed tables, snapshot versioning
+  * and time travel over parquet — the reference's Iceberg surface
+  * (utils/spark_write_iceberg.py, utils/catalog_manager.py) re-expressed
+  * without an Iceberg runtime (none ships in this environment).
+  *
+  * Layout per table:
+  * {{{
+  *   <root>/<ns>/<table>/manifests/v00001.txt   # one committed version; each
+  *                                              # line = a relative data dir
+  *   <root>/<ns>/<table>/data/<commit-uuid>/    # parquet files of one commit
+  * }}}
+  * A version's dataset is the union of its listed data dirs, so APPEND
+  * commits reference prior data instead of rewriting it (manifest reuse, the
+  * Iceberg idea) — at 100 TB an append writes only the new files plus a
+  * few-KB manifest. OVERWRITE starts a fresh file list. Readers pick a
+  * manifest (latest or time-travel) and never see half-written commits
+  * because the manifest is written last (single-writer; a production
+  * multi-writer needs an optimistic-locking catalog, as Iceberg does).
+  */
+final class LakeCatalog(spark: SparkSession, val root: String) {
+
+  private def nsPath(ns: String): Path = Paths.get(root, ns)
+  private def tPath(ns: String, t: String): Path = nsPath(ns).resolve(t)
+  private def manifestDir(ns: String, t: String): Path = tPath(ns, t).resolve("manifests")
+
+  // ----- namespace ops (reference: CatalogManager.create_namespace/list) ---
+
+  def createNamespace(ns: String): Unit = Files.createDirectories(nsPath(ns))
+
+  def listNamespaces(): Seq[String] =
+    if (!Files.isDirectory(Paths.get(root))) Nil
+    else Files.list(Paths.get(root)).iterator.asScala.filter(Files.isDirectory(_))
+      .map(_.getFileName.toString).toSeq.sorted
+
+  def listTables(ns: String): Seq[String] =
+    if (!Files.isDirectory(nsPath(ns))) Nil
+    else Files.list(nsPath(ns)).iterator.asScala.filter(Files.isDirectory(_))
+      .map(_.getFileName.toString).toSeq.sorted
+
+  def tableExists(ns: String, t: String): Boolean = versions(ns, t).nonEmpty
+
+  def dropTable(ns: String, t: String): Unit = deleteRec(tPath(ns, t))
+
+  def rowCount(ns: String, t: String): Long = read(ns, t).count()
+
+  // ----- snapshots -------------------------------------------------------
+
+  def versions(ns: String, t: String): Seq[Int] = {
+    val d = manifestDir(ns, t)
+    if (!Files.isDirectory(d)) Nil
+    else Files.list(d).iterator.asScala.map(_.getFileName.toString)
+      .filter(_.matches("v\\d+\\.txt")).map(_.drop(1).dropRight(4).toInt).toSeq.sorted
+  }
+
+  private def manifestEntries(ns: String, t: String, version: Int): Seq[String] =
+    Files.readAllLines(manifestDir(ns, t).resolve(f"v$version%05d.txt"), StandardCharsets.UTF_8)
+      .asScala.toSeq.filter(_.nonEmpty)
+
+  private def commit(ns: String, t: String, dataDirs: Seq[String]): Int = {
+    Files.createDirectories(manifestDir(ns, t))
+    val v = versions(ns, t).lastOption.getOrElse(0) + 1
+    val tmp = manifestDir(ns, t).resolve(f".v$v%05d.txt.tmp")
+    Files.write(tmp, dataDirs.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, manifestDir(ns, t).resolve(f"v$v%05d.txt"))
+    v
+  }
+
+  // ----- read/write ------------------------------------------------------
+
+  /** Read a table at a snapshot (default: latest) — time travel. */
+  def read(ns: String, t: String, version: Option[Int] = None): DataFrame = {
+    val vs = versions(ns, t)
+    require(vs.nonEmpty, s"no such table: $ns.$t")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v), s"no snapshot v$v of $ns.$t (have: ${vs.mkString(",")})")
+    val dirs = manifestEntries(ns, t, v).map(rel => tPath(ns, t).resolve(rel).toString)
+    // one scan per commit dir (each may carry its own partition layout /
+    // schema generation), unified by name — schema evolution across commits.
+    SchemaTools.unifySchemas(dirs.map { d =>
+      spark.read.option("basePath", d).parquet(d)
+    })
+  }
+
+  /** Write a commit. OVERWRITE replaces the file list; APPEND extends it
+    * (no data rewrite). Optional hive-style partitioning.
+    */
+  def write(
+      ns: String,
+      t: String,
+      df: DataFrame,
+      mode: SaveMode = SaveMode.Overwrite,
+      partitionBy: Seq[String] = Nil): Int = {
+    createNamespace(ns)
+    val commitId = java.util.UUID.randomUUID().toString
+    val rel = s"data/$commitId"
+    val out = tPath(ns, t).resolve(rel)
+    val writer = df.write.mode(SaveMode.Overwrite)
+    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
+      .parquet(out.toString)
+    mode match {
+      case SaveMode.Append if tableExists(ns, t) =>
+        commit(ns, t, manifestEntries(ns, t, versions(ns, t).last) :+ rel)
+      case _ =>
+        commit(ns, t, Seq(rel))
+    }
+  }
+
+  private def deleteRec(p: Path): Unit =
+    if (Files.exists(p)) {
+      Files.walk(p).iterator.asScala.toSeq.reverse.foreach(Files.delete)
+    }
+}
+
+object LakeCatalog {
+  def apply(spark: SparkSession, root: String): LakeCatalog = {
+    Files.createDirectories(Paths.get(root))
+    new LakeCatalog(spark, root)
+  }
+}

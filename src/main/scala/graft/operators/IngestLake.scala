@@ -1,0 +1,168 @@
+package graft.operators
+
+import java.nio.file.{Files, Paths}
+
+import graft.{Q, Tables}
+import graft.Num._
+import graft.lake.{LakeCatalog, TableMerger}
+import graft.sources.{MultiFormatReader => MFR, SchemaTools}
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Ingestion (SURVEY §2 A) + lakehouse (§2 B) operations, exercised as
+  * round-trips so the DuckDB oracle can check them against the original
+  * parquet tables: write a table out through the engine's writer, read it
+  * back through the engine's safe reader, and the result must equal the
+  * source. That pins reader + writer fidelity (types, quoting, corrupt
+  * handling) — not just "it didn't crash".
+  */
+object IngestLake {
+
+  private val D = "DECIMAL(12,2)"
+
+  /** fresh scratch dir per invocation — lake ops are stateful, so reruns
+    * must not see previous snapshots.
+    */
+  private def scratch(name: String): String = {
+    val p = Paths.get(sys.props("java.io.tmpdir"), "graft_scratch", name,
+      java.util.UUID.randomUUID().toString)
+    Files.createDirectories(p)
+    p.toString
+  }
+
+  val ingestCsvRoundtrip: Q = Q(
+    "ingest_csv_roundtrip",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val nation = t.nation
+      val out = scratch("csv") + "/nation_csv"
+      nation.write.mode(SaveMode.Overwrite).option("header", "true").csv(out)
+      SchemaTools.conformTo(MFR.readCsv(s, out), nation.schema)
+        .orderBy("n_nationkey")
+    },
+    Some("SELECT * FROM nation ORDER BY n_nationkey")
+  )
+
+  val ingestJsonRoundtrip: Q = Q(
+    "ingest_json_roundtrip",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val customer = t.customer
+      val out = scratch("json") + "/customer_json"
+      customer.write.mode(SaveMode.Overwrite).json(out)
+      // line-delimited JSON (one record per line, as the writer produces)
+      SchemaTools.conformTo(MFR.readJson(s, out, multiLine = false), customer.schema)
+        .orderBy("c_custkey")
+    },
+    Some("SELECT * FROM customer ORDER BY c_custkey")
+  )
+
+  val ingestParquet: Q = Q(
+    "ingest_parquet",
+    (s, dir) => MFR.readParquet(s, s"$dir/part.parquet").orderBy("p_partkey"),
+    Some("SELECT * FROM part ORDER BY p_partkey")
+  )
+
+  val ingestTextLines: Q = Q(
+    "ingest_text_lines",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val out = scratch("text") + "/nation_txt"
+      t.nation.select(concat(col("n_name"), lit("|"), col("n_nationkey")).as("value"))
+        .write.mode(SaveMode.Overwrite).text(out)
+      MFR.readText(s, out)
+        .select(
+          split(col("value"), "\\|").getItem(0).as("n_name"),
+          split(col("value"), "\\|").getItem(1).cast("int").as("n_nationkey"))
+        .orderBy("n_nationkey")
+    },
+    Some("SELECT n_name, n_nationkey FROM nation ORDER BY n_nationkey")
+  )
+
+  val ingestOrcRoundtrip: Q = Q(
+    "ingest_orc_roundtrip",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val out = scratch("orc") + "/lineitem_orc"
+      t.lineitem.write.mode(SaveMode.Overwrite).orc(out)
+      MFR.readOrc(s, out)
+        .groupBy("l_returnflag")
+        .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_items"))
+        .orderBy("l_returnflag")
+    },
+    Some(s"""SELECT l_returnflag, CAST(SUM(CAST(l_quantity AS $D)) AS DOUBLE) AS sum_qty,
+      COUNT(*) AS n_items FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+  )
+
+  val ingestSchemaEvolution: Q = Q(
+    "ingest_schema_evolution",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val names = t.customer.select("c_custkey", "c_name")
+      val balances = t.customer.select("c_custkey", "c_acctbal")
+      SchemaTools.unifySchemas(Seq(names, balances))
+        .orderBy(asc("c_custkey"), asc_nulls_first("c_name"))
+    },
+    Some("""SELECT c_custkey, c_name, CAST(NULL AS DOUBLE) AS c_acctbal FROM customer
+    UNION ALL
+    SELECT c_custkey, CAST(NULL AS VARCHAR) AS c_name, c_acctbal FROM customer
+    ORDER BY c_custkey, c_name NULLS FIRST""")
+  )
+
+  val ingestJsonProps: Q = Q(
+    "ingest_json_props",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.events
+        .select(get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("k")
+        .agg(count(lit(1)).as("n_events"))
+        .orderBy("k")
+    },
+    Some("""SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+      COUNT(*) AS n_events FROM events GROUP BY 1 ORDER BY 1""")
+  )
+
+  val lakeCtas: Q = Q(
+    "lake_ctas",
+    (s, dir) => {
+      val cat = LakeCatalog(s, scratch("ctas"))
+      val result = Relational.q1PricingSummary.fn(s, dir)
+      cat.write("analytics", "pricing_summary", result)
+      cat.read("analytics", "pricing_summary").orderBy("l_returnflag", "l_linestatus")
+    },
+    Relational.q1PricingSummary.sql
+  )
+
+  val lakeMergeUpsert: Q = Q(
+    "lake_merge_upsert",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val cat = LakeCatalog(s, scratch("merge"))
+      val merger = new TableMerger(cat)
+      // seed: even order keys, under the reference's auto-detectable `id`
+      val base = t.orders.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey").as("id"), col("o_totalprice"))
+      merger.mergeTable(base, "lake", "orders_m") // → CTAS (new table)
+      // delta: every 3rd key with bumped totals → MERGE upsert on `id`
+      val updates = t.orders.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey").as("id"), (col("o_totalprice") + 1000).as("o_totalprice"))
+      merger.mergeTable(updates, "lake", "orders_m")
+      cat.read("lake", "orders_m").orderBy("id")
+    },
+    Some("""WITH base AS (
+      SELECT o_orderkey AS id, o_totalprice FROM orders WHERE o_orderkey % 2 = 0),
+    updates AS (
+      SELECT o_orderkey AS id, o_totalprice + 1000 AS o_totalprice FROM orders WHERE o_orderkey % 3 = 0)
+    SELECT id, o_totalprice FROM updates
+    UNION ALL
+    SELECT id, o_totalprice FROM base WHERE id NOT IN (SELECT id FROM updates)
+    ORDER BY id""")
+  )
+
+  val all: Seq[Q] = Seq(
+    ingestCsvRoundtrip, ingestJsonRoundtrip, ingestParquet, ingestTextLines,
+    ingestOrcRoundtrip, ingestSchemaEvolution, ingestJsonProps,
+    lakeCtas, lakeMergeUpsert)
+}

@@ -1,0 +1,118 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** One ingested staging table (reference: schema_manager.load_all_sources
+  * returns (df, table_name, source_type, rows, cols) tuples,
+  * /root/reference/schema_manager.py:110-140).
+  */
+final case class IngestedTable(
+    df: DataFrame,
+    name: String,
+    format: String,
+    rows: Long,
+    cols: Int
+)
+
+/** Multi-format safe readers — the reference's core capability
+  * (/root/reference/schema_manager.py:18-106) re-expressed Spark-first:
+  * each file is read individually with its own schema in PERMISSIVE mode,
+  * corrupt records are detected, counted and filtered, and one bad file
+  * never aborts the pipeline.
+  *
+  * Scale notes: readers return plain declarative scans (no caching forced on
+  * callers — the reference `.persist()`s everything eagerly, which at 100 TB
+  * would pin the cluster's memory; here persistence is the caller's choice).
+  * Corrupt-record filtering happens in the same scan, so it's pipelined into
+  * whole-stage codegen rather than a second pass.
+  */
+object MultiFormatReader {
+
+  val CorruptCol = "_corrupt_record"
+
+  /** PERMISSIVE JSON with corrupt-record isolation. multiLine=true matches
+    * the reference default (whole-file JSON documents).
+    */
+  def readJson(spark: SparkSession, path: String, multiLine: Boolean = true): DataFrame = {
+    val df = spark.read
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .option("multiLine", multiLine)
+      .json(path)
+    dropCorrupt(df)
+  }
+
+  /** PERMISSIVE CSV: header, wide-table support (maxColumns), quoted
+    * multi-line fields, corrupt-record isolation.
+    */
+  def readCsv(
+      spark: SparkSession,
+      path: String,
+      maxColumns: Int = 50000,
+      delimiter: String = ",",
+      inferSchema: Boolean = true): DataFrame = {
+    val df = spark.read
+      .option("header", "true")
+      .option("maxColumns", maxColumns)
+      .option("delimiter", delimiter)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .option("inferSchema", inferSchema)
+      .option("multiLine", "true")
+      .option("escape", "\"")
+      .option("encoding", "UTF-8")
+      .csv(path)
+    dropCorrupt(df)
+  }
+
+  def readParquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  /** TXT/DOCX-as-lines (reference treats DOCX as line-delimited text). */
+  def readText(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+
+  private def dropCorrupt(df: DataFrame): DataFrame =
+    if (df.columns.contains(CorruptCol))
+      df.filter(col(CorruptCol).isNull).drop(CorruptCol)
+    else df
+
+  /** Directory scan with per-file isolation: each file becomes its own
+    * staging table named `<format>_<stem>`; a file that fails to read (or is
+    * empty) is skipped, never aborting the batch — reference behavior
+    * (schema_manager.py:118-140, README "Per-file error isolation").
+    */
+  def loadDirectory(spark: SparkSession, baseDir: String): Seq[IngestedTable] = {
+    val base = new java.io.File(baseDir)
+    def files(sub: String, exts: String*): Seq[java.io.File] = {
+      val d = new java.io.File(base, sub)
+      Option(d.listFiles()).toSeq.flatten
+        .filter(f => exts.exists(e => f.getName.toLowerCase.endsWith(e)))
+        .sortBy(_.getName)
+    }
+    def stem(f: java.io.File): String =
+      SchemaTools.sanitizeName(f.getName.replaceAll("\\.[^.]+$", ""))
+
+    def ingest(f: java.io.File, fmt: String, read: String => DataFrame): Option[IngestedTable] =
+      try {
+        val df = read(f.getAbsolutePath)
+        val rows = df.count()
+        if (rows == 0) None
+        else Some(IngestedTable(df, s"${fmt.toLowerCase}_${stem(f)}", fmt, rows, df.columns.length))
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[ingest] skipping ${f.getName}: ${e.getMessage}")
+          None
+      }
+
+    files("json", ".json").flatMap(f => ingest(f, "JSON", readJson(spark, _))) ++
+      files("csv", ".csv").flatMap(f => ingest(f, "CSV", readCsv(spark, _))) ++
+      files("parquet", ".parquet").flatMap(f => ingest(f, "PARQUET", readParquet(spark, _))) ++
+      files("orc", ".orc").flatMap(f => ingest(f, "ORC", readOrc(spark, _))) ++
+      files("docx", ".docx", ".txt").flatMap(f => ingest(f, "TEXT", readText(spark, _)))
+  }
+}

@@ -1,0 +1,54 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.StructType
+
+/** Schema hygiene + evolution for heterogeneous file ingestion: the
+  * reference ingests "files with unpredictable or varying schemas"
+  * (README Overview) — these are the Spark-first tools for that.
+  */
+object SchemaTools {
+
+  /** Make an arbitrary string a safe SQL/parquet identifier. */
+  def sanitizeName(raw: String): String = {
+    val cleaned = raw.trim.replaceAll("[^A-Za-z0-9_]", "_").replaceAll("_+", "_")
+    val base = cleaned.stripPrefix("_").stripSuffix("_")
+    val named = if (base.isEmpty) "col" else base
+    if (named.head.isDigit) s"c_$named" else named
+  }
+
+  /** Sanitize all column names; dedupe collisions with _2, _3, ... */
+  def sanitizeColumns(df: DataFrame): DataFrame = {
+    val seen = scala.collection.mutable.Map.empty[String, Int]
+    val renamed = df.columns.map { c =>
+      val s = sanitizeName(c)
+      val n = seen.getOrElse(s, 0)
+      seen(s) = n + 1
+      if (n == 0) s else s"${s}_${n + 1}"
+    }
+    df.toDF(renamed.toIndexedSeq: _*)
+  }
+
+  /** Schema evolution across files: union an arbitrary set of frames by
+    * column name, null-padding columns a frame lacks. Declarative
+    * `unionByName(allowMissingColumns)` so Catalyst still prunes/pushes
+    * through the union — no driver-side row munging.
+    */
+  def unifySchemas(dfs: Seq[DataFrame]): DataFrame = {
+    require(dfs.nonEmpty, "unifySchemas: empty input")
+    dfs.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+  }
+
+  /** Cast a frame's columns to the types of `target` (by name, where both
+    * exist) — used to re-impose a canonical schema after inference-based
+    * reads (CSV/JSON roundtrips).
+    */
+  def conformTo(df: DataFrame, target: StructType): DataFrame = {
+    val types = target.fields.map(f => f.name -> f.dataType).toMap
+    val cols: Array[Column] = df.columns.map { c =>
+      types.get(c).map(t => col(c).cast(t).as(c)).getOrElse(col(c))
+    }
+    df.select(cols.toIndexedSeq: _*)
+  }
+}

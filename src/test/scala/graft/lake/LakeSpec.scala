@@ -1,0 +1,93 @@
+package graft.lake
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+
+class LakeSpec extends SparkSpec {
+
+  private def freshCatalog() =
+    LakeCatalog(spark, Files.createTempDirectory("graft_lake").toString)
+
+  test("catalog: namespaces, tables, existence, counts") {
+    val cat = freshCatalog()
+    import spark.implicits._
+    cat.createNamespace("raw")
+    assert(cat.listNamespaces() == Seq("raw"))
+    assert(!cat.tableExists("raw", "t"))
+    cat.write("raw", "t", Seq((1, "a"), (2, "b")).toDF("id", "v"))
+    assert(cat.tableExists("raw", "t"))
+    assert(cat.listTables("raw") == Seq("t"))
+    assert(cat.rowCount("raw", "t") == 2)
+    cat.dropTable("raw", "t")
+    assert(!cat.tableExists("raw", "t"))
+  }
+
+  test("append extends the manifest without rewriting prior data") {
+    val cat = freshCatalog()
+    import spark.implicits._
+    cat.write("ns", "t", Seq(1, 2).toDF("id"))
+    cat.write("ns", "t", Seq(3).toDF("id"), SaveMode.Append)
+    assert(cat.rowCount("ns", "t") == 3)
+    // v1 still readable with 2 rows: time travel
+    assert(cat.read("ns", "t", Some(1)).count() == 2)
+    assert(cat.versions("ns", "t") == Seq(1, 2))
+  }
+
+  test("overwrite starts a new snapshot; old snapshot remains readable") {
+    val cat = freshCatalog()
+    import spark.implicits._
+    cat.write("ns", "t", Seq(1, 2, 3).toDF("id"))
+    cat.write("ns", "t", Seq(9).toDF("id"), SaveMode.Overwrite)
+    assert(cat.rowCount("ns", "t") == 1)
+    assert(cat.read("ns", "t", Some(1)).count() == 3)
+  }
+
+  test("partitioned write round-trips with partition column intact") {
+    val cat = freshCatalog()
+    import spark.implicits._
+    val df = Seq((1, "a"), (2, "b"), (3, "a")).toDF("id", "grp")
+    cat.write("ns", "p", df, partitionBy = Seq("grp"))
+    val back = cat.read("ns", "p")
+    assert(back.columns.toSet == Set("id", "grp"))
+    assert(back.filter(col("grp") === "a").count() == 2)
+  }
+
+  test("schema evolution across commits: new column appears, old rows null") {
+    val cat = freshCatalog()
+    import spark.implicits._
+    cat.write("ns", "e", Seq((1, "x")).toDF("id", "name"))
+    cat.write("ns", "e", Seq((2, "y", 3.5)).toDF("id", "name", "score"), SaveMode.Append)
+    val back = cat.read("ns", "e")
+    assert(back.columns.toSet == Set("id", "name", "score"))
+    assert(back.filter("score IS NULL").count() == 1)
+  }
+
+  test("key auto-detection follows the reference candidate list") {
+    val merger = new TableMerger(freshCatalog())
+    import spark.implicits._
+    assert(merger.findKeyColumn(Seq((1, 2)).toDF("x", "id")).contains("id"))
+    assert(merger.findKeyColumn(Seq((1, 2)).toDF("sku", "v")).contains("sku"))
+    assert(merger.findKeyColumn(Seq((1, 2)).toDF("x", "y")).isEmpty)
+  }
+
+  test("merge strategies: CTAS, then upsert updates matched + inserts new") {
+    val cat = freshCatalog()
+    val merger = new TableMerger(cat)
+    import spark.implicits._
+    val r1 = merger.mergeTable(Seq((1, "a"), (2, "b")).toDF("id", "v"), "ns", "m")
+    assert(r1.strategy.startsWith("CREATE TABLE"))
+    assert(r1.finalRows == 2)
+    val r2 = merger.mergeTable(Seq((2, "B"), (3, "c")).toDF("id", "v"), "ns", "m")
+    assert(r2.strategy.startsWith("MERGE"))
+    assert(r2.finalRows == 3)
+    val rows = cat.read("ns", "m").orderBy("id").collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(rows.toSeq == Seq((1, "a"), (2, "B"), (3, "c")))
+    // no key → INSERT OVERWRITE
+    val r3 = merger.mergeTable(Seq(("only", 1)).toDF("v", "n"), "ns", "m")
+    assert(r3.strategy.startsWith("INSERT OVERWRITE"))
+    assert(cat.rowCount("ns", "m") == 1)
+  }
+}

@@ -1,0 +1,66 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import graft.SparkSpec
+
+class IngestSpec extends SparkSpec {
+
+  test("sanitizeName produces safe identifiers") {
+    assert(SchemaTools.sanitizeName("Total Sales ($)") == "Total_Sales")
+    assert(SchemaTools.sanitizeName("123abc") == "c_123abc")
+    assert(SchemaTools.sanitizeName("a//b..c") == "a_b_c")
+    assert(SchemaTools.sanitizeName("___") == "col")
+  }
+
+  test("sanitizeColumns dedupes collisions") {
+    import spark.implicits._
+    val df = Seq((1, 2, 3)).toDF("a b", "a-b", "ok")
+    val out = SchemaTools.sanitizeColumns(df)
+    assert(out.columns.toSeq == Seq("a_b", "a_b_2", "ok"))
+  }
+
+  test("directory scan isolates corrupt and empty files") {
+    val base = Files.createTempDirectory("graft_ingest").toString
+    Files.createDirectories(Paths.get(base, "json"))
+    Files.createDirectories(Paths.get(base, "csv"))
+    Files.writeString(Paths.get(base, "json", "good.json"), """{"id": 1, "name": "x"}""")
+    Files.writeString(Paths.get(base, "json", "empty.json"), "")
+    Files.writeString(Paths.get(base, "csv", "good.csv"), "a,b\n1,2\n3,4\n")
+    val tables = MultiFormatReader.loadDirectory(spark, base)
+    val names = tables.map(_.name).toSet
+    assert(names == Set("json_good", "csv_good"), s"got $names")
+    assert(tables.find(_.name == "csv_good").get.rows == 2)
+  }
+
+  test("corrupt JSON records are filtered, valid ones kept") {
+    val d = Files.createTempDirectory("graft_corrupt")
+    Files.writeString(d.resolve("mixed.json"),
+      "{\"id\": 1}\n{not valid json\n{\"id\": 3}\n")
+    val df = MultiFormatReader.readJson(spark, d.resolve("mixed.json").toString,
+      multiLine = false)
+    val ids = df.select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 3L))
+  }
+
+  test("CSV reader honors custom delimiter and quoted fields") {
+    val d = Files.createTempDirectory("graft_csv")
+    Files.writeString(d.resolve("t.csv"), "a;b\n\"x;y\";2\nz;3\n")
+    val df = MultiFormatReader.readCsv(spark, d.resolve("t.csv").toString, delimiter = ";")
+    assert(df.count() == 2)
+    assert(df.columns.toSeq == Seq("a", "b"))
+    val first = df.orderBy("b").collect()(0)
+    assert(first.getString(0) == "x;y")
+  }
+
+  test("unifySchemas null-pads missing columns both directions") {
+    import spark.implicits._
+    val a = Seq((1, "x")).toDF("id", "name")
+    val b = Seq((2, 9.5)).toDF("id", "score")
+    val u = SchemaTools.unifySchemas(Seq(a, b))
+    assert(u.columns.toSet == Set("id", "name", "score"))
+    assert(u.count() == 2)
+    assert(u.filter("name IS NULL").count() == 1)
+    assert(u.filter("score IS NULL").count() == 1)
+  }
+}
