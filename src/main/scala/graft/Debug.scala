@@ -1,0 +1,19 @@
+package graft
+
+/** scratch main for bisecting slow queries — not part of the library */
+object Debug {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.getOrCreate("graft-debug")
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val names = if (args.length > 1) args.drop(1).toSeq else SparkEntry.queries.keys.toSeq.sorted
+    for (n <- names if n.startsWith("sql:")) {
+      spark.sql(n.stripPrefix("sql:")).show(20, truncate = false)
+    }
+    for (n <- names if !n.startsWith("sql:")) {
+      val t0 = System.nanoTime()
+      val cnt = SparkEntry.queries(n)(spark, dir).count()
+      println(f"[debug] $n%-28s ${(System.nanoTime() - t0) / 1e9}%8.2fs rows=$cnt")
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,60 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** Registers graft's native Catalyst expressions as SQL functions.
+  * Activated via `spark.sql.extensions=graft.functions.GraftExtensions`
+  * (GraftSession sets it; spark-submit can too — no code changes needed on
+  * a real cluster).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intArg(e: Expression, name: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$name expects a literal int argument, got: $other")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("graft_shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingle_hashes"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t) => ShingleHashes(t)
+        case Seq(t, n) => ShingleHashes(t, intArg(n, "graft_shingle_hashes"))
+        case _ => throw new IllegalArgumentException("graft_shingle_hashes(text[, n])")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash_sig"),
+      (args: Seq[Expression]) => args match {
+        case Seq(h) => MinHashSig(h)
+        case Seq(h, k) => MinHashSig(h, intArg(k, "graft_minhash_sig"))
+        case _ => throw new IllegalArgumentException("graft_minhash_sig(hashes[, k])")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t) => SimHash64(t)
+        case _ => throw new IllegalArgumentException("graft_simhash64(text)")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_fingerprint64"),
+      new ExpressionInfo(classOf[Fingerprint64].getName, "graft_fingerprint64"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t) => Fingerprint64(t)
+        case _ => throw new IllegalArgumentException("graft_fingerprint64(text)")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_hyperplane_sig"),
+      new ExpressionInfo(classOf[HyperplaneSig].getName, "graft_hyperplane_sig"),
+      (args: Seq[Expression]) => args match {
+        case Seq(v) => HyperplaneSig(v)
+        case Seq(v, b) => HyperplaneSig(v, intArg(b, "graft_hyperplane_sig"))
+        case _ => throw new IllegalArgumentException("graft_hyperplane_sig(vec[, bits])")
+      }))
+  }
+}

@@ -1,0 +1,204 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines (SURVEY §2 D1-D5):
+  * exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine.
+  *
+  * Scale design: signatures (shingle hashes, 64-perm MinHash, 64-bit
+  * SimHash) are computed **columnar per row** with higher-order array
+  * functions — no explode, no shuffle, embarrassingly parallel over any
+  * number of documents. The only shuffles are (1) the LSH band groupBy,
+  * whose buckets are tiny by construction, and (2) the candidate-pair join
+  * back to signatures. Bucket sizes are capped (`MaxBucket`) so one
+  * degenerate bucket (all-identical spam) can never produce a quadratic
+  * pair explosion on a single partition — the skew guard a 100 TB corpus
+  * needs.
+  */
+object Dedup {
+
+  val NumPerms = 64
+  val NumBands = 16 // 16 bands x 4 rows
+  val RowsPerBand: Int = NumPerms / NumBands
+  val MaxBucket = 64
+
+  // ---- signatures (columnar, shuffle-free, native expressions) ----------
+  // The signature stage is CPU-bound at corpus scale, so it runs as native
+  // Catalyst expressions (graft.functions.*, registered by GraftExtensions)
+  // — tight JVM loops instead of per-element lambda interpretation, ~100x
+  // faster than the higher-order-function formulation.
+
+  /** distinct 64-bit hashes of word 3-shingles (whole text if shorter) */
+  def shingleHashes(text: Column, n: Int = 3): Column =
+    call_function("graft_shingle_hashes", text, lit(n))
+
+  /** 64-permutation MinHash signature (min over seeded-mix permutations) */
+  def minhashSignature(hashes: Column): Column =
+    call_function("graft_minhash_sig", hashes, lit(NumPerms))
+
+  /** LSH band keys: hash of each signature slice (band count is a Scala
+    * constant, so slices use plain literals — no lambda machinery).
+    */
+  def bandKeys(sig: Column): Column =
+    array((0 until NumBands).map(b =>
+      struct(lit(b).as("band"),
+        xxhash64(slice(sig, b * RowsPerBand + 1, RowsPerBand)).as("bh"))): _*)
+
+  /** estimated Jaccard = fraction of agreeing MinHash positions */
+  def estJaccard(sigA: Column, sigB: Column): Column =
+    size(filter(zip_with(sigA, sigB, (x, y) => x === y), b => b)).cast("double") / NumPerms
+
+  /** exact Jaccard over shingle-hash sets */
+  def exactJaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      (size(a) + size(b) - size(array_intersect(a, b))).cast("double")
+
+  /** 64-bit packed SimHash: bit b set iff the sum of (+1/-1 per unigram
+    * token, by token-hash bit b) is non-negative. Native expression.
+    */
+  def simhash64(text: Column): Column = call_function("graft_simhash64", text)
+
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  // ---- candidate generation (the only shuffle) ---------------------------
+
+  /** bucket docs by (band, band-hash), emit sorted candidate pairs.
+    * Input must have columns (id, bands: array<struct<band,bh>>).
+    */
+  def candidatePairs(withBands: DataFrame): DataFrame = {
+    val buckets = withBands
+      .select(col("id"), explode(col("bands")).as("b"))
+      .groupBy(col("b.band"), col("b.bh"))
+      .agg(slice(array_sort(collect_list(col("id"))), 1, MaxBucket).as("ids"))
+      .filter(size(col("ids")) > 1)
+    buckets
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + 2, lit(MaxBucket)), y =>
+          struct(x.as("a"), y.as("b")))))).as("p"))
+      .select(col("p.a"), col("p.b"))
+      .distinct()
+  }
+
+  /** documents ∪ deterministic mutated copies — self-demonstrating corpus
+    * for near-dup queries (the base corpus has no planted duplicates).
+    * Mutants: every `every`-th doc, id += 1,000,000, one appended token.
+    */
+  def withPlantedDups(docs: DataFrame, every: Int = 7): DataFrame = {
+    val mutants = docs
+      .filter(col("doc_id") % every === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" near duplicate copy")).as("text"))
+    docs.select("doc_id", "text").unionByName(mutants)
+  }
+
+  // ---- registered queries ------------------------------------------------
+
+  val dedupExact: Q = Q(
+    "dedup_exact",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.documents
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(md5(col("text"))).as("n_unique"))
+        .orderBy("source")
+    },
+    Some("""SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT md5(text)) AS n_unique
+    FROM documents GROUP BY source ORDER BY source""")
+  )
+
+  private def minhashPipeline(s: SparkSession, dir: String): DataFrame = {
+    val docs = withPlantedDups(Tables(s, dir).documents)
+    // Materialize signatures ONCE. Without the persist(), CollapseProject
+    // inlines the whole shingle->minhash HOF tree into each of the 16 band
+    // expressions (and again into the verify join) — a multiplicative plan
+    // blow-up that stalls the optimizer. The signature frame is also
+    // genuinely reused (band generation + verify join), so at scale this is
+    // the stage boundary you'd checkpoint anyway.
+    val signed = docs.select(
+      col("doc_id").as("id"),
+      shingleHashes(col("text")).as("hashes"))
+      .withColumn("sig", minhashSignature(col("hashes")))
+      .persist()
+    val banded = signed.withColumn("bands", bandKeys(col("sig")))
+    val pairs = candidatePairs(banded.select("id", "bands"))
+    val left = signed.select(col("id").as("a"), col("sig").as("sig_a"), col("hashes").as("h_a"))
+    val right = signed.select(col("id").as("b"), col("sig").as("sig_b"), col("hashes").as("h_b"))
+    pairs.join(left, "a").join(right, "b")
+  }
+
+  val dedupMinhash: Q = Q(
+    "dedup_minhash",
+    (s, dir) =>
+      minhashPipeline(s, dir)
+        .select(col("a"), col("b"), estJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
+        .filter(col("est_jaccard") >= 0.5)
+        .orderBy("a", "b"),
+    None // LSH estimate — ground truth pinned in DedupSpec
+  )
+
+  val dedupNgramJaccard: Q = Q(
+    "dedup_ngram_jaccard",
+    (s, dir) =>
+      minhashPipeline(s, dir)
+        .select(col("a"), col("b"), exactJaccard(col("h_a"), col("h_b")).as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+        .orderBy("a", "b"),
+    None // exact verify stage over LSH candidates — pinned in DedupSpec
+  )
+
+  val dedupSimhash: Q = Q(
+    "dedup_simhash",
+    (s, dir) => {
+      val docs = withPlantedDups(Tables(s, dir).documents)
+      // band the 64 bits into 4 x 16-bit chunks: near-dups (hamming <= 3)
+      // must agree exactly on at least one chunk (pigeonhole).
+      // persist: same optimizer-inlining hazard as the minhash pipeline.
+      // Band the 64 bits into 8 x 8-bit chunks: pairs with hamming <= 7
+      // must agree exactly on at least one chunk (pigeonhole) — the loose
+      // banding short documents need, where a few changed tokens flip more
+      // bits than on long web pages.
+      val signed = docs.select(col("doc_id").as("id"), simhash64(col("text")).as("sh"))
+        .persist()
+      val banded = signed
+        .withColumn("bands", array((0 until 8).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("sh"), b * 8).bitwiseAND(lit(0xffL)).as("bh"))): _*))
+      val pairs = candidatePairs(banded.select("id", "bands"))
+      val left = signed.select(col("id").as("a"), col("sh").as("sh_a"))
+      val right = signed.select(col("id").as("b"), col("sh").as("sh_b"))
+      pairs.join(left, "a").join(right, "b")
+        .select(col("a"), col("b"), hamming(col("sh_a"), col("sh_b")).as("hamming"))
+        .filter(col("hamming") <= 7)
+        .orderBy("a", "b")
+    },
+    None // hamming-band near-dup — pinned in DedupSpec
+  )
+
+  val dedupEmbedding: Q = Q(
+    "dedup_embedding",
+    (s, dir) => {
+      val base = Tables(s, dir).embeddings
+      val planted = base.filter(col("vec_id") % 20 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      val vecs = base.select("vec_id", "embedding").unionByName(planted)
+        .select(col("vec_id").as("id"), col("embedding"),
+          Similarity.hyperplaneSig(col("embedding")).as("sig"))
+      val pairs = candidatePairs(
+        vecs.select(col("id"),
+          array(struct(lit(0).as("band"), col("sig").as("bh"))).as("bands")))
+      val left = vecs.select(col("id").as("a"), col("embedding").as("e_a"))
+      val right = vecs.select(col("id").as("b"), col("embedding").as("e_b"))
+      pairs.join(left, "a").join(right, "b")
+        .select(col("a"), col("b"), Similarity.cosine(col("e_a"), col("e_b")).as("cosine"))
+        .filter(col("cosine") >= 0.95)
+        .orderBy("a", "b")
+    },
+    None // LSH-bucketed cosine near-dup — pinned in DedupSpec
+  )
+
+  val all: Seq[Q] = Seq(dedupExact, dedupMinhash, dedupNgramJaccard, dedupSimhash, dedupEmbedding)
+}

@@ -1,0 +1,166 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines (SURVEY §2 D8-D11):
+  * language ID, quality scoring, token counting, document fingerprinting.
+  * All computed with built-in (codegen'd) SQL functions or higher-order
+  * array functions — fully columnar, no UDFs, no shuffles beyond the final
+  * aggregation, so each scales linearly with documents at 100 TB.
+  */
+object TextAnalysis {
+
+  // ---- tokenization ------------------------------------------------------
+
+  /** whitespace tokens of trimmed text (empty text → empty array) */
+  def wsTokens(c: Column): Column =
+    when(length(trim(c)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(c), "\\s+"))
+
+  /** BPE-ish lexer token count: letter runs, digit runs, single punctuation
+    * marks — the usual pre-tokenizer shape (ASCII classes only, so Java and
+    * RE2 regex semantics agree).
+    */
+  val BpeishPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  def bpeishCount(c: Column): Column = regexp_count(c, lit(BpeishPattern))
+
+  // ---- quality -----------------------------------------------------------
+
+  /** ratio helper: int counts → exact double division */
+  private def ratio(num: Column, den: Column): Column =
+    num.cast("double") / den.cast("double")
+
+  val Stopwords = Seq("the", "a", "an", "of", "and", "in", "to", "is", "it", "for")
+
+  def stopwordCount(tokens: Column): Column =
+    size(filter(tokens, t => t.isin(Stopwords.map(x => x: Any): _*)))
+
+  /** Heuristic quality features + a weighted score, all deterministic
+    * double arithmetic (identical expression shape to the SQL oracle).
+    */
+  def qualityColumns(text: Column): Seq[Column] = {
+    val toks = wsTokens(text)
+    val nChars = length(text)
+    val nToks = size(toks)
+    Seq(
+      nChars.as("n_chars"),
+      nToks.as("n_tokens"),
+      ratio(length(regexp_replace(text, "[^A-Za-z]", "")), nChars).as("alpha_ratio"),
+      ratio(regexp_count(text, lit("[^A-Za-z0-9\\s]")), nChars).as("punct_ratio"),
+      ratio(stopwordCount(toks), nToks).as("stopword_ratio"),
+      ratio(size(array_distinct(toks)), nToks).as("distinct_token_ratio")
+    )
+  }
+
+  // ---- language ID -------------------------------------------------------
+
+  /** Tiny per-language stopword profiles (public-knowledge function words). */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "for", "with"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "auf"),
+    "es" -> Seq("el", "la", "los", "las", "es", "y", "que", "de", "un", "una"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "que", "une", "des", "du", "pas")
+  )
+
+  /** Language-ID heuristic: CJK character ratio → zh; otherwise argmax of
+    * stopword hits with deterministic tie-break (profile order). Columnar:
+    * one pass over the token array per profile.
+    */
+  def langIdColumns(text: Column): (Column, Column) = {
+    val toks = wsTokens(lower(text))
+    val cjk = regexp_count(text, lit("[\\x{4e00}-\\x{9fff}]"))
+    val scores = LangProfiles.map { case (lang, words) =>
+      lang -> size(filter(toks, t => t.isin(words.map(x => x: Any): _*)))
+    }
+    // argmax with first-wins tie-break, folded right to left
+    val (bestLang, bestScore) = scores.reverse.tail.foldLeft(
+      (lit(scores.last._1), scores.last._2)) { case ((accL, accS), (lang, sc)) =>
+      (when(sc >= accS, lit(lang)).otherwise(accL), when(sc >= accS, sc).otherwise(accS))
+    }
+    val pred = when(ratio(cjk, length(text)) > 0.05, lit("zh")).otherwise(bestLang)
+    val conf = when(ratio(cjk, length(text)) > 0.05, ratio(cjk, length(text)))
+      .otherwise(ratio(bestScore, size(toks)))
+    (pred, conf)
+  }
+
+  // ---- fingerprint -------------------------------------------------------
+
+  /** 64-bit polynomial rolling hash (base 31, wrapping) over the normalized
+    * text (lowercased, whitespace collapsed) — a deterministic content
+    * fingerprint for exact-dup detection that's stable under whitespace /
+    * case noise. Native expression (graft.functions.Fingerprint64): wrapping
+    * long arithmetic, unaffected by ANSI overflow checks.
+    */
+  def fingerprint(text: Column): Column = call_function("graft_fingerprint64", text)
+
+  // ---- registered queries ------------------------------------------------
+
+  val textTokens: Q = Q(
+    "text_tokens",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.documents
+        .select(
+          col("doc_id"),
+          size(wsTokens(col("text"))).as("ws_tokens"),
+          bpeishCount(col("text")).as("bpeish_tokens"),
+          length(col("text")).as("n_chars"))
+        .orderBy("doc_id")
+    },
+    Some(s"""SELECT doc_id,
+      len(regexp_split_to_array(trim(text), '\\s+')) AS ws_tokens,
+      len(regexp_extract_all(text, '$BpeishPattern')) AS bpeish_tokens,
+      length(text) AS n_chars
+    FROM documents ORDER BY doc_id""")
+  )
+
+  val textQuality: Q = Q(
+    "text_quality",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.documents
+        .select(col("doc_id") +: qualityColumns(col("text")): _*)
+        .orderBy("doc_id")
+    },
+    Some(s"""SELECT doc_id,
+      length(text) AS n_chars,
+      len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+      CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text) AS alpha_ratio,
+      CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / length(text) AS punct_ratio,
+      CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+        t -> list_contains([${Stopwords.map("'" + _ + "'").mkString(",")}], t))) AS DOUBLE)
+        / len(regexp_split_to_array(trim(text), '\\s+')) AS stopword_ratio,
+      CAST(len(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS DOUBLE)
+        / len(regexp_split_to_array(trim(text), '\\s+')) AS distinct_token_ratio
+    FROM documents ORDER BY doc_id""")
+  )
+
+  val textLangId: Q = Q(
+    "text_langid",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val (pred, conf) = langIdColumns(col("text"))
+      t.documents
+        .select(col("doc_id"), col("lang").as("labeled_lang"), pred.as("pred_lang"),
+          conf.as("confidence"))
+        .orderBy("doc_id")
+    },
+    None // heuristic — rows-only check; accuracy pinned in TextAnalysisSpec
+  )
+
+  val textFingerprint: Q = Q(
+    "text_fingerprint",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.documents
+        .select(col("doc_id"), fingerprint(col("text")).as("fingerprint"))
+        .orderBy("doc_id")
+    },
+    None // 64-bit rolling hash — rows-only; collision/stability pinned in spec
+  )
+
+  val all: Seq[Q] = Seq(textTokens, textQuality, textLangId, textFingerprint)
+}

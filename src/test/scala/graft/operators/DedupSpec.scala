@@ -1,0 +1,72 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+
+  test("minhash LSH finds the planted near-duplicates") {
+    val pairs = Dedup.dedupMinhash.fn(spark, sfDir).cache()
+    val t = graft.Tables(spark, sfDir)
+    val nPlanted = t.documents.filter(col("doc_id") % 7 === 0).count()
+    // every planted pair (id, id+1M) should surface with high est jaccard
+    val found = pairs.filter(col("b") - 1000000L === col("a")).count()
+    assert(found >= (nPlanted * 0.9).toLong, s"LSH recall too low: $found/$nPlanted")
+    // and high estimated jaccard on those pairs
+    val low = pairs.filter(col("b") - 1000000L === col("a") && col("est_jaccard") < 0.6).count()
+    assert(low == 0)
+  }
+
+  test("exact n-gram jaccard confirms planted pairs near 1.0") {
+    val pairs = Dedup.dedupNgramJaccard.fn(spark, sfDir)
+    val self = pairs.filter(col("b") - 1000000L === col("a"))
+    assert(self.count() > 0)
+    assert(self.filter(col("jaccard") < 0.7).count() == 0)
+  }
+
+  test("simhash hamming-band finds planted near-duplicates") {
+    val pairs = Dedup.dedupSimhash.fn(spark, sfDir)
+    val t = graft.Tables(spark, sfDir)
+    val nPlanted = t.documents.filter(col("doc_id") % 7 === 0).count()
+    val found = pairs.filter(col("b") - 1000000L === col("a")).count()
+    // one appended token on ~50-550 char docs rarely flips >3 simhash bits
+    assert(found >= (nPlanted * 0.8).toLong, s"simhash recall too low: $found/$nPlanted")
+  }
+
+  test("embedding near-dup finds planted identical vectors with cosine ~1") {
+    val pairs = Dedup.dedupEmbedding.fn(spark, sfDir)
+    val t = graft.Tables(spark, sfDir)
+    val nPlanted = t.embeddings.filter(col("vec_id") % 20 === 0).count()
+    val self = pairs.filter(col("b") - 1000000L === col("a"))
+    assert(self.count() == nPlanted, s"expected all $nPlanted identical pairs")
+    assert(self.filter(col("cosine") < 0.999).count() == 0)
+  }
+
+  test("exact dedup counts: no duplicate texts in base corpus") {
+    val agg = Dedup.dedupExact.fn(spark, sfDir)
+    assert(agg.filter(col("n_docs") =!= col("n_unique")).count() == 0)
+  }
+
+  test("estimated jaccard tracks exact jaccard on planted pairs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again extra"),
+      (3L, "completely different content with no overlap whatsoever here now")
+    ).toDF("doc_id", "text")
+    val sig = docs.select(col("doc_id"),
+      Dedup.shingleHashes(col("text")).as("h"))
+      .withColumn("sig", Dedup.minhashSignature(col("h")))
+    val a = sig.filter(col("doc_id") === 1).select(col("h").as("ha"), col("sig").as("sa"))
+    val b = sig.filter(col("doc_id") === 2).select(col("h").as("hb"), col("sig").as("sb"))
+    val c = sig.filter(col("doc_id") === 3).select(col("h").as("hc"), col("sig").as("sc"))
+    val row = a.crossJoin(b).crossJoin(c).select(
+      Dedup.exactJaccard(col("ha"), col("hb")).as("j_ab"),
+      Dedup.estJaccard(col("sa"), col("sb")).as("e_ab"),
+      Dedup.exactJaccard(col("ha"), col("hc")).as("j_ac"),
+      Dedup.estJaccard(col("sa"), col("sc")).as("e_ac")).collect()(0)
+    assert(row.getDouble(0) > 0.7)                       // near-dup truly similar
+    assert(math.abs(row.getDouble(1) - row.getDouble(0)) < 0.25) // estimate tracks
+    assert(row.getDouble(2) == 0.0 && row.getDouble(3) < 0.2)    // disjoint stays low
+  }
+}

@@ -1,0 +1,53 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+
+  test("cosine: identical vectors score 1, orthogonal score 0") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(1f, 0f, 2f), Array(1f, 0f, 2f), "same"),
+      (Array(1f, 0f, 0f), Array(0f, 1f, 0f), "orth")
+    ).toDF("a", "b", "kind")
+    val rows = df.select(col("kind"), Similarity.cosine(col("a"), col("b")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(rows("same") - 1.0) < 1e-12)
+    assert(math.abs(rows("orth")) < 1e-12)
+  }
+
+  test("brute-force ANN: ranks are dense 1..k per query, scores descending") {
+    val df = Similarity.annBruteforce.fn(spark, sfDir).cache()
+    val byQuery = df.groupBy("query_id").agg(
+      count(lit(1)).as("n"), min("rank").as("mn"), max("rank").as("mx"))
+    assert(byQuery.filter(col("mn") =!= 1 || col("mx") =!= col("n")).count() == 0)
+    // scores non-increasing with rank within each query
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy("rank")
+    val bad = df.withColumn("prev", lag("score", 1).over(w))
+      .filter(col("prev").isNotNull && col("score") > col("prev"))
+    assert(bad.count() == 0)
+  }
+
+  test("LSH ANN: identical planted vector lands in the query's bucket at rank 1") {
+    import spark.implicits._
+    val t = graft.Tables(spark, sfDir)
+    // corpus = embeddings + exact copy of vec 0 under id 999999
+    val copy = t.embeddings.filter(col("vec_id") === 0)
+      .select(lit(999999L).as("vec_id"), col("embedding"), lit(0).as("label"))
+    val aug = t.embeddings.unionByName(copy)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ann").toString
+    aug.write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    for (n <- Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents"))
+      java.nio.file.Files.createSymbolicLink(
+        java.nio.file.Paths.get(s"$tmp/$n.parquet"),
+        java.nio.file.Paths.get(s"$sfDir/$n.parquet"))
+    val res = Similarity.annLsh.fn(spark, tmp)
+    val top = res.filter(col("query_id") === 0 && col("rank") === 1).collect()
+    assert(top.nonEmpty, "query 0 found no bucket neighbors")
+    assert(top(0).getAs[Long]("neighbor_id") == 999999L)
+    assert(math.abs(top(0).getAs[Double]("score") - 1.0) < 1e-9)
+  }
+}
