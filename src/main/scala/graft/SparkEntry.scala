@@ -11,7 +11,8 @@ object SparkEntry {
   /** All registered operations, module by module (SURVEY §2 sections). */
   def registry: Seq[Q] =
     operators.Relational.all ++ operators.IngestLake.all ++
-      operators.Dedup.all ++ operators.TextAnalysis.all ++ operators.Similarity.all
+      operators.Dedup.all ++ operators.TextAnalysis.all ++ operators.Similarity.all ++
+      operators.Multimodal.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,123 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns for training-data pipelines (SURVEY §2 D12): media
+  * payloads ride as opaque `binary` columns with typed metadata; decode /
+  * feature-extract / resize / frame-sample run batched per partition.
+  *
+  * The Spark-side plumbing — schema, partition-local batching, typed
+  * records, explode of variable-length outputs — is real and tested. The
+  * codec itself is a clearly-marked deterministic STUB (no image/audio
+  * libraries exist in this environment): "decoded" dimensions and features
+  * derive only from the payload bytes, so results are reproducible and the
+  * stub swaps out for a real codec without touching any plan structure.
+  *
+  * Scale: decode is mapPartitions with fixed-size batches — the same shape
+  * a vectorized (Arrow/pandas-style) UDF pipeline has, embarrassingly
+  * parallel, no shuffle until the final aggregate; a real deployment tunes
+  * batch size to codec memory, not partition size.
+  */
+object Multimodal {
+
+  case class MediaRecord(media_id: Long, kind: String, payload: Array[Byte])
+
+  case class DecodedMedia(media_id: Long, kind: String, width: Int, height: Int,
+      n_frames: Int, feature: Array[Float])
+
+  val BatchSize = 64
+
+  /** deterministic fake of a media payload per document: the text bytes
+    * under a kind derived from the id (image/audio/video round-robin).
+    */
+  def mediaFromDocuments(docs: DataFrame): Dataset[MediaRecord] = {
+    import docs.sparkSession.implicits._
+    docs.select(
+      col("doc_id").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+      col("text").cast("binary").as("payload"))
+      .as[MediaRecord]
+  }
+
+  // ======================= STUB: fake codec ==============================
+  // A real deployment replaces decodeOne with an actual decoder (JNI/ffmpeg
+  // /ImageIO). Everything below derives deterministically from payload
+  // bytes so plumbing stays testable without codec libraries.
+  private def decodeOne(m: MediaRecord): DecodedMedia = {
+    val len = m.payload.length
+    val width = 64 + len % 512
+    val height = 64 + (len * 7) % 512
+    val frames = if (m.kind == "video") 1 + len % 30 else 1
+    val feature = Array.tabulate(8) { i =>
+      // fake embedding: byte-sum folded per stride — STUB
+      var s = 0L
+      var j = i
+      while (j < len) { s += (m.payload(j) & 0xff); j += 8 }
+      (s % 1000).toFloat / 1000f
+    }
+    DecodedMedia(m.media_id, m.kind, width, height, frames, feature)
+  }
+  // =======================================================================
+
+  /** batched partition-local decode: the mapPartitions/batch shape of a
+    * vectorized UDF pipeline, with the codec stubbed.
+    */
+  def decode(media: Dataset[MediaRecord]): Dataset[DecodedMedia] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch =>
+        // batch boundary = where a real codec would amortize setup
+        batch.iterator.map(decodeOne)
+      }
+    }
+  }
+
+  /** STUB resize: pure metadata transform (a real impl rewrites payload). */
+  def resize(decoded: Dataset[DecodedMedia], maxDim: Int): Dataset[DecodedMedia] = {
+    import decoded.sparkSession.implicits._
+    decoded.map { d =>
+      val scale = math.min(1.0, maxDim.toDouble / math.max(d.width, d.height))
+      d.copy(width = math.max(1, (d.width * scale).toInt),
+        height = math.max(1, (d.height * scale).toInt))
+    }
+  }
+
+  /** frame sampling: one row per sampled frame (every `stride`-th). */
+  def sampleFrames(decoded: Dataset[DecodedMedia], stride: Int = 10): DataFrame =
+    decoded.toDF()
+      .withColumn("frame_idx",
+        explode(sequence(lit(0), col("n_frames") - 1, lit(stride))))
+      .select("media_id", "kind", "frame_idx")
+
+  /** end-to-end pipeline over documents: synthesize → decode → aggregate
+    * per kind. The aggregate is integer-exact, so the oracle can check the
+    * full plumbing (payload byte accounting) even with the codec stubbed.
+    */
+  val mmPipeline: Q = Q(
+    "mm_pipeline",
+    (s, dir) => {
+      val media = mediaFromDocuments(Tables(s, dir).documents)
+      decode(media).toDF()
+        .groupBy("kind")
+        .agg(
+          count(lit(1)).as("n_media"),
+          sum(col("width")).as("sum_width"),
+          sum(col("height")).as("sum_height"),
+          sum(col("n_frames")).as("sum_frames"))
+        .orderBy("kind")
+    },
+    // strlen = byte length (payloads are the UTF-8 text bytes); SUM cast to
+    // BIGINT because DuckDB sums integers into HUGEINT.
+    Some("""SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+      COUNT(*) AS n_media,
+      CAST(SUM(64 + strlen(text) % 512) AS BIGINT) AS sum_width,
+      CAST(SUM(64 + (strlen(text) * 7) % 512) AS BIGINT) AS sum_height,
+      CAST(SUM(CASE WHEN doc_id % 3 = 2 THEN 1 + strlen(text) % 30 ELSE 1 END) AS BIGINT) AS sum_frames
+    FROM documents GROUP BY 1 ORDER BY 1""")
+  )
+
+  val all: Seq[Q] = Seq(mmPipeline)
+}

@@ -1,0 +1,99 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** per-user session accumulator for EventStreams.sessionize — top-level so
+  * the codegen'd state encoder can reach it
+  */
+case class SessionState(sessionId: Long, startUs: Long, lastUs: Long, numEvents: Long)
+
+/** Structured Streaming operators (SURVEY §2 E1-E3). Each transform takes a
+  * DataFrame/Dataset and works identically on a batch frame or a streaming
+  * source — the same declarative plan, so the batch twins in
+  * operators.Relational (q_event_buckets, q_sessionize) are literally the
+  * same computation with the oracle able to check them.
+  *
+  * Scale: windowed aggregation state is bounded by the watermark; dedup
+  * state by (watermark window x key cardinality); sessionization state is
+  * one small struct per active user, dropped on event-time timeout.
+  */
+object EventStreams {
+
+  /** one event with a proper timestamp column (micros precision) */
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  case class SessionOut(user_id: Long, session_id: Long, n_events: Long,
+      start_us: Long, end_us: Long)
+
+  /** E1: tumbling-window counts/sums per event type with a watermark. */
+  def hourlyAggregates(events: DataFrame, watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("total_value"))
+
+  /** E3: drop duplicate event ids within the watermark horizon. */
+  def dedupe(events: DataFrame, watermark: String = "30 minutes"): DataFrame =
+    events.withWatermark("ts", watermark).dropDuplicates(Seq("event_id"))
+
+  /** E2: stateful sessionization — a session closes after `gapMinutes` of
+    * inactivity (same semantics as the batch gaps-and-islands q_sessionize).
+    * flatMapGroupsWithState with event-time timeout: closed sessions are
+    * emitted either when a later event arrives past the gap, or when the
+    * watermark passes the gap horizon.
+    */
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+
+    def us(t: java.sql.Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000) % 1000
+
+    events
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(userId, s.sessionId, s.numEvents, s.startUs, s.lastUs))
+          } else {
+            val sorted = it.toSeq.sortBy(e => (us(e.ts), e.event_id))
+            var cur = state.getOption
+            val closed = Seq.newBuilder[SessionOut]
+            for (e <- sorted) {
+              val t = us(e.ts)
+              cur match {
+                case Some(s) if t - s.lastUs <= gapUs =>
+                  cur = Some(s.copy(lastUs = t, numEvents = s.numEvents + 1))
+                case Some(s) =>
+                  closed += SessionOut(userId, s.sessionId, s.numEvents, s.startUs, s.lastUs)
+                  cur = Some(SessionState(s.sessionId + 1, t, t, 1L))
+                case None =>
+                  cur = Some(SessionState(1, t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastUs / 1000 + gapMinutes * 60L * 1000)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
+  /** events table (nanos-long ts) → typed stream-shaped dataset */
+  def eventsAsTyped(spark: SparkSession, dir: String): Dataset[Event] = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_id"), timestamp_micros(expr("ts DIV 1000")).as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[Event]
+  }
+}

@@ -1,0 +1,93 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class EventStreamsSpec extends SparkSpec {
+
+  import EventStreams._
+
+  // base offset one day past the epoch: rows at/below the initial watermark
+  // (epoch 0) would be discarded as late by stateful streaming operators
+  private def ts(minutes: Long): Timestamp = new Timestamp((1440 + minutes) * 60000L)
+
+  private def ev(id: Long, minutes: Long, user: Long, typ: String = "click",
+      v: Double = 1.0): Event = Event(id, ts(minutes), user, typ, v)
+
+  test("E1: streaming windowed aggregation with watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val q = hourlyAggregates(input.toDF())
+      .writeStream.format("memory").queryName("e1_out").outputMode("complete").start()
+    try {
+      input.addData(ev(1, 10, 1), ev(2, 20, 1), ev(3, 70, 2, "view"))
+      q.processAllAvailable()
+      val rows = spark.table("e1_out")
+        .select(col("event_type"), col("n_events"), col("total_value")).collect()
+      val byType = rows.map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      assert(byType("click") == (2L, 2.0)) // both clicks in hour 0
+      assert(byType("view") == (1L, 1.0))  // view in hour 1
+    } finally q.stop()
+  }
+
+  test("E2: streaming sessionization closes sessions on gap and timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val q = sessionize(input.toDS())
+      .writeStream.format("memory").queryName("e2_out").outputMode("append").start()
+    try {
+      // user 1: two events 10 min apart (one session), then 2h silence
+      input.addData(ev(1, 0, 1), ev(2, 10, 1))
+      q.processAllAvailable()
+      input.addData(ev(3, 130, 1)) // gap > 30min → closes session 1 on arrival
+      q.processAllAvailable()
+      // advance watermark far past user 1's last event → session 2 times out
+      input.addData(ev(9, 600, 2))
+      q.processAllAvailable()
+      input.addData(ev(10, 610, 2))
+      q.processAllAvailable()
+      val sessions = spark.table("e2_out").as[SessionOut].collect()
+        .filter(_.user_id == 1).sortBy(_.session_id)
+      assert(sessions.length == 2, s"got ${sessions.mkString(",")}")
+      assert(sessions(0).n_events == 2)
+      assert(sessions(1).n_events == 1)
+    } finally q.stop()
+  }
+
+  test("E3: streaming dedup drops repeated event ids") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val q = dedupe(input.toDF())
+      .writeStream.format("memory").queryName("e3_out").outputMode("append").start()
+    try {
+      input.addData(ev(1, 0, 1), ev(1, 0, 1), ev(2, 5, 1))
+      q.processAllAvailable()
+      input.addData(ev(2, 5, 1), ev(3, 10, 1))
+      q.processAllAvailable()
+      assert(spark.table("e3_out").count() == 3)
+    } finally q.stop()
+  }
+
+  test("batch twin: sessionize in batch mode matches q_sessionize closed sessions") {
+    import spark.implicits._
+    // In batch execution each user's whole history arrives as one group and
+    // the trailing open session is never emitted: batch sessionize ==
+    // q_sessionize minus each user's last session.
+    val streamed = sessionize(eventsAsTyped(spark, sfDir))
+      .groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = graft.operators.Relational.qSessionize.fn(spark, sfDir)
+      .groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(batch.nonEmpty)
+    for ((u, n) <- batch) {
+      assert(streamed.getOrElse(u, 0L) == n - 1, s"user $u: batch=$n streamed=${streamed.get(u)}")
+    }
+  }
+}
