@@ -9,7 +9,12 @@ object Debug {
     for (n <- names if n.startsWith("sql:")) {
       spark.sql(n.stripPrefix("sql:")).show(20, truncate = false)
     }
-    for (n <- names if !n.startsWith("sql:")) {
+    for (n <- names if n.startsWith("explain:")) {
+      val q = n.stripPrefix("explain:")
+      println(s"===== $q =====")
+      SparkEntry.queries(q)(spark, dir).explain("formatted")
+    }
+    for (n <- names if !n.startsWith("sql:") && !n.startsWith("explain:")) {
       val t0 = System.nanoTime()
       val cnt = SparkEntry.queries(n)(spark, dir).count()
       println(f"[debug] $n%-28s ${(System.nanoTime() - t0) / 1e9}%8.2fs rows=$cnt")
