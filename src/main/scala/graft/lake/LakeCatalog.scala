@@ -114,6 +114,27 @@ final class LakeCatalog(spark: SparkSession, val root: String) {
     }
   }
 
+  /** Change-data-capture between two snapshots (reference roadmap item
+    * "incremental loading (change data capture)"): full-row diff — a row
+    * counts as inserted if present in `toV` but not `fromV`, deleted if the
+    * reverse; an update is a delete+insert pair. EXCEPT ALL keeps duplicate
+    * multiplicity honest. Both sides shuffle once on the full row hash.
+    */
+  def changelog(ns: String, t: String, fromV: Int, toV: Int): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val before = read(ns, t, Some(fromV))
+    val after = read(ns, t, Some(toV))
+    after.exceptAll(before).withColumn("_change", lit("insert"))
+      .unionByName(before.exceptAll(after).withColumn("_change", lit("delete")))
+  }
+
+  /** Compaction (Iceberg OPTIMIZE analog): rewrite the current snapshot's
+    * file set as one fresh commit so readers stop paying per-commit scan +
+    * union overhead. Data is unchanged; the manifest shrinks to one entry.
+    */
+  def compact(ns: String, t: String): Int =
+    write(ns, t, read(ns, t), SaveMode.Overwrite)
+
   private def deleteRec(p: Path): Unit =
     if (Files.exists(p)) {
       Files.walk(p).iterator.asScala.toSeq.reverse.foreach(Files.delete)

@@ -124,6 +124,48 @@ object IngestLake {
       COUNT(*) AS n_events FROM events GROUP BY 1 ORDER BY 1""")
   )
 
+  val ingestXmlRoundtrip: Q = Q(
+    "ingest_xml_roundtrip",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val nation = t.nation
+      val out = scratch("xml") + "/nation_xml"
+      nation.write.mode(SaveMode.Overwrite).format("xml")
+        .option("rowTag", "nation").save(out)
+      SchemaTools.conformTo(MFR.readXml(s, out, rowTag = "nation"), nation.schema)
+        .orderBy("n_nationkey")
+    },
+    Some("SELECT * FROM nation ORDER BY n_nationkey")
+  )
+
+  val lakeChangelog: Q = Q(
+    "lake_changelog",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val cat = LakeCatalog(s, scratch("cdc"))
+      val merger = new TableMerger(cat)
+      val base = t.orders.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey").as("id"), col("o_totalprice"))
+      merger.mergeTable(base, "lake", "orders_cdc") // v1
+      val updates = t.orders.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey").as("id"), (col("o_totalprice") + 1000).as("o_totalprice"))
+      merger.mergeTable(updates, "lake", "orders_cdc") // v2
+      cat.changelog("lake", "orders_cdc", 1, 2).orderBy("_change", "id")
+    },
+    Some("""WITH base AS (
+      SELECT o_orderkey AS id, o_totalprice FROM orders WHERE o_orderkey % 2 = 0),
+    updates AS (
+      SELECT o_orderkey AS id, o_totalprice + 1000 AS o_totalprice FROM orders WHERE o_orderkey % 3 = 0),
+    after AS (
+      SELECT id, o_totalprice FROM updates
+      UNION ALL
+      SELECT id, o_totalprice FROM base WHERE id NOT IN (SELECT id FROM updates))
+    SELECT id, o_totalprice, 'insert' AS _change FROM (SELECT * FROM after EXCEPT ALL SELECT * FROM base) i
+    UNION ALL
+    SELECT id, o_totalprice, 'delete' AS _change FROM (SELECT * FROM base EXCEPT ALL SELECT * FROM after) d
+    ORDER BY _change, id""")
+  )
+
   val lakeCtas: Q = Q(
     "lake_ctas",
     (s, dir) => {
@@ -163,6 +205,6 @@ object IngestLake {
 
   val all: Seq[Q] = Seq(
     ingestCsvRoundtrip, ingestJsonRoundtrip, ingestParquet, ingestTextLines,
-    ingestOrcRoundtrip, ingestSchemaEvolution, ingestJsonProps,
-    lakeCtas, lakeMergeUpsert)
+    ingestOrcRoundtrip, ingestXmlRoundtrip, ingestSchemaEvolution, ingestJsonProps,
+    lakeCtas, lakeMergeUpsert, lakeChangelog)
 }

@@ -280,8 +280,106 @@ object Relational {
     FROM events GROUP BY 1, 2 ORDER BY 1, 2""")
   )
 
+  val qCubeSegments: Q = Q(
+    "q_cube_segments",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val view = s"cube_src_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      t.customer
+        .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+        .select("c_mktsegment", "n_name", "c_acctbal")
+        .createOrReplaceTempView(view)
+      s.sql(s"""SELECT c_mktsegment, n_name, COUNT(*) AS n_customers,
+        CAST(SUM(CAST(c_acctbal AS $D)) AS DOUBLE) AS total_acctbal
+        FROM $view GROUP BY CUBE(c_mktsegment, n_name)
+        ORDER BY c_mktsegment ASC NULLS FIRST, n_name ASC NULLS FIRST""")
+    },
+    Some(s"""SELECT c_mktsegment, n_name, COUNT(*) AS n_customers,
+      CAST(SUM(CAST(c_acctbal AS $D)) AS DOUBLE) AS total_acctbal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY CUBE(c_mktsegment, n_name)
+    ORDER BY c_mktsegment NULLS FIRST, n_name NULLS FIRST""")
+  )
+
+  val qSetOps: Q = Q(
+    "q_set_ops",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val buyers = t.customer.filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("custkey"))
+      val orderers = t.orders.select(col("o_custkey").as("custkey"))
+      buyers.intersect(orderers).withColumn("tag", lit("with_orders"))
+        .unionByName(buyers.except(orderers).withColumn("tag", lit("no_orders")))
+        .orderBy("tag", "custkey")
+    },
+    Some("""SELECT custkey, 'with_orders' AS tag FROM (
+      SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      INTERSECT SELECT o_custkey FROM orders) a
+    UNION ALL
+    SELECT custkey, 'no_orders' AS tag FROM (
+      SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      EXCEPT SELECT o_custkey FROM orders) b
+    ORDER BY tag, custkey""")
+  )
+
+  /** running totals, moving window frames, lag/lead, ntile — the analytic
+    * window-function family beyond simple ranking (C4).
+    */
+  val qWindowAnalytics: Q = Q(
+    "q_window_analytics",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val mov = w.rowsBetween(-2, Window.currentRow)
+      t.orders
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(m(col("o_totalprice"))).over(cum).cast(DoubleType).as("running_total"),
+          (sum(m(col("o_totalprice"))).over(mov).cast(DoubleType) /
+            count(lit(1)).over(mov)).as("moving_avg3"),
+          lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+          lead(col("o_totalprice"), 1).over(w).as("next_price"),
+          ntile(4).over(w).as("quartile"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+    Some(s"""SELECT o_custkey, o_orderkey,
+      CAST(SUM(CAST(o_totalprice AS $D)) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+      CAST(SUM(CAST(o_totalprice AS $D)) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        / COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving_avg3,
+      lag(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price,
+      lead(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_price,
+      ntile(4) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS quartile
+    FROM orders ORDER BY o_custkey, o_orderkey""")
+  )
+
+  /** Two-stage salted aggregation: pre-aggregate on (key, salt) so one hot
+    * key spreads over `SaltBuckets` reducers before the final combine — the
+    * skew-mitigation pattern for 100 TB hot-key aggregations, oracle-checked
+    * equivalent to the plain GROUP BY.
+    */
+  val qSaltedAgg: Q = Q(
+    "q_salted_agg",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val SaltBuckets = 8
+      t.lineitem
+        .groupBy(col("l_returnflag"), pmod(col("l_orderkey"), lit(SaltBuckets)).as("salt"))
+        .agg(sum(m(col("l_quantity"))).as("partial_qty"), count(lit(1)).as("partial_n"))
+        .groupBy("l_returnflag")
+        .agg(sum(col("partial_qty")).cast(DoubleType).as("total_qty"),
+          sum(col("partial_n")).as("n_items"))
+        .orderBy("l_returnflag")
+    },
+    Some(s"""SELECT l_returnflag, CAST(SUM(CAST(l_quantity AS $D)) AS DOUBLE) AS total_qty,
+      COUNT(*) AS n_items FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+  )
+
   val all: Seq[Q] = Seq(
     q1PricingSummary, q3ShippingPriority, q5LocalSupplier, qWindowTopN,
     qRollupRegion, qSemiJoin, qAntiJoin, qDistinctSegments, qTopKParts,
-    qSessionize, qEventBuckets)
+    qSessionize, qEventBuckets, qCubeSegments, qSetOps, qWindowAnalytics,
+    qSaltedAgg)
 }

@@ -162,5 +162,34 @@ object TextAnalysis {
     None // 64-bit rolling hash — rows-only; collision/stability pinned in spec
   )
 
-  val all: Seq[Q] = Seq(textTokens, textQuality, textLangId, textFingerprint)
+  /** Quality gate: keep documents passing heuristic thresholds — the filter
+    * stage a training-data pipeline runs after scoring. Identical expression
+    * shape on both engines, so the oracle checks the *filter semantics*,
+    * not just the scores.
+    */
+  val textQualityFilter: Q = Q(
+    "text_quality_filter",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val toks = wsTokens(col("text"))
+      t.documents
+        .select(col("doc_id"), col("lang"), size(toks).as("n_tokens"),
+          ratio(size(array_distinct(toks)), size(toks)).as("distinct_token_ratio"))
+        .filter(col("n_tokens") >= 20 && col("n_tokens") <= 100 &&
+          col("distinct_token_ratio") >= 0.5)
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, lang,
+      len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+      CAST(len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS DOUBLE)
+        / len(regexp_split_to_array(trim(text), '\s+')) AS distinct_token_ratio
+    FROM documents
+    WHERE len(regexp_split_to_array(trim(text), '\s+')) BETWEEN 20 AND 100
+      AND CAST(len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS DOUBLE)
+        / len(regexp_split_to_array(trim(text), '\s+')) >= 0.5
+    ORDER BY doc_id""")
+  )
+
+  val all: Seq[Q] = Seq(textTokens, textQuality, textLangId, textFingerprint,
+    textQualityFilter)
 }

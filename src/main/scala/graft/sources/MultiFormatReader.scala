@@ -76,6 +76,10 @@ object MultiFormatReader {
   def readText(spark: SparkSession, path: String): DataFrame =
     spark.read.text(path)
 
+  /** XML (reference roadmap item) — Spark 4 native XML source. */
+  def readXml(spark: SparkSession, path: String, rowTag: String = "row"): DataFrame =
+    spark.read.format("xml").option("rowTag", rowTag).load(path)
+
   private def dropCorrupt(df: DataFrame): DataFrame =
     if (df.columns.contains(CorruptCol))
       df.filter(col(CorruptCol).isNull).drop(CorruptCol)
@@ -113,6 +117,7 @@ object MultiFormatReader {
       files("csv", ".csv").flatMap(f => ingest(f, "CSV", readCsv(spark, _))) ++
       files("parquet", ".parquet").flatMap(f => ingest(f, "PARQUET", readParquet(spark, _))) ++
       files("orc", ".orc").flatMap(f => ingest(f, "ORC", readOrc(spark, _))) ++
+      files("xml", ".xml").flatMap(f => ingest(f, "XML", readXml(spark, _))) ++
       files("docx", ".docx", ".txt").flatMap(f => ingest(f, "TEXT", readText(spark, _)))
   }
 }

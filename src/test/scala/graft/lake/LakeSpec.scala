@@ -65,6 +65,43 @@ class LakeSpec extends SparkSpec {
     assert(back.filter("score IS NULL").count() == 1)
   }
 
+  test("compaction rewrites many commits into one, preserving data") {
+    val cat = freshCatalog()
+    import spark.implicits._
+    cat.write("ns", "c", Seq(1, 2).toDF("id"))
+    cat.write("ns", "c", Seq(3).toDF("id"), SaveMode.Append)
+    cat.write("ns", "c", Seq(4).toDF("id"), SaveMode.Append)
+    val before = cat.read("ns", "c").collect().map(_.getInt(0)).sorted.toSeq
+    cat.compact("ns", "c")
+    val after = cat.read("ns", "c")
+    assert(after.collect().map(_.getInt(0)).sorted.toSeq == before)
+    // compacted snapshot reads from exactly one commit dir
+    assert(after.inputFiles.map(_.replaceAll("/[^/]*$", "")).distinct.length == 1)
+  }
+
+  test("changelog reports inserts and deletes between snapshots") {
+    val cat = freshCatalog()
+    import spark.implicits._
+    cat.write("ns", "d", Seq((1, "a"), (2, "b")).toDF("id", "v"))
+    cat.write("ns", "d", Seq((2, "B"), (3, "c")).toDF("id", "v"), SaveMode.Overwrite)
+    val ch = cat.changelog("ns", "d", 1, 2)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSet
+    assert(ch == Set((2, "B", "insert"), (3, "c", "insert"),
+      (1, "a", "delete"), (2, "b", "delete")))
+  }
+
+  test("partition pruning reaches the scan for partitioned lake tables") {
+    val cat = freshCatalog()
+    import spark.implicits._
+    val df = (1 to 100).map(i => (i, if (i % 2 == 0) "even" else "odd")).toDF("id", "grp")
+    cat.write("ns", "pp", df, partitionBy = Seq("grp"))
+    val filtered = cat.read("ns", "pp").filter(col("grp") === "even")
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("grp"),
+      s"partition filter not pushed:\n$plan")
+    assert(filtered.count() == 50)
+  }
+
   test("key auto-detection follows the reference candidate list") {
     val merger = new TableMerger(freshCatalog())
     import spark.implicits._
