@@ -19,6 +19,12 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** squared L2 distance of two float-array columns, in double precision */
+  def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (p, q) => {
+      val d = p.cast("double") - q.cast("double"); d * d
+    }), lit(0.0), (acc, v) => acc + v)
+
   /** cosine similarity of two float-array columns, in double precision */
   def cosine(a: Column, b: Column): Column = {
     def dot(x: Column, y: Column): Column =
@@ -85,5 +91,55 @@ object Similarity {
     None // bucketed approximate variant — recall pinned in SimilaritySpec
   )
 
-  val all: Seq[Q] = Seq(annBruteforce, annLsh)
+  /** IVF (inverted-file) ANN: a KMeans coarse quantizer partitions the
+    * corpus into `NumCells` cells; each query probes its `NProbe` nearest
+    * cells and ranks only those candidates — the classic recall/cost dial.
+    * At 100 TB the cell assignment is a narrow map (model broadcast by
+    * Spark ML), the probe join shuffles only on cell id, and candidate
+    * scoring touches NProbe/NumCells of the corpus.
+    */
+  val annIvf: Q = Q(
+    "ann_ivf",
+    (s, dir) => {
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      val NumCells = 16
+      val NProbe = 4
+      val emb = Tables(s, dir).embeddings
+        .withColumn("features", array_to_vector(col("embedding")))
+      val model = new KMeans().setK(NumCells).setSeed(42L).setMaxIter(10)
+        .fit(emb.select("features"))
+      val assigned = model.transform(emb)
+        .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
+      val centers = s.createDataFrame(
+        model.clusterCenters.zipWithIndex.map { case (c, i) =>
+          (i, c.toArray.map(_.toFloat))
+        }.toIndexedSeq).toDF("cell", "centroid")
+      // each query probes its NProbe nearest cells — ranked by the same
+      // euclidean metric KMeans assigns with, so a query's own cell is
+      // always probed first (guaranteed recall of exact duplicates)
+      val probeW = Window.partitionBy("query_id").orderBy(asc("cdist"), asc("cell"))
+      val probes = assigned.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+        .crossJoin(broadcast(centers))
+        .select(col("query_id"), col("q_emb"), col("cell"),
+          l2sq(col("q_emb"), col("centroid")).as("cdist"))
+        .withColumn("crank", row_number().over(probeW))
+        .filter(col("crank") <= NProbe)
+        .select("query_id", "q_emb", "cell")
+      val w = Window.partitionBy("query_id").orderBy(desc("score"), asc("neighbor_id"))
+      assigned.select(col("vec_id").as("neighbor_id"), col("embedding"), col("cell"))
+        .join(broadcast(probes), Seq("cell"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          cosine(col("q_emb"), col("embedding")).as("score"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= TopK)
+        .select("query_id", "rank", "neighbor_id", "score")
+        .orderBy("query_id", "rank")
+    },
+    None // approximate + KMeans-trained — recall pinned in SimilaritySpec
+  )
+
+  val all: Seq[Q] = Seq(annBruteforce, annLsh, annIvf)
 }

@@ -30,10 +30,9 @@ class SimilaritySpec extends SparkSpec {
     assert(bad.count() == 0)
   }
 
-  test("LSH ANN: identical planted vector lands in the query's bucket at rank 1") {
-    import spark.implicits._
+  /** dir with embeddings augmented by an exact copy of vec 0 (id 999999) */
+  private lazy val augmentedDir: String = {
     val t = graft.Tables(spark, sfDir)
-    // corpus = embeddings + exact copy of vec 0 under id 999999
     val copy = t.embeddings.filter(col("vec_id") === 0)
       .select(lit(999999L).as("vec_id"), col("embedding"), lit(0).as("label"))
     val aug = t.embeddings.unionByName(copy)
@@ -44,10 +43,32 @@ class SimilaritySpec extends SparkSpec {
       java.nio.file.Files.createSymbolicLink(
         java.nio.file.Paths.get(s"$tmp/$n.parquet"),
         java.nio.file.Paths.get(s"$sfDir/$n.parquet"))
-    val res = Similarity.annLsh.fn(spark, tmp)
+    tmp
+  }
+
+  test("LSH ANN: identical planted vector lands in the query's bucket at rank 1") {
+    val res = Similarity.annLsh.fn(spark, augmentedDir)
     val top = res.filter(col("query_id") === 0 && col("rank") === 1).collect()
     assert(top.nonEmpty, "query 0 found no bucket neighbors")
     assert(top(0).getAs[Long]("neighbor_id") == 999999L)
     assert(math.abs(top(0).getAs[Double]("score") - 1.0) < 1e-9)
+  }
+
+  test("IVF ANN: identical planted vector is found at rank 1 via its own cell") {
+    val res = Similarity.annIvf.fn(spark, augmentedDir)
+    val top = res.filter(col("query_id") === 0 && col("rank") === 1).collect()
+    assert(top.nonEmpty, "query 0 probed no candidates")
+    assert(top(0).getAs[Long]("neighbor_id") == 999999L)
+    assert(math.abs(top(0).getAs[Double]("score") - 1.0) < 1e-9)
+  }
+
+  test("IVF ANN: achieves reasonable recall of brute-force top-5") {
+    val exact = Similarity.annBruteforce.fn(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = Similarity.annIvf.fn(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    // 4 of 16 cells probed → recall well above random cell coverage (25%)
+    assert(recall >= 0.3, s"IVF recall $recall too low")
   }
 }
