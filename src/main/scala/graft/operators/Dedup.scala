@@ -200,5 +200,29 @@ object Dedup {
     None // LSH-bucketed cosine near-dup — pinned in DedupSpec
   )
 
-  val all: Seq[Q] = Seq(dedupExact, dedupMinhash, dedupNgramJaccard, dedupSimhash, dedupEmbedding)
+  /** exact dedup as a transformation: keep the lowest-id document per
+    * distinct content hash (the "canonical survivor" a training pipeline
+    * materializes, vs D1's audit counts).
+    */
+  val dedupKeepFirst: Q = Q(
+    "dedup_keep_first",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables(s, dir)
+      val w = Window.partitionBy(md5(col("text"))).orderBy("doc_id")
+      t.documents
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, lang, source FROM (
+      SELECT doc_id, lang, source,
+             row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      FROM documents) sub
+    WHERE rn = 1 ORDER BY doc_id""")
+  )
+
+  val all: Seq[Q] = Seq(dedupExact, dedupKeepFirst, dedupMinhash, dedupNgramJaccard,
+    dedupSimhash, dedupEmbedding)
 }

@@ -377,9 +377,98 @@ object Relational {
       COUNT(*) AS n_items FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
   )
 
+  /** As-of (point-in-time) join — an operator Spark lacks natively: each
+    * lineitem picks the most recent daily "reference rate" at or before its
+    * ship date.
+    *
+    * Scale pattern: the quadratic as-of (range join + argmax) runs only on
+    * the COMPACT KEY DOMAIN — the distinct ship dates (~thousands) x the
+    * rate dimension (~thousands) — producing a date→rate map that is then
+    * broadcast-equi-joined to the fact table. The fact table is never
+    * shuffled and never range-joined; cost is O(|dates|²) + one broadcast
+    * hash join, independent of fact row count. Oracle: DuckDB native ASOF
+    * JOIN.
+    */
+  val qAsofJoin: Q = Q(
+    "q_asof_join",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      // daily reference rate derived from orders: min totalprice that day
+      val rates = t.orders
+        .groupBy(date_trunc("day", col("o_orderdate")).as("rate_date"))
+        .agg(min(m(col("o_totalprice"))).as("rate"))
+      val items = t.lineitem.select(
+        col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
+      // as-of resolved on the distinct-date domain only
+      val asofMap = items.select(col("l_shipdate").as("d")).distinct()
+        .join(broadcast(rates), col("d") >= col("rate_date"))
+        .groupBy("d")
+        .agg(max(struct(col("rate_date"), col("rate"))).as("best"))
+        .select(col("d"), col("best.rate_date").as("rate_date"),
+          col("best.rate").cast(DoubleType).as("rate"))
+      items
+        .join(broadcast(asofMap), col("l_shipdate") === col("d"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("rate_date"), col("rate"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+    Some(s"""WITH rates AS (
+      SELECT date_trunc('day', o_orderdate) AS rate_date,
+             MIN(CAST(o_totalprice AS $D)) AS rate
+      FROM orders GROUP BY 1)
+    SELECT l_orderkey, l_linenumber, rate_date, CAST(rate AS DOUBLE) AS rate
+    FROM lineitem ASOF JOIN rates ON l_shipdate >= rate_date
+    ORDER BY l_orderkey, l_linenumber""")
+  )
+
+  /** PIVOT: order counts per market segment x order priority. */
+  val qPivot: Q = Q(
+    "q_pivot",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val priorities = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+      t.customer
+        .join(t.orders, col("c_custkey") === col("o_custkey"))
+        .groupBy("c_mktsegment")
+        .pivot("o_orderpriority", priorities)
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .withColumnsRenamed(priorities.map(p => p -> s"p${p.head}").toMap)
+        .orderBy("c_mktsegment")
+    },
+    Some("""SELECT c_mktsegment,
+      COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS p1,
+      COUNT(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS p2,
+      COUNT(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS p3,
+      COUNT(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS p4,
+      COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW') AS p5
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+  )
+
+  /** Approximate sketches — HyperLogLog++ distinct counts and quantile
+    * summaries: the constant-memory profiling pass a 100 TB pipeline runs
+    * where exact distinct/percentile would shuffle everything. Algorithm
+    * outputs differ between engines, so correctness is pinned by the
+    * error-bound spec (vs exact values), not the SQL oracle.
+    */
+  val qApproxSketches: Q = Q(
+    "q_approx_sketches",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.events
+        .groupBy("event_type")
+        .agg(
+          approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+          percentile_approx(col("value"), lit(0.5), lit(1000)).as("approx_median_value"),
+          count(lit(1)).as("n_events"))
+        .orderBy("event_type")
+    },
+    None // sketch outputs are engine-specific; error bounds pinned in spec
+  )
+
   val all: Seq[Q] = Seq(
     q1PricingSummary, q3ShippingPriority, q5LocalSupplier, qWindowTopN,
     qRollupRegion, qSemiJoin, qAntiJoin, qDistinctSegments, qTopKParts,
     qSessionize, qEventBuckets, qCubeSegments, qSetOps, qWindowAnalytics,
-    qSaltedAgg)
+    qSaltedAgg, qAsofJoin, qPivot, qApproxSketches)
 }

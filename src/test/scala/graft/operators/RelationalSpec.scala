@@ -45,6 +45,28 @@ class RelationalSpec extends SparkSpec {
     assert(byUser.filter(col("mn") =!= 1 || col("mx") =!= col("n")).count() == 0)
   }
 
+  test("approx sketches stay within error bounds of exact values") {
+    val t = graft.Tables(spark, sfDir)
+    val approx = Relational.qApproxSketches.fn(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val exact = t.events.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("u"),
+        expr("percentile(value, 0.5)").as("med"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    for ((typ, (eu, emed)) <- exact) {
+      val (au, amed) = approx(typ)
+      assert(math.abs(au - eu).toDouble / eu <= 0.10, s"$typ distinct: $au vs $eu")
+      assert(math.abs(amed - emed) <= math.max(1.0, emed * 0.25), s"$typ median: $amed vs $emed")
+    }
+  }
+
+  test("as-of join picks the latest rate at or before each ship date") {
+    val df = Relational.qAsofJoin.fn(spark, sfDir)
+    assert(df.filter(col("rate_date").isNull).count() == 0)
+    // every lineitem appears exactly once
+    assert(df.count() == graft.Tables(spark, sfDir).lineitem.count())
+  }
+
   test("entry flagship returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
