@@ -26,6 +26,8 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.sql.warehouse.dir",
+        sys.env.getOrElse("GRAFT_WAREHOUSE", "/tmp/graft_warehouse"))
       .config("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)
       .config("spark.sql.files.maxPartitionBytes", 128 * 1024 * 1024)
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")

@@ -466,9 +466,36 @@ object Relational {
     None // sketch outputs are engine-specific; error bounds pinned in spec
   )
 
+  /** Bucketed co-located join: both fact tables are written bucketed+sorted
+    * on the join key, so the sort-merge join needs NO shuffle and NO sort —
+    * each task merges matching buckets. This is the amortize-the-shuffle
+    * design for fact-fact joins repeated across a 100 TB pipeline: pay the
+    * bucketing once at write, join for free forever after (BucketedJoinSpec
+    * pins the exchange-free plan).
+    */
+  val qBucketedJoin: Q = Q(
+    "q_bucketed_join",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val sfx = java.util.UUID.randomUUID().toString.replace("-", "")
+      t.orders.write.bucketBy(16, "o_orderkey").sortBy("o_orderkey")
+        .mode("overwrite").saveAsTable(s"orders_bkt_$sfx")
+      t.lineitem.write.bucketBy(16, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").saveAsTable(s"lineitem_bkt_$sfx")
+      s.table(s"lineitem_bkt_$sfx").hint("merge")
+        .join(s.table(s"orders_bkt_$sfx"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(sum(discPrice).cast(DoubleType).as("revenue"), count(lit(1)).as("n_items"))
+        .orderBy("o_orderpriority")
+    },
+    Some(s"""SELECT o_orderpriority, ${revSql()} AS revenue, COUNT(*) AS n_items
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+  )
+
   val all: Seq[Q] = Seq(
     q1PricingSummary, q3ShippingPriority, q5LocalSupplier, qWindowTopN,
     qRollupRegion, qSemiJoin, qAntiJoin, qDistinctSegments, qTopKParts,
     qSessionize, qEventBuckets, qCubeSegments, qSetOps, qWindowAnalytics,
-    qSaltedAgg, qAsofJoin, qPivot, qApproxSketches)
+    qSaltedAgg, qAsofJoin, qPivot, qApproxSketches, qBucketedJoin)
 }
