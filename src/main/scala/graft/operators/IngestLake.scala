@@ -203,8 +203,37 @@ object IngestLake {
     ORDER BY id""")
   )
 
+  /** Data-quality profiling (reference roadmap item "data quality checks"):
+    * per-table completeness, cardinality and range stats in one pass —
+    * the pre-ingest validation report. Integer/2-decimal exact throughout.
+    */
+  val lakeDataProfile: Q = Q(
+    "lake_data_profile",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.orders.agg(
+        count(lit(1)).as("n_rows"),
+        count(col("o_custkey")).as("custkey_nonnull"),
+        countDistinct(col("o_custkey")).as("custkey_distinct"),
+        countDistinct(col("o_orderstatus")).as("status_distinct"),
+        min(col("o_totalprice")).as("price_min"),
+        max(col("o_totalprice")).as("price_max"),
+        min(col("o_orderdate")).as("date_min"),
+        max(col("o_orderdate")).as("date_max"))
+    },
+    Some("""SELECT COUNT(*) AS n_rows,
+      COUNT(o_custkey) AS custkey_nonnull,
+      COUNT(DISTINCT o_custkey) AS custkey_distinct,
+      COUNT(DISTINCT o_orderstatus) AS status_distinct,
+      MIN(o_totalprice) AS price_min,
+      MAX(o_totalprice) AS price_max,
+      MIN(o_orderdate) AS date_min,
+      MAX(o_orderdate) AS date_max
+    FROM orders""")
+  )
+
   val all: Seq[Q] = Seq(
     ingestCsvRoundtrip, ingestJsonRoundtrip, ingestParquet, ingestTextLines,
     ingestOrcRoundtrip, ingestXmlRoundtrip, ingestSchemaEvolution, ingestJsonProps,
-    lakeCtas, lakeMergeUpsert, lakeChangelog)
+    lakeCtas, lakeMergeUpsert, lakeChangelog, lakeDataProfile)
 }

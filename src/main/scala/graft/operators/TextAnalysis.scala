@@ -190,6 +190,30 @@ object TextAnalysis {
     ORDER BY doc_id""")
   )
 
+  /** Corpus vocabulary statistics: document frequency of each distinct
+    * token — the profiling pass behind IDF weighting, vocabulary pruning,
+    * and stopword discovery. Per-doc distinct tokens explode once (the only
+    * shuffle is the term groupBy, map-side combined); counts are
+    * integer-exact so the oracle checks the full tokenize→dedupe→count
+    * pipeline.
+    */
+  val textTermDocfreq: Q = Q(
+    "text_term_docfreq",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.documents
+        .select(explode(array_distinct(wsTokens(lower(col("text"))))).as("term"))
+        .groupBy("term")
+        .agg(count(lit(1)).as("df_count"))
+        .orderBy(desc("df_count"), asc("term"))
+        .limit(20)
+    },
+    Some("""SELECT term, COUNT(*) AS df_count FROM (
+      SELECT doc_id, unnest(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+'))) AS term
+      FROM documents) sub
+    GROUP BY term ORDER BY df_count DESC, term LIMIT 20""")
+  )
+
   val all: Seq[Q] = Seq(textTokens, textQuality, textLangId, textFingerprint,
-    textQualityFilter)
+    textQualityFilter, textTermDocfreq)
 }
