@@ -88,6 +88,28 @@ object EventStreams {
       }
   }
 
+  /** E4: streaming ingestion into the lakehouse — the reference's
+    * batch pipeline (read files → land in catalog tables) as a continuous
+    * flow: a file-source stream appended into a LakeCatalog table per
+    * micro-batch via foreachBatch. Each micro-batch is one atomic lake
+    * commit (manifest append, no rewrite), so downstream readers see
+    * consistent snapshots and can CDC-diff them.
+    */
+  def streamIntoLake(
+      stream: DataFrame,
+      catalog: graft.lake.LakeCatalog,
+      ns: String,
+      table: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        catalog.write(ns, table, batch.toDF(), org.apache.spark.sql.SaveMode.Append)
+        (): Unit
+      }
+      .start()
+
   /** events table (nanos-long ts) → typed stream-shaped dataset */
   def eventsAsTyped(spark: SparkSession, dir: String): Dataset[Event] = {
     import spark.implicits._

@@ -110,6 +110,22 @@ class LakeSpec extends SparkSpec {
     assert(merger.findKeyColumn(Seq((1, 2)).toDF("x", "y")).isEmpty)
   }
 
+  test("merge handles schema drift: source with a new column upserts cleanly") {
+    val cat = freshCatalog()
+    val merger = new TableMerger(cat)
+    import spark.implicits._
+    merger.mergeTable(Seq((1, "a"), (2, "b")).toDF("id", "v"), "ns", "drift")
+    // delta carries an extra column the target lacks
+    val r = merger.mergeTable(Seq((2, "B", 9.5), (3, "c", 1.5)).toDF("id", "v", "score"),
+      "ns", "drift")
+    assert(r.strategy.startsWith("MERGE"))
+    val back = cat.read("ns", "drift")
+    assert(back.columns.toSet == Set("id", "v", "score"))
+    assert(back.filter("id = 1 AND score IS NULL").count() == 1)
+    assert(back.filter("id = 2 AND v = 'B' AND score = 9.5").count() == 1)
+    assert(back.count() == 3)
+  }
+
   test("merge strategies: CTAS, then upsert updates matched + inserts new") {
     val cat = freshCatalog()
     val merger = new TableMerger(cat)

@@ -74,6 +74,40 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("E4: file-source stream lands in the lake as per-batch snapshots") {
+    import spark.implicits._
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_stream_src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt").toString
+    val cat = graft.lake.LakeCatalog(spark,
+      java.nio.file.Files.createTempDirectory("graft_stream_lake").toString)
+    // land one flat parquet file per "arrival" (file source watches srcDir)
+    def land(name: String, rows: Seq[(Long, String)]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stream_tmp").toString
+      rows.toDF("id", "v").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(srcDir, s"$name.parquet"))
+    }
+    land("f1", Seq((1L, "a"), (2L, "b")))
+    val stream = spark.readStream
+      .schema("id LONG, v STRING")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+    val q = EventStreams.streamIntoLake(stream, cat, "stream", "events_in", ckpt)
+    try {
+      q.processAllAvailable()
+      assert(cat.rowCount("stream", "events_in") == 2)
+      // a new file arrives → next micro-batch → new lake snapshot
+      land("f2", Seq((3L, "c")))
+      q.processAllAvailable()
+      assert(cat.rowCount("stream", "events_in") == 3)
+      assert(cat.versions("stream", "events_in").size >= 2)
+      // earlier snapshot still time-travelable
+      assert(cat.read("stream", "events_in", Some(1)).count() == 2)
+    } finally q.stop()
+  }
+
   test("batch twin: sessionize in batch mode matches q_sessionize closed sessions") {
     import spark.implicits._
     // In batch execution each user's whole history arrives as one group and
