@@ -81,6 +81,40 @@ object Dedup {
       .distinct()
   }
 
+  /** Connected components over a near-dup pair list: collapses transitive
+    * chains (a~b, b~c → {a,b,c}) into clusters labeled by their minimum
+    * member id — the step that turns pairwise similarity into "keep one per
+    * group". Iterative min-label propagation in plain DataFrame ops
+    * (driver-controlled loop, the standard distributed-CC shape): each round
+    * is one shuffle; duplicate clusters are shallow in practice so it
+    * converges in a few rounds. `maxIter` bounds the worst case; each round
+    * localCheckpoints to keep lineage flat (no exponential plan growth).
+    */
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("a"), col("b"))
+      .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
+      .distinct().localCheckpoint(eager = true)
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("label", col("id"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val propagated = edges
+        .join(labels, edges("a") === labels("id"))
+        .select(col("b").as("id"), col("label"))
+      val next = propagated.unionByName(labels)
+        .groupBy("id").agg(min("label").as("label"))
+        .localCheckpoint(eager = true)
+      val changed = next.alias("n")
+        .join(labels.alias("o"), Seq("id"))
+        .filter(col("n.label") =!= col("o.label")).count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    labels.select(col("id"), col("label").as("cluster_id"))
+  }
+
   /** documents ∪ deterministic mutated copies — self-demonstrating corpus
     * for near-dup queries (the base corpus has no planted duplicates).
     * Mutants: every `every`-th doc, id += 1,000,000, one appended token.
@@ -223,6 +257,20 @@ object Dedup {
     WHERE rn = 1 ORDER BY doc_id""")
   )
 
+  /** end-to-end near-dup clustering: minhash LSH pairs → connected
+    * components → (doc, cluster) assignment for every clustered document.
+    */
+  val dedupClusters: Q = Q(
+    "dedup_clusters",
+    (s, dir) => {
+      val pairs = minhashPipeline(s, dir)
+        .select(col("a"), col("b"), estJaccard(col("sig_a"), col("sig_b")).as("ej"))
+        .filter(col("ej") >= 0.5)
+      duplicateClusters(pairs).orderBy("id")
+    },
+    None // LSH-derived clusters — transitivity pinned in DedupSpec
+  )
+
   val all: Seq[Q] = Seq(dedupExact, dedupKeepFirst, dedupMinhash, dedupNgramJaccard,
-    dedupSimhash, dedupEmbedding)
+    dedupSimhash, dedupEmbedding, dedupClusters)
 }

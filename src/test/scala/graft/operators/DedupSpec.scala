@@ -42,6 +42,26 @@ class DedupSpec extends SparkSpec {
     assert(self.filter(col("cosine") < 0.999).count() == 0)
   }
 
+  test("connected components collapse transitive chains into one cluster") {
+    import spark.implicits._
+    // chain 1-2-3-4 plus isolated pair 10-11
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a", "b")
+    val clusters = Dedup.duplicateClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(clusters(_) == 1L))
+    assert(Seq(10L, 11L).forall(clusters(_) == 10L))
+  }
+
+  test("dedup_clusters assigns each planted mutant to its source's cluster") {
+    val clusters = Dedup.dedupClusters.fn(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val planted = clusters.keys.filter(_ >= 1000000L)
+    assert(planted.nonEmpty)
+    for (p <- planted if clusters.contains(p - 1000000L)) {
+      assert(clusters(p) == clusters(p - 1000000L), s"mutant $p split from source")
+    }
+  }
+
   test("exact dedup counts: no duplicate texts in base corpus") {
     val agg = Dedup.dedupExact.fn(spark, sfDir)
     assert(agg.filter(col("n_docs") =!= col("n_unique")).count() == 0)
