@@ -12,7 +12,7 @@ object SparkEntry {
   def registry: Seq[Q] =
     operators.Relational.all ++ operators.IngestLake.all ++
       operators.Dedup.all ++ operators.TextAnalysis.all ++ operators.Similarity.all ++
-      operators.Multimodal.all
+      operators.Multimodal.all ++ operators.TopK.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,23 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** Minimal bridge into `private[sql]` constructors needed to build a
+  * DataFrame from a custom LogicalPlan and to extract Catalyst expressions
+  * from public Columns — the two seams every plan-level Spark extension
+  * needs (Spark 4 hides both behind `private[sql]`). Nothing else from the
+  * internal API is touched.
+  */
+object GraftBridge {
+
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Column → catalyst Expression via the session's converter (eager: a
+    * real catalyst tree, not a lazy ColumnNode wrapper — wrappers neither
+    * resolve inside custom logical nodes nor serialize to executors).
+    */
+  def expression(spark: SparkSession, c: Column): Expression =
+    spark.asInstanceOf[classic.SparkSession].expression(c)
+}
