@@ -478,9 +478,13 @@ object Relational {
     (s, dir) => {
       val t = Tables(s, dir)
       val sfx = java.util.UUID.randomUUID().toString.replace("-", "")
-      t.orders.write.bucketBy(16, "o_orderkey").sortBy("o_orderkey")
+      // bucket only the join/agg columns: bucketing pays a write, so write
+      // the narrowest projection that serves the downstream joins
+      t.orders.select("o_orderkey", "o_orderpriority")
+        .write.bucketBy(16, "o_orderkey").sortBy("o_orderkey")
         .mode("overwrite").saveAsTable(s"orders_bkt_$sfx")
-      t.lineitem.write.bucketBy(16, "l_orderkey").sortBy("l_orderkey")
+      t.lineitem.select("l_orderkey", "l_extendedprice", "l_discount")
+        .write.bucketBy(16, "l_orderkey").sortBy("l_orderkey")
         .mode("overwrite").saveAsTable(s"lineitem_bkt_$sfx")
       s.table(s"lineitem_bkt_$sfx").hint("merge")
         .join(s.table(s"orders_bkt_$sfx"), col("l_orderkey") === col("o_orderkey"))
