@@ -271,6 +271,26 @@ object Dedup {
     None // LSH-derived clusters — transitivity pinned in DedupSpec
   )
 
+  /** the dedup pipeline's terminal output: the corpus with every
+    * non-canonical near-dup cluster member dropped (canonical = min id).
+    */
+  val dedupSurvivors: Q = Q(
+    "dedup_survivors",
+    (s, dir) => {
+      val pairs = minhashPipeline(s, dir)
+        .select(col("a"), col("b"), estJaccard(col("sig_a"), col("sig_b")).as("ej"))
+        .filter(col("ej") >= 0.5)
+      val dropList = duplicateClusters(pairs)
+        .filter(col("id") =!= col("cluster_id")) // keep canonical members
+        .select(col("id").as("doc_id"))
+      withPlantedDups(Tables(s, dir).documents)
+        .join(dropList, Seq("doc_id"), "left_anti")
+        .select("doc_id")
+        .orderBy("doc_id")
+    },
+    None // LSH-derived survivor set — invariants pinned in DedupSpec
+  )
+
   val all: Seq[Q] = Seq(dedupExact, dedupKeepFirst, dedupMinhash, dedupNgramJaccard,
-    dedupSimhash, dedupEmbedding, dedupClusters)
+    dedupSimhash, dedupEmbedding, dedupClusters, dedupSurvivors)
 }

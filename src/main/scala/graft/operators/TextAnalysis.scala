@@ -214,6 +214,50 @@ object TextAnalysis {
     GROUP BY term ORDER BY df_count DESC, term LIMIT 20""")
   )
 
+  /** End-to-end curation pipeline — the composition a training-data run
+    * executes: quality gate → exact dedup (keep-first) → per-language
+    * token accounting. Every stage is SQL-expressible, so the oracle
+    * checks the COMPOSED pipeline, not just each stage in isolation.
+    */
+  val pipelineCurate: Q = Q(
+    "pipeline_curate",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables(s, dir)
+      val toks = wsTokens(col("text"))
+      val passed = t.documents
+        .withColumn("n_tokens", size(toks))
+        .withColumn("distinct_ratio", ratio(size(array_distinct(toks)), size(toks)))
+        .filter(col("n_tokens") >= 20 && col("n_tokens") <= 100 &&
+          col("distinct_ratio") >= 0.5)
+      val w = Window.partitionBy(md5(col("text"))).orderBy("doc_id")
+      val deduped = passed.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      deduped
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_ws_tokens"),
+          sum(bpeishCount(col("text"))).as("total_bpeish_tokens"))
+        .orderBy("lang")
+    },
+    Some(s"""WITH passed AS (
+      SELECT doc_id, lang, text,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+      FROM documents
+      WHERE len(regexp_split_to_array(trim(text), '\\s+')) BETWEEN 20 AND 100
+        AND CAST(len(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS DOUBLE)
+          / len(regexp_split_to_array(trim(text), '\\s+')) >= 0.5),
+    deduped AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM passed) sub
+      WHERE rn = 1)
+    SELECT lang, COUNT(*) AS n_docs,
+      CAST(SUM(n_tokens) AS BIGINT) AS total_ws_tokens,
+      CAST(SUM(len(regexp_extract_all(text, '$BpeishPattern'))) AS BIGINT) AS total_bpeish_tokens
+    FROM deduped GROUP BY lang ORDER BY lang""")
+  )
+
   val all: Seq[Q] = Seq(textTokens, textQuality, textLangId, textFingerprint,
-    textQualityFilter, textTermDocfreq)
+    textQualityFilter, textTermDocfreq, pipelineCurate)
 }

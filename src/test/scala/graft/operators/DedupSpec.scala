@@ -62,6 +62,22 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("survivors: one canonical member per cluster, everything else kept") {
+    val survivors = Dedup.dedupSurvivors.fn(spark, sfDir).collect()
+      .map(_.getLong(0)).toSet
+    val clusters = Dedup.dedupClusters.fn(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val total = Dedup.withPlantedDups(graft.Tables(spark, sfDir).documents).count()
+    // survivors = total - (clustered members that are not their own label)
+    val dropped = clusters.count { case (id, label) => id != label }
+    assert(survivors.size == total - dropped)
+    // every cluster label survives; no non-canonical member survives
+    for ((id, label) <- clusters) {
+      assert(survivors.contains(label), s"canonical $label missing")
+      if (id != label) assert(!survivors.contains(id), s"dup $id kept")
+    }
+  }
+
   test("exact dedup counts: no duplicate texts in base corpus") {
     val agg = Dedup.dedupExact.fn(spark, sfDir)
     assert(agg.filter(col("n_docs") =!= col("n_unique")).count() == 0)
