@@ -26,7 +26,9 @@ object Mix {
   }
 
   def tokenize(s: UTF8String): Array[String] = {
-    val t = s.toString.toLowerCase.trim
+    // Locale.ROOT: cluster JVMs may run under locales (tr_TR) where the
+    // default lowercase mapping diverges for ASCII 'I'
+    val t = s.toString.toLowerCase(java.util.Locale.ROOT).trim
     if (t.isEmpty) Array.empty else t.split("\\s+")
   }
 }
@@ -161,8 +163,8 @@ case class Fingerprint64(child: Expression)
   override def prettyName: String = "graft_fingerprint64"
 
   override protected def nullSafeEval(input: Any): Any = {
-    val norm = input.asInstanceOf[UTF8String].toString.toLowerCase.trim
-      .replaceAll("\\s+", " ")
+    val norm = input.asInstanceOf[UTF8String].toString
+      .toLowerCase(java.util.Locale.ROOT).trim.replaceAll("\\s+", " ")
     var h = 1125899906842597L
     var i = 0
     while (i < norm.length) { h = h * 31L + norm.charAt(i); i += 1 }
