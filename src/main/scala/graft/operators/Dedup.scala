@@ -144,17 +144,21 @@ object Dedup {
     FROM documents GROUP BY source ORDER BY source""")
   )
 
-  private def minhashPipeline(s: SparkSession, dir: String): DataFrame = {
-    val docs = withPlantedDups(Tables(s, dir).documents)
-    // Materialize signatures ONCE. Without the persist(), CollapseProject
-    // inlines the whole shingle->minhash HOF tree into each of the 16 band
-    // expressions (and again into the verify join) — a multiplicative plan
-    // blow-up that stalls the optimizer. The signature frame is also
-    // genuinely reused (band generation + verify join), so at scale this is
-    // the stage boundary you'd checkpoint anyway.
+  /** Library-facing MinHash near-dup candidate generation over ANY corpus
+    * frame: returns (a, b, sig_a, sig_b, h_a, h_b) for every LSH candidate
+    * pair. Downstream pick estJaccard / exactJaccard / clustering.
+    *
+    * Materializes signatures ONCE (persist). Without it, CollapseProject
+    * inlines the whole shingle->minhash tree into each of the 16 band
+    * expressions (and again into the verify join) — a multiplicative plan
+    * blow-up that stalls the optimizer. The signature frame is also
+    * genuinely reused (band generation + verify join), so at scale this is
+    * the stage boundary you'd checkpoint anyway.
+    */
+  def candidatePairsFor(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val signed = docs.select(
-      col("doc_id").as("id"),
-      shingleHashes(col("text")).as("hashes"))
+      col(idCol).as("id"),
+      shingleHashes(col(textCol)).as("hashes"))
       .withColumn("sig", minhashSignature(col("hashes")))
       .persist()
     val banded = signed.withColumn("bands", bandKeys(col("sig")))
@@ -163,6 +167,19 @@ object Dedup {
     val right = signed.select(col("id").as("b"), col("sig").as("sig_b"), col("hashes").as("h_b"))
     pairs.join(left, "a").join(right, "b")
   }
+
+  /** near-duplicate pairs above an estimated-Jaccard threshold */
+  def nearDuplicatePairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.5): DataFrame =
+    candidatePairsFor(docs, idCol, textCol)
+      .select(col("a"), col("b"), estJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+
+  private def minhashPipeline(s: SparkSession, dir: String): DataFrame =
+    candidatePairsFor(withPlantedDups(Tables(s, dir).documents), "doc_id", "text")
 
   val dedupMinhash: Q = Q(
     "dedup_minhash",

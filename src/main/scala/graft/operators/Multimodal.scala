@@ -119,5 +119,26 @@ object Multimodal {
     FROM documents GROUP BY 1 ORDER BY 1""")
   )
 
-  val all: Seq[Q] = Seq(mmPipeline)
+  /** frame sampling as a checked pipeline stage: stride-10 sampling over
+    * the decoded stub frames, counted per kind — the oracle recomputes the
+    * expected sample counts from first principles (stub dims are pure byte
+    * accounting).
+    */
+  val mmFrameSample: Q = Q(
+    "mm_frame_sample",
+    (s, dir) => {
+      val media = mediaFromDocuments(Tables(s, dir).documents)
+      sampleFrames(decode(media), stride = 10)
+        .groupBy("kind")
+        .agg(count(lit(1)).as("total_frames"))
+        .orderBy("kind")
+    },
+    Some("""SELECT kind, CAST(SUM(cnt) AS BIGINT) AS total_frames FROM (
+      SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        CASE WHEN doc_id % 3 = 2 THEN (strlen(text) % 30) // 10 + 1 ELSE 1 END AS cnt
+      FROM documents) sub
+    GROUP BY kind ORDER BY kind""")
+  )
+
+  val all: Seq[Q] = Seq(mmPipeline, mmFrameSample)
 }
