@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -38,17 +38,9 @@ object Mix {
   * interpretation — the signature stage of MinHash dedup is CPU-bound at
   * 100 TB, so this is the hot loop.
   */
-case class ShingleHashes(child: Expression, n: Int = 3)
-    extends UnaryExpression with CodegenFallback {
-
-  override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == StringType || child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(s"$prettyName: unexpected input type ${child.dataType}")
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def prettyName: String = "graft_shingle_hashes"
-
-  override protected def nullSafeEval(input: Any): Any = {
-    val toks = Mix.tokenize(input.asInstanceOf[UTF8String])
+object ShingleHashes {
+  def compute(s: UTF8String, n: Int): ArrayData = {
+    val toks = Mix.tokenize(s)
     val seen = new java.util.LinkedHashSet[java.lang.Long]()
     if (toks.length < n) {
       seen.add(Mix.hashBytes(toks.mkString(" ").getBytes("UTF-8")))
@@ -68,6 +60,26 @@ case class ShingleHashes(child: Expression, n: Int = 3)
     while (it.hasNext) { out(k) = it.next(); k += 1 }
     new GenericArrayData(out)
   }
+}
+
+case class ShingleHashes(child: Expression, n: Int = 3)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType || child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName: unexpected input type ${child.dataType}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingle_hashes"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleHashes.compute(input.asInstanceOf[UTF8String], n)
+
+  // full codegen (no CodegenFallback row materialization): the generated
+  // code calls the static compute directly, keeping whole-stage codegen
+  // spans unbroken around this expression.
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.ShingleHashes$$.MODULE$$.compute($c, $n)")
 
   override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
     copy(child = newChild)
@@ -77,26 +89,19 @@ case class ShingleHashes(child: Expression, n: Int = 3)
   * Permutation p of hash h is mix64(h ^ seed(p)); signature entry p is the
   * minimum over shingles. Tight long loop: k*|shingles| mixes per row.
   */
-case class MinHashSig(child: Expression, k: Int = 64)
-    extends UnaryExpression with CodegenFallback {
+object MinHashSig {
+  private val seedCache = new java.util.concurrent.ConcurrentHashMap[Int, Array[Long]]()
+  def seeds(k: Int): Array[Long] = seedCache.computeIfAbsent(k,
+    kk => Array.tabulate(kk)(p => Mix.mix64(0x9e3779b97f4a7c15L * (p + 1))))
 
-  override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType.isInstanceOf[ArrayType] &&
-        child.dataType.asInstanceOf[ArrayType].elementType == LongType) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(s"$prettyName: unexpected input type ${child.dataType}")
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def prettyName: String = "graft_minhash_sig"
-
-  private lazy val seeds: Array[Long] =
-    Array.tabulate(k)(p => Mix.mix64(0x9e3779b97f4a7c15L * (p + 1)))
-
-  override protected def nullSafeEval(input: Any): Any = {
-    val hashes = input.asInstanceOf[ArrayData].toLongArray()
+  def compute(input: ArrayData, k: Int): ArrayData = {
+    val hashes = input.toLongArray()
+    val ss = seeds(k)
     val sig = new Array[Long](k)
     var p = 0
     while (p < k) {
       var min = Long.MaxValue
-      val seed = seeds(p)
+      val seed = ss(p)
       var i = 0
       while (i < hashes.length) {
         val v = Mix.mix64(hashes(i) ^ seed)
@@ -108,6 +113,23 @@ case class MinHashSig(child: Expression, k: Int = 64)
     }
     new GenericArrayData(sig)
   }
+}
+
+case class MinHashSig(child: Expression, k: Int = 64)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[ArrayType] &&
+        child.dataType.asInstanceOf[ArrayType].elementType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName: unexpected input type ${child.dataType}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_sig"
+
+  override protected def nullSafeEval(input: Any): Any =
+    MinHashSig.compute(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MinHashSig$$.MODULE$$.compute($c, $k)")
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
     copy(child = newChild)
@@ -116,17 +138,9 @@ case class MinHashSig(child: Expression, k: Int = 64)
 /** 64-bit SimHash of a text column: unigram token hashes vote per bit
   * (+1/-1), bit set iff the sum is non-negative. Packed long output.
   */
-case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
-
-  override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == StringType || child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(s"$prettyName: unexpected input type ${child.dataType}")
-  override def dataType: DataType = LongType
-  override def prettyName: String = "graft_simhash64"
-
-  override protected def nullSafeEval(input: Any): Any = {
-    val toks = Mix.tokenize(input.asInstanceOf[UTF8String])
+object SimHash64 {
+  def compute(s: UTF8String): Long = {
+    val toks = Mix.tokenize(s)
     val counts = new Array[Int](64)
     var i = 0
     while (i < toks.length) {
@@ -143,6 +157,22 @@ case class SimHash64(child: Expression)
     while (b < 64) { if (counts(b) >= 0) out |= (1L << b); b += 1 }
     out
   }
+}
+
+case class SimHash64(child: Expression)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType || child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName: unexpected input type ${child.dataType}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash64"
+
+  override protected def nullSafeEval(input: Any): Any =
+    SimHash64.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHash64$$.MODULE$$.compute($c)")
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
     copy(child = newChild)
@@ -153,8 +183,18 @@ case class SimHash64(child: Expression)
   * fingerprint stable under case/whitespace noise. Wrapping long arithmetic
   * in the JVM, immune to ANSI overflow checking.
   */
+object Fingerprint64 {
+  def compute(input: UTF8String): Long = {
+    val norm = input.toString.toLowerCase(java.util.Locale.ROOT).trim.replaceAll("\\s+", " ")
+    var h = 1125899906842597L
+    var i = 0
+    while (i < norm.length) { h = h * 31L + norm.charAt(i); i += 1 }
+    h
+  }
+}
+
 case class Fingerprint64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
@@ -162,14 +202,11 @@ case class Fingerprint64(child: Expression)
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_fingerprint64"
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val norm = input.asInstanceOf[UTF8String].toString
-      .toLowerCase(java.util.Locale.ROOT).trim.replaceAll("\\s+", " ")
-    var h = 1125899906842597L
-    var i = 0
-    while (i < norm.length) { h = h * 31L + norm.charAt(i); i += 1 }
-    h
-  }
+  override protected def nullSafeEval(input: Any): Any =
+    Fingerprint64.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Fingerprint64$$.MODULE$$.compute($c)")
 
   override protected def withNewChildInternal(newChild: Expression): Fingerprint64 =
     copy(child = newChild)
@@ -180,22 +217,13 @@ case class Fingerprint64(child: Expression)
   * pseudo-random units derived from (bit, dim) — no stored model. Bit b is
   * set iff dot(vec, r_b) >= 0.
   */
-case class HyperplaneSig(child: Expression, bits: Int = 16)
-    extends UnaryExpression with CodegenFallback {
-
-  override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType.isInstanceOf[ArrayType] &&
-        child.dataType.asInstanceOf[ArrayType].elementType == FloatType) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(s"$prettyName: unexpected input type ${child.dataType}")
-  override def dataType: DataType = LongType
-  override def prettyName: String = "graft_hyperplane_sig"
-
+object HyperplaneSig {
   @inline private def unit(b: Int, i: Int): Double =
     (Mix.mix64(b.toLong * 0x9e3779b97f4a7c15L ^ i.toLong * 0xc2b2ae3d27d4eb4fL) %
       1000001L).toDouble / 1000000.0
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val vec = input.asInstanceOf[ArrayData].toFloatArray()
+  def compute(input: ArrayData, bits: Int): Long = {
+    val vec = input.toFloatArray()
     var out = 0L
     var b = 0
     while (b < bits) {
@@ -207,6 +235,23 @@ case class HyperplaneSig(child: Expression, bits: Int = 16)
     }
     out
   }
+}
+
+case class HyperplaneSig(child: Expression, bits: Int = 16)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[ArrayType] &&
+        child.dataType.asInstanceOf[ArrayType].elementType == FloatType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName: unexpected input type ${child.dataType}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_hyperplane_sig"
+
+  override protected def nullSafeEval(input: Any): Any =
+    HyperplaneSig.compute(input.asInstanceOf[ArrayData], bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HyperplaneSig$$.MODULE$$.compute($c, $bits)")
 
   override protected def withNewChildInternal(newChild: Expression): HyperplaneSig =
     copy(child = newChild)
