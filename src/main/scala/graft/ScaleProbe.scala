@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Scale-linearity probe: synthesizes corpora at 1x / 3x / 10x of an input
+  * scale factor's documents+embeddings and times the heaviest pipelines
+  * (MinHash near-dup, brute-force ANN) at each size. Run manually:
+  *
+  *   SPARK_GRAFT_CPUS=32 sbt "runMain graft.ScaleProbe /root/testdata/sf0.1"
+  *
+  * A super-linear blow-up here means a bucket cap or broadcast assumption
+  * broke — the cheap local canary for the 100 TB question.
+  */
+object ScaleProbe {
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = GraftSession.getOrCreate("graft-scale-probe")
+    import spark.implicits._
+
+    val docs = Tables(spark, dir).documents.select("doc_id", "text")
+    val emb = Tables(spark, dir).embeddings
+
+    def multiplied(mult: Int): DataFrame =
+      (0 until mult).map { m =>
+        docs.select((col("doc_id") + lit(m.toLong * 10000000L)).as("doc_id"),
+          // perturb copies so they are near- but not exact dups of the base
+          (if (m == 0) col("text")
+           else concat(col("text"), lit(s" variant token $m"))).as("text"))
+      }.reduce(_ unionByName _)
+
+    for (mult <- Seq(1, 3, 10)) {
+      val corpus = multiplied(mult)
+      val path = s"/tmp/graft_scale_${mult}x"
+      corpus.write.mode(SaveMode.Overwrite).parquet(path)
+      val loaded = spark.read.parquet(path)
+      val n = loaded.count()
+      val t0 = System.nanoTime()
+      val pairs = operators.Dedup.nearDuplicatePairs(loaded, "doc_id", "text").count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] minhash ${mult}x: docs=$n%d pairs=$pairs%d time=$dt%.1fs")
+    }
+
+    for (mult <- Seq(1, 3, 10)) {
+      val vecs = (0 until mult).map { m =>
+        emb.select((col("vec_id") + lit(m.toLong * 10000000L)).as("vec_id"), col("embedding"))
+      }.reduce(_ unionByName _)
+      val path = s"/tmp/graft_scale_emb_${mult}x"
+      vecs.write.mode(SaveMode.Overwrite).parquet(path)
+      val loaded = spark.read.parquet(path)
+      val n = loaded.count()
+      val queries = loaded.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      val t0 = System.nanoTime()
+      val scored = loaded
+        .join(broadcast(queries), col("vec_id") =!= col("query_id"))
+        .select(operators.Similarity.cosine(col("q_emb"), col("embedding")).as("s"))
+        .agg(max("s")).collect()
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] ann-brute ${mult}x: vecs=$n%d time=$dt%.1fs maxcos=${scored(0).getDouble(0)}%.3f")
+    }
+    spark.stop()
+  }
+}

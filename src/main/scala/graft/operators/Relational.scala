@@ -445,6 +445,35 @@ object Relational {
     GROUP BY c_mktsegment ORDER BY c_mktsegment""")
   )
 
+  /** Range (interval) join: facts joined to a banding dimension on a
+    * BETWEEN predicate. The band table is tiny → broadcast nested-loop with
+    * the fact side streaming in place (never shuffled). For big-big range
+    * joins the compact-domain pattern of q_asof_join applies (resolve the
+    * range on the distinct key domain, then equi-join facts).
+    */
+  val qRangeJoin: Q = Q(
+    "q_range_join",
+    (s, dir) => {
+      import s.implicits._
+      val t = Tables(s, dir)
+      val bands = Seq(
+        ("XS", 1, 10), ("S", 11, 20), ("M", 21, 30), ("L", 31, 40), ("XL", 41, 50)
+      ).toDF("band", "lo", "hi")
+      t.part
+        .join(broadcast(bands), col("p_size") >= col("lo") && col("p_size") <= col("hi"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n_parts"),
+          dsum(col("p_retailprice")).as("total_price"))
+        .orderBy("band")
+    },
+    Some(s"""WITH bands(band, lo, hi) AS (
+      VALUES ('XS', 1, 10), ('S', 11, 20), ('M', 21, 30), ('L', 31, 40), ('XL', 41, 50))
+    SELECT band, COUNT(*) AS n_parts,
+      CAST(SUM(CAST(p_retailprice AS $D)) AS DOUBLE) AS total_price
+    FROM part JOIN bands ON p_size BETWEEN lo AND hi
+    GROUP BY band ORDER BY band""")
+  )
+
   /** Approximate sketches — HyperLogLog++ distinct counts and quantile
     * summaries: the constant-memory profiling pass a 100 TB pipeline runs
     * where exact distinct/percentile would shuffle everything. Algorithm
@@ -501,5 +530,5 @@ object Relational {
     q1PricingSummary, q3ShippingPriority, q5LocalSupplier, qWindowTopN,
     qRollupRegion, qSemiJoin, qAntiJoin, qDistinctSegments, qTopKParts,
     qSessionize, qEventBuckets, qCubeSegments, qSetOps, qWindowAnalytics,
-    qSaltedAgg, qAsofJoin, qPivot, qApproxSketches, qBucketedJoin)
+    qSaltedAgg, qAsofJoin, qPivot, qApproxSketches, qBucketedJoin, qRangeJoin)
 }
