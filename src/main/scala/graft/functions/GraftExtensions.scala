@@ -20,6 +20,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     // custom whole-operator path: logical TopKPerGroup → partial+final exec
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+    // opt-in rewrite of window-row_number top-k into the custom operator
+    ext.injectOptimizerRule(s => graft.plans.TopKRewriteRule(s))
     ext.injectFunction((
       new FunctionIdentifier("graft_shingle_hashes"),
       new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingle_hashes"),
