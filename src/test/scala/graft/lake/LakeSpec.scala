@@ -102,6 +102,16 @@ class LakeSpec extends SparkSpec {
     assert(filtered.count() == 50)
   }
 
+  test("reads of missing tables and unknown snapshots fail with clear errors") {
+    val cat = freshCatalog()
+    import spark.implicits._
+    val e1 = intercept[IllegalArgumentException] { cat.read("ns", "nope") }
+    assert(e1.getMessage.contains("no such table"))
+    cat.write("ns", "t", Seq(1).toDF("id"))
+    val e2 = intercept[IllegalArgumentException] { cat.read("ns", "t", Some(9)) }
+    assert(e2.getMessage.contains("no snapshot v9"))
+  }
+
   test("key auto-detection follows the reference candidate list") {
     val merger = new TableMerger(freshCatalog())
     import spark.implicits._
