@@ -66,7 +66,7 @@ case class ShingleHashes(child: Expression, n: Int = 3)
     extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == StringType || child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(s"$prettyName: unexpected input type ${child.dataType}")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_shingle_hashes"
@@ -163,7 +163,7 @@ case class SimHash64(child: Expression)
     extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == StringType || child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(s"$prettyName: unexpected input type ${child.dataType}")
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_simhash64"

@@ -3,6 +3,7 @@ package graft.lake
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Path, Paths}
 import scala.jdk.CollectionConverters._
+import scala.util.Using
 
 import graft.sources.SchemaTools
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
@@ -38,13 +39,13 @@ final class LakeCatalog(spark: SparkSession, val root: String) {
 
   def listNamespaces(): Seq[String] =
     if (!Files.isDirectory(Paths.get(root))) Nil
-    else Files.list(Paths.get(root)).iterator.asScala.filter(Files.isDirectory(_))
-      .map(_.getFileName.toString).toSeq.sorted
+    else Using.resource(Files.list(Paths.get(root)))(_.iterator.asScala
+      .filter(Files.isDirectory(_)).map(_.getFileName.toString).toSeq.sorted)
 
   def listTables(ns: String): Seq[String] =
     if (!Files.isDirectory(nsPath(ns))) Nil
-    else Files.list(nsPath(ns)).iterator.asScala.filter(Files.isDirectory(_))
-      .map(_.getFileName.toString).toSeq.sorted
+    else Using.resource(Files.list(nsPath(ns)))(_.iterator.asScala
+      .filter(Files.isDirectory(_)).map(_.getFileName.toString).toSeq.sorted)
 
   def tableExists(ns: String, t: String): Boolean = versions(ns, t).nonEmpty
 
@@ -57,8 +58,8 @@ final class LakeCatalog(spark: SparkSession, val root: String) {
   def versions(ns: String, t: String): Seq[Int] = {
     val d = manifestDir(ns, t)
     if (!Files.isDirectory(d)) Nil
-    else Files.list(d).iterator.asScala.map(_.getFileName.toString)
-      .filter(_.matches("v\\d+\\.txt")).map(_.drop(1).dropRight(4).toInt).toSeq.sorted
+    else Using.resource(Files.list(d))(_.iterator.asScala.map(_.getFileName.toString)
+      .filter(_.matches("v\\d+\\.txt")).map(_.drop(1).dropRight(4).toInt).toSeq.sorted)
   }
 
   private def manifestEntries(ns: String, t: String, version: Int): Seq[String] =
@@ -137,7 +138,7 @@ final class LakeCatalog(spark: SparkSession, val root: String) {
 
   private def deleteRec(p: Path): Unit =
     if (Files.exists(p)) {
-      Files.walk(p).iterator.asScala.toSeq.reverse.foreach(Files.delete)
+      Using.resource(Files.walk(p))(_.iterator.asScala.toSeq.reverse.foreach(Files.delete))
     }
 }
 

@@ -178,8 +178,15 @@ object Dedup {
       .select(col("a"), col("b"), estJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
 
+  // Memoized per (session, dir): four registered queries build on the same
+  // candidate-pair frame, so one persisted signature frame serves all of
+  // them in a Verify/Bench session instead of four separate caches.
+  private val pipelineCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+
   private def minhashPipeline(s: SparkSession, dir: String): DataFrame =
-    candidatePairsFor(withPlantedDups(Tables(s, dir).documents), "doc_id", "text")
+    pipelineCache.computeIfAbsent((System.identityHashCode(s), dir), _ =>
+      candidatePairsFor(withPlantedDups(Tables(s, dir).documents), "doc_id", "text"))
 
   val dedupMinhash: Q = Q(
     "dedup_minhash",

@@ -506,17 +506,33 @@ object Relational {
     "q_bucketed_join",
     (s, dir) => {
       val t = Tables(s, dir)
-      val sfx = java.util.UUID.randomUUID().toString.replace("-", "")
-      // bucket only the join/agg columns: bucketing pays a write, so write
-      // the narrowest projection that serves the downstream joins
+      // fixed table names + overwrite: repeated runs reuse the two slots
+      // instead of leaking a UUID-named copy per invocation into the
+      // warehouse dir. A stale location from a previous JVM (table absent
+      // from this session's in-memory catalog) must be cleared first or
+      // CREATE TABLE fails with LOCATION_ALREADY_EXISTS.
+      def resetSlot(name: String): Unit = {
+        s.sql(s"DROP TABLE IF EXISTS $name")
+        val loc = java.nio.file.Paths.get(
+          java.net.URI.create(s.conf.get("spark.sql.warehouse.dir")).getPath, name)
+        if (java.nio.file.Files.exists(loc)) {
+          import scala.jdk.CollectionConverters._
+          scala.util.Using.resource(java.nio.file.Files.walk(loc))(
+            _.iterator.asScala.toSeq.reverse.foreach(java.nio.file.Files.delete))
+        }
+      }
+      resetSlot("graft_orders_bkt")
+      resetSlot("graft_lineitem_bkt")
+      // bucket only the join/agg columns — bucketing pays a write, so write
+      // the narrowest projection that serves the join.
       t.orders.select("o_orderkey", "o_orderpriority")
         .write.bucketBy(16, "o_orderkey").sortBy("o_orderkey")
-        .mode("overwrite").saveAsTable(s"orders_bkt_$sfx")
+        .mode("overwrite").saveAsTable("graft_orders_bkt")
       t.lineitem.select("l_orderkey", "l_extendedprice", "l_discount")
         .write.bucketBy(16, "l_orderkey").sortBy("l_orderkey")
-        .mode("overwrite").saveAsTable(s"lineitem_bkt_$sfx")
-      s.table(s"lineitem_bkt_$sfx").hint("merge")
-        .join(s.table(s"orders_bkt_$sfx"), col("l_orderkey") === col("o_orderkey"))
+        .mode("overwrite").saveAsTable("graft_lineitem_bkt")
+      s.table("graft_lineitem_bkt").hint("merge")
+        .join(s.table("graft_orders_bkt"), col("l_orderkey") === col("o_orderkey"))
         .groupBy("o_orderpriority")
         .agg(sum(discPrice).cast(DoubleType).as("revenue"), count(lit(1)).as("n_items"))
         .orderBy("o_orderpriority")

@@ -103,6 +103,7 @@ object TextAnalysis {
     (s, dir) => {
       val t = Tables(s, dir)
       t.documents
+        .filter(length(trim(col("text"))) > 0) // empty text: engines disagree on split semantics
         .select(
           col("doc_id"),
           size(wsTokens(col("text"))).as("ws_tokens"),
@@ -114,7 +115,7 @@ object TextAnalysis {
       len(regexp_split_to_array(trim(text), '\\s+')) AS ws_tokens,
       len(regexp_extract_all(text, '$BpeishPattern')) AS bpeish_tokens,
       length(text) AS n_chars
-    FROM documents ORDER BY doc_id""")
+    FROM documents WHERE trim(text) <> '' ORDER BY doc_id""")
   )
 
   val textQuality: Q = Q(
@@ -122,6 +123,7 @@ object TextAnalysis {
     (s, dir) => {
       val t = Tables(s, dir)
       t.documents
+        .filter(length(trim(col("text"))) > 0)
         .select(col("doc_id") +: qualityColumns(col("text")): _*)
         .orderBy("doc_id")
     },
@@ -135,7 +137,7 @@ object TextAnalysis {
         / len(regexp_split_to_array(trim(text), '\\s+')) AS stopword_ratio,
       CAST(len(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS DOUBLE)
         / len(regexp_split_to_array(trim(text), '\\s+')) AS distinct_token_ratio
-    FROM documents ORDER BY doc_id""")
+    FROM documents WHERE trim(text) <> '' ORDER BY doc_id""")
   )
 
   val textLangId: Q = Q(
@@ -202,6 +204,7 @@ object TextAnalysis {
     (s, dir) => {
       val t = Tables(s, dir)
       t.documents
+        .filter(length(trim(col("text"))) > 0)
         .select(explode(array_distinct(wsTokens(lower(col("text"))))).as("term"))
         .groupBy("term")
         .agg(count(lit(1)).as("df_count"))

@@ -17,6 +17,9 @@ object TopK {
     * column with `.desc`/`.asc` to pick direction; default ascending)
     */
   def perGroup(df: DataFrame, groupCols: Seq[Column], orderCols: Seq[Column], k: Int): DataFrame = {
+    require(groupCols.nonEmpty,
+      "TopK.perGroup needs at least one group column (use orderBy().limit(k) for global top-k)")
+    require(k >= 1, s"k must be >= 1, got $k")
     val s = df.sparkSession
     val order = orderCols.map(c => GraftBridge.expression(s, c) match {
       case so: SortOrder => so

@@ -27,7 +27,8 @@ case class TopKRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
             Filter(cond, w @ Window(Seq(rnAlias @ Alias(
               WindowExpression(RowNumber(),
                 WindowSpecDefinition(parts, order, _: SpecifiedWindowFrame)), _)), _, _, child, _)))
-          if bound(cond, rnAlias.toAttribute).exists(_ >= 1) &&
+          if parts.nonEmpty && // global top-k (no PARTITION BY) stays a Window
+            bound(cond, rnAlias.toAttribute).exists(_ >= 1) &&
             projectList.forall(_.references.subsetOf(child.outputSet)) =>
         val k = bound(cond, rnAlias.toAttribute).get
         Project(projectList, TopKPerGroup(parts, order, k, child))

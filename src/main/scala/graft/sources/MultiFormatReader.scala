@@ -45,6 +45,13 @@ object MultiFormatReader {
 
   /** PERMISSIVE CSV: header, wide-table support (maxColumns), quoted
     * multi-line fields, corrupt-record isolation.
+    *
+    * Two passes by necessity: Spark only materializes the corrupt-record
+    * column for CSV when it appears in an EXPLICIT schema — with inference
+    * alone, malformed rows silently become null-padded rows. So pass 1
+    * infers the data schema, pass 2 re-reads with that schema plus the
+    * corrupt column appended, and the filter then genuinely isolates bad
+    * rows.
     */
   def readCsv(
       spark: SparkSession,
@@ -52,18 +59,21 @@ object MultiFormatReader {
       maxColumns: Int = 50000,
       delimiter: String = ",",
       inferSchema: Boolean = true): DataFrame = {
-    val df = spark.read
+    def reader = spark.read
       .option("header", "true")
       .option("maxColumns", maxColumns)
       .option("delimiter", delimiter)
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", CorruptCol)
-      .option("inferSchema", inferSchema)
       .option("multiLine", "true")
       .option("escape", "\"")
       .option("encoding", "UTF-8")
-      .csv(path)
-    dropCorrupt(df)
+    val inferred = reader.option("inferSchema", inferSchema).csv(path).schema
+    val withCorrupt = org.apache.spark.sql.types.StructType(
+      inferred.fields.filterNot(_.name == CorruptCol) :+
+        org.apache.spark.sql.types.StructField(CorruptCol,
+          org.apache.spark.sql.types.StringType, nullable = true))
+    dropCorrupt(reader.schema(withCorrupt).csv(path))
   }
 
   def readParquet(spark: SparkSession, path: String): DataFrame =
@@ -81,9 +91,13 @@ object MultiFormatReader {
     spark.read.format("xml").option("rowTag", rowTag).load(path)
 
   private def dropCorrupt(df: DataFrame): DataFrame =
-    if (df.columns.contains(CorruptCol))
-      df.filter(col(CorruptCol).isNull).drop(CorruptCol)
-    else df
+    if (df.columns.contains(CorruptCol)) {
+      // cache before filtering on the corrupt column: Spark disallows raw
+      // JSON/CSV queries whose only referenced data column is the internal
+      // corrupt-record column (e.g. a bare count() after this filter); the
+      // cache is the documented workaround and bounds the re-parse cost.
+      df.cache().filter(col(CorruptCol).isNull).drop(CorruptCol)
+    } else df
 
   /** Directory scan with per-file isolation: each file becomes its own
     * staging table named `<format>_<stem>`; a file that fails to read (or is

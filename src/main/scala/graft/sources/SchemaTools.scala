@@ -18,14 +18,23 @@ object SchemaTools {
     if (named.head.isDigit) s"c_$named" else named
   }
 
-  /** Sanitize all column names; dedupe collisions with _2, _3, ... */
+  /** Sanitize all column names; dedupe collisions with _2, _3, ...
+    * Generated names are themselves recorded, so a later column that
+    * sanitizes to an already-generated name (e.g. a literal "a_2" after
+    * two "a"s) still comes out unique.
+    */
   def sanitizeColumns(df: DataFrame): DataFrame = {
-    val seen = scala.collection.mutable.Map.empty[String, Int]
+    val used = scala.collection.mutable.Set.empty[String]
     val renamed = df.columns.map { c =>
-      val s = sanitizeName(c)
-      val n = seen.getOrElse(s, 0)
-      seen(s) = n + 1
-      if (n == 0) s else s"${s}_${n + 1}"
+      val base = sanitizeName(c)
+      var candidate = base
+      var n = 1
+      while (used.contains(candidate)) {
+        n += 1
+        candidate = s"${base}_$n"
+      }
+      used += candidate
+      candidate
     }
     df.toDF(renamed.toIndexedSeq: _*)
   }

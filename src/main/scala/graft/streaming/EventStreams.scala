@@ -42,10 +42,18 @@ object EventStreams {
     events.withWatermark("ts", watermark).dropDuplicates(Seq("event_id"))
 
   /** E2: stateful sessionization — a session closes after `gapMinutes` of
-    * inactivity (same semantics as the batch gaps-and-islands q_sessionize).
-    * flatMapGroupsWithState with event-time timeout: closed sessions are
-    * emitted either when a later event arrives past the gap, or when the
-    * watermark passes the gap horizon.
+    * inactivity (same boundary semantics as the batch gaps-and-islands
+    * q_sessionize). flatMapGroupsWithState with event-time timeout: closed
+    * sessions are emitted either when a later event arrives past the gap,
+    * or when the watermark passes the gap horizon. After a timeout the
+    * state collapses to a tiny tombstone (numEvents=0) that preserves the
+    * session counter — so per-user session ids stay unique and cumulative —
+    * and is itself dropped after a long quiet period (10x gap).
+    *
+    * Batch-mode caveat: in batch execution timeouts never fire and state is
+    * discarded at end-of-data, so each user's final (still-open) session is
+    * not emitted — batch output equals q_sessionize minus each user's last
+    * session (pinned in EventStreamsSpec).
     */
   def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
@@ -59,10 +67,25 @@ object EventStreams {
       .flatMapGroupsWithState[SessionState, SessionOut](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+          // batch execution has no watermark concept; treat it as 0
+          def wmMs: Long =
+            try state.getCurrentWatermarkMs()
+            catch { case _: UnsupportedOperationException => 0L }
           if (state.hasTimedOut) {
             val s = state.get
-            state.remove()
-            Iterator.single(SessionOut(userId, s.sessionId, s.numEvents, s.startUs, s.lastUs))
+            if (s.numEvents == 0L) {
+              state.remove() // tombstone expired: user long quiet
+              Iterator.empty
+            } else {
+              // emit the closed session; keep the counter in a tombstone.
+              // Timeouts must sit above the current watermark (it may have
+              // advanced far past this user's last event), so clamp.
+              state.update(s.copy(numEvents = 0L))
+              state.setTimeoutTimestamp(math.max(
+                s.lastUs / 1000 + gapMinutes * 60L * 1000 * 10,
+                wmMs + gapMinutes * 60L * 1000))
+              Iterator.single(SessionOut(userId, s.sessionId, s.numEvents, s.startUs, s.lastUs))
+            }
           } else {
             val sorted = it.toSeq.sortBy(e => (us(e.ts), e.event_id))
             var cur = state.getOption
@@ -70,18 +93,24 @@ object EventStreams {
             for (e <- sorted) {
               val t = us(e.ts)
               cur match {
-                case Some(s) if t - s.lastUs <= gapUs =>
+                case Some(s) if s.numEvents > 0L && t - s.lastUs <= gapUs =>
                   cur = Some(s.copy(lastUs = t, numEvents = s.numEvents + 1))
-                case Some(s) =>
+                case Some(s) if s.numEvents > 0L =>
                   closed += SessionOut(userId, s.sessionId, s.numEvents, s.startUs, s.lastUs)
                   cur = Some(SessionState(s.sessionId + 1, t, t, 1L))
+                case Some(tomb) => // timeout already emitted; continue numbering
+                  cur = Some(SessionState(tomb.sessionId + 1, t, t, 1L))
                 case None =>
                   cur = Some(SessionState(1, t, t, 1))
               }
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.lastUs / 1000 + gapMinutes * 60L * 1000)
+              // clamp above the watermark: a late-but-processed event could
+              // otherwise request a timeout in the past, which throws
+              state.setTimeoutTimestamp(math.max(
+                s.lastUs / 1000 + gapMinutes * 60L * 1000,
+                wmMs + 1))
             }
             closed.result().iterator
           }

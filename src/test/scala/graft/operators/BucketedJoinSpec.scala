@@ -8,11 +8,21 @@ class BucketedJoinSpec extends SparkSpec {
   test("bucketed join plan has no exchange on the join keys") {
     import spark.implicits._
     val df = (1 to 1000).map(i => (i.toLong, s"v$i")).toDF("id", "v")
-    val sfx = java.util.UUID.randomUUID().toString.replace("-", "")
-    df.write.bucketBy(8, "id").sortBy("id").mode("overwrite").saveAsTable(s"ta_$sfx")
-    df.write.bucketBy(8, "id").sortBy("id").mode("overwrite").saveAsTable(s"tb_$sfx")
-    val a = spark.table(s"ta_$sfx")
-    val b = spark.table(s"tb_$sfx").withColumnRenamed("v", "v2").withColumnRenamed("id", "id2")
+    // fixed names: drop + clear any stale location so reruns don't leak
+    for (n <- Seq("graft_spec_ta", "graft_spec_tb")) {
+      spark.sql(s"DROP TABLE IF EXISTS $n")
+      val loc = java.nio.file.Paths.get(java.net.URI.create(
+        spark.conf.get("spark.sql.warehouse.dir")).getPath, n)
+      if (java.nio.file.Files.exists(loc)) {
+        import scala.jdk.CollectionConverters._
+        scala.util.Using.resource(java.nio.file.Files.walk(loc))(
+          _.iterator.asScala.toSeq.reverse.foreach(java.nio.file.Files.delete))
+      }
+    }
+    df.write.bucketBy(8, "id").sortBy("id").mode("overwrite").saveAsTable("graft_spec_ta")
+    df.write.bucketBy(8, "id").sortBy("id").mode("overwrite").saveAsTable("graft_spec_tb")
+    val a = spark.table("graft_spec_ta")
+    val b = spark.table("graft_spec_tb").withColumnRenamed("v", "v2").withColumnRenamed("id", "id2")
     val joined = a.hint("merge").join(b, col("id") === col("id2"))
     val plan = joined.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")

@@ -43,6 +43,37 @@ class IngestSpec extends SparkSpec {
     assert(ids == Seq(1L, 3L))
   }
 
+  test("CSV corrupt rows are genuinely filtered (explicit-schema pass)") {
+    val d = Files.createTempDirectory("graft_csv_corrupt")
+    // row 3 has a dangling quote: malformed under escape/quote rules
+    Files.writeString(d.resolve("bad.csv"), "a,b\n1,2\n3,4\n\"oops,5\n")
+    val df = MultiFormatReader.readCsv(spark, d.resolve("bad.csv").toString)
+    assert(df.count() == 2, df.collect().mkString("|"))
+    assert(df.columns.toSeq == Seq("a", "b"))
+  }
+
+  test("loadDirectory keeps valid records from a partially corrupt JSON file") {
+    val base = Files.createTempDirectory("graft_mixed").toString
+    Files.createDirectories(Paths.get(base, "json"))
+    // multiLine=true default treats the file as one document; a top-level
+    // array with valid rows still loads, and the single-doc corrupt file
+    // yields zero rows and is skipped without failing the scan
+    Files.writeString(Paths.get(base, "json", "good.json"),
+      """[{"id": 1}, {"id": 2}]""")
+    Files.writeString(Paths.get(base, "json", "broken.json"), "{not json at all")
+    val tables = MultiFormatReader.loadDirectory(spark, base)
+    assert(tables.map(_.name) == Seq("json_good"), tables.map(_.name).toString)
+    assert(tables.head.rows == 2)
+  }
+
+  test("sanitizeColumns survives adversarial collisions with generated names") {
+    import spark.implicits._
+    val df = Seq((1, 2, 3)).toDF("a", "a!", "a_2")
+    val out = SchemaTools.sanitizeColumns(df)
+    assert(out.columns.distinct.length == 3, out.columns.mkString(","))
+    assert(out.columns.toSet == Set("a", "a_2", "a_2_2"))
+  }
+
   test("CSV reader honors custom delimiter and quoted fields") {
     val d = Files.createTempDirectory("graft_csv")
     Files.writeString(d.resolve("t.csv"), "a;b\n\"x;y\";2\nz;3\n")

@@ -56,6 +56,16 @@ class EventStreamsSpec extends SparkSpec {
       assert(sessions.length == 2, s"got ${sessions.mkString(",")}")
       assert(sessions(0).n_events == 2)
       assert(sessions(1).n_events == 1)
+      // session ids stay unique and cumulative even across a timeout close
+      assert(sessions.map(_.session_id).toSeq == Seq(1L, 2L))
+      // user 1 returns after the timeout → continues numbering, no reuse
+      input.addData(ev(20, 620, 1))
+      q.processAllAvailable()
+      input.addData(ev(21, 700, 1), ev(22, 1500, 2)) // closes session 3 by gap;
+      q.processAllAvailable() // ev22 advances watermark → session 4 times out too
+      val later = spark.table("e2_out").as[SessionOut].collect()
+        .filter(_.user_id == 1).map(_.session_id).sorted.toSeq
+      assert(later == Seq(1L, 2L, 3L, 4L), s"got $later")
     } finally q.stop()
   }
 
