@@ -69,11 +69,35 @@ object MultiFormatReader {
       .option("escape", "\"")
       .option("encoding", "UTF-8")
     val inferred = reader.option("inferSchema", inferSchema).csv(path).schema
+    readCsvWithSchema(spark, path, inferred, maxColumns, delimiter)
+  }
+
+  /** CSV with a KNOWN schema — the production path for large files: no
+    * inference scan, and the corrupt-record column is appended explicitly
+    * (required for CSV isolation to work at all).
+    */
+  def readCsvWithSchema(
+      spark: SparkSession,
+      path: String,
+      schema: org.apache.spark.sql.types.StructType,
+      maxColumns: Int = 50000,
+      delimiter: String = ","): DataFrame = {
     val withCorrupt = org.apache.spark.sql.types.StructType(
-      inferred.fields.filterNot(_.name == CorruptCol) :+
+      schema.fields.filterNot(_.name == CorruptCol) :+
         org.apache.spark.sql.types.StructField(CorruptCol,
           org.apache.spark.sql.types.StringType, nullable = true))
-    dropCorrupt(reader.schema(withCorrupt).csv(path))
+    val df = spark.read
+      .option("header", "true")
+      .option("maxColumns", maxColumns)
+      .option("delimiter", delimiter)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .option("multiLine", "true")
+      .option("escape", "\"")
+      .option("encoding", "UTF-8")
+      .schema(withCorrupt)
+      .csv(path)
+    dropCorrupt(df)
   }
 
   def readParquet(spark: SparkSession, path: String): DataFrame =
@@ -96,6 +120,9 @@ object MultiFormatReader {
       // JSON/CSV queries whose only referenced data column is the internal
       // corrupt-record column (e.g. a bare count() after this filter); the
       // cache is the documented workaround and bounds the re-parse cost.
+      // Tradeoff: the parsed file is pinned (MEMORY_AND_DISK, evictable) —
+      // at TB-per-file scale prefer readCsvWithSchema + downstream queries
+      // that project real columns, and unpersist() when staging completes.
       df.cache().filter(col(CorruptCol).isNull).drop(CorruptCol)
     } else df
 

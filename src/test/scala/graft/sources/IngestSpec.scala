@@ -74,6 +74,18 @@ class IngestSpec extends SparkSpec {
     assert(out.columns.toSet == Set("a", "a_2", "a_2_2"))
   }
 
+  test("explicit-schema CSV path isolates corrupt rows without inference") {
+    import org.apache.spark.sql.types._
+    val d = Files.createTempDirectory("graft_csv_schema")
+    // dangling quote last: in multiLine mode an unterminated quote swallows
+    // everything after it into one corrupt record
+    Files.writeString(d.resolve("t.csv"), "a,b\n1,2\nx,4\n\"bad,3\n")
+    val schema = StructType(Seq(StructField("a", StringType), StructField("b", IntegerType)))
+    val df = MultiFormatReader.readCsvWithSchema(spark, d.resolve("t.csv").toString, schema)
+    assert(df.columns.toSeq == Seq("a", "b"))
+    assert(df.count() == 2)
+  }
+
   test("CSV reader honors custom delimiter and quoted fields") {
     val d = Files.createTempDirectory("graft_csv")
     Files.writeString(d.resolve("t.csv"), "a;b\n\"x;y\";2\nz;3\n")
