@@ -542,9 +542,67 @@ object Relational {
     GROUP BY o_orderpriority ORDER BY o_orderpriority""")
   )
 
+  /** Histogram: equal-width binning of order totals via width_bucket —
+    * integer-exact bucket counts, one aggregation pass.
+    */
+  val qHistogram: Q = Q(
+    "q_histogram",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.orders
+        .groupBy(width_bucket(col("o_totalprice"), lit(0.0), lit(600000.0), lit(12))
+          .as("bucket"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy("bucket")
+    },
+    // DuckDB has no width_bucket: equivalent arithmetic (width is the exact
+    // double 50000.0, so floor-division boundaries agree with Spark's impl)
+    Some("""SELECT CASE WHEN o_totalprice < 0 THEN 0
+        WHEN o_totalprice >= 600000.0 THEN 13
+        ELSE CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) + 1 END AS bucket,
+      COUNT(*) AS n_orders FROM orders GROUP BY 1 ORDER BY 1""")
+  )
+
+  /** Generated calendar dimension: month spine from a sequence generator,
+    * left-joined with order activity — the generator-function (TVF-ish)
+    * capability plus a date-spine pattern every reporting pipeline needs
+    * (months with zero orders still appear).
+    */
+  val qDateSpine: Q = Q(
+    "q_date_spine",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val spine = s.range(1)
+        .select(explode(sequence(
+          lit("1995-01-01").cast("timestamp"),
+          lit("2001-12-01").cast("timestamp"),
+          expr("INTERVAL 1 MONTH"))).as("month_start"))
+      val activity = t.orders
+        .groupBy(date_trunc("month", col("o_orderdate")).as("month_start"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_price"))
+      spine.join(activity, Seq("month_start"), "left")
+        .select(col("month_start"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          coalesce(col("total_price"), lit(0.0)).as("total_price"))
+        .orderBy("month_start")
+    },
+    Some("""WITH spine AS (
+      SELECT unnest(generate_series(TIMESTAMP '1995-01-01', TIMESTAMP '2001-12-01',
+        INTERVAL 1 MONTH)) AS month_start),
+    activity AS (
+      SELECT date_trunc('month', o_orderdate) AS month_start, COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+      FROM orders GROUP BY 1)
+    SELECT s.month_start, COALESCE(a.n_orders, 0) AS n_orders,
+      COALESCE(a.total_price, 0.0) AS total_price
+    FROM spine s LEFT JOIN activity a ON s.month_start = a.month_start
+    ORDER BY s.month_start""")
+  )
+
   val all: Seq[Q] = Seq(
     q1PricingSummary, q3ShippingPriority, q5LocalSupplier, qWindowTopN,
     qRollupRegion, qSemiJoin, qAntiJoin, qDistinctSegments, qTopKParts,
     qSessionize, qEventBuckets, qCubeSegments, qSetOps, qWindowAnalytics,
-    qSaltedAgg, qAsofJoin, qPivot, qApproxSketches, qBucketedJoin, qRangeJoin)
+    qSaltedAgg, qAsofJoin, qPivot, qApproxSketches, qBucketedJoin, qRangeJoin,
+    qHistogram, qDateSpine)
 }
