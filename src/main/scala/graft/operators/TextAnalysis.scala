@@ -261,6 +261,125 @@ object TextAnalysis {
     FROM deduped GROUP BY lang ORDER BY lang""")
   )
 
+  /** PII/URL scrubbing: redact emails and URLs with typed placeholders —
+    * the cleaning stage before text enters a training corpus. The corpus has
+    * no native PII, so the query plants deterministic contaminated suffixes
+    * (same expression on both engines) and the oracle checks that redaction
+    * transforms them identically.
+    */
+  val textScrub: Q = Q(
+    "text_scrub",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val contaminated = when(col("doc_id") % 5 === 0,
+        concat(col("text"),
+          lit(" contact user"), col("doc_id"),
+          lit("@example.com or https://example.com/d/"), col("doc_id")))
+        .otherwise(col("text"))
+      val scrubbed = regexp_replace(
+        regexp_replace(contaminated, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+", "<EMAIL>"),
+        "https?://[^ ]+", "<URL>")
+      t.documents
+        .select(col("doc_id"),
+          length(scrubbed).as("scrubbed_len"),
+          regexp_count(scrubbed, lit("<EMAIL>|<URL>")).as("n_redactions"),
+          md5(scrubbed).as("scrubbed_md5"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+      length(scrubbed) AS scrubbed_len,
+      len(regexp_extract_all(scrubbed, '<EMAIL>|<URL>')) AS n_redactions,
+      md5(scrubbed) AS scrubbed_md5
+    FROM (
+      SELECT doc_id, regexp_replace(
+        regexp_replace(
+          CASE WHEN doc_id % 5 = 0
+            THEN text || ' contact user' || doc_id || '@example.com or https://example.com/d/' || doc_id
+            ELSE text END,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+        'https?://[^ ]+', '<URL>', 'g') AS scrubbed
+      FROM documents) sub
+    ORDER BY doc_id""")
+  )
+
+  /** Document chunking: fixed-size overlapping token windows (50 tokens,
+    * stride 40) — how long documents become training samples. The oracle
+    * md5s every chunk's joined tokens, so window boundaries, overlap and
+    * content all match across engines exactly.
+    */
+  val textChunk: Q = Q(
+    "text_chunk",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val ChunkSize = 50
+      val Stride = 40
+      val toks = wsTokens(col("text"))
+      val nChunks = when(size(toks) <= ChunkSize, lit(1))
+        .otherwise(ceil((size(toks) - ChunkSize) / lit(Stride.toDouble)).cast("int") + 1)
+      t.documents
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"), toks.as("toks"), nChunks.as("n_chunks"))
+        .select(col("doc_id"),
+          explode(sequence(lit(0), col("n_chunks") - 1)).as("chunk_idx"),
+          col("toks"))
+        .select(col("doc_id"), col("chunk_idx"),
+          slice(col("toks"), col("chunk_idx") * Stride + 1, lit(ChunkSize)).as("chunk"))
+        .select(col("doc_id"), col("chunk_idx"),
+          size(col("chunk")).as("chunk_tokens"),
+          md5(concat_ws(" ", col("chunk"))).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_idx")
+    },
+    Some("""WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t,
+        len(regexp_split_to_array(trim(text), '\s+')) AS n
+      FROM documents WHERE trim(text) <> ''),
+    spans AS (
+      SELECT doc_id, t,
+        unnest(generate_series(0,
+          CASE WHEN n <= 50 THEN 0 ELSE CAST(CEIL((n - 50) / 40.0) AS INT) END)) AS chunk_idx
+      FROM toks)
+    SELECT doc_id, chunk_idx,
+      len(t[chunk_idx * 40 + 1 : chunk_idx * 40 + 50]) AS chunk_tokens,
+      md5(array_to_string(t[chunk_idx * 40 + 1 : chunk_idx * 40 + 50], ' ')) AS chunk_md5
+    FROM spans ORDER BY doc_id, chunk_idx""")
+  )
+
+  /** Sequence packing: assign documents to fixed-token-budget packs by
+    * running token total (stream order = doc_id) — the sample-packing
+    * pass that fills training sequences. Integer-exact throughout.
+    */
+  val textSeqPacking: Q = Q(
+    "text_seq_packing",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val Budget = 2048
+      val t = Tables(s, dir)
+      // packing is inherently sequential: a global-order running total (one
+      // window partition). At 100 TB you shard the stream first (pack per
+      // shard, e.g. per source/date) — same operator per shard.
+      val w = Window.orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t.documents
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"), size(wsTokens(col("text"))).as("n_tokens"))
+        .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        .select(col("doc_id"), col("n_tokens"),
+          ((col("cum_tokens") - col("n_tokens")) / Budget).cast("long").as("pack_id"),
+          (col("cum_tokens") - col("n_tokens")).as("stream_offset"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, n_tokens,
+      CAST(FLOOR((cum_tokens - n_tokens) / 2048.0) AS BIGINT) AS pack_id,
+      cum_tokens - n_tokens AS stream_offset
+    FROM (
+      SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+        CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) OVER (
+          ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+      FROM documents WHERE trim(text) <> '') sub
+    ORDER BY doc_id""")
+  )
+
   val all: Seq[Q] = Seq(textTokens, textQuality, textLangId, textFingerprint,
-    textQualityFilter, textTermDocfreq, pipelineCurate)
+    textQualityFilter, textTermDocfreq, pipelineCurate, textScrub, textChunk,
+    textSeqPacking)
 }
