@@ -7,6 +7,8 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.getOrCreate("graft-bench")
+    // Keep stdout clean around the one-line JSON contract.
+    spark.sparkContext.setLogLevel("ERROR")
     // warm the JVM/codegen paths once so per-query numbers measure the plan,
     // not first-call classloading.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
