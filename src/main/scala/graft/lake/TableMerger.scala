@@ -30,6 +30,27 @@ final class TableMerger(catalog: LakeCatalog) {
 
   final case class MergeResult(strategy: String, sourceRows: Long, finalRows: Long)
 
+  /** One row per key, chosen deterministically: rank by the orderable
+    * non-key columns (descending, nulls last) so the same source frame
+    * always yields the same winner regardless of partition order. Frames
+    * whose non-key columns are all unorderable (maps) fall back to
+    * dropDuplicates. No-op shuffle-wise when keys are already unique —
+    * the window shares the anti-join's hash partitioning on the key.
+    */
+  private def dedupeOnKey(src: DataFrame, k: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val orderable = src.schema.fields
+      .filter(f => f.name != k &&
+        org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(f.dataType))
+      .map(f => col(f.name).desc_nulls_last)
+    if (orderable.isEmpty) src.dropDuplicates(Seq(k))
+    else {
+      val w = Window.partitionBy(col(k)).orderBy(orderable.toSeq: _*)
+      src.withColumn("__graft_rn", org.apache.spark.sql.functions.row_number().over(w))
+        .filter(col("__graft_rn") === 1).drop("__graft_rn")
+    }
+  }
+
   def mergeTable(
       src: DataFrame,
       ns: String,
@@ -42,8 +63,15 @@ final class TableMerger(catalog: LakeCatalog) {
     val strategy = (keyCol, targetExists) match {
       case (Some(k), true) =>
         val target = catalog.read(ns, table)
-        val kept = target.join(src.select(col(k)), Seq(k), "left_anti")
-        val merged = kept.unionByName(src, allowMissingColumns = true)
+        // MERGE INTO updates a matched target row ONCE (and the reference's
+        // engine errors on multiple source matches) — so a source carrying
+        // duplicate key values must collapse to one row per key first, or
+        // the anti-join+union would silently keep every duplicate. Pick the
+        // winner deterministically (max over the orderable non-key columns)
+        // rather than dropDuplicates' partition-order lottery.
+        val deduped = dedupeOnKey(src, k)
+        val kept = target.join(deduped.select(col(k)), Seq(k), "left_anti")
+        val merged = kept.unionByName(deduped, allowMissingColumns = true)
         catalog.write(ns, table, merged, SaveMode.Overwrite)
         s"MERGE (upsert) using key `$k`"
       case (None, true) =>

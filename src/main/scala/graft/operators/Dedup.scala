@@ -112,6 +112,12 @@ object Dedup {
       converged = changed == 0
       i += 1
     }
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"duplicateClusters stopped after $maxIter iterations WITHOUT converging: " +
+          "duplicate chains with graph diameter > maxIter are split into " +
+          "multiple clusters (survivor materialization keeps extra copies). " +
+          "Raise maxIter for deep-chain corpora.")
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 
@@ -155,12 +161,16 @@ object Dedup {
     * genuinely reused (band generation + verify join), so at scale this is
     * the stage boundary you'd checkpoint anyway.
     */
-  def candidatePairsFor(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val signed = docs.select(
+  def candidatePairsFor(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    joinPairs(signedFrame(docs, idCol, textCol).persist())
+
+  private def signedFrame(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
       col(idCol).as("id"),
       shingleHashes(col(textCol)).as("hashes"))
       .withColumn("sig", minhashSignature(col("hashes")))
-      .persist()
+
+  private def joinPairs(signed: DataFrame): DataFrame = {
     val banded = signed.withColumn("bands", bandKeys(col("sig")))
     val pairs = candidatePairs(banded.select("id", "bands"))
     val left = signed.select(col("id").as("a"), col("sig").as("sig_a"), col("hashes").as("h_a"))
@@ -178,15 +188,44 @@ object Dedup {
       .select(col("a"), col("b"), estJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
 
-  // Memoized per (session, dir): four registered queries build on the same
-  // candidate-pair frame, so one persisted signature frame serves all of
-  // them in a Verify/Bench session instead of four separate caches.
+  // Memoized per (sessionUUID, dir): four registered queries build on the
+  // same candidate-pair frame, so one persisted signature frame serves all
+  // of them in a Verify/Bench session instead of four separate caches.
+  // sessionUUID keying (vs identityHashCode) cannot collide across a GC'd
+  // session's address reuse; entries bound to stopped sessions are evicted
+  // on the next lookup, and clearCache(session) unpersists explicitly for
+  // long-lived sessions.
+  private final case class CachedPipeline(pairs: DataFrame, signatures: DataFrame)
   private val pipelineCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String), CachedPipeline]()
 
-  private def minhashPipeline(s: SparkSession, dir: String): DataFrame =
-    pipelineCache.computeIfAbsent((System.identityHashCode(s), dir), _ =>
-      candidatePairsFor(withPlantedDups(Tables(s, dir).documents), "doc_id", "text"))
+  private def sessionUUID(s: SparkSession): String =
+    org.apache.spark.sql.GraftBridge.sessionUUID(s)
+
+  private def minhashPipeline(s: SparkSession, dir: String): DataFrame = {
+    pipelineCache.entrySet().removeIf(e =>
+      e.getValue.signatures.sparkSession.sparkContext.isStopped)
+    pipelineCache.computeIfAbsent((sessionUUID(s), dir), _ => {
+      val signed =
+        signedFrame(withPlantedDups(Tables(s, dir).documents), "doc_id", "text").persist()
+      CachedPipeline(joinPairs(signed), signed)
+    }).pairs
+  }
+
+  /** Unpersist and evict this session's memoized signature frames — call
+    * when a long-lived session finishes its dedup stage.
+    */
+  def clearCache(s: SparkSession): Unit = {
+    val it = pipelineCache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1 == sessionUUID(s)) {
+        try e.getValue.signatures.unpersist()
+        catch { case _: Throwable => () }
+        it.remove()
+      }
+    }
+  }
 
   val dedupMinhash: Q = Q(
     "dedup_minhash",

@@ -116,14 +116,16 @@ object MultiFormatReader {
 
   private def dropCorrupt(df: DataFrame): DataFrame =
     if (df.columns.contains(CorruptCol)) {
-      // cache before filtering on the corrupt column: Spark disallows raw
+      // cache the FILTERED frame (not the raw parse): Spark disallows raw
       // JSON/CSV queries whose only referenced data column is the internal
       // corrupt-record column (e.g. a bare count() after this filter); the
       // cache is the documented workaround and bounds the re-parse cost.
-      // Tradeoff: the parsed file is pinned (MEMORY_AND_DISK, evictable) —
-      // at TB-per-file scale prefer readCsvWithSchema + downstream queries
-      // that project real columns, and unpersist() when staging completes.
-      df.cache().filter(col(CorruptCol).isNull).drop(CorruptCol)
+      // Caching post-filter keeps corrupt rows and the corrupt string column
+      // out of storage, and the RETURNED frame is the cached one — callers
+      // can release the pin with df.unpersist() once staging completes
+      // (loadDirectory does exactly that after its row count). Queries that
+      // project real columns remain legal on the un-cached frame.
+      df.filter(col(CorruptCol).isNull).drop(CorruptCol).cache()
     } else df
 
   /** Directory scan with per-file isolation: each file becomes its own
@@ -146,6 +148,11 @@ object MultiFormatReader {
       try {
         val df = read(f.getAbsolutePath)
         val rows = df.count()
+        // release the parse cache: the count above already materialized the
+        // corrupt-row filter, and downstream staging projects real columns
+        // (legal on a raw-file scan without the cache). Without this, batch
+        // directory ingestion would pin every parsed file for the session.
+        df.unpersist()
         if (rows == 0) None
         else Some(IngestedTable(df, s"${fmt.toLowerCase}_${stem(f)}", fmt, rows, df.columns.length))
       } catch {

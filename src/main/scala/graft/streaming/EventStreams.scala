@@ -87,14 +87,21 @@ object EventStreams {
               Iterator.single(SessionOut(userId, s.sessionId, s.numEvents, s.startUs, s.lastUs))
             }
           } else {
-            val sorted = it.toSeq.sortBy(e => (us(e.ts), e.event_id))
+            // drop below-watermark (late) events: merging one into an open
+            // session could otherwise REGRESS lastUs and shift the gap
+            // boundary for every subsequent event.
+            val sorted = it.toSeq.filter(e => us(e.ts) / 1000L >= wmMs)
+              .sortBy(e => (us(e.ts), e.event_id))
             var cur = state.getOption
             val closed = Seq.newBuilder[SessionOut]
             for (e <- sorted) {
               val t = us(e.ts)
               cur match {
                 case Some(s) if s.numEvents > 0L && t - s.lastUs <= gapUs =>
-                  cur = Some(s.copy(lastUs = t, numEvents = s.numEvents + 1))
+                  // max(): an in-gap out-of-order event extends the session
+                  // but must never move its end backwards
+                  cur = Some(s.copy(lastUs = math.max(s.lastUs, t),
+                    numEvents = s.numEvents + 1))
                 case Some(s) if s.numEvents > 0L =>
                   closed += SessionOut(userId, s.sessionId, s.numEvents, s.startUs, s.lastUs)
                   cur = Some(SessionState(s.sessionId + 1, t, t, 1L))

@@ -20,4 +20,17 @@ object GraftBridge {
     */
   def expression(spark: SparkSession, c: Column): Expression =
     spark.asInstanceOf[classic.SparkSession].expression(c)
+
+  /** Stable per-session identity (collision-free, unlike identityHashCode) —
+    * used to key session-scoped caches.
+    */
+  def sessionUUID(spark: SparkSession): String =
+    spark.asInstanceOf[classic.SparkSession].sessionUUID
+
+  /** Number of plans pinned in the session's cache manager (test seam for
+    * asserting operators release their parse/stage caches).
+    */
+  def numCachedPlans(spark: SparkSession): Int =
+    spark.asInstanceOf[classic.SparkSession].sharedState.cacheManager
+      .numCachedEntries
 }

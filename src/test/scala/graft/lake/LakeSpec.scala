@@ -153,4 +153,18 @@ class LakeSpec extends SparkSpec {
     assert(r3.strategy.startsWith("INSERT OVERWRITE"))
     assert(cat.rowCount("ns", "m") == 1)
   }
+
+  test("merge collapses duplicate source keys to ONE deterministic row (MERGE semantics)") {
+    val cat = freshCatalog()
+    val merger = new TableMerger(cat)
+    import spark.implicits._
+    merger.mergeTable(Seq((1, "a"), (2, "b")).toDF("id", "v"), "ns", "dup")
+    // source carries id=2 twice: MERGE INTO must update the matched target
+    // row once, not keep both duplicates
+    merger.mergeTable(Seq((2, "x"), (2, "z"), (3, "c")).toDF("id", "v"), "ns", "dup")
+    val back = cat.read("ns", "dup")
+    assert(back.count() == 3, "duplicate source keys leaked through the upsert")
+    // deterministic winner: max over non-key columns → "z"
+    assert(back.filter("id = 2 AND v = 'z'").count() == 1)
+  }
 }

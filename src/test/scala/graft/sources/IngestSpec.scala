@@ -27,10 +27,17 @@ class IngestSpec extends SparkSpec {
     Files.writeString(Paths.get(base, "json", "good.json"), """{"id": 1, "name": "x"}""")
     Files.writeString(Paths.get(base, "json", "empty.json"), "")
     Files.writeString(Paths.get(base, "csv", "good.csv"), "a,b\n1,2\n3,4\n")
+    val before = org.apache.spark.sql.GraftBridge.numCachedPlans(spark)
     val tables = MultiFormatReader.loadDirectory(spark, base)
     val names = tables.map(_.name).toSet
     assert(names == Set("json_good", "csv_good"), s"got $names")
     assert(tables.find(_.name == "csv_good").get.rows == 2)
+    // directory ingestion must not pin parsed files for the session lifetime
+    assert(org.apache.spark.sql.GraftBridge.numCachedPlans(spark) == before,
+      "loadDirectory leaked parse caches")
+    // the returned frames stay queryable (real-column projection) un-cached
+    assert(tables.find(_.name == "json_good").get.df
+      .select("id").collect().map(_.getLong(0)).toSeq == Seq(1L))
   }
 
   test("corrupt JSON records are filtered, valid ones kept") {

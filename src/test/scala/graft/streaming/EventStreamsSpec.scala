@@ -69,6 +69,31 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("E2: below-watermark (late) events are dropped, not merged into sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val q = sessionize(input.toDS())
+      .writeStream.format("memory").queryName("e2_late_out").outputMode("append").start()
+    try {
+      input.addData(ev(1, 0, 1)) // user 1 session at t=0
+      q.processAllAvailable()
+      input.addData(ev(2, 1000, 2)) // watermark → ~970min; user 1 times out
+      q.processAllAvailable()
+      input.addData(ev(3, 100, 1)) // LATE for user 1 (t=100 << watermark)
+      q.processAllAvailable()
+      input.addData(ev(4, 1100, 1)) // fresh on-time session for user 1
+      q.processAllAvailable()
+      input.addData(ev(5, 3000, 2)) // advance watermark → user 1 times out again
+      q.processAllAvailable()
+      val u1 = spark.table("e2_late_out").as[SessionOut].collect()
+        .filter(_.user_id == 1).sortBy(_.start_us)
+      // the late event must not have opened (or extended) any session
+      assert(u1.length == 2, s"late event leaked into sessions: ${u1.mkString(",")}")
+      assert(u1.map(_.start_us).toSeq == Seq(ts(0).getTime * 1000, ts(1100).getTime * 1000))
+    } finally q.stop()
+  }
+
   test("E3: streaming dedup drops repeated event ids") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
