@@ -15,6 +15,21 @@ final case class Q(
     sql: Option[String] = None
 )
 
+object Q {
+
+  /** Load a large oracle SQL statement shipped as a classpath resource
+    * (src/main/resources/graft/oracles/<name>.sql). Used for the
+    * machine-generated DuckDB twins of the hash-pipeline operators, which
+    * are too large to inline readably (see tools/gen_dedup_oracles.py).
+    */
+  def oracleResource(name: String): String = {
+    val in = getClass.getResourceAsStream(s"/graft/oracles/$name.sql")
+    require(in != null, s"missing oracle resource $name")
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+  }
+}
+
 /** Shared numeric helpers that keep aggregation deterministic across engines
   * and across partition orders (a distributed-correctness requirement, not
   * just an oracle trick): money columns in the testdata are exactly

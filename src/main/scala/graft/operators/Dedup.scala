@@ -234,7 +234,11 @@ object Dedup {
         .select(col("a"), col("b"), estJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
         .filter(col("est_jaccard") >= 0.5)
         .orderBy("a", "b"),
-    None // LSH estimate — ground truth pinned in DedupSpec
+    // Bit-exact DuckDB twin of the FULL MinHash pipeline — FNV-1a shingle
+    // hashes, 64 mix64 permutations, xxhash64 band keys, capped buckets —
+    // re-expressed in HUGEINT mod-2^64 arithmetic (generated by
+    // tools/gen_dedup_oracles.py).
+    Some(graft.Q.oracleResource("dedup_minhash"))
   )
 
   val dedupNgramJaccard: Q = Q(
@@ -244,7 +248,9 @@ object Dedup {
         .select(col("a"), col("b"), exactJaccard(col("h_a"), col("h_b")).as("jaccard"))
         .filter(col("jaccard") >= 0.5)
         .orderBy("a", "b"),
-    None // exact verify stage over LSH candidates — pinned in DedupSpec
+    // Same generated prelude as dedup_minhash; exact Jaccard over the
+    // distinct shingle-hash sets of every LSH candidate pair.
+    Some(graft.Q.oracleResource("dedup_ngram_jaccard"))
   )
 
   val dedupSimhash: Q = Q(
@@ -272,7 +278,10 @@ object Dedup {
         .filter(col("hamming") <= 7)
         .orderBy("a", "b")
     },
-    None // hamming-band near-dup — pinned in DedupSpec
+    // Bit-exact DuckDB twin: FNV-1a token hashes vote per bit, 8x8-bit
+    // pigeonhole banding, hamming via bit_count(xor) — generated by
+    // tools/gen_dedup_oracles.py.
+    Some(graft.Q.oracleResource("dedup_simhash"))
   )
 
   val dedupEmbedding: Q = Q(
@@ -294,7 +303,62 @@ object Dedup {
         .filter(col("cosine") >= 0.95)
         .orderBy("a", "b")
     },
-    None // LSH-bucketed cosine near-dup — pinned in DedupSpec
+    // Bit-exact DuckDB twin of the FULL LSH pipeline: 16-bit hyperplane
+    // signatures (murmur fmix64 in HUGEINT mod-2^64 arithmetic), sorted
+    // capped buckets, pairwise candidates, double cosine — every stage
+    // reproduced operation-for-operation (see Similarity.annLsh notes).
+    Some("""WITH bi AS (SELECT t1.range AS b, t2.range AS i FROM range(0,16) t1, range(0,64) t2),
+    m0 AS (SELECT b, i,
+      xor((b::HUGEINT * 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT,
+          (i::HUGEINT * 14029467366897019727::HUGEINT) % 18446744073709551616::HUGEINT) AS x
+      FROM bi),
+    m1 AS (SELECT b, i, xor(x, x >> 33) AS x FROM m0),
+    m2 AS (SELECT b, i,
+      ((((x >> 32) * 18397679294719823053::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT
+       + (x % 4294967296::HUGEINT) * 18397679294719823053::HUGEINT) % 18446744073709551616::HUGEINT AS x
+      FROM m1),
+    m3 AS (SELECT b, i, xor(x, x >> 33) AS x FROM m2),
+    m4 AS (SELECT b, i,
+      ((((x >> 32) * 14181476777654086739::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT
+       + (x % 4294967296::HUGEINT) * 14181476777654086739::HUGEINT) % 18446744073709551616::HUGEINT AS x
+      FROM m3),
+    m5 AS (SELECT b, i, xor(x, x >> 33) AS x FROM m4),
+    units AS (SELECT b, i,
+      ((CASE WHEN x >= 9223372036854775808::HUGEINT
+            THEN (x - 18446744073709551616::HUGEINT)::BIGINT ELSE x::BIGINT END) % 1000001)::DOUBLE
+       / 1000000.0 AS u
+      FROM m5),
+    ulist AS (SELECT list(u ORDER BY b * 64 + i) AS ul FROM units),
+    corpus AS (
+      SELECT vec_id AS id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000 AS id, embedding FROM embeddings WHERE vec_id % 20 = 0),
+    signed_v AS (
+      SELECT id, embedding,
+        list_reduce(list_prepend(0::BIGINT, list_transform(range(0, 16), b ->
+          CASE WHEN list_reduce(list_prepend(0.0::DOUBLE,
+              list_transform(range(1, len(embedding)+1), i -> embedding[i]::DOUBLE * ul[b*64 + i])),
+              (x,y) -> x+y) >= 0
+          THEN (1::BIGINT << b) ELSE 0::BIGINT END)), (x,y) -> x | y) AS sig
+      FROM corpus, ulist),
+    buckets AS (
+      SELECT sig, (list_sort(list(id)))[1:64] AS ids FROM signed_v GROUP BY sig
+      HAVING count(*) > 1),
+    pairs AS (
+      SELECT DISTINCT x.a, y.b FROM
+        (SELECT sig, unnest(ids) AS a FROM buckets) x
+        JOIN (SELECT sig, unnest(ids) AS b FROM buckets) y USING (sig)
+      WHERE x.a < y.b),
+    scored AS (
+      SELECT a, b,
+        list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(ea.embedding)+1),
+          i -> ea.embedding[i]::DOUBLE * eb.embedding[i]::DOUBLE)), (x,y) -> x+y)
+        / (sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(ea.embedding)+1),
+            i -> ea.embedding[i]::DOUBLE * ea.embedding[i]::DOUBLE)), (x,y) -> x+y))
+         * sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(eb.embedding)+1),
+            i -> eb.embedding[i]::DOUBLE * eb.embedding[i]::DOUBLE)), (x,y) -> x+y))) AS cosine
+      FROM pairs JOIN signed_v ea ON pairs.a = ea.id JOIN signed_v eb ON pairs.b = eb.id)
+    SELECT a, b, cosine FROM scored WHERE cosine >= 0.95 ORDER BY a, b""")
   )
 
   /** exact dedup as a transformation: keep the lowest-id document per
@@ -331,7 +395,10 @@ object Dedup {
         .filter(col("ej") >= 0.5)
       duplicateClusters(pairs).orderBy("id")
     },
-    None // LSH-derived clusters — transitivity pinned in DedupSpec
+    // Generated prelude + WITH RECURSIVE transitive closure: DuckDB computes
+    // the true connected components, so this oracle also proves the
+    // iterative min-label propagation converged.
+    Some(graft.Q.oracleResource("dedup_clusters"))
   )
 
   /** the dedup pipeline's terminal output: the corpus with every
@@ -351,7 +418,10 @@ object Dedup {
         .select("doc_id")
         .orderBy("doc_id")
     },
-    None // LSH-derived survivor set — invariants pinned in DedupSpec
+    // Generated prelude + recursive closure + anti-join of non-canonical
+    // cluster members — the terminal output of the dedup pipeline, checked
+    // end-to-end against an independent engine.
+    Some(graft.Q.oracleResource("dedup_survivors"))
   )
 
   val all: Seq[Q] = Seq(dedupExact, dedupKeepFirst, dedupMinhash, dedupNgramJaccard,

@@ -65,7 +65,27 @@ object Similarity {
         .select("query_id", "rank", "neighbor_id", "score")
         .orderBy("query_id", "rank")
     },
-    None // float-derived scores — exactness pinned in SimilaritySpec
+    // Bit-exact DuckDB twin: list_reduce folds the dot products in the same
+    // left-to-right double order as Spark's `aggregate`, and the score
+    // formula mirrors dot/(sqrt(na)*sqrt(nb)) operation-for-operation —
+    // IEEE doubles make the full float pipeline reproducible across engines.
+    Some("""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, embedding FROM embeddings),
+    scored AS (
+      SELECT query_id, neighbor_id,
+        list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(q_emb)+1),
+          i -> q_emb[i]::DOUBLE * embedding[i]::DOUBLE)), (x,y) -> x+y)
+        / (sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(q_emb)+1),
+            i -> q_emb[i]::DOUBLE * q_emb[i]::DOUBLE)), (x,y) -> x+y))
+         * sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(embedding)+1),
+            i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)), (x,y) -> x+y))) AS score
+      FROM c JOIN q ON neighbor_id <> query_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, score,
+        row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS "rank"
+      FROM scored)
+    SELECT query_id, "rank", neighbor_id, score FROM ranked
+    WHERE "rank" <= 5 ORDER BY query_id, "rank" """)
   )
 
   val annLsh: Q = Q(
@@ -88,7 +108,59 @@ object Similarity {
         .select("query_id", "rank", "neighbor_id", "score")
         .orderBy("query_id", "rank")
     },
-    None // bucketed approximate variant — recall pinned in SimilaritySpec
+    // Bit-exact DuckDB twin INCLUDING the random-hyperplane signature: the
+    // murmur fmix64 chain is re-expressed in HUGEINT mod-2^64 arithmetic
+    // (u64*u64 split into 32-bit halves to stay inside INT128), the 8x64
+    // unit table is materialized once, and the per-vector sign fold mirrors
+    // HyperplaneSig.compute exactly. Proves the LSH path is deterministic
+    // enough to reproduce on a different engine.
+    Some("""WITH bi AS (SELECT t1.range AS b, t2.range AS i FROM range(0,8) t1, range(0,64) t2),
+    m0 AS (SELECT b, i,
+      xor((b::HUGEINT * 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT,
+          (i::HUGEINT * 14029467366897019727::HUGEINT) % 18446744073709551616::HUGEINT) AS x
+      FROM bi),
+    m1 AS (SELECT b, i, xor(x, x >> 33) AS x FROM m0),
+    m2 AS (SELECT b, i,
+      ((((x >> 32) * 18397679294719823053::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT
+       + (x % 4294967296::HUGEINT) * 18397679294719823053::HUGEINT) % 18446744073709551616::HUGEINT AS x
+      FROM m1),
+    m3 AS (SELECT b, i, xor(x, x >> 33) AS x FROM m2),
+    m4 AS (SELECT b, i,
+      ((((x >> 32) * 14181476777654086739::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT
+       + (x % 4294967296::HUGEINT) * 14181476777654086739::HUGEINT) % 18446744073709551616::HUGEINT AS x
+      FROM m3),
+    m5 AS (SELECT b, i, xor(x, x >> 33) AS x FROM m4),
+    units AS (SELECT b, i,
+      ((CASE WHEN x >= 9223372036854775808::HUGEINT
+            THEN (x - 18446744073709551616::HUGEINT)::BIGINT ELSE x::BIGINT END) % 1000001)::DOUBLE
+       / 1000000.0 AS u
+      FROM m5),
+    ulist AS (SELECT list(u ORDER BY b * 64 + i) AS ul FROM units),
+    signed_v AS (
+      SELECT vec_id, embedding,
+        list_reduce(list_prepend(0::BIGINT, list_transform(range(0, 8), b ->
+          CASE WHEN list_reduce(list_prepend(0.0::DOUBLE,
+              list_transform(range(1, len(embedding)+1), i -> embedding[i]::DOUBLE * ul[b*64 + i])),
+              (x,y) -> x+y) >= 0
+          THEN (1::BIGINT << b) ELSE 0::BIGINT END)), (x,y) -> x | y) AS sig
+      FROM embeddings, ulist),
+    q AS (SELECT vec_id AS query_id, embedding AS q_emb, sig FROM signed_v WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, embedding, sig FROM signed_v),
+    scored AS (
+      SELECT query_id, neighbor_id,
+        list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(q_emb)+1),
+          i -> q_emb[i]::DOUBLE * embedding[i]::DOUBLE)), (x,y) -> x+y)
+        / (sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(q_emb)+1),
+            i -> q_emb[i]::DOUBLE * q_emb[i]::DOUBLE)), (x,y) -> x+y))
+         * sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(embedding)+1),
+            i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)), (x,y) -> x+y))) AS score
+      FROM c JOIN q USING (sig) WHERE neighbor_id <> query_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, score,
+        row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS "rank"
+      FROM scored)
+    SELECT query_id, "rank", neighbor_id, score FROM ranked
+    WHERE "rank" <= 5 ORDER BY query_id, "rank" """)
   )
 
   /** IVF (inverted-file) ANN: a KMeans coarse quantizer partitions the

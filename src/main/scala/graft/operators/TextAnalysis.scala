@@ -150,7 +150,34 @@ object TextAnalysis {
           conf.as("confidence"))
         .orderBy("doc_id")
     },
-    None // heuristic — rows-only check; accuracy pinned in TextAnalysisSpec
+    // Exact DuckDB twin of the heuristic: same stopword profiles, same
+    // first-wins argmax tie-break (en>de>es>fr), same double ratios.
+    Some("""WITH base AS (
+      SELECT doc_id, lang AS labeled_lang, text,
+        CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
+             ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS tk,
+        len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS cjk,
+        len(text) AS nchars
+      FROM documents),
+    scored AS (
+      SELECT doc_id, labeled_lang, tk, cjk, nchars,
+        len(list_filter(tk, t -> t IN ('the','and','of','to','in','is','that','it','for','with'))) AS s_en,
+        len(list_filter(tk, t -> t IN ('der','die','das','und','ist','nicht','ein','mit','für','auf'))) AS s_de,
+        len(list_filter(tk, t -> t IN ('el','la','los','las','es','y','que','de','un','una'))) AS s_es,
+        len(list_filter(tk, t -> t IN ('le','la','les','et','est','que','une','des','du','pas'))) AS s_fr
+      FROM base),
+    best AS (
+      SELECT doc_id, labeled_lang, cjk, nchars, len(tk) AS ntok,
+        CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+             WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+             WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS bl,
+        greatest(s_en, s_de, s_es, s_fr) AS bs
+      FROM scored)
+    SELECT doc_id, labeled_lang,
+      CASE WHEN cjk::DOUBLE / nchars::DOUBLE > 0.05 THEN 'zh' ELSE bl END AS pred_lang,
+      CASE WHEN cjk::DOUBLE / nchars::DOUBLE > 0.05 THEN cjk::DOUBLE / nchars::DOUBLE
+           ELSE bs::DOUBLE / ntok::DOUBLE END AS confidence
+    FROM best ORDER BY doc_id""")
   )
 
   val textFingerprint: Q = Q(
@@ -161,7 +188,24 @@ object TextAnalysis {
         .select(col("doc_id"), fingerprint(col("text")).as("fingerprint"))
         .orderBy("doc_id")
     },
-    None // 64-bit rolling hash — rows-only; collision/stability pinned in spec
+    // Exact DuckDB twin: the wrapping base-31 poly hash re-expressed as a
+    // HUGEINT fold mod 2^64, then mapped back to signed 64-bit. Character
+    // iteration matches because the corpus is BMP text (UTF-16 units ==
+    // code points).
+    Some("""WITH norm AS (
+      SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS t FROM documents),
+    fp AS (
+      SELECT doc_id,
+        list_reduce(
+          list_prepend(1125899906842597::HUGEINT,
+            list_transform(range(1, len(t)+1), i -> unicode(t[i])::HUGEINT)),
+          (h, c) -> (h * 31 + c) % 18446744073709551616::HUGEINT) AS uh
+      FROM norm)
+    SELECT doc_id,
+      CASE WHEN uh >= 9223372036854775808::HUGEINT
+           THEN (uh - 18446744073709551616::HUGEINT)::BIGINT
+           ELSE uh::BIGINT END AS fingerprint
+    FROM fp ORDER BY doc_id""")
   )
 
   /** Quality gate: keep documents passing heuristic thresholds — the filter
