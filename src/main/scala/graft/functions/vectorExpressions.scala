@@ -1,0 +1,67 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Cosine similarity of two float-vector columns in double precision —
+  * the scoring hot loop of every ANN / embedding-dedup operator. Native
+  * eval: three tight JVM loops instead of per-element lambda interpretation
+  * (the higher-order `zip_with`+`aggregate` formulation runs the SQL
+  * interpreter 3*dim times per row).
+  *
+  * The accumulation order (left-to-right fold from 0.0, then
+  * dot/(sqrt(na)*sqrt(nb))) matches the HOF formulation operation-for-
+  * operation, so scores are bit-identical to both the previous
+  * implementation and the DuckDB oracle twins.
+  */
+object CosineSim {
+  def compute(a: ArrayData, b: ArrayData): Double = {
+    val x = a.toFloatArray()
+    val y = b.toFloatArray()
+    val n = math.min(x.length, y.length)
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      dot += x(i).toDouble * y(i).toDouble
+      na += x(i).toDouble * x(i).toDouble
+      nb += y(i).toDouble * y(i).toDouble
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+}
+
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def isFloatArray(t: DataType): Boolean = t match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isFloatArray(left.dataType) && isFloatArray(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName: expected (array<float>, array<float>), got " +
+        s"(${left.dataType}, ${right.dataType})")
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_cosine"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    CosineSim.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.CosineSim$$.MODULE$$.compute($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+}
