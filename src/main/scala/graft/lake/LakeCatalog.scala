@@ -136,6 +136,24 @@ final class LakeCatalog(spark: SparkSession, val root: String) {
   def compact(ns: String, t: String): Int =
     write(ns, t, read(ns, t), SaveMode.Overwrite)
 
+  /** Predicate DELETE (copy-on-write): rows matching `predicate` are
+    * removed in a new snapshot; prior snapshots still time-travel to the
+    * undeleted data. At scale a production layout prunes the rewrite to
+    * affected partitions — snapshot granularity here is the whole table,
+    * same as overwrite.
+    */
+  def delete(ns: String, t: String, predicate: org.apache.spark.sql.Column): Int =
+    write(ns, t, read(ns, t).filter(!predicate), SaveMode.Overwrite)
+
+  /** Incremental read: rows ADDED between two snapshots — the consumer-side
+    * half of CDC (a downstream job resumes from its last-seen version and
+    * processes only the delta, never re-reading the table).
+    */
+  def readIncremental(ns: String, t: String, fromV: Int, toV: Int): DataFrame =
+    changelog(ns, t, fromV, toV)
+      .filter(org.apache.spark.sql.functions.col("_change") === "insert")
+      .drop("_change")
+
   private def deleteRec(p: Path): Unit =
     if (Files.exists(p)) {
       Using.resource(Files.walk(p))(_.iterator.asScala.toSeq.reverse.foreach(Files.delete))

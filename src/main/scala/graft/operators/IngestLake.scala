@@ -232,8 +232,90 @@ object IngestLake {
     FROM orders""")
   )
 
+  /** SCD Type-2 history: v1 seeds the customer dimension, v2 applies a
+    * snapshot where every 3rd customer's balance changed — changed keys
+    * close their old row at version 2 and insert a new current row;
+    * unchanged keys keep their version-1 row.
+    */
+  val lakeScd2: Q = Q(
+    "lake_scd2",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val cat = LakeCatalog(s, scratch("scd2"))
+      val dim = t.customer.select("c_custkey", "c_name", "c_acctbal")
+      graft.lake.Scd2.applySnapshot(cat, "lake", "customer_dim", dim, "c_custkey", 1)
+      val snap = t.customer.select(col("c_custkey"), col("c_name"),
+        when(col("c_custkey") % 3 === 0, col("c_acctbal") + 100)
+          .otherwise(col("c_acctbal")).as("c_acctbal"))
+      graft.lake.Scd2.applySnapshot(cat, "lake", "customer_dim", snap, "c_custkey", 2)
+      cat.read("lake", "customer_dim")
+        .orderBy("c_custkey", "valid_from")
+    },
+    Some("""WITH changed AS (SELECT c_custkey FROM customer WHERE c_custkey % 3 = 0)
+    SELECT c_custkey, c_name, c_acctbal, 1 AS valid_from,
+      CASE WHEN c_custkey IN (SELECT c_custkey FROM changed) THEN 2 ELSE NULL END AS valid_to,
+      c_custkey NOT IN (SELECT c_custkey FROM changed) AS is_current
+    FROM customer
+    UNION ALL
+    SELECT c_custkey, c_name, c_acctbal + 100 AS c_acctbal, 2 AS valid_from,
+      NULL AS valid_to, TRUE AS is_current
+    FROM customer WHERE c_custkey % 3 = 0
+    ORDER BY c_custkey, valid_from""")
+  )
+
+  /** Predicate DELETE (copy-on-write): remove low-value open orders in a
+    * new snapshot; the pre-delete snapshot stays time-travelable (pinned in
+    * LakeSpec — here the oracle checks the post-delete table contents).
+    */
+  val lakeDelete: Q = Q(
+    "lake_delete",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val cat = LakeCatalog(s, scratch("del"))
+      val base = t.orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
+      cat.write("lake", "orders_d", base)
+      cat.delete("lake", "orders_d",
+        col("o_orderstatus") === "O" && col("o_totalprice") < 50000.0)
+      cat.read("lake", "orders_d").orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    WHERE NOT (o_orderstatus = 'O' AND o_totalprice < 50000.0)
+    ORDER BY o_orderkey""")
+  )
+
+  /** Incremental read: a downstream consumer resumes from its last-seen
+    * snapshot and reads only the rows ADDED since — here the rows the
+    * MERGE upsert introduced or updated between v1 and v2.
+    */
+  val lakeIncrementalRead: Q = Q(
+    "lake_incremental_read",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val cat = LakeCatalog(s, scratch("incr"))
+      val merger = new TableMerger(cat)
+      val base = t.orders.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey").as("id"), col("o_totalprice"))
+      merger.mergeTable(base, "lake", "orders_i") // v1
+      val updates = t.orders.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey").as("id"), (col("o_totalprice") + 1000).as("o_totalprice"))
+      merger.mergeTable(updates, "lake", "orders_i") // v2
+      cat.readIncremental("lake", "orders_i", 1, 2).orderBy("id")
+    },
+    Some("""WITH base AS (
+      SELECT o_orderkey AS id, o_totalprice FROM orders WHERE o_orderkey % 2 = 0),
+    updates AS (
+      SELECT o_orderkey AS id, o_totalprice + 1000 AS o_totalprice FROM orders WHERE o_orderkey % 3 = 0),
+    after AS (
+      SELECT id, o_totalprice FROM updates
+      UNION ALL
+      SELECT id, o_totalprice FROM base WHERE id NOT IN (SELECT id FROM updates))
+    SELECT id, o_totalprice FROM (SELECT * FROM after EXCEPT ALL SELECT * FROM base) i
+    ORDER BY id""")
+  )
+
   val all: Seq[Q] = Seq(
     ingestCsvRoundtrip, ingestJsonRoundtrip, ingestParquet, ingestTextLines,
     ingestOrcRoundtrip, ingestXmlRoundtrip, ingestSchemaEvolution, ingestJsonProps,
-    lakeCtas, lakeMergeUpsert, lakeChangelog, lakeDataProfile)
+    lakeCtas, lakeMergeUpsert, lakeChangelog, lakeDataProfile,
+    lakeScd2, lakeDelete, lakeIncrementalRead)
 }

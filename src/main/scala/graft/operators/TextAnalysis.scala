@@ -423,7 +423,162 @@ object TextAnalysis {
     ORDER BY doc_id""")
   )
 
+  /** Corpus bigram statistics: top-20 token bigrams — the n-gram profiling
+    * pass behind contamination screens and boilerplate detection. Bigrams
+    * are generated columnar per row; the only shuffle is the count groupBy
+    * (map-side combined).
+    */
+  val textNgrams: Q = Q(
+    "text_ngrams",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val toks = wsTokens(lower(col("text")))
+      t.documents
+        .select(explode(filter(
+          transform(toks, (_, i) => concat_ws(" ", try_element_at(toks, i + 1),
+            try_element_at(toks, i + 2))),
+          (_, i) => i < size(toks) - 1)).as("bigram"))
+        .groupBy("bigram")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("bigram"))
+        .limit(20)
+    },
+    Some("""SELECT bigram, COUNT(*) AS n FROM (
+      SELECT unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS bigram
+      FROM (SELECT CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS tk
+            FROM documents) toks) b
+    GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""")
+  )
+
+  /** Stopword stripping as a transformation (not just a count): the reduced
+    * token stream is re-joined and content-hashed so the oracle checks the
+    * exact output text of every document.
+    */
+  val textStopwordStrip: Q = Q(
+    "text_stopword_strip",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val toks = wsTokens(lower(col("text")))
+      val kept = filter(toks, tk => !tk.isin(Stopwords.map(x => x: Any): _*))
+      t.documents
+        .select(col("doc_id"), size(toks).as("n_tokens"), size(kept).as("kept_tokens"),
+          md5(array_join(kept, " ")).as("stripped_md5"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, len(tk) AS n_tokens, len(kept) AS kept_tokens,
+      md5(array_to_string(kept, ' ')) AS stripped_md5
+    FROM (
+      SELECT doc_id, tk,
+        list_filter(tk, t -> t NOT IN ('the','a','an','of','and','in','to','is','it','for')) AS kept
+      FROM (SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS tk
+            FROM documents) toks) f
+    ORDER BY doc_id""")
+  )
+
+  /** TF-IDF term weighting: top-3 salient terms per document, ranked by
+    * tf * ln(N/df). The rank is hash-checked (score ordering is identical
+    * across engines because equal (tf, df) give bit-equal scores); the raw
+    * integers tf/df are output instead of the float score.
+    */
+  val textTfidf: Q = Q(
+    "text_tfidf",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val docs = t.documents.filter(length(trim(col("text"))) > 0)
+      val terms = docs
+        .select(col("doc_id"), explode(wsTokens(lower(col("text")))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = terms.groupBy("term").agg(count(lit(1)).as("df"))
+      val n = docs.count()
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+        .orderBy(desc("score"), asc("term"))
+      terms.join(df, "term")
+        .withColumn("score", col("tf") * log(lit(n.toDouble) / col("df")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select("doc_id", "rank", "term", "tf", "df")
+        .orderBy("doc_id", "rank")
+    },
+    Some("""WITH docs AS (SELECT doc_id, text FROM documents WHERE trim(text) <> ''),
+    terms AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+      FROM docs),
+    tfs AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term),
+    dfs AS (SELECT term, COUNT(*) AS df FROM tfs GROUP BY term),
+    n AS (SELECT COUNT(*) AS n FROM docs),
+    ranked AS (
+      SELECT doc_id, term, tf, df,
+        row_number() OVER (PARTITION BY doc_id
+          ORDER BY tf * ln(n::DOUBLE / df::DOUBLE) DESC, term ASC) AS "rank"
+      FROM tfs JOIN dfs USING (term), n)
+    SELECT doc_id, "rank", term, tf, df FROM ranked
+    WHERE "rank" <= 3 ORDER BY doc_id, "rank" """)
+  )
+
+  /** Repetition metrics (Gopher-style quality signals): most-frequent-token
+    * share and duplicate-bigram share per document — exact int/int ratios.
+    */
+  val textRepetition: Q = Q(
+    "text_repetition",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val toks = wsTokens(lower(col("text")))
+      val bigrams = filter(
+        transform(toks, (_, i) => concat_ws(" ", try_element_at(toks, i + 1),
+          try_element_at(toks, i + 2))),
+        (_, i) => i < size(toks) - 1)
+      t.documents
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"), toks.as("tk"), bigrams.as("bg"))
+        .select(col("doc_id"),
+          (size(col("tk")) - size(array_distinct(col("tk")))).cast("long").as("dup_tokens"),
+          ratio(aggregate(array_distinct(col("tk")), lit(0),
+            (acc, tk) => greatest(acc, size(filter(col("tk"), x => x === tk)))),
+            size(col("tk"))).as("top_token_ratio"),
+          when(size(col("bg")) > 0,
+            lit(1.0) - ratio(size(array_distinct(col("bg"))), size(col("bg"))))
+            .otherwise(0.0).as("dup_bigram_ratio"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+      (len(tk) - len(list_distinct(tk)))::BIGINT AS dup_tokens,
+      list_max(list_transform(list_distinct(tk),
+        t -> len(list_filter(tk, x -> x = t))))::DOUBLE / len(tk)::DOUBLE AS top_token_ratio,
+      CASE WHEN len(bg) > 0
+           THEN 1.0 - len(list_distinct(bg))::DOUBLE / len(bg)::DOUBLE
+           ELSE 0.0 END AS dup_bigram_ratio
+    FROM (
+      SELECT doc_id, tk, list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1]) AS bg
+      FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+            FROM documents WHERE trim(text) <> '') t1) t2
+    ORDER BY doc_id""")
+  )
+
+  /** Canonical text normalization: lowercase, strip non-alphanumerics
+    * (keeping whitespace), collapse whitespace runs, trim — the normalize
+    * pass before hashing/dedup. Output is content-hashed per document.
+    */
+  val textNormalize: Q = Q(
+    "text_normalize",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val norm = trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9\\s]", ""), "\\s+", " "))
+      t.documents
+        .select(col("doc_id"), length(norm).as("norm_len"), md5(norm).as("norm_md5"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, len(norm) AS norm_len, md5(norm) AS norm_md5 FROM (
+      SELECT doc_id, trim(regexp_replace(
+        regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')) AS norm
+      FROM documents) n
+    ORDER BY doc_id""")
+  )
+
   val all: Seq[Q] = Seq(textTokens, textQuality, textLangId, textFingerprint,
     textQualityFilter, textTermDocfreq, pipelineCurate, textScrub, textChunk,
-    textSeqPacking)
+    textSeqPacking, textNgrams, textStopwordStrip, textTfidf, textRepetition,
+    textNormalize)
 }

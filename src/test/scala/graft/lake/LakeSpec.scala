@@ -154,6 +154,50 @@ class LakeSpec extends SparkSpec {
     assert(cat.rowCount("ns", "m") == 1)
   }
 
+  test("SCD2: changed keys close-and-insert, unchanged keep, re-applied snapshot is a no-op") {
+    val cat = freshCatalog()
+    import spark.implicits._
+    val v1 = Seq((1, "a"), (2, "b")).toDF("id", "v")
+    Scd2.applySnapshot(cat, "ns", "dim", v1, "id", 1)
+    // id=1 changes, id=3 is new, id=2 absent from snapshot (kept current)
+    val v2 = Seq((1, "A"), (3, "c")).toDF("id", "v")
+    Scd2.applySnapshot(cat, "ns", "dim", v2, "id", 2)
+    val hist = cat.read("ns", "dim").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getInt(2),
+        if (r.isNullAt(3)) -1 else r.getInt(3), r.getBoolean(4))).toSet
+    assert(hist == Set(
+      (1, "a", 1, 2, false), // closed at v2
+      (1, "A", 2, -1, true), // new current
+      (2, "b", 1, -1, true), // untouched
+      (3, "c", 2, -1, true)  // brand new
+    ), hist.toString)
+    // identical snapshot → history unchanged
+    Scd2.applySnapshot(cat, "ns", "dim", v2, "id", 3)
+    assert(cat.read("ns", "dim").count() == 4)
+    assert(cat.read("ns", "dim").filter("valid_from = 3").count() == 0)
+  }
+
+  test("DELETE is copy-on-write: prior snapshot still time-travels") {
+    val cat = freshCatalog()
+    import spark.implicits._
+    cat.write("ns", "t", Seq((1, "keep"), (2, "drop"), (3, "keep")).toDF("id", "v"))
+    cat.delete("ns", "t", col("v") === "drop")
+    assert(cat.read("ns", "t").count() == 2)
+    assert(cat.read("ns", "t").filter("v = 'drop'").count() == 0)
+    assert(cat.read("ns", "t", Some(1)).count() == 3) // pre-delete snapshot intact
+  }
+
+  test("incremental read returns only rows added between snapshots") {
+    val cat = freshCatalog()
+    import spark.implicits._
+    cat.write("ns", "t", Seq((1, "a")).toDF("id", "v"))
+    cat.write("ns", "t", Seq((2, "b"), (3, "c")).toDF("id", "v"),
+      org.apache.spark.sql.SaveMode.Append)
+    val delta = cat.readIncremental("ns", "t", 1, 2)
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(delta == Set((2, "b"), (3, "c")))
+  }
+
   test("merge collapses duplicate source keys to ONE deterministic row (MERGE semantics)") {
     val cat = freshCatalog()
     val merger = new TableMerger(cat)
