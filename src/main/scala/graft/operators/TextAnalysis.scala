@@ -428,16 +428,23 @@ object TextAnalysis {
     * are generated columnar per row; the only shuffle is the count groupBy
     * (map-side combined).
     */
+  /** token bigrams of a MATERIALIZED token-array column. Built with
+    * zip_with(tk, tail) over a slice — constant work per element. (Building
+    * this from the raw split() expression instead would inline the split
+    * into every element access — O(tokens^2) re-tokenization per document.)
+    */
+  private def bigramsOf(tk: Column): Column =
+    array_compact(zip_with(tk,
+      slice(tk, lit(2), greatest(size(tk) - 1, lit(0))),
+      (a, b) => concat(a, lit(" "), b)))
+
   val textNgrams: Q = Q(
     "text_ngrams",
     (s, dir) => {
       val t = Tables(s, dir)
-      val toks = wsTokens(lower(col("text")))
       t.documents
-        .select(explode(filter(
-          transform(toks, (_, i) => concat_ws(" ", try_element_at(toks, i + 1),
-            try_element_at(toks, i + 2))),
-          (_, i) => i < size(toks) - 1)).as("bigram"))
+        .select(wsTokens(lower(col("text"))).as("tk"))
+        .select(explode(bigramsOf(col("tk"))).as("bigram"))
         .groupBy("bigram")
         .agg(count(lit(1)).as("n"))
         .orderBy(desc("n"), asc("bigram"))
@@ -524,14 +531,10 @@ object TextAnalysis {
     "text_repetition",
     (s, dir) => {
       val t = Tables(s, dir)
-      val toks = wsTokens(lower(col("text")))
-      val bigrams = filter(
-        transform(toks, (_, i) => concat_ws(" ", try_element_at(toks, i + 1),
-          try_element_at(toks, i + 2))),
-        (_, i) => i < size(toks) - 1)
       t.documents
         .filter(length(trim(col("text"))) > 0)
-        .select(col("doc_id"), toks.as("tk"), bigrams.as("bg"))
+        .select(col("doc_id"), wsTokens(lower(col("text"))).as("tk"))
+        .withColumn("bg", bigramsOf(col("tk")))
         .select(col("doc_id"),
           (size(col("tk")) - size(array_distinct(col("tk")))).cast("long").as("dup_tokens"),
           ratio(aggregate(array_distinct(col("tk")), lit(0),
