@@ -124,6 +124,26 @@ object EventStreams {
       }
   }
 
+  /** E5: stream-stream interval join — each click joins the same user's
+    * views from the preceding `withinMinutes`. Both sides carry watermarks
+    * and the join condition bounds event time in BOTH directions, so state
+    * on each side is evictable (Spark drops buffered rows once the
+    * watermark passes the interval) — the property that keeps a
+    * stream-stream join's state finite on an unbounded stream.
+    */
+  def correlate(
+      clicks: DataFrame,
+      views: DataFrame,
+      withinMinutes: Int = 10): DataFrame =
+    clicks.withWatermark("ts", s"$withinMinutes minutes").alias("c")
+      .join(
+        views.withWatermark("ts", s"$withinMinutes minutes").alias("v"),
+        expr(s"""c.user_id = v.user_id AND
+          c.ts >= v.ts AND c.ts <= v.ts + INTERVAL $withinMinutes MINUTES"""))
+      .select(col("c.user_id").as("user_id"),
+        col("c.event_id").as("click_id"), col("v.event_id").as("view_id"),
+        col("c.ts").as("click_ts"), col("v.ts").as("view_ts"))
+
   /** E4: streaming ingestion into the lakehouse — the reference's
     * batch pipeline (read files → land in catalog tables) as a continuous
     * flow: a file-source stream appended into a LakeCatalog table per

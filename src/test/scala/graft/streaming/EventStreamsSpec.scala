@@ -109,6 +109,26 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("E5: stream-stream interval join correlates clicks with recent views") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val clicks = MemoryStream[Event]
+    val views = MemoryStream[Event]
+    val q = correlate(clicks.toDF(), views.toDF())
+      .writeStream.format("memory").queryName("e5_out").outputMode("append").start()
+    try {
+      views.addData(ev(100, 0, 1, "view"), ev(101, 5, 1, "view"), ev(102, 0, 2, "view"))
+      clicks.addData(ev(200, 8, 1), ev(201, 30, 1)) // 201 is >10min after both views
+      q.processAllAvailable()
+      val rows = spark.table("e5_out")
+        .select("click_id", "view_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // click 200 (t=8) joins views 100 (t=0) and 101 (t=5); click 201
+      // (t=30) matches nothing; user 2's view never joins user 1's clicks
+      assert(rows == Set((200L, 100L), (200L, 101L)), rows.toString)
+    } finally q.stop()
+  }
+
   test("E4: file-source stream lands in the lake as per-batch snapshots") {
     import spark.implicits._
     val srcDir = java.nio.file.Files.createTempDirectory("graft_stream_src").toString
