@@ -11,6 +11,7 @@ object SparkEntry {
   /** All registered operations, module by module (SURVEY §2 sections). */
   def registry: Seq[Q] =
     operators.Relational.all ++ operators.RelationalTpch.all ++
+      operators.RelationalAnalytics.all ++
       operators.IngestLake.all ++
       operators.Dedup.all ++ operators.TextAnalysis.all ++ operators.Similarity.all ++
       operators.Multimodal.all ++ operators.TopK.all

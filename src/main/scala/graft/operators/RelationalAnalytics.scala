@@ -1,0 +1,202 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.Num._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Third tranche of the analytical layer (SURVEY §2 C32-C38): the advanced
+  * SQL surface a warehouse replacement needs — GROUPING SETS with
+  * grouping_id, UNPIVOT/melt, RANGE window frames over event time,
+  * forward-fill imputation, deterministic hash sampling, funnel
+  * conversion, and retention cohorts.
+  *
+  * Scale notes: every operator stays declarative (one shuffle per
+  * groupBy/window partition key); the deterministic sample is a
+  * partition-local filter on a content hash — no global coordination, the
+  * property that makes sampling reproducible across cluster sizes AND
+  * engines.
+  */
+object RelationalAnalytics {
+
+  private val D = "DECIMAL(12,2)"
+
+  /** GROUPING SETS with an explicit grouping_id — finer control than
+    * ROLLUP/CUBE (C5/C12): exactly the (status), (priority), and () sets.
+    */
+  val qGroupingSets: Q = Q(
+    "q_grouping_sets",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val view = s"gs_src_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      t.orders.createOrReplaceTempView(view)
+      s.sql(s"""SELECT o_orderstatus, o_orderpriority,
+          CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+          COUNT(*) AS n_orders,
+          CAST(SUM(CAST(o_totalprice AS $D)) AS DOUBLE) AS total_price
+        FROM $view
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""")
+    },
+    Some(s"""SELECT o_orderstatus, o_orderpriority,
+      CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid,
+      COUNT(*) AS n_orders,
+      CAST(SUM(CAST(o_totalprice AS $D)) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""")
+  )
+
+  /** UNPIVOT (melt): wide per-part numeric columns → long (part, metric,
+    * value) — the reshape between storage-friendly wide tables and
+    * analysis-friendly long ones.
+    */
+  val qUnpivot: Q = Q(
+    "q_unpivot",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.part
+        .select(col("p_partkey"), col("p_size").cast(DoubleType).as("p_size"),
+          col("p_retailprice"))
+        .unpivot(Array(col("p_partkey")), Array(col("p_size"), col("p_retailprice")),
+          "metric", "value")
+        .orderBy("p_partkey", "metric")
+    },
+    Some("""SELECT p_partkey, metric, value FROM (
+      SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+      UNION ALL
+      SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS value FROM part) u
+    ORDER BY p_partkey, metric""")
+  )
+
+  /** RANGE window frame over event time: each user's trailing-1-hour event
+    * value sum — frames bounded by VALUE distance (micros), not row count.
+    */
+  val qWindowRange: Q = Q(
+    "q_window_range",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val w = Window.partitionBy("user_id").orderBy("ts_us")
+        .rangeBetween(-3600000000L, 0L)
+      t.events
+        .select(col("user_id"), col("event_id"), expr("ts DIV 1000").as("ts_us"),
+          m(col("value")).as("v"))
+        .withColumn("trailing_1h_value", sum(col("v")).over(w).cast(DoubleType))
+        .select("user_id", "event_id", "ts_us", "trailing_1h_value")
+        .orderBy("user_id", "ts_us", "event_id")
+    },
+    Some(s"""SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+      CAST(SUM(CAST(value AS $D)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+        RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_1h_value
+    FROM events ORDER BY user_id, ts_us, event_id""")
+  )
+
+  /** Forward-fill imputation: carry each user's last purchase value forward
+    * across subsequent events (last_value IGNORE NULLS) — the standard
+    * time-series gap-fill.
+    */
+  val qForwardFill: Q = Q(
+    "q_forward_fill",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t.events
+        .select(col("user_id"), col("event_id"), expr("ts DIV 1000").as("ts_us"),
+          when(col("event_type") === "purchase", m(col("value"))).as("purchase_value"))
+        .withColumn("filled_value",
+          last(col("purchase_value"), ignoreNulls = true).over(w).cast(DoubleType))
+        .select("user_id", "event_id", "ts_us", "filled_value")
+        .orderBy("user_id", "ts_us", "event_id")
+    },
+    Some(s"""SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+      CAST(last_value(CASE WHEN event_type = 'purchase' THEN CAST(value AS $D) END IGNORE NULLS)
+        OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS filled_value
+    FROM events ORDER BY user_id, ts_us, event_id""")
+  )
+
+  /** Deterministic stratified sampling: keep rows whose md5(key) starts
+    * with a fixed nibble — reproducible across engines, partitionings and
+    * cluster sizes (NO rand()), with per-stratum accounting.
+    */
+  val qDetSample: Q = Q(
+    "q_det_sample",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.orders
+        .filter(substring(md5(col("o_orderkey").cast("string")), 1, 1) === "0")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_sampled"),
+          dsum(col("o_totalprice")).as("sampled_price"))
+        .orderBy("o_orderstatus")
+    },
+    Some(s"""SELECT o_orderstatus, COUNT(*) AS n_sampled,
+      CAST(SUM(CAST(o_totalprice AS $D)) AS DOUBLE) AS sampled_price
+    FROM orders
+    WHERE substring(md5(o_orderkey::VARCHAR), 1, 1) = '0'
+    GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+  )
+
+  /** Funnel conversion: per user, did signup → view → purchase happen in
+    * strict event-time order? One aggregation pass (min event time per
+    * stage), then ordered-stage counting.
+    */
+  val qFunnel: Q = Q(
+    "q_funnel",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val stages = t.events
+        .groupBy("user_id")
+        .agg(
+          min(when(col("event_type") === "signup", col("ts"))).as("t_signup"),
+          min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("t_purchase"))
+      stages.agg(
+        count(col("t_signup")).as("n_signup"),
+        sum(when(col("t_view") > col("t_signup"), 1L).otherwise(0L)).as("n_signup_view"),
+        sum(when(col("t_view") > col("t_signup") && col("t_purchase") > col("t_view"), 1L)
+          .otherwise(0L)).as("n_signup_view_purchase"))
+    },
+    Some("""WITH stages AS (
+      SELECT user_id,
+        MIN(CASE WHEN event_type = 'signup' THEN epoch_ns(ts) END) AS t_signup,
+        MIN(CASE WHEN event_type = 'view' THEN epoch_ns(ts) END) AS t_view,
+        MIN(CASE WHEN event_type = 'purchase' THEN epoch_ns(ts) END) AS t_purchase
+      FROM events GROUP BY user_id)
+    SELECT COUNT(t_signup) AS n_signup,
+      CAST(SUM(CASE WHEN t_view > t_signup THEN 1 ELSE 0 END) AS BIGINT) AS n_signup_view,
+      CAST(SUM(CASE WHEN t_view > t_signup AND t_purchase > t_view THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_signup_view_purchase
+    FROM stages""")
+  )
+
+  /** Retention cohorts: users grouped by first-activity day; counts of
+    * distinct users active k days later — integer-exact day arithmetic on
+    * the nanos epoch.
+    */
+  val qRetention: Q = Q(
+    "q_retention",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val days = t.events
+        .select(col("user_id"), expr("ts DIV 86400000000000").as("day"))
+        .distinct()
+      val cohorts = days.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+      days.join(cohorts, "user_id")
+        .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    },
+    Some("""WITH days AS (
+      SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS day FROM events),
+    cohorts AS (SELECT user_id, MIN(day) AS cohort_day FROM days GROUP BY user_id)
+    SELECT cohort_day, day - cohort_day AS day_offset, COUNT(DISTINCT days.user_id) AS n_users
+    FROM days JOIN cohorts USING (user_id)
+    GROUP BY cohort_day, day_offset ORDER BY cohort_day, day_offset""")
+  )
+
+  val all: Seq[Q] = Seq(qGroupingSets, qUnpivot, qWindowRange, qForwardFill,
+    qDetSample, qFunnel, qRetention)
+}
