@@ -179,14 +179,16 @@ object Similarity {
       val NProbe = 4
       val emb = Tables(s, dir).embeddings
         .withColumn("features", array_to_vector(col("embedding")))
-      // random init: the kmeans|| seeding makes several full passes over the
-      // corpus to pick starting centers — pointless for a coarse quantizer
-      // whose cells only need to be roughly balanced. Fewer iterations for
-      // the same reason: cell assignment stability, not convergence, is
-      // what IVF needs.
+      // The coarse quantizer trains on a deterministic 25% hash-sample
+      // (reproducible across partitionings/cluster sizes, unlike rand())
+      // with random init and few iterations: IVF needs roughly balanced
+      // cells, not a converged clustering, and every Lloyd pass is a full
+      // scan of the training set. Assignment still covers the full corpus.
+      val trainSet = emb
+        .filter(substring(md5(col("vec_id").cast("string")), 1, 1).isin("0", "1", "2", "3"))
       val model = new KMeans().setK(NumCells).setSeed(42L).setMaxIter(5)
         .setInitMode("random")
-        .fit(emb.select("features"))
+        .fit(trainSet.select("features"))
       val assigned = model.transform(emb)
         .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
       val centers = s.createDataFrame(
