@@ -313,9 +313,39 @@ object IngestLake {
     ORDER BY id""")
   )
 
+  /** Constraint validation (reference roadmap "data quality checks"): one
+    * pass of declarative rules — NOT NULL, value range, set membership,
+    * and referential integrity (FK anti-join) — reported as violation
+    * counts per rule. At scale each rule is a partial-aggregated count;
+    * the FK check broadcasts the dimension key set.
+    */
+  val lakeConstraints: Q = Q(
+    "lake_constraints",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val scalarRules = t.orders.agg(
+        count(lit(1)).as("n_checked"),
+        sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("null_custkey"),
+        sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("nonpositive_price"),
+        sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L).otherwise(0L))
+          .as("bad_status"))
+      val fkViolations = t.orders
+        .join(broadcast(t.customer.select(col("c_custkey"))),
+          col("o_custkey") === col("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("fk_orphans"))
+      scalarRules.crossJoin(fkViolations)
+    },
+    Some("""SELECT
+      (SELECT COUNT(*) FROM orders) AS n_checked,
+      (SELECT CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM orders) AS null_custkey,
+      (SELECT CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) FROM orders) AS nonpositive_price,
+      (SELECT CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS BIGINT) FROM orders) AS bad_status,
+      (SELECT COUNT(*) FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)) AS fk_orphans""")
+  )
+
   val all: Seq[Q] = Seq(
     ingestCsvRoundtrip, ingestJsonRoundtrip, ingestParquet, ingestTextLines,
     ingestOrcRoundtrip, ingestXmlRoundtrip, ingestSchemaEvolution, ingestJsonProps,
     lakeCtas, lakeMergeUpsert, lakeChangelog, lakeDataProfile,
-    lakeScd2, lakeDelete, lakeIncrementalRead)
+    lakeScd2, lakeDelete, lakeIncrementalRead, lakeConstraints)
 }

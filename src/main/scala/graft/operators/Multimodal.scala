@@ -140,5 +140,62 @@ object Multimodal {
     GROUP BY kind ORDER BY kind""")
   )
 
-  val all: Seq[Q] = Seq(mmPipeline, mmFrameSample)
+  /** Exact binary-content dedup: payloads content-hashed (md5 over the raw
+    * bytes) and counted per kind — the "same image uploaded twice" screen,
+    * running entirely on the opaque binary column with no decode.
+    */
+  val mmBinaryDedup: Q = Q(
+    "mm_binary_dedup",
+    (s, dir) => {
+      val media = mediaFromDocuments(Tables(s, dir).documents)
+      media.toDF()
+        .groupBy("kind")
+        .agg(
+          count(lit(1)).as("n_media"),
+          countDistinct(md5(col("payload"))).as("n_unique_payloads"))
+        .orderBy("kind")
+    },
+    // payloads are exactly the UTF-8 text bytes, so DuckDB's md5(text)
+    // hashes the same byte stream as Spark's md5(binary payload)
+    Some("""SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+      COUNT(*) AS n_media,
+      COUNT(DISTINCT md5(text)) AS n_unique_payloads
+    FROM documents GROUP BY 1 ORDER BY 1""")
+  )
+
+  /** Metadata quality gate after resize: keep media whose post-resize
+    * dimensions clear a minimum and whose aspect ratio is sane — the
+    * filter stage between decode and training-set materialization. The
+    * oracle recomputes the stub's resize arithmetic (IEEE double scale +
+    * truncation) from first principles.
+    */
+  val mmMetadataFilter: Q = Q(
+    "mm_metadata_filter",
+    (s, dir) => {
+      val media = mediaFromDocuments(Tables(s, dir).documents)
+      resize(decode(media), maxDim = 256).toDF()
+        .filter(col("width") >= 100 && col("height") >= 100 &&
+          col("width").cast("double") / col("height") <= 3.0 &&
+          col("height").cast("double") / col("width") <= 3.0)
+        .groupBy("kind")
+        .agg(count(lit(1)).as("n_kept"), sum(col("width")).as("sum_width"))
+        .orderBy("kind")
+    },
+    Some("""WITH decoded AS (
+      SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        (64 + strlen(text) % 512)::INT AS w0, (64 + (strlen(text) * 7) % 512)::INT AS h0
+      FROM documents),
+    resized AS (
+      SELECT kind,
+        greatest(1, trunc(w0 * least(1.0, 256.0 / greatest(w0, h0)))::INT) AS width,
+        greatest(1, trunc(h0 * least(1.0, 256.0 / greatest(w0, h0)))::INT) AS height
+      FROM decoded)
+    SELECT kind, COUNT(*) AS n_kept, CAST(SUM(width) AS BIGINT) AS sum_width
+    FROM resized
+    WHERE width >= 100 AND height >= 100
+      AND width::DOUBLE / height <= 3.0 AND height::DOUBLE / width <= 3.0
+    GROUP BY kind ORDER BY kind""")
+  )
+
+  val all: Seq[Q] = Seq(mmPipeline, mmFrameSample, mmBinaryDedup, mmMetadataFilter)
 }
