@@ -154,6 +154,24 @@ final class LakeCatalog(spark: SparkSession, val root: String) {
       .filter(org.apache.spark.sql.functions.col("_change") === "insert")
       .drop("_change")
 
+  /** Snapshot expiry + vacuum (Iceberg expire_snapshots / Delta VACUUM
+    * analog): drop all but the newest `keepLast` manifests, then delete
+    * every data dir no surviving manifest references. Bounds metadata AND
+    * storage growth — the retention half of table maintenance (compact() is
+    * the read-amplification half). Returns the number of data dirs removed.
+    */
+  def expireSnapshots(ns: String, t: String, keepLast: Int = 1): Int = {
+    require(keepLast >= 1, "must keep at least the current snapshot")
+    val vs = versions(ns, t)
+    require(vs.nonEmpty, s"no such table: $ns.$t")
+    val (expired, kept) = vs.splitAt(math.max(0, vs.length - keepLast))
+    val keptDirs = kept.flatMap(v => manifestEntries(ns, t, v)).toSet
+    val expiredDirs = expired.flatMap(v => manifestEntries(ns, t, v)).toSet -- keptDirs
+    expired.foreach(v => Files.deleteIfExists(manifestDir(ns, t).resolve(f"v$v%05d.txt")))
+    expiredDirs.foreach(rel => deleteRec(tPath(ns, t).resolve(rel)))
+    expiredDirs.size
+  }
+
   private def deleteRec(p: Path): Unit =
     if (Files.exists(p)) {
       Using.resource(Files.walk(p))(_.iterator.asScala.toSeq.reverse.foreach(Files.delete))

@@ -187,6 +187,25 @@ class LakeSpec extends SparkSpec {
     assert(cat.read("ns", "t", Some(1)).count() == 3) // pre-delete snapshot intact
   }
 
+  test("expireSnapshots drops old manifests and unreferenced data, keeps current") {
+    val cat = freshCatalog()
+    import spark.implicits._
+    cat.write("ns", "t", Seq((1, "a")).toDF("id", "v"))                     // v1
+    cat.write("ns", "t", Seq((2, "b")).toDF("id", "v"),
+      org.apache.spark.sql.SaveMode.Append)                                  // v2 (reuses v1 data)
+    cat.write("ns", "t", Seq((9, "z")).toDF("id", "v"))                     // v3 overwrite
+    val removed = cat.expireSnapshots("ns", "t", keepLast = 1)
+    assert(cat.versions("ns", "t") == Seq(3))
+    assert(removed == 2, s"expected both pre-overwrite data dirs gone, removed=$removed")
+    assert(cat.read("ns", "t").collect().map(_.getInt(0)).toSeq == Seq(9))
+    intercept[IllegalArgumentException] { cat.read("ns", "t", Some(1)) }
+    // keepLast=2 keeps a data dir alive if any surviving manifest references it
+    cat.write("ns", "t", Seq((10, "y")).toDF("id", "v"),
+      org.apache.spark.sql.SaveMode.Append)                                  // v4 references v3 data
+    assert(cat.expireSnapshots("ns", "t", keepLast = 1) == 0) // v3's dir still referenced by v4
+    assert(cat.read("ns", "t").count() == 2)
+  }
+
   test("incremental read returns only rows added between snapshots") {
     val cat = freshCatalog()
     import spark.implicits._
