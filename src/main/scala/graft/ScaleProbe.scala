@@ -60,6 +60,22 @@ object ScaleProbe {
       val dt = (System.nanoTime() - t0) / 1e9
       println(f"[scale] ann-brute ${mult}x: vecs=$n%d time=$dt%.1fs maxcos=${scored(0).getDouble(0)}%.3f")
     }
+
+    // text-pipeline probe: tokenize -> bigram explode -> count (the shape of
+    // text_ngrams / text_term_docfreq / text_tfidf) — one narrow shuffle;
+    // must stay linear in documents.
+    for (mult <- Seq(1, 3, 10)) {
+      val loaded = spark.read.parquet(s"/tmp/graft_scale_${mult}x")
+      val n = loaded.count()
+      val t0 = System.nanoTime()
+      val top = loaded
+        .select(operators.TextAnalysis.wsTokens(lower(col("text"))).as("tk"))
+        .select(explode(col("tk")).as("term"))
+        .groupBy("term").count()
+        .orderBy(desc("count"), asc("term")).limit(5).collect()
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] text-terms ${mult}x: docs=$n%d top=${top.head.getLong(1)}%d time=$dt%.1fs")
+    }
     spark.stop()
   }
 }
