@@ -32,3 +32,6 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Keep sbt's own chatter off stdout around the one-line JSON contracts:
+// no "[success] Total time" footer, so the bench JSON is the last line.
+Global / showSuccess := false
