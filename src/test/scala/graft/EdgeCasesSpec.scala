@@ -53,4 +53,43 @@ class EdgeCasesSpec extends SparkSpec {
     val empty = Seq.empty[EventStreams.Event].toDS()
     assert(EventStreams.sessionize(empty).count() == 0)
   }
+
+  test("cosine expression handles zero vectors and degenerate dims") {
+    import graft.operators.Similarity
+    val vecs = Seq(
+      (Array(0f, 0f), Array(1f, 2f)),   // zero norm → NaN, not a crash
+      (Array(1f), Array(1f)),           // 1-dim
+      (Array(3f, 4f), Array(3f, 4f))    // identical → exactly 1.0
+    ).toDF("a", "b")
+    val out = vecs.select(Similarity.cosine(col("a"), col("b")).as("c")).collect()
+    assert(out(0).getDouble(0).isNaN)
+    assert(out(1).getDouble(0) == 1.0)
+    assert(out(2).getDouble(0) == 1.0)
+  }
+
+  test("SCD2 on an all-new snapshot and an identical re-apply") {
+    val cat = LakeCatalog(spark, Files.createTempDirectory("graft_scd_e").toString)
+    val dim = Seq((1, "x")).toDF("id", "v")
+    graft.lake.Scd2.applySnapshot(cat, "ns", "d", dim, "id", 1)
+    graft.lake.Scd2.applySnapshot(cat, "ns", "d", dim, "id", 2) // no-op
+    assert(cat.read("ns", "d").count() == 1)
+  }
+
+  test("bigram-based ops tolerate empty and single-token documents") {
+    val docs = Seq((1L, ""), (2L, "one"), (3L, "two words")).toDF("doc_id", "text")
+    docs.createOrReplaceTempView("edge_docs")
+    // reuse the registered query fns against a synthetic tiny corpus by
+    // exercising the underlying column builders directly
+    val tk = graft.operators.TextAnalysis.wsTokens(lower(col("text")))
+    val rows = docs.select(col("doc_id"), tk.as("tk"))
+      .select(col("doc_id"), size(col("tk")).as("n"))
+      .orderBy("doc_id").collect().map(_.getInt(1)).toSeq
+    assert(rows == Seq(0, 1, 2))
+  }
+
+  test("deterministic sample is identical across repeated plans") {
+    val a = graft.operators.RelationalAnalytics.qDetSample.fn(spark, sfDir).collect()
+    val b = graft.operators.RelationalAnalytics.qDetSample.fn(spark, sfDir).collect()
+    assert(a.toSeq == b.toSeq)
+  }
 }
