@@ -90,10 +90,21 @@ object Dedup {
     * converges in a few rounds. `maxIter` bounds the worst case; each round
     * localCheckpoints to keep lineage flat (no exponential plan growth).
     */
-  def duplicateClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+  def duplicateClusters(
+      pairs: DataFrame,
+      maxIter: Int = 10,
+      localThreshold: Long = LocalCCThreshold): DataFrame = {
     val edges = pairs.select(col("a"), col("b"))
       .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
       .distinct().localCheckpoint(eager = true)
+    // Small-graph fast path: near-dup pair graphs are tiny relative to the
+    // corpus (only documents with LSH collisions appear). Below a bounded
+    // edge count (~16 MB of longs — the same order as Spark's broadcast
+    // threshold) a driver-local union-find replaces the iterative join
+    // loop: exact same min-label semantics, zero shuffle rounds. Larger
+    // graphs take the distributed pointer-jumping loop below.
+    val nEdges = edges.count()
+    if (nEdges <= localThreshold) return localUnionFind(edges)
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("label", col("id"))
     var converged = false
@@ -129,6 +140,38 @@ object Dedup {
           "multiple clusters (survivor materialization keeps extra copies). " +
           "Raise maxIter for deep-chain corpora.")
     labels.select(col("id"), col("label").as("cluster_id"))
+  }
+
+  /** Edge-count bound for the driver-local CC fast path (2^20 edges ≈
+    * 16 MB of id pairs — bounded driver memory, like a broadcast cutoff).
+    */
+  val LocalCCThreshold: Long = 1L << 20
+
+  /** Driver-local union-find over a (symmetrized) edge list: produces the
+    * identical (id, cluster_id=min member) labeling the distributed loop
+    * converges to, in one collect.
+    */
+  private def localUnionFind(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val es = edges.select(col("a").cast("long"), col("b").cast("long"))
+      .as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    for ((a, b) <- es) {
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val ids = parent.keys.toArray
+    val labels = ids.map(id => (id, find(id))).toSeq
+    spark.createDataset(labels).toDF("id", "cluster_id")
   }
 
   /** documents ∪ deterministic mutated copies — self-demonstrating corpus

@@ -50,6 +50,11 @@ class DedupSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(Seq(1L, 2L, 3L, 4L).forall(clusters(_) == 1L))
     assert(Seq(10L, 11L).forall(clusters(_) == 10L))
+    // the distributed pointer-jumping loop (forced via localThreshold=0)
+    // must produce the identical labeling as the union-find fast path
+    val distributed = Dedup.duplicateClusters(pairs, localThreshold = 0).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(distributed == clusters, s"paths disagree: $distributed vs $clusters")
   }
 
   test("dedup_clusters assigns each planted mutant to its source's cluster") {
