@@ -45,4 +45,41 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan(Relational.qSemiJoin).contains("LeftSemi"))
     assert(plan(Relational.qAntiJoin).contains("LeftAnti"))
   }
+
+  test("q10: every join is broadcast — the fact side never shuffles for joins") {
+    val p = plan(operators.RelationalTpch.q10ReturnedItems)
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 3, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q19: the disjunctive quantity bands push into the lineitem scan") {
+    val p = plan(operators.RelationalTpch.q19DisjunctiveBands)
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString("\n")
+    assert(pushed.contains("Or(") && pushed.contains("l_quantity"), pushed)
+  }
+
+  test("q6: shipdate + quantity predicates reach the parquet scan") {
+    val p = operators.RelationalTpch.q6ForecastRevenue.fn(spark, sfDir)
+      .queryExecution.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate") &&
+      p.contains("LessThan(l_quantity"), p)
+  }
+
+  test("q17: the per-part threshold plans ONE window, no lineitem re-scan join") {
+    val p = plan(operators.RelationalTpch.q17SmallQtyRevenue)
+    assert("Window".r.findAllIn(p).length >= 1, p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q_grouping_sets expands once (Expand operator), not one scan per set") {
+    val p = plan(operators.RelationalAnalytics.qGroupingSets)
+    assert(p.contains("Expand"), p)
+    assert("FileScan".r.findAllIn(p).length == 1, p)
+  }
+
+  test("lake_constraints FK check is a broadcast anti-join") {
+    val p = plan(operators.IngestLake.lakeConstraints)
+    assert(p.contains("BroadcastHashJoin LeftAnti") ||
+      (p.contains("LeftAnti") && p.contains("BroadcastExchange")), p)
+  }
 }
