@@ -85,7 +85,11 @@ object IngestLake {
     (s, dir) => {
       val t = Tables(s, dir)
       val out = scratch("orc") + "/lineitem_orc"
-      t.lineitem.write.mode(SaveMode.Overwrite).orc(out)
+      // roundtrip the projection the check reads — writer/reader fidelity
+      // is per-column, and a fidelity check that writes 11 columns to
+      // verify 2 just burns IO
+      t.lineitem.select("l_returnflag", "l_quantity")
+        .write.mode(SaveMode.Overwrite).orc(out)
       MFR.readOrc(s, out)
         .groupBy("l_returnflag")
         .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_items"))
