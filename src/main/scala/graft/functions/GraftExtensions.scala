@@ -53,6 +53,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException("graft_fingerprint64(text)")
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_deflate_len"),
+      new ExpressionInfo(classOf[DeflateLen].getName, "graft_deflate_len"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t) => DeflateLen(t)
+        case _ => throw new IllegalArgumentException("graft_deflate_len(text)")
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSim].getName, "graft_cosine"),
       (args: Seq[Expression]) => args match {

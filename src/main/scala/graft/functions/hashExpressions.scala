@@ -212,6 +212,46 @@ case class Fingerprint64(child: Expression)
     copy(child = newChild)
 }
 
+/** DEFLATE-compressed byte length of a text column (zlib level 6) — the
+  * classic compression-ratio quality signal (CCNet/Gopher-style): highly
+  * repetitive or templated documents compress far below natural prose.
+  * Deterministic for a given zlib, but not reproducible in SQL, so the
+  * operator is spec-pinned rather than oracled.
+  */
+object DeflateLen {
+  def compute(s: UTF8String): Int = {
+    val in = s.getBytes
+    val d = new java.util.zip.Deflater(6)
+    try {
+      d.setInput(in)
+      d.finish()
+      val buf = new Array[Byte](8192)
+      var total = 0
+      while (!d.finished()) total += d.deflate(buf)
+      total
+    } finally d.end()
+  }
+}
+
+case class DeflateLen(child: Expression)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName: unexpected input type ${child.dataType}")
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "graft_deflate_len"
+
+  override protected def nullSafeEval(input: Any): Any =
+    DeflateLen.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.DeflateLen$$.MODULE$$.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): DeflateLen =
+    copy(child = newChild)
+}
+
 /** Random-hyperplane LSH signature of a float-vector column, packed into a
   * long (`bits` low bits). Hyperplane components are deterministic
   * pseudo-random units derived from (bit, dim) — no stored model. Bit b is

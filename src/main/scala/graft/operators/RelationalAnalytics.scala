@@ -197,6 +197,41 @@ object RelationalAnalytics {
     GROUP BY cohort_day, day_offset ORDER BY cohort_day, day_offset""")
   )
 
+  /** Exact z-score outlier detection per group, with no stddev() call:
+    * z^2 > 9  ⟺  (n*x - S)^2 > 9*(n*S2 - S^2), where S/S2 are the exact
+    * decimal sum and sum-of-squares. The aggregates are reduction-order-
+    * independent (decimal), and the final comparison runs in IEEE doubles
+    * computed identically on both engines — no Welford-vs-naive variance
+    * discrepancy, which is what makes textbook stddev un-oracle-able.
+    */
+  val qOutliers: Q = Q(
+    "q_outliers",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val w = Window.partitionBy("o_orderstatus")
+      val x = m(col("o_totalprice"))
+      t.orders
+        .withColumn("n", count(lit(1)).over(w))
+        .withColumn("sv", sum(x).over(w).cast(DoubleType))
+        .withColumn("s2", sum(x * x).over(w).cast(DoubleType))
+        .withColumn("lhs",
+          (col("n") * col("o_totalprice") - col("sv")) *
+            (col("n") * col("o_totalprice") - col("sv")))
+        .withColumn("rhs", lit(9.0) * (col("n") * col("s2") - col("sv") * col("sv")))
+        .filter(col("lhs") > col("rhs"))
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")
+    },
+    Some(s"""SELECT o_orderkey, o_orderstatus, o_totalprice FROM (
+      SELECT o_orderkey, o_orderstatus, o_totalprice,
+        COUNT(*) OVER w AS n,
+        CAST(SUM(CAST(o_totalprice AS $D)) OVER w AS DOUBLE) AS sv,
+        CAST(SUM(CAST(o_totalprice AS $D) * CAST(o_totalprice AS $D)) OVER w AS DOUBLE) AS s2
+      FROM orders WINDOW w AS (PARTITION BY o_orderstatus)) t
+    WHERE (n * o_totalprice - sv) * (n * o_totalprice - sv) > 9.0 * (n * s2 - sv * sv)
+    ORDER BY o_orderkey""")
+  )
+
   val all: Seq[Q] = Seq(qGroupingSets, qUnpivot, qWindowRange, qForwardFill,
-    qDetSample, qFunnel, qRetention)
+    qDetSample, qFunnel, qRetention, qOutliers)
 }

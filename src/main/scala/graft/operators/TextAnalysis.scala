@@ -580,8 +580,29 @@ object TextAnalysis {
     ORDER BY doc_id""")
   )
 
+  /** Compression-ratio quality signal: DEFLATE length over byte length per
+    * document (native expression graft_deflate_len). Repetitive/templated
+    * text compresses far below natural prose — the classic cheap filter
+    * for boilerplate and spam. Deterministic but zlib-specific, so this is
+    * spec-pinned (TextAnalysisSpec) rather than DuckDB-oracled.
+    */
+  val textCompression: Q = Q(
+    "text_compression",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val dlen = call_function("graft_deflate_len", col("text"))
+      t.documents
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"), octet_length(col("text")).as("byte_len"),
+          dlen.as("deflate_len"),
+          ratio(dlen, octet_length(col("text"))).as("compression_ratio"))
+        .orderBy("doc_id")
+    },
+    None // zlib output is engine-local — spec-pinned, rows-only here
+  )
+
   val all: Seq[Q] = Seq(textTokens, textQuality, textLangId, textFingerprint,
     textQualityFilter, textTermDocfreq, pipelineCurate, textScrub, textChunk,
     textSeqPacking, textNgrams, textStopwordStrip, textTfidf, textRepetition,
-    textNormalize)
+    textNormalize, textCompression)
 }

@@ -51,4 +51,27 @@ class TextAnalysisSpec extends SparkSpec {
     }
     assert(df.filter(col("n_tokens") <= 0).count() == 0)
   }
+
+  test("compression ratio separates repetitive from diverse text and is deterministic") {
+    import spark.implicits._
+    val rep = "spam spam spam spam spam spam spam spam spam spam " * 20
+    val div = (1 to 200).map(i => s"w${i * 7919 % 9973}x${i * 104729 % 999}").mkString(" ")
+    val df = Seq(("rep", rep), ("div", div)).toDF("id", "text")
+      .select(col("id"),
+        call_function("graft_deflate_len", col("text")).as("dl"),
+        octet_length(col("text")).as("bl"))
+    val m = df.collect().map(r => r.getString(0) -> (r.getInt(1), r.getInt(2))).toMap
+    val repRatio = m("rep")._1.toDouble / m("rep")._2
+    val divRatio = m("div")._1.toDouble / m("div")._2
+    assert(repRatio < 0.1, s"repetitive text should compress hard: $repRatio")
+    assert(divRatio > repRatio * 3, s"diverse $divRatio vs repetitive $repRatio")
+    // deterministic across invocations
+    val again = Seq(("rep", rep)).toDF("id", "text")
+      .select(call_function("graft_deflate_len", col("text"))).head().getInt(0)
+    assert(again == m("rep")._1)
+    // corpus-wide sanity: every ratio positive and <= ~1 (+ small header slack)
+    val corpus = TextAnalysis.textCompression.fn(spark, sfDir)
+    assert(corpus.filter(col("compression_ratio") <= 0 ||
+      col("compression_ratio") > 1.5).count() == 0)
+  }
 }
