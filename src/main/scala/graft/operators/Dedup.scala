@@ -488,6 +488,31 @@ object Dedup {
     Some(graft.Q.oracleResource("dedup_survivors"))
   )
 
+  /** Edit-distance verify stage: exact Levenshtein over the LSH candidate
+    * pairs that passed the estimated-Jaccard screen — the final
+    * "how different are they really" measure before survivor selection.
+    * O(len^2) per pair, but only on the tiny candidate set (never the
+    * corpus cross product) — the standard verify-stage cost model.
+    */
+  val dedupLevenshtein: Q = Q(
+    "dedup_levenshtein",
+    (s, dir) => {
+      val docs = withPlantedDups(Tables(s, dir).documents)
+      val pairs = minhashPipeline(s, dir)
+        .select(col("a"), col("b"), estJaccard(col("sig_a"), col("sig_b")).as("ej"))
+        .filter(col("ej") >= 0.5)
+      pairs
+        .join(docs.select(col("doc_id").as("a"), col("text").as("text_a")), "a")
+        .join(docs.select(col("doc_id").as("b"), col("text").as("text_b")), "b")
+        .select(col("a"), col("b"),
+          levenshtein(col("text_a"), col("text_b")).as("edit_distance"))
+        .orderBy("a", "b")
+    },
+    // Generated minhash prelude + DuckDB's levenshtein — integer DP, so
+    // the distances match exactly (ASCII corpus: char == codepoint).
+    Some(graft.Q.oracleResource("dedup_levenshtein"))
+  )
+
   val all: Seq[Q] = Seq(dedupExact, dedupKeepFirst, dedupMinhash, dedupNgramJaccard,
-    dedupSimhash, dedupEmbedding, dedupClusters, dedupSurvivors)
+    dedupSimhash, dedupEmbedding, dedupClusters, dedupSurvivors, dedupLevenshtein)
 }

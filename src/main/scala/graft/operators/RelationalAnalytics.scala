@@ -232,6 +232,64 @@ object RelationalAnalytics {
     ORDER BY o_orderkey""")
   )
 
+  /** Distribution window functions: percent_rank, cume_dist, ntile —
+    * rank-derived ratios of exact integers (IEEE-identical across
+    * engines); ntile gets a unique tie-break so bucket assignment is
+    * deterministic.
+    */
+  val qWindowDistribution: Q = Q(
+    "q_window_distribution",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val w = Window.partitionBy("o_orderstatus")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      t.orders
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"),
+          ntile(4).over(w).as("quartile"))
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_orderstatus,
+      percent_rank() OVER w AS pct_rank,
+      cume_dist() OVER w AS cume,
+      ntile(4) OVER w AS quartile
+    FROM orders WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+    ORDER BY o_orderkey""")
+  )
+
+  /** Exact per-group median WITHOUT percentile interpolation drift: pick
+    * the middle row(s) by row_number and average the (one or two) exact
+    * decimal values — reproducible on any engine, unlike quantile_cont
+    * implementations that disagree on the interpolation formula.
+    */
+  val qExactMedian: Q = Q(
+    "q_exact_median",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val w = Window.partitionBy("o_orderstatus")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      val wn = Window.partitionBy("o_orderstatus")
+      t.orders
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(wn))
+        .filter(col("rn") === expr("(n + 1) DIV 2") || col("rn") === expr("n DIV 2 + 1"))
+        .groupBy("o_orderstatus")
+        .agg((sum(m(col("o_totalprice"))).cast(DoubleType) / count(lit(1)))
+          .as("median_price"))
+        .orderBy("o_orderstatus")
+    },
+    Some(s"""SELECT o_orderstatus,
+      CAST(SUM(CAST(o_totalprice AS $D)) AS DOUBLE) / COUNT(*) AS median_price
+    FROM (
+      SELECT o_orderstatus, o_totalprice,
+        row_number() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey) AS rn,
+        COUNT(*) OVER (PARTITION BY o_orderstatus) AS n
+      FROM orders) t
+    WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
+    GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+  )
+
   val all: Seq[Q] = Seq(qGroupingSets, qUnpivot, qWindowRange, qForwardFill,
-    qDetSample, qFunnel, qRetention, qOutliers)
+    qDetSample, qFunnel, qRetention, qOutliers, qWindowDistribution, qExactMedian)
 }

@@ -199,3 +199,16 @@ ham AS (
   SELECT a, pairs.b, bit_count(xor(sa.ush, sb.ush))::INT AS hamming
   FROM pairs JOIN allsh sa ON pairs.a = sa.doc_id JOIN allsh sb ON pairs.b = sb.doc_id)
 SELECT a, b, hamming FROM ham WHERE hamming <= 7 ORDER BY a, b"""
+
+LEV_TAIL = """est AS (
+  SELECT a, pairs.b,
+    len(list_filter(range(1, 65), i -> sa.sig[i] = sb.sig[i]))::DOUBLE / 64.0 AS est_jaccard
+  FROM pairs JOIN sigs sa ON pairs.a = sa.doc_id JOIN sigs sb ON pairs.b = sb.doc_id),
+lev AS (
+  SELECT e.a, e.b, levenshtein(ca.text, cb.text) AS edit_distance
+  FROM est e JOIN corpus ca ON e.a = ca.doc_id JOIN corpus cb ON e.b = cb.doc_id
+  WHERE e.est_jaccard >= 0.5)
+SELECT a, b, edit_distance FROM lev ORDER BY a, b"""
+
+def build_lev():
+    return "WITH " + ",\n".join(minhash_prelude()) + ",\n" + LEV_TAIL
