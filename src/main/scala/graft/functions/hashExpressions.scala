@@ -219,17 +219,25 @@ case class Fingerprint64(child: Expression)
   * operator is spec-pinned rather than oracled.
   */
 object DeflateLen {
+  // per-task-thread zlib state, reset() per row — allocating/destroying a
+  // native Deflater per row would put a malloc/free pair on the hot path
+  private val deflater = new ThreadLocal[java.util.zip.Deflater] {
+    override def initialValue(): java.util.zip.Deflater =
+      new java.util.zip.Deflater(6)
+  }
+  private val buf = new ThreadLocal[Array[Byte]] {
+    override def initialValue(): Array[Byte] = new Array[Byte](8192)
+  }
+
   def compute(s: UTF8String): Int = {
-    val in = s.getBytes
-    val d = new java.util.zip.Deflater(6)
-    try {
-      d.setInput(in)
-      d.finish()
-      val buf = new Array[Byte](8192)
-      var total = 0
-      while (!d.finished()) total += d.deflate(buf)
-      total
-    } finally d.end()
+    val d = deflater.get()
+    d.reset()
+    d.setInput(s.getBytes)
+    d.finish()
+    val b = buf.get()
+    var total = 0
+    while (!d.finished()) total += d.deflate(b)
+    total
   }
 }
 

@@ -18,21 +18,27 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * implementation and the DuckDB oracle twins.
   */
 object CosineSim {
-  def compute(a: ArrayData, b: ArrayData): Double = {
-    val x = a.toFloatArray()
-    val y = b.toFloatArray()
-    val n = math.min(x.length, y.length)
+  /** null when dimensions differ or any element is null — matching the
+    * zip_with(pad-with-null) + aggregate(null-propagating) formulation
+    * this expression replaced. Boxed return so codegen can surface NULL.
+    */
+  def compute(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
     var i = 0
     while (i < n) {
-      dot += x(i).toDouble * y(i).toDouble
-      na += x(i).toDouble * x(i).toDouble
-      nb += y(i).toDouble * y(i).toDouble
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y
+      na += x * x
+      nb += y * y
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
   }
 }
 
@@ -52,14 +58,17 @@ case class CosineSim(left: Expression, right: Expression)
         s"(${left.dataType}, ${right.dataType})")
 
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_cosine"
 
   override protected def nullSafeEval(a: Any, b: Any): Any =
     CosineSim.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.functions.CosineSim$$.MODULE$$.compute($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      java.lang.Double ${ev.value}_r = graft.functions.CosineSim$$.MODULE$$.compute($a, $b);
+      if (${ev.value}_r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}_r.doubleValue(); }""")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CosineSim =

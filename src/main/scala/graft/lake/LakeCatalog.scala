@@ -143,7 +143,12 @@ final class LakeCatalog(spark: SparkSession, val root: String) {
     * same as overwrite.
     */
   def delete(ns: String, t: String, predicate: org.apache.spark.sql.Column): Int =
-    write(ns, t, read(ns, t).filter(!predicate), SaveMode.Overwrite)
+    // NULL-predicate rows are KEPT (SQL DELETE semantics): a row only
+    // leaves when the predicate is definitively TRUE.
+    write(ns, t,
+      read(ns, t).filter(!org.apache.spark.sql.functions.coalesce(
+        predicate, org.apache.spark.sql.functions.lit(false))),
+      SaveMode.Overwrite)
 
   /** Incremental read: rows ADDED between two snapshots — the consumer-side
     * half of CDC (a downstream job resumes from its last-seen version and

@@ -35,8 +35,13 @@ object Scd2 {
       key: String,
       version: Int): Unit = {
     val attrs = src.columns.filterNot(_ == key).toSeq
+    // a snapshot carrying duplicate key values must collapse to one row per
+    // key first (same MERGE-INTO hazard TableMerger.dedupeOnKey guards):
+    // a duplicated key would otherwise fan the current row out and insert
+    // multiple is_current rows — permanent history corruption.
+    val snap = dedupeOnKey(src, key, attrs)
     if (!catalog.tableExists(ns, table)) {
-      catalog.write(ns, table, src
+      catalog.write(ns, table, snap
         .withColumn(ValidFrom, lit(version))
         .withColumn(ValidTo, lit(null).cast("int"))
         .withColumn(IsCurrent, lit(true)))
@@ -45,11 +50,13 @@ object Scd2 {
     val hist = catalog.read(ns, table)
     val closed = hist.filter(!col(IsCurrent))
     val cur = hist.filter(col(IsCurrent)).withColumn("_cur_present", lit(true))
-    val srcR = src.select(
+    val srcR = snap.select(
       col(key) +: attrs.map(a => col(a).as(s"_src_$a")) :+ lit(true).as("_src_present"): _*)
     val j = cur.join(srcR, Seq(key), "full_outer")
-    val changed: Column = col("_cur_present") && col("_src_present") &&
-      attrs.map(a => !(col(a) <=> col(s"_src_$a"))).reduce(_ || _)
+    val changed: Column =
+      if (attrs.isEmpty) lit(false) // key-only dimension: nothing can change
+      else col("_cur_present") && col("_src_present") &&
+        attrs.map(a => !(col(a) <=> col(s"_src_$a"))).reduce(_ || _)
     val keptCurrent = j
       .filter(col("_cur_present") && (col("_src_present").isNull || !changed))
       .select(hist.columns.map(col): _*)
@@ -63,5 +70,22 @@ object Scd2 {
         lit(true).as(IsCurrent): _*)
     catalog.write(ns, table,
       closed.unionByName(keptCurrent).unionByName(closedNow).unionByName(inserts))
+  }
+
+  /** One row per key, chosen deterministically (desc over the orderable
+    * attribute columns) — mirrors TableMerger's MERGE-source dedupe.
+    */
+  private def dedupeOnKey(src: DataFrame, key: String, attrs: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val orderable = attrs
+      .filter(a => org.apache.spark.sql.catalyst.expressions.RowOrdering
+        .isOrderable(src.schema(a).dataType))
+      .map(a => col(a).desc_nulls_last)
+    if (orderable.isEmpty) src.dropDuplicates(Seq(key))
+    else {
+      val w = Window.partitionBy(col(key)).orderBy(orderable: _*)
+      src.withColumn("__graft_rn", row_number().over(w))
+        .filter(col("__graft_rn") === 1).drop("__graft_rn")
+    }
   }
 }

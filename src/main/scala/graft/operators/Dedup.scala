@@ -142,10 +142,12 @@ object Dedup {
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 
-  /** Edge-count bound for the driver-local CC fast path (2^20 edges ≈
-    * 16 MB of id pairs — bounded driver memory, like a broadcast cutoff).
+  /** Edge-count bound for the driver-local CC fast path. The collect
+    * materializes boxed (Long, Long) tuples plus a boxed HashMap — roughly
+    * 10-20x the raw 16 bytes/edge — so 2^18 edges budgets a few hundred MB
+    * of transient driver heap, comparable to a broadcast-side build.
     */
-  val LocalCCThreshold: Long = 1L << 20
+  val LocalCCThreshold: Long = 1L << 18
 
   /** Driver-local union-find over a (symmetrized) edge list: produces the
     * identical (id, cluster_id=min member) labeling the distributed loop

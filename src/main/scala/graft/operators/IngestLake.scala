@@ -148,11 +148,15 @@ object IngestLake {
   // (CTAS + MERGE, four writes) serves all of them in a Verify/Bench
   // session. First caller pays the build, like the dedup signature cache.
   private val cdcCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), LakeCatalog]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String),
+      (org.apache.spark.sql.SparkSession, LakeCatalog)]()
 
-  private def cdcScenario(s: org.apache.spark.sql.SparkSession, dir: String): LakeCatalog =
+  private def cdcScenario(s: org.apache.spark.sql.SparkSession, dir: String): LakeCatalog = {
+    // evict entries bound to stopped sessions (same policy as the dedup
+    // pipeline caches) so long-lived JVMs don't pin dead session state
+    cdcCache.entrySet().removeIf(e => e.getValue._1.sparkContext.isStopped)
     cdcCache.computeIfAbsent(
-      (org.apache.spark.sql.GraftBridge.sessionUUID(s), dir), _ => {
+      (org.apache.spark.sql.GraftBridge.sessionUUID(s), dir), _ => s -> {
         val t = Tables(s, dir)
         val cat = LakeCatalog(s, scratch("cdc"))
         val merger = new TableMerger(cat)
@@ -163,7 +167,8 @@ object IngestLake {
           .select(col("o_orderkey").as("id"), (col("o_totalprice") + 1000).as("o_totalprice"))
         merger.mergeTable(updates, "lake", "orders_cdc") // v2 (MERGE upsert)
         cat
-      })
+      })._2
+  }
 
   val lakeChangelog: Q = Q(
     "lake_changelog",

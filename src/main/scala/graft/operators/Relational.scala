@@ -284,7 +284,8 @@ object Relational {
     "q_cube_segments",
     (s, dir) => {
       val t = Tables(s, dir)
-      val view = s"cube_src_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      // fixed name + OrReplace: repeated invocations reuse one catalog slot
+      val view = "graft_cube_src"
       t.customer
         .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
         .select("c_mktsegment", "n_name", "c_acctbal")

@@ -29,7 +29,8 @@ object RelationalAnalytics {
     "q_grouping_sets",
     (s, dir) => {
       val t = Tables(s, dir)
-      val view = s"gs_src_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      // fixed name + OrReplace: repeated invocations reuse one catalog slot
+      val view = "graft_gs_src"
       t.orders.createOrReplaceTempView(view)
       s.sql(s"""SELECT o_orderstatus, o_orderpriority,
           CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,

@@ -65,6 +65,11 @@ class EdgeCasesSpec extends SparkSpec {
     assert(out(0).getDouble(0).isNaN)
     assert(out(1).getDouble(0) == 1.0)
     assert(out(2).getDouble(0) == 1.0)
+    // mismatched dimensions → NULL (the zip_with-pad semantics), not a
+    // plausible-looking prefix score
+    val bad = Seq((Array(1f, 2f, 3f), Array(1f, 2f))).toDF("a", "b")
+      .select(Similarity.cosine(col("a"), col("b")).as("c")).collect()
+    assert(bad(0).isNullAt(0), bad(0).toString)
   }
 
   test("SCD2 on an all-new snapshot and an identical re-apply") {

@@ -177,6 +177,27 @@ class LakeSpec extends SparkSpec {
     assert(cat.read("ns", "dim").filter("valid_from = 3").count() == 0)
   }
 
+  test("SCD2 collapses duplicate snapshot keys to one row (no history fan-out)") {
+    val cat = freshCatalog()
+    import spark.implicits._
+    Scd2.applySnapshot(cat, "ns", "dup", Seq((1, "a")).toDF("id", "v"), "id", 1)
+    // snapshot carries id=1 twice: must update once (deterministic winner)
+    Scd2.applySnapshot(cat, "ns", "dup", Seq((1, "x"), (1, "z")).toDF("id", "v"), "id", 2)
+    val hist = cat.read("ns", "dup")
+    assert(hist.count() == 2, hist.collect().mkString(","))
+    assert(hist.filter("is_current AND v = 'z'").count() == 1)
+  }
+
+  test("DELETE keeps rows where the predicate is NULL (SQL semantics)") {
+    val cat = freshCatalog()
+    import spark.implicits._
+    cat.write("ns", "nd", Seq((1, Some("drop")), (2, None), (3, Some("keep")))
+      .toDF("id", "v"))
+    cat.delete("ns", "nd", col("v") === "drop")
+    val left = cat.read("ns", "nd").collect().map(_.getInt(0)).sorted.toSeq
+    assert(left == Seq(2, 3), s"NULL-predicate row must survive: $left")
+  }
+
   test("DELETE is copy-on-write: prior snapshot still time-travels") {
     val cat = freshCatalog()
     import spark.implicits._
