@@ -291,6 +291,60 @@ object RelationalAnalytics {
     GROUP BY o_orderstatus ORDER BY o_orderstatus""")
   )
 
+  /** FULL OUTER join with null-side accounting: segment-level customer /
+    * order coverage where either side can be absent — the reconciliation
+    * join shape (which rows exist only-left / only-right / both).
+    */
+  val qFullOuter: Q = Q(
+    "q_full_outer",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val perCust = t.orders.groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"))
+      t.customer
+        .join(perCust, col("c_custkey") === col("o_custkey"), "full_outer")
+        .groupBy(coalesce(col("c_mktsegment"), lit("<no-customer>")).as("segment"))
+        .agg(
+          count(col("c_custkey")).as("n_customers"),
+          sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("n_without_orders"),
+          sum(coalesce(col("n_orders"), lit(0L))).as("n_orders"))
+        .orderBy("segment")
+    },
+    Some("""SELECT COALESCE(c_mktsegment, '<no-customer>') AS segment,
+      COUNT(c_custkey) AS n_customers,
+      CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_without_orders,
+      CAST(SUM(COALESCE(n_orders, 0)) AS BIGINT) AS n_orders
+    FROM customer
+    FULL OUTER JOIN (SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey) o
+      ON c_custkey = o_custkey
+    GROUP BY 1 ORDER BY 1""")
+  )
+
+  /** Deterministic argmax per group: the order key holding each status's
+    * maximum price, via max(struct(price, key)) — lexicographic struct
+    * ordering makes the tie-break explicit instead of max_by's
+    * pick-any-on-ties.
+    */
+  val qArgmax: Q = Q(
+    "q_argmax",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.orders
+        .groupBy("o_orderstatus")
+        .agg(max(struct(col("o_totalprice"), col("o_orderkey"))).as("mx"))
+        .select(col("o_orderstatus"), col("mx.o_orderkey").as("top_orderkey"),
+          col("mx.o_totalprice").as("top_price"))
+        .orderBy("o_orderstatus")
+    },
+    Some("""SELECT o_orderstatus, o_orderkey AS top_orderkey, o_totalprice AS top_price
+    FROM (SELECT o_orderstatus, o_orderkey, o_totalprice,
+            row_number() OVER (PARTITION BY o_orderstatus
+              ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+          FROM orders) t
+    WHERE rn = 1 ORDER BY o_orderstatus""")
+  )
+
   val all: Seq[Q] = Seq(qGroupingSets, qUnpivot, qWindowRange, qForwardFill,
-    qDetSample, qFunnel, qRetention, qOutliers, qWindowDistribution, qExactMedian)
+    qDetSample, qFunnel, qRetention, qOutliers, qWindowDistribution, qExactMedian,
+    qFullOuter, qArgmax)
 }

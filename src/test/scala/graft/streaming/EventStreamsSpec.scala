@@ -163,6 +163,30 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("E6: text quality gate + token accounting runs unchanged on a document stream") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // the same declarative quality/token expressions the batch operators
+    // use apply to a streaming frame with zero changes — proof the text
+    // pipeline is streaming-ready (stateless narrow transforms)
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val toks = graft.operators.TextAnalysis.wsTokens(col("text"))
+    val gated = docs
+      .withColumn("n_tokens", size(toks))
+      .filter(col("n_tokens") >= 3)
+    val q = gated.writeStream.format("memory").queryName("e6_out")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, "too short"), (2L, "this one has plenty of tokens"),
+        (3L, "x"), (4L, "another sufficiently long document here"))
+      q.processAllAvailable()
+      val kept = spark.table("e6_out").select("doc_id").collect()
+        .map(_.getLong(0)).sorted.toSeq
+      assert(kept == Seq(2L, 4L), kept.toString)
+    } finally q.stop()
+  }
+
   test("batch twin: sessionize in batch mode matches q_sessionize closed sessions") {
     import spark.implicits._
     // In batch execution each user's whole history arrives as one group and
