@@ -2,8 +2,24 @@ package graft
 
 /** Benchmark main: times every registered query on SPARK_GRAFT_SF_DIR and
   * prints ONE JSON line for the driver (BENCH_r{N}.json).
+  *
+  * Queries run grouped by operator family (ann_*, dedup_*, ingest_*, lake_*,
+  * mm_*, pipeline_*, q*, text_*), and all memoized state — persisted
+  * signature frames, parse caches, localCheckpoint blocks — is released at
+  * every family boundary (GraftSession.releaseCaches). A single long-lived
+  * JVM otherwise accumulates every family's pinned storage, and on a
+  * memory-constrained driver that pressure shows up as multi-x slowdowns in
+  * the families that run last (observed in round 2: q_asof_join 1.2s ->
+  * 18.9s with an unchanged plan; a clean JVM reproduces the 1.2s).
   */
 object Bench {
+
+  /** family key: leading name segment with trailing digits stripped, so
+    * q1/q3/q22/q_asof all land in one "q" family.
+    */
+  private def familyOf(name: String): String =
+    name.split("_")(0).replaceAll("\\d+$", "")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.getOrCreate("graft-bench")
@@ -12,7 +28,11 @@ object Bench {
     // warm the JVM/codegen paths once so per-query numbers measure the plan,
     // not first-call classloading.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    var family: String = null
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val f = familyOf(name)
+      if (family != null && f != family) GraftSession.releaseCaches(spark)
+      family = f
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

@@ -42,4 +42,26 @@ object GraftSession {
     spark.sparkContext.setLogLevel("WARN")
     spark
   }
+
+  /** Release every piece of memoized per-query-family state: the dedup
+    * signature/cluster caches, any session-cached frames (SimHash signature
+    * pins, corrupt-record parse caches), and — via the ContextCleaner once
+    * the references are gone — localCheckpoint blocks.
+    *
+    * Long-lived sessions (Bench, Verify, a production notebook running the
+    * full surface) call this between operator families; without it the JVM
+    * accumulates every family's pinned storage for the whole run, and on a
+    * small-heap driver that pressure surfaces as multi-x slowdowns in
+    * whatever queries happen to run AFTER the caching families (the
+    * round-2 bench regressions: q_asof_join 1.2s -> 18.9s with identical
+    * code and an identical plan).
+    */
+  def releaseCaches(spark: SparkSession): Unit = {
+    graft.operators.Dedup.clearCache(spark)
+    spark.catalog.clearCache()
+    // Drop references held by the periodic GC-based ContextCleaner so
+    // localCheckpoint RDD blocks are actually evicted before the next
+    // family is timed, not at some later GC.
+    System.gc()
+  }
 }

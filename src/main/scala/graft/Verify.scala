@@ -10,7 +10,14 @@ object Verify {
     val Array(sfDir, outDir) = args
     val spark = GraftSession.getOrCreate("graft-verify")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // run in family order and release memoized state at family boundaries,
+    // exactly like Bench — a 91-query session should not accumulate every
+    // family's pinned storage (see GraftSession.releaseCaches).
+    var family: String = null
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val f = name.split("_")(0).replaceAll("\\d+$", "")
+      if (family != null && f != family) GraftSession.releaseCaches(spark)
+      family = f
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

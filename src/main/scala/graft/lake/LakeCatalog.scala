@@ -1,12 +1,19 @@
 package graft.lake
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, Paths}
-import scala.jdk.CollectionConverters._
 import scala.util.Using
 
 import graft.sources.SchemaTools
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Thrown when an optimistic commit loses: the table's latest version moved
+  * past the version the writer staged against (or another writer claimed the
+  * same manifest name first). Retry by re-reading and re-staging — the
+  * losing writer's data directory is already written and simply never
+  * referenced (unreferenced dirs are reclaimed by expireSnapshots' vacuum).
+  */
+final class CommitConflictException(msg: String) extends RuntimeException(msg)
 
 /** Lakehouse table layer: namespaces, managed tables, snapshot versioning
   * and time travel over parquet — the reference's Iceberg surface
@@ -22,30 +29,48 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * A version's dataset is the union of its listed data dirs, so APPEND
   * commits reference prior data instead of rewriting it (manifest reuse, the
   * Iceberg idea) — at 100 TB an append writes only the new files plus a
-  * few-KB manifest. OVERWRITE starts a fresh file list. Readers pick a
-  * manifest (latest or time-travel) and never see half-written commits
-  * because the manifest is written last (single-writer; a production
-  * multi-writer needs an optimistic-locking catalog, as Iceberg does).
+  * few-KB manifest. OVERWRITE starts a fresh file list.
+  *
+  * ALL metadata IO goes through the Hadoop FileSystem API resolved from the
+  * root URI, so the same catalog runs on `file://`, `hdfs://` and `s3a://`
+  * alike — the reference's MinIO/S3 deployment surface
+  * (config/minio_config.py, utils/spark_write_iceberg.py:8-90). Data IO is
+  * Spark's own parquet source, which already speaks every Hadoop scheme.
+  *
+  * Concurrency: commits are OPTIMISTIC (Iceberg-style). A writer stages its
+  * data directory, then publishes a manifest named for the next version;
+  * `expectedVersion` lets callers pin the version they staged against and a
+  * mismatch raises [[CommitConflictException]] instead of silently
+  * clobbering a concurrent commit. The final publish is a rename onto a
+  * name that must not exist — atomic compare-and-set on HDFS (rename fails
+  * if the destination exists); on local and S3 filesystems the exists-check
+  * narrows the race to the rename call itself, and a production S3
+  * deployment would back this with a conditional-put catalog service, as
+  * Iceberg's REST catalog does.
   */
 final class LakeCatalog(spark: SparkSession, val root: String) {
 
-  private def nsPath(ns: String): Path = Paths.get(root, ns)
-  private def tPath(ns: String, t: String): Path = nsPath(ns).resolve(t)
-  private def manifestDir(ns: String, t: String): Path = tPath(ns, t).resolve("manifests")
+  private val rootPath = new Path(root)
+  private lazy val fs: FileSystem =
+    rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def nsPath(ns: String): Path = new Path(rootPath, ns)
+  private def tPath(ns: String, t: String): Path = new Path(nsPath(ns), t)
+  private def manifestDir(ns: String, t: String): Path = new Path(tPath(ns, t), "manifests")
+  private def manifestFile(ns: String, t: String, v: Int): Path =
+    new Path(manifestDir(ns, t), f"v$v%05d.txt")
 
   // ----- namespace ops (reference: CatalogManager.create_namespace/list) ---
 
-  def createNamespace(ns: String): Unit = Files.createDirectories(nsPath(ns))
+  def createNamespace(ns: String): Unit = fs.mkdirs(nsPath(ns))
 
-  def listNamespaces(): Seq[String] =
-    if (!Files.isDirectory(Paths.get(root))) Nil
-    else Using.resource(Files.list(Paths.get(root)))(_.iterator.asScala
-      .filter(Files.isDirectory(_)).map(_.getFileName.toString).toSeq.sorted)
+  private def listDirNames(p: Path): Seq[String] =
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName).toSeq.sorted
 
-  def listTables(ns: String): Seq[String] =
-    if (!Files.isDirectory(nsPath(ns))) Nil
-    else Using.resource(Files.list(nsPath(ns)))(_.iterator.asScala
-      .filter(Files.isDirectory(_)).map(_.getFileName.toString).toSeq.sorted)
+  def listNamespaces(): Seq[String] = listDirNames(rootPath)
+
+  def listTables(ns: String): Seq[String] = listDirNames(nsPath(ns))
 
   def tableExists(ns: String, t: String): Boolean = versions(ns, t).nonEmpty
 
@@ -57,21 +82,47 @@ final class LakeCatalog(spark: SparkSession, val root: String) {
 
   def versions(ns: String, t: String): Seq[Int] = {
     val d = manifestDir(ns, t)
-    if (!Files.isDirectory(d)) Nil
-    else Using.resource(Files.list(d))(_.iterator.asScala.map(_.getFileName.toString)
-      .filter(_.matches("v\\d+\\.txt")).map(_.drop(1).dropRight(4).toInt).toSeq.sorted)
+    if (!fs.exists(d)) Nil
+    else fs.listStatus(d).map(_.getPath.getName)
+      .filter(_.matches("v\\d+\\.txt")).map(_.drop(1).dropRight(4).toInt).toSeq.sorted
   }
 
-  private def manifestEntries(ns: String, t: String, version: Int): Seq[String] =
-    Files.readAllLines(manifestDir(ns, t).resolve(f"v$version%05d.txt"), StandardCharsets.UTF_8)
-      .asScala.toSeq.filter(_.nonEmpty)
+  private def manifestEntries(ns: String, t: String, version: Int): Seq[String] = {
+    val bytes = Using.resource(fs.open(manifestFile(ns, t, version)))(_.readAllBytes())
+    new String(bytes, StandardCharsets.UTF_8).split("\n").toSeq
+      .map(_.trim).filter(_.nonEmpty)
+  }
 
-  private def commit(ns: String, t: String, dataDirs: Seq[String]): Int = {
-    Files.createDirectories(manifestDir(ns, t))
-    val v = versions(ns, t).lastOption.getOrElse(0) + 1
-    val tmp = manifestDir(ns, t).resolve(f".v$v%05d.txt.tmp")
-    Files.write(tmp, dataDirs.mkString("\n").getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, manifestDir(ns, t).resolve(f"v$v%05d.txt"))
+  /** Publish `dataDirs` as the next version. Optimistic: verifies the
+    * current latest against `expectedVersion` (when given), then renames a
+    * fully-written temp manifest onto the versioned name, which must not
+    * exist — at most one concurrent writer wins a version.
+    */
+  private def commit(
+      ns: String,
+      t: String,
+      dataDirs: Seq[String],
+      expectedVersion: Option[Int]): Int = {
+    fs.mkdirs(manifestDir(ns, t))
+    val cur = versions(ns, t).lastOption.getOrElse(0)
+    expectedVersion.foreach { e =>
+      if (cur != e) throw new CommitConflictException(
+        s"$ns.$t moved to v$cur while this writer staged against v$e")
+    }
+    val v = cur + 1
+    val target = manifestFile(ns, t, v)
+    // write the full manifest to a temp name first so readers can never
+    // observe a half-written file list, then move it into place
+    val tmp = new Path(manifestDir(ns, t),
+      s".v$v-${java.util.UUID.randomUUID().toString}.tmp")
+    Using.resource(fs.create(tmp, false))(
+      _.write(dataDirs.mkString("\n").getBytes(StandardCharsets.UTF_8)))
+    val won = !fs.exists(target) && fs.rename(tmp, target)
+    if (!won) {
+      fs.delete(tmp, false)
+      throw new CommitConflictException(
+        s"concurrent writer published $ns.$t v$v first")
+    }
     v
   }
 
@@ -83,7 +134,7 @@ final class LakeCatalog(spark: SparkSession, val root: String) {
     require(vs.nonEmpty, s"no such table: $ns.$t")
     val v = version.getOrElse(vs.last)
     require(vs.contains(v), s"no snapshot v$v of $ns.$t (have: ${vs.mkString(",")})")
-    val dirs = manifestEntries(ns, t, v).map(rel => tPath(ns, t).resolve(rel).toString)
+    val dirs = manifestEntries(ns, t, v).map(rel => new Path(tPath(ns, t), rel).toString)
     // one scan per commit dir (each may carry its own partition layout /
     // schema generation), unified by name — schema evolution across commits.
     SchemaTools.unifySchemas(dirs.map { d =>
@@ -92,26 +143,31 @@ final class LakeCatalog(spark: SparkSession, val root: String) {
   }
 
   /** Write a commit. OVERWRITE replaces the file list; APPEND extends it
-    * (no data rewrite). Optional hive-style partitioning.
+    * (no data rewrite). Optional hive-style partitioning. Pass
+    * `expectedVersion` (the version this writer read before staging — 0 for
+    * "table must not exist yet") to make the commit optimistic: a
+    * concurrent commit in between raises [[CommitConflictException]].
     */
   def write(
       ns: String,
       t: String,
       df: DataFrame,
       mode: SaveMode = SaveMode.Overwrite,
-      partitionBy: Seq[String] = Nil): Int = {
+      partitionBy: Seq[String] = Nil,
+      expectedVersion: Option[Int] = None): Int = {
     createNamespace(ns)
     val commitId = java.util.UUID.randomUUID().toString
     val rel = s"data/$commitId"
-    val out = tPath(ns, t).resolve(rel)
+    val out = new Path(tPath(ns, t), rel)
     val writer = df.write.mode(SaveMode.Overwrite)
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
       .parquet(out.toString)
     mode match {
       case SaveMode.Append if tableExists(ns, t) =>
-        commit(ns, t, manifestEntries(ns, t, versions(ns, t).last) :+ rel)
+        commit(ns, t,
+          manifestEntries(ns, t, versions(ns, t).last) :+ rel, expectedVersion)
       case _ =>
-        commit(ns, t, Seq(rel))
+        commit(ns, t, Seq(rel), expectedVersion)
     }
   }
 
@@ -172,20 +228,20 @@ final class LakeCatalog(spark: SparkSession, val root: String) {
     val (expired, kept) = vs.splitAt(math.max(0, vs.length - keepLast))
     val keptDirs = kept.flatMap(v => manifestEntries(ns, t, v)).toSet
     val expiredDirs = expired.flatMap(v => manifestEntries(ns, t, v)).toSet -- keptDirs
-    expired.foreach(v => Files.deleteIfExists(manifestDir(ns, t).resolve(f"v$v%05d.txt")))
-    expiredDirs.foreach(rel => deleteRec(tPath(ns, t).resolve(rel)))
+    expired.foreach(v => fs.delete(manifestFile(ns, t, v), false))
+    expiredDirs.foreach(rel => deleteRec(new Path(tPath(ns, t), rel)))
     expiredDirs.size
   }
 
-  private def deleteRec(p: Path): Unit =
-    if (Files.exists(p)) {
-      Using.resource(Files.walk(p))(_.iterator.asScala.toSeq.reverse.foreach(Files.delete))
-    }
+  private def deleteRec(p: Path): Unit = { fs.delete(p, true); () }
+
+  private[lake] def createRoot(): Unit = fs.mkdirs(rootPath)
 }
 
 object LakeCatalog {
   def apply(spark: SparkSession, root: String): LakeCatalog = {
-    Files.createDirectories(Paths.get(root))
-    new LakeCatalog(spark, root)
+    val cat = new LakeCatalog(spark, root)
+    cat.createRoot()
+    cat
   }
 }

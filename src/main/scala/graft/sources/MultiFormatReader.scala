@@ -121,10 +121,14 @@ object MultiFormatReader {
       // corrupt-record column (e.g. a bare count() after this filter); the
       // cache is the documented workaround and bounds the re-parse cost.
       // Caching post-filter keeps corrupt rows and the corrupt string column
-      // out of storage, and the RETURNED frame is the cached one — callers
-      // can release the pin with df.unpersist() once staging completes
-      // (loadDirectory does exactly that after its row count). Queries that
-      // project real columns remain legal on the un-cached frame.
+      // out of storage.
+      //
+      // CONTRACT: the returned frame is the cached one, and the cache pin is
+      // the CALLER's to release (df.unpersist()) once staging/writes
+      // complete — but only then: while uncached, a query that references no
+      // real data column (a bare count()) hits Spark's corrupt-column
+      // AnalysisException that the cache shields. loadDirectory keeps its
+      // frames pinned and exposes release(tables) for exactly this reason.
       df.filter(col(CorruptCol).isNull).drop(CorruptCol).cache()
     } else df
 
@@ -148,12 +152,14 @@ object MultiFormatReader {
       try {
         val df = read(f.getAbsolutePath)
         val rows = df.count()
-        // release the parse cache: the count above already materialized the
-        // corrupt-row filter, and downstream staging projects real columns
-        // (legal on a raw-file scan without the cache). Without this, batch
-        // directory ingestion would pin every parsed file for the session.
-        df.unpersist()
-        if (rows == 0) None
+        // The parse cache stays PINNED until the caller is done staging:
+        // unpersisting here would hand back a frame whose plan still filters
+        // on the internal corrupt-record column, and any downstream query
+        // referencing no real data column (a bare count()) then fails
+        // analysis. Callers release with MultiFormatReader.release(tables)
+        // once writes complete (Orchestrator does; so should batch jobs —
+        // otherwise directory ingestion pins every parsed file).
+        if (rows == 0) { df.unpersist(); None }
         else Some(IngestedTable(df, s"${fmt.toLowerCase}_${stem(f)}", fmt, rows, df.columns.length))
       } catch {
         case e: Throwable =>
@@ -168,4 +174,11 @@ object MultiFormatReader {
       files("xml", ".xml").flatMap(f => ingest(f, "XML", readXml(spark, _))) ++
       files("docx", ".docx", ".txt").flatMap(f => ingest(f, "TEXT", readText(spark, _)))
   }
+
+  /** Release the parse-cache pins of a loadDirectory batch. Call after the
+    * staged tables have been written (or counted for the last time); the
+    * frames remain valid for queries that project real data columns.
+    */
+  def release(tables: Seq[IngestedTable]): Unit =
+    tables.foreach(t => try t.df.unpersist() catch { case _: Throwable => () })
 }

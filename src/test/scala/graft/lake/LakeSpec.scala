@@ -238,6 +238,42 @@ class LakeSpec extends SparkSpec {
     assert(delta == Set((2, "b"), (3, "c")))
   }
 
+  test("catalog metadata IO works through an explicit file:// URI (Hadoop FS path)") {
+    // the same catalog must run wherever a Hadoop FileSystem exists —
+    // file://, hdfs://, s3a:// — so exercise the full snapshot lifecycle
+    // through a scheme-qualified URI instead of a bare local path
+    val dir = Files.createTempDirectory("graft_lake_uri")
+    val cat = LakeCatalog(spark, "file://" + dir.toString)
+    import spark.implicits._
+    cat.write("raw", "t", Seq((1, "a"), (2, "b")).toDF("id", "v"))
+    cat.write("raw", "t", Seq((3, "c")).toDF("id", "v"), SaveMode.Append)
+    assert(cat.listNamespaces() == Seq("raw"))
+    assert(cat.versions("raw", "t") == Seq(1, 2))
+    assert(cat.rowCount("raw", "t") == 3)
+    assert(cat.read("raw", "t", Some(1)).count() == 2)
+    cat.write("raw", "t", Seq((9, "z")).toDF("id", "v"), SaveMode.Overwrite)
+    assert(cat.expireSnapshots("raw", "t", keepLast = 1) == 2)
+    assert(cat.versions("raw", "t") == Seq(3))
+    assert(cat.read("raw", "t").collect().map(_.getInt(0)).toSeq == Seq(9))
+  }
+
+  test("optimistic commit: stale expectedVersion loses, exactly one writer wins") {
+    val cat = freshCatalog()
+    import spark.implicits._
+    cat.write("ns", "t", Seq(1).toDF("id")) // v1
+    // two writers both staged against v1; the first commit wins...
+    cat.write("ns", "t", Seq(2).toDF("id"), SaveMode.Append,
+      expectedVersion = Some(1)) // v2
+    // ...and the straggler's optimistic check fails instead of clobbering
+    val e = intercept[CommitConflictException] {
+      cat.write("ns", "t", Seq(3).toDF("id"), SaveMode.Append,
+        expectedVersion = Some(1))
+    }
+    assert(e.getMessage.contains("moved to v2"))
+    assert(cat.versions("ns", "t") == Seq(1, 2))
+    assert(cat.read("ns", "t").collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 2))
+  }
+
   test("merge collapses duplicate source keys to ONE deterministic row (MERGE semantics)") {
     val cat = freshCatalog()
     val merger = new TableMerger(cat)

@@ -32,9 +32,12 @@ class IngestSpec extends SparkSpec {
     val names = tables.map(_.name).toSet
     assert(names == Set("json_good", "csv_good"), s"got $names")
     assert(tables.find(_.name == "csv_good").get.rows == 2)
-    // directory ingestion must not pin parsed files for the session lifetime
+    // while pinned, even a bare count() (no real column referenced) is legal
+    assert(tables.find(_.name == "json_good").get.df.count() == 1)
+    // the release API drops every parse-cache pin the batch created
+    MultiFormatReader.release(tables)
     assert(org.apache.spark.sql.GraftBridge.numCachedPlans(spark) == before,
-      "loadDirectory leaked parse caches")
+      "release() left parse caches pinned")
     // the returned frames stay queryable (real-column projection) un-cached
     assert(tables.find(_.name == "json_good").get.df
       .select("id").collect().map(_.getLong(0)).toSeq == Seq(1L))
@@ -71,6 +74,7 @@ class IngestSpec extends SparkSpec {
     val tables = MultiFormatReader.loadDirectory(spark, base)
     assert(tables.map(_.name) == Seq("json_good"), tables.map(_.name).toString)
     assert(tables.head.rows == 2)
+    MultiFormatReader.release(tables)
   }
 
   test("sanitizeColumns survives adversarial collisions with generated names") {
