@@ -209,12 +209,20 @@ object RelationalAnalytics {
     "q_outliers",
     (s, dir) => {
       val t = Tables(s, dir)
-      val w = Window.partitionBy("o_orderstatus")
       val x = m(col("o_totalprice"))
+      // Two-pass, no window: o_orderstatus has ~3 values, so a window
+      // partitioned on it funnels the whole fact through 3 tasks at scale.
+      // Instead the moments (n, sum, sum-of-squares) partial-aggregate to a
+      // 3-row frame that broadcast-joins back — the fact is scanned twice
+      // but never single-task-sorted, and both scans are full-speed
+      // columnar parquet reads.
+      val stats = t.orders.groupBy("o_orderstatus")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(x).cast(DoubleType).as("sv"),
+          sum(x * x).cast(DoubleType).as("s2"))
       t.orders
-        .withColumn("n", count(lit(1)).over(w))
-        .withColumn("sv", sum(x).over(w).cast(DoubleType))
-        .withColumn("s2", sum(x * x).over(w).cast(DoubleType))
+        .join(broadcast(stats), "o_orderstatus")
         .withColumn("lhs",
           (col("n") * col("o_totalprice") - col("sv")) *
             (col("n") * col("o_totalprice") - col("sv")))
@@ -242,13 +250,48 @@ object RelationalAnalytics {
     "q_window_distribution",
     (s, dir) => {
       val t = Tables(s, dir)
-      val w = Window.partitionBy("o_orderstatus")
+      // Distributed global rank — the scalable replacement for
+      // Window.partitionBy(3-value key): range-partition the fact on the
+      // FULL sort key so partition i's rows all sort before partition
+      // i+1's, rank locally within (partition, status), then add the count
+      // of same-status rows in earlier partitions (a tiny per-partition
+      // count frame, broadcast back). percent_rank / cume_dist / ntile are
+      // then pure expressions of (rn, n): the ordering key is unique
+      // (orderkey tie-break), so rank == row_number and there are no
+      // tie-plateaus to special-case. Every heavy stage is bounded by the
+      // range-partition size, never by group size.
+      val orders = t.orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val nParts = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val parted = orders
+        .repartitionByRange(nParts,
+          col("o_orderstatus"), col("o_totalprice"), col("o_orderkey"))
+        .withColumn("pid", spark_partition_id())
+      val wLocal = Window.partitionBy("pid", "o_orderstatus")
         .orderBy(col("o_totalprice"), col("o_orderkey"))
-      t.orders
+      // per-(partition, status) row counts -> exclusive running offsets;
+      // this frame has at most nParts x |statuses| rows
+      val wOff = Window.partitionBy("o_orderstatus").orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = parted.groupBy("pid", "o_orderstatus")
+        .agg(count(lit(1)).as("c"))
+        .select(col("pid"), col("o_orderstatus"),
+          coalesce(sum("c").over(wOff), lit(0L)).as("off"),
+          sum("c").over(Window.partitionBy("o_orderstatus")).as("n"))
+      parted
+        .withColumn("lrn", row_number().over(wLocal))
+        .join(broadcast(offsets), Seq("pid", "o_orderstatus"))
+        .withColumn("rn", col("lrn") + col("off"))
         .select(col("o_orderkey"), col("o_orderstatus"),
-          percent_rank().over(w).as("pct_rank"),
-          cume_dist().over(w).as("cume"),
-          ntile(4).over(w).as("quartile"))
+          when(col("n") === 1, lit(0.0))
+            .otherwise((col("rn") - 1).cast(DoubleType) / (col("n") - 1))
+            .as("pct_rank"),
+          (col("rn").cast(DoubleType) / col("n")).as("cume"),
+          // ntile(4) from first principles: the first n%4 tiles hold
+          // ceil(n/4) rows, the rest floor(n/4) — integer arithmetic only
+          expr("""CAST(CASE WHEN rn <= (n % 4) * (n DIV 4 + 1)
+                 THEN (rn - 1) DIV (n DIV 4 + 1) + 1
+                 ELSE (n % 4) + (rn - (n % 4) * (n DIV 4 + 1) - 1) DIV (n DIV 4) + 1
+                 END AS INT)""").as("quartile"))
         .orderBy("o_orderkey")
     },
     Some("""SELECT o_orderkey, o_orderstatus,
@@ -268,13 +311,45 @@ object RelationalAnalytics {
     "q_exact_median",
     (s, dir) => {
       val t = Tables(s, dir)
-      val w = Window.partitionBy("o_orderstatus")
+      // Exact median by two-pass count/offset selection — no window over
+      // the 3-value status key. Pass 1 builds a fixed-width price histogram
+      // per status (tiny: statuses x 1024 buckets) and running bucket
+      // offsets locate which bucket holds each middle rank. Pass 2 ranks
+      // rows ONLY inside those target buckets (window keyed by
+      // (status, bucket) — task size is one bucket, ~n/1024 rows, not one
+      // status's full n). Bucketing by price is rank-consistent: floor of a
+      // monotone map preserves the (price, orderkey) order across buckets.
+      val NB = 1024
+      val orders = t.orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val spans = orders.groupBy("o_orderstatus").agg(
+        count(lit(1)).as("n"),
+        min("o_totalprice").as("lo"),
+        max("o_totalprice").as("hi"))
+      val bucketed = orders
+        .join(broadcast(spans), "o_orderstatus")
+        .withColumn("bkt",
+          when(col("hi") === col("lo"), lit(0))
+            .otherwise(least(lit(NB - 1),
+              floor((col("o_totalprice") - col("lo")) /
+                ((col("hi") - col("lo")) / NB)).cast("int"))))
+      val wCum = Window.partitionBy("o_orderstatus").orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val targets = bucketed.groupBy("o_orderstatus", "bkt")
+        .agg(count(lit(1)).as("c"))
+        .withColumn("off", coalesce(sum("c").over(wCum), lit(0L)))
+        .join(broadcast(spans.select(col("o_orderstatus"), col("n"))), "o_orderstatus")
+        .withColumn("k1", expr("(n + 1) DIV 2"))
+        .withColumn("k2", expr("n DIV 2 + 1"))
+        .filter(
+          (col("k1") > col("off") && col("k1") <= col("off") + col("c")) ||
+            (col("k2") > col("off") && col("k2") <= col("off") + col("c")))
+        .select("o_orderstatus", "bkt", "off", "k1", "k2")
+      val wBkt = Window.partitionBy("o_orderstatus", "bkt")
         .orderBy(col("o_totalprice"), col("o_orderkey"))
-      val wn = Window.partitionBy("o_orderstatus")
-      t.orders
-        .withColumn("rn", row_number().over(w))
-        .withColumn("n", count(lit(1)).over(wn))
-        .filter(col("rn") === expr("(n + 1) DIV 2") || col("rn") === expr("n DIV 2 + 1"))
+      bucketed
+        .join(broadcast(targets), Seq("o_orderstatus", "bkt"))
+        .withColumn("rn", row_number().over(wBkt) + col("off"))
+        .filter(col("rn") === col("k1") || col("rn") === col("k2"))
         .groupBy("o_orderstatus")
         .agg((sum(m(col("o_totalprice"))).cast(DoubleType) / count(lit(1)))
           .as("median_price"))

@@ -498,11 +498,15 @@ object TextAnalysis {
         .select(col("doc_id"), explode(wsTokens(lower(col("text")))).as("term"))
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       val df = terms.groupBy("term").agg(count(lit(1)).as("df"))
-      val n = docs.count()
+      // the IDF denominator N joins in as a broadcast single-row aggregate:
+      // the whole query stays ONE lazy plan (no driver-side count() job at
+      // plan-build time, no second corpus scan outside the plan)
+      val n = docs.agg(count(lit(1)).cast("double").as("n_docs"))
       val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
         .orderBy(desc("score"), asc("term"))
       terms.join(df, "term")
-        .withColumn("score", col("tf") * log(lit(n.toDouble) / col("df")))
+        .crossJoin(broadcast(n))
+        .withColumn("score", col("tf") * log(col("n_docs") / col("df")))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 3)
         .select("doc_id", "rank", "term", "tf", "df")

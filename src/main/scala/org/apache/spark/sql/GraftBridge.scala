@@ -33,4 +33,10 @@ object GraftBridge {
   def numCachedPlans(spark: SparkSession): Int =
     spark.asInstanceOf[classic.SparkSession].sharedState.cacheManager
       .numCachedEntries
+
+  /** Drain the async listener bus so SparkListener-based test assertions
+    * (e.g. job counting) observe every event already emitted.
+    */
+  def drainListenerBus(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
 }

@@ -77,6 +77,22 @@ class PlanQualitySpec extends SparkSpec {
     assert("FileScan".r.findAllIn(p).length == 1, p)
   }
 
+  test("de-skewed analytics: no per-row window partitioned by the 3-value status key") {
+    // q_outliers: moments via groupBy + broadcast join — zero Window nodes
+    val po = plan(operators.RelationalAnalytics.qOutliers)
+    assert(!po.contains("Window"), po)
+    assert(po.contains("BroadcastHashJoin"), po)
+    // q_window_distribution / q_exact_median: every window over the fact
+    // rows is keyed by (range-partition | bucket, status); the skew shape —
+    // a windowspec partitioned by o_orderstatus alone, ordered by
+    // o_totalprice, i.e. one task per status — must not appear
+    val skew = "windowspecdefinition\\(o_orderstatus#\\d+, o_totalprice".r
+    val pd = plan(operators.RelationalAnalytics.qWindowDistribution)
+    assert(skew.findFirstIn(pd).isEmpty, pd)
+    val pm = plan(operators.RelationalAnalytics.qExactMedian)
+    assert(skew.findFirstIn(pm).isEmpty, pm)
+  }
+
   test("lake_constraints FK check is a broadcast anti-join") {
     val p = plan(operators.IngestLake.lakeConstraints)
     assert(p.contains("BroadcastHashJoin LeftAnti") ||

@@ -74,4 +74,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(corpus.filter(col("compression_ratio") <= 0 ||
       col("compression_ratio") > 1.5).count() == 0)
   }
+
+  test("text_tfidf builds lazily: construction costs no more jobs than a bare scan") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    def jobsDuring(body: => Unit): Int = {
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new SparkListener {
+        override def onJobStart(s: SparkListenerJobStart): Unit = { jobs.incrementAndGet(); () }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try { body; org.apache.spark.sql.GraftBridge.drainListenerBus(spark) }
+      finally spark.sparkContext.removeSparkListener(listener)
+      jobs.get()
+    }
+    // constructing ANY parquet reader may launch schema-inference work;
+    // that is the permitted baseline...
+    val baseline = jobsDuring { graft.Tables(spark, sfDir).documents; () }
+    // ...and building the full tf-idf query must not exceed it (the old
+    // implementation ran an eager docs.count() — one extra multi-stage job)
+    var q: org.apache.spark.sql.DataFrame = null
+    val built = jobsDuring { q = TextAnalysis.textTfidf.fn(spark, sfDir) }
+    assert(built <= baseline,
+      s"query construction launched $built job(s) vs scan baseline $baseline; " +
+        "the IDF denominator must be a lazy scalar aggregate, not an eager count")
+    assert(q.limit(1).count() == 1) // plan still executes
+  }
 }
