@@ -60,6 +60,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException("graft_deflate_len(text)")
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_min_k"),
+      new ExpressionInfo(classOf[BoundedMinK].getName, "graft_min_k"),
+      (args: Seq[Expression]) => args match {
+        case Seq(x, k) => BoundedMinK(x, intArg(k, "graft_min_k"))
+        case _ => throw new IllegalArgumentException("graft_min_k(x, k)")
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSim].getName, "graft_cosine"),
       (args: Seq[Expression]) => args match {

@@ -6,23 +6,24 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
-/** Cosine similarity of two float-vector columns in double precision —
+/** Cosine similarity of two numeric-vector columns in double precision —
   * the scoring hot loop of every ANN / embedding-dedup operator. Native
   * eval: three tight JVM loops instead of per-element lambda interpretation
   * (the higher-order `zip_with`+`aggregate` formulation runs the SQL
   * interpreter 3*dim times per row).
   *
-  * The accumulation order (left-to-right fold from 0.0, then
-  * dot/(sqrt(na)*sqrt(nb))) matches the HOF formulation operation-for-
-  * operation, so scores are bit-identical to both the previous
+  * Accepts array<float> and array<double> on either side (mixed is fine):
+  * elements are widened to double exactly as the HOF formulation's
+  * `cast("double")` did, so scores stay bit-identical to both the previous
   * implementation and the DuckDB oracle twins.
   */
 object CosineSim {
   /** null when dimensions differ or any element is null — matching the
     * zip_with(pad-with-null) + aggregate(null-propagating) formulation
     * this expression replaced. Boxed return so codegen can surface NULL.
+    * `aDouble`/`bDouble` select the element accessor (float is widened).
     */
-  def compute(a: ArrayData, b: ArrayData): java.lang.Double = {
+  def compute(a: ArrayData, b: ArrayData, aDouble: Boolean, bDouble: Boolean): java.lang.Double = {
     val n = a.numElements()
     if (n != b.numElements()) return null
     var dot = 0.0
@@ -31,8 +32,8 @@ object CosineSim {
     var i = 0
     while (i < n) {
       if (a.isNullAt(i) || b.isNullAt(i)) return null
-      val x = a.getFloat(i).toDouble
-      val y = b.getFloat(i).toDouble
+      val x = if (aDouble) a.getDouble(i) else a.getFloat(i).toDouble
+      val y = if (bDouble) b.getDouble(i) else b.getFloat(i).toDouble
       dot += x * y
       na += x * x
       nb += y * y
@@ -45,28 +46,34 @@ object CosineSim {
 case class CosineSim(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  private def isFloatArray(t: DataType): Boolean = t match {
-    case ArrayType(FloatType, _) => true
-    case _ => false
+  private def elemType(t: DataType): Option[DataType] = t match {
+    case ArrayType(FloatType, _) => Some(FloatType)
+    case ArrayType(DoubleType, _) => Some(DoubleType)
+    case _ => None
   }
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (isFloatArray(left.dataType) && isFloatArray(right.dataType))
+    if (elemType(left.dataType).isDefined && elemType(right.dataType).isDefined)
       TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName: expected (array<float>, array<float>), got " +
+      s"$prettyName: expected array<float|double> on both sides, got " +
         s"(${left.dataType}, ${right.dataType})")
+
+  private def leftIsDouble: Boolean = elemType(left.dataType).contains(DoubleType)
+  private def rightIsDouble: Boolean = elemType(right.dataType).contains(DoubleType)
 
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def prettyName: String = "graft_cosine"
 
   override protected def nullSafeEval(a: Any, b: Any): Any =
-    CosineSim.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    CosineSim.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      leftIsDouble, rightIsDouble)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => s"""
-      java.lang.Double ${ev.value}_r = graft.functions.CosineSim$$.MODULE$$.compute($a, $b);
+      java.lang.Double ${ev.value}_r = graft.functions.CosineSim$$.MODULE$$.compute(
+        $a, $b, $leftIsDouble, $rightIsDouble);
       if (${ev.value}_r == null) { ${ev.isNull} = true; }
       else { ${ev.value} = ${ev.value}_r.doubleValue(); }""")
 

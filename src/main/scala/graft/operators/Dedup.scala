@@ -66,13 +66,32 @@ object Dedup {
 
   /** bucket docs by (band, band-hash), emit sorted candidate pairs.
     * Input must have columns (id, bands: array<struct<band,bh>>).
+    *
+    * The per-bucket cap is applied INSIDE the aggregation: graft_min_k is a
+    * TypedImperativeAggregate whose buffer never exceeds MaxBucket longs
+    * and which partial-aggregates map-side, so a degenerate bucket (every
+    * copy of a spam document sharing one (band, bh) at 100 TB) can never
+    * materialize unbounded state on a reducer — unlike collect_list, which
+    * buffers the whole group before any slice applies. Non-long id types
+    * take an equivalent capped path that bounds the group BEFORE the
+    * aggregation with a disk-spilling windowed row_number.
     */
   def candidatePairs(withBands: DataFrame): DataFrame = {
-    val buckets = withBands
-      .select(col("id"), explode(col("bands")).as("b"))
-      .groupBy(col("b.band"), col("b.bh"))
-      .agg(slice(array_sort(collect_list(col("id"))), 1, MaxBucket).as("ids"))
-      .filter(size(col("ids")) > 1)
+    val exploded = withBands.select(col("id"), explode(col("bands")).as("b"))
+    val buckets = (withBands.schema("id").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        exploded
+          .groupBy(col("b.band"), col("b.bh"))
+          .agg(call_function("graft_min_k", col("id"), lit(MaxBucket)).as("ids"))
+      case _ =>
+        val wB = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("b.band"), col("b.bh")).orderBy(col("id"))
+        exploded
+          .withColumn("rk", row_number().over(wB))
+          .filter(col("rk") <= MaxBucket)
+          .groupBy(col("b.band"), col("b.bh"))
+          .agg(array_sort(collect_list(col("id"))).as("ids"))
+    }).filter(size(col("ids")) > 1)
     buckets
       .select(explode(flatten(transform(col("ids"), (x, i) =>
         transform(slice(col("ids"), i + 2, lit(MaxBucket)), y =>
@@ -104,7 +123,17 @@ object Dedup {
     // loop: exact same min-label semantics, zero shuffle rounds. Larger
     // graphs take the distributed pointer-jumping loop below.
     val nEdges = edges.count()
-    if (nEdges <= localThreshold) return localUnionFind(edges)
+    // the local path round-trips ids through primitive longs, so take it
+    // only for integral id types (strings/decimals would null out under the
+    // cast and crash the primitive encoder) — and cast the result back so
+    // the output schema is identical to the distributed loop's
+    val idType = pairs.schema(pairs.columns.head).dataType
+    val integralIds = idType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+          org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    if (nEdges <= localThreshold && integralIds) return localUnionFind(edges, idType)
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("label", col("id"))
     var converged = false
@@ -151,9 +180,12 @@ object Dedup {
 
   /** Driver-local union-find over a (symmetrized) edge list: produces the
     * identical (id, cluster_id=min member) labeling the distributed loop
-    * converges to, in one collect.
+    * converges to, in one collect. Only called for integral id types;
+    * `idType` restores the caller's exact column types on the way out.
     */
-  private def localUnionFind(edges: DataFrame): DataFrame = {
+  private def localUnionFind(
+      edges: DataFrame,
+      idType: org.apache.spark.sql.types.DataType): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     val es = edges.select(col("a").cast("long"), col("b").cast("long"))
@@ -174,6 +206,7 @@ object Dedup {
     val ids = parent.keys.toArray
     val labels = ids.map(id => (id, find(id))).toSeq
     spark.createDataset(labels).toDF("id", "cluster_id")
+      .select(col("id").cast(idType), col("cluster_id").cast(idType))
   }
 
   /** documents ∪ deterministic mutated copies — self-demonstrating corpus

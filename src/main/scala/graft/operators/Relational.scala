@@ -139,7 +139,9 @@ object Relational {
       // goes through Spark SQL — Dataset.rollup trips the analyzer's
       // self-join ambiguity heuristic on its Expand node (SPARK false
       // positive), and SQL GROUP BY ROLLUP is the same Catalyst plan.
-      val view = s"rollup_src_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      // fixed view name (matches qCubeSegments/qGroupingSets): re-invocation
+      // replaces the entry instead of leaking one catalog entry per call
+      val view = "graft_rollup_src"
       t.customer
         .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))

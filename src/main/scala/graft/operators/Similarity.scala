@@ -25,13 +25,31 @@ object Similarity {
       val d = p.cast("double") - q.cast("double"); d * d
     }), lit(0.0), (acc, v) => acc + v)
 
-  /** cosine similarity of two float-array columns, in double precision.
-    * Native Catalyst expression (graft.functions.CosineSim): bit-identical
-    * to the higher-order `aggregate(zip_with(...))` formulation but ~dim x
-    * faster (tight JVM loop vs per-element lambda interpretation) — the
-    * scoring stage dominates every ANN operator at corpus scale.
+  /** cosine similarity of two float/double-array columns, in double
+    * precision. Native Catalyst expression (graft.functions.CosineSim):
+    * bit-identical to the higher-order `aggregate(zip_with(...))`
+    * formulation but ~dim x faster (tight JVM loop vs per-element lambda
+    * interpretation) — the scoring stage dominates every ANN operator at
+    * corpus scale. Sessions built WITHOUT GraftExtensions fall back to the
+    * (slower, numerically identical) HOF formulation instead of failing
+    * analysis.
     */
-  def cosine(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
+  def cosine(a: Column, b: Column): Column =
+    org.apache.spark.sql.SparkSession.getActiveSession match {
+      case Some(s) if s.catalog.functionExists("graft_cosine") =>
+        call_function("graft_cosine", a, b)
+      case _ => cosineHof(a, b)
+    }
+
+  /** the pure-builtin formulation graft_cosine is codegen for — public so
+    * extension-less callers can reach it directly
+    */
+  def cosineHof(a: Column, b: Column): Column = {
+    def dot(u: Column, v: Column): Column =
+      aggregate(zip_with(u, v, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, x) => acc + x)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
 
   val SigBits = 16
 

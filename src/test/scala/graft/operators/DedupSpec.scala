@@ -110,4 +110,54 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(row.getDouble(1) - row.getDouble(0)) < 0.25) // estimate tracks
     assert(row.getDouble(2) == 0.0 && row.getDouble(3) < 0.2)    // disjoint stays low
   }
+
+  test("duplicateClusters preserves id types; string ids skip the primitive local path") {
+    import spark.implicits._
+    val intPairs = Seq((1, 2), (2, 3), (10, 11)).toDF("a", "b")
+    val c1 = Dedup.duplicateClusters(intPairs)
+    assert(c1.schema("id").dataType == org.apache.spark.sql.types.IntegerType)
+    assert(c1.schema("cluster_id").dataType == org.apache.spark.sql.types.IntegerType)
+    val m1 = c1.collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(m1 == Map(1 -> 1, 2 -> 1, 3 -> 1, 10 -> 10, 11 -> 10))
+    // string ids would null out under a long cast: must fall through to the
+    // distributed loop and still produce the min-label clustering
+    val sPairs = Seq(("x", "y"), ("y", "z")).toDF("a", "b")
+    val m2 = Dedup.duplicateClusters(sPairs).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(m2 == Map("x" -> "x", "y" -> "x", "z" -> "x"))
+  }
+
+  test("candidatePairs caps a degenerate mega-bucket with bounded agg state") {
+    // 100k ids colliding into ONE (band, bh) bucket — the all-identical-spam
+    // shape. The capped aggregate must (a) complete, (b) produce pairs only
+    // among the MaxBucket smallest ids, (c) run as the k-bounded native
+    // aggregate, partial-aggregated before the shuffle (so no reducer ever
+    // sees the full bucket).
+    val n = 100000
+    val docs = spark.range(n.toLong).select(col("id"),
+      array(struct(lit(0).as("band"), lit(42L).as("bh"))).as("bands"))
+    val pairs = Dedup.candidatePairs(docs)
+    val k = Dedup.MaxBucket
+    assert(pairs.count() == k.toLong * (k - 1) / 2)
+    val mx = pairs.agg(max("a").as("ma"), max("b").as("mb")).head()
+    assert(mx.getLong(0) == k - 2 && mx.getLong(1) == k - 1,
+      s"pairs must come from the $k smallest ids, got $mx")
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_min_k"), plan)
+    assert(plan.contains("partial_graft_min_k"), "no map-side partial aggregation:\n" + plan)
+  }
+
+  test("candidatePairs non-long ids take the windowed capped path, same semantics") {
+    // string ids: same min-k-by-id capping, exercised through the
+    // row_number fallback (no native long aggregate available)
+    import spark.implicits._
+    val docs = (0 until 100).map(i => f"doc_$i%03d").toDF("id")
+      .select(col("id"), array(struct(lit(0).as("band"), lit(7L).as("bh"))).as("bands"))
+    val pairs = Dedup.candidatePairs(docs)
+    val k = Dedup.MaxBucket
+    assert(pairs.count() == k.toLong * (k - 1) / 2)
+    // lexicographic min-k: doc_000 .. doc_063 only
+    assert(pairs.agg(max("b")).head().getString(0) == f"doc_${k - 1}%03d")
+    assert(pairs.schema("a").dataType == org.apache.spark.sql.types.StringType)
+  }
 }

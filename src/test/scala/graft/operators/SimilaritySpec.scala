@@ -71,4 +71,23 @@ class SimilaritySpec extends SparkSpec {
     // 4 of 16 cells probed → recall well above random cell coverage (25%)
     assert(recall >= 0.3, s"IVF recall $recall too low")
   }
+
+  test("cosine accepts double arrays and matches the HOF formulation bit-exactly") {
+    import spark.implicits._
+    val df = Seq((Array(0.6, 0.8, 0.1), Array(0.3, 0.9, 0.7)))
+      .toDF("a", "b") // array<double> columns
+    val row = df.select(
+      Similarity.cosine(col("a"), col("b")).as("native"),
+      Similarity.cosineHof(col("a"), col("b")).as("hof"),
+      // mixed widths: double vs float side
+      Similarity.cosine(col("a"), col("b").cast("array<float>")).as("mixed")).head()
+    assert(row.getDouble(0) == row.getDouble(1), "native vs HOF must be bit-identical")
+    assert(math.abs(row.getDouble(2) - row.getDouble(0)) < 1e-6)
+    // float arrays: unchanged bit-exact path
+    val f = df.select(
+      Similarity.cosine(col("a").cast("array<float>"), col("b").cast("array<float>")).as("n"),
+      Similarity.cosineHof(col("a").cast("array<float>"), col("b").cast("array<float>")).as("h"))
+      .head()
+    assert(f.getDouble(0) == f.getDouble(1))
+  }
 }
