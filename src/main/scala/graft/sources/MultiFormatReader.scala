@@ -148,9 +148,10 @@ object MultiFormatReader {
     def stem(f: java.io.File): String =
       SchemaTools.sanitizeName(f.getName.replaceAll("\\.[^.]+$", ""))
 
-    def ingest(f: java.io.File, fmt: String, read: String => DataFrame): Option[IngestedTable] =
+    def ingest(f: java.io.File, fmt: String, read: String => DataFrame): Option[IngestedTable] = {
+      var df: DataFrame = null
       try {
-        val df = read(f.getAbsolutePath)
+        df = read(f.getAbsolutePath)
         val rows = df.count()
         // The parse cache stays PINNED until the caller is done staging:
         // unpersisting here would hand back a frame whose plan still filters
@@ -163,9 +164,13 @@ object MultiFormatReader {
         else Some(IngestedTable(df, s"${fmt.toLowerCase}_${stem(f)}", fmt, rows, df.columns.length))
       } catch {
         case e: Throwable =>
+          // a skipped file must not leave its parse cache registered (an
+          // all-corrupt file throws on the count AFTER cache registration)
+          if (df != null) { try df.unpersist() catch { case _: Throwable => () } }
           System.err.println(s"[ingest] skipping ${f.getName}: ${e.getMessage}")
           None
       }
+    }
 
     files("json", ".json").flatMap(f => ingest(f, "JSON", readJson(spark, _))) ++
       files("csv", ".csv").flatMap(f => ingest(f, "CSV", readCsv(spark, _))) ++

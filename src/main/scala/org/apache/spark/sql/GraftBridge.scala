@@ -39,4 +39,20 @@ object GraftBridge {
     */
   def drainListenerBus(spark: SparkSession): Unit =
     spark.sparkContext.listenerBus.waitUntilEmpty()
+
+  /** Dataset → Arrow IPC record batches, one RDD element per batch (the
+    * `private[sql]` seam PySpark's own toPandas path uses).
+    */
+  def toArrowBatchRdd(df: Dataset[Row]): org.apache.spark.rdd.RDD[Array[Byte]] =
+    df.asInstanceOf[classic.Dataset[Row]].toArrowBatchRdd
+
+  /** Arrow IPC record batches (+ schema JSON) → DataFrame — the reverse
+    * seam (what createDataFrame-from-Arrow uses underneath).
+    */
+  def fromArrowBatches(
+      spark: SparkSession,
+      batches: Iterator[Array[Byte]],
+      schemaJson: String): DataFrame =
+    org.apache.spark.sql.execution.arrow.ArrowConverters.toDataFrame(
+      batches, schemaJson, spark.asInstanceOf[classic.SparkSession])
 }
