@@ -60,6 +60,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException("graft_deflate_len(text)")
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_l2sq"),
+      new ExpressionInfo(classOf[L2Sq].getName, "graft_l2sq"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => L2Sq(a, b)
+        case _ => throw new IllegalArgumentException("graft_l2sq(a, b)")
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_min_k"),
       new ExpressionInfo(classOf[BoundedMinK].getName, "graft_min_k"),
       (args: Seq[Expression]) => args match {

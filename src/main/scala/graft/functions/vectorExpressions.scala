@@ -43,6 +43,67 @@ object CosineSim {
   }
 }
 
+/** Squared L2 distance of two numeric-vector columns in double precision —
+  * the cell-assignment / probe-ranking metric of the IVF ANN path. Same
+  * accumulation order as the HOF `aggregate(zip_with((p-q)^2))` fold, so
+  * distances are bit-identical to that formulation.
+  */
+object L2Sq {
+  def compute(a: ArrayData, b: ArrayData, aDouble: Boolean, bDouble: Boolean): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = if (aDouble) a.getDouble(i) else a.getFloat(i).toDouble
+      val y = if (bDouble) b.getDouble(i) else b.getFloat(i).toDouble
+      val d = x - y
+      acc += d * d
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+}
+
+case class L2Sq(left: Expression, right: Expression) extends BinaryExpression {
+
+  private def elemType(t: DataType): Option[DataType] = t match {
+    case ArrayType(FloatType, _) => Some(FloatType)
+    case ArrayType(DoubleType, _) => Some(DoubleType)
+    case _ => None
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (elemType(left.dataType).isDefined && elemType(right.dataType).isDefined)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName: expected array<float|double> on both sides, got " +
+        s"(${left.dataType}, ${right.dataType})")
+
+  private def leftIsDouble: Boolean = elemType(left.dataType).contains(DoubleType)
+  private def rightIsDouble: Boolean = elemType(right.dataType).contains(DoubleType)
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_l2sq"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    L2Sq.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      leftIsDouble, rightIsDouble)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      java.lang.Double ${ev.value}_r = graft.functions.L2Sq$$.MODULE$$.compute(
+        $a, $b, $leftIsDouble, $rightIsDouble);
+      if (${ev.value}_r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}_r.doubleValue(); }""")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): L2Sq =
+    copy(left = newLeft, right = newRight)
+}
+
 case class CosineSim(left: Expression, right: Expression)
     extends BinaryExpression {
 

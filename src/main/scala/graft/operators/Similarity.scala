@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -19,8 +19,19 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** squared L2 distance of two float-array columns, in double precision */
+  /** squared L2 distance of two float/double-array columns, in double
+    * precision. Native Catalyst expression with codegen; sessions without
+    * GraftExtensions fall back to the bit-identical HOF formulation.
+    */
   def l2sq(a: Column, b: Column): Column =
+    org.apache.spark.sql.SparkSession.getActiveSession match {
+      case Some(s) if s.catalog.functionExists("graft_l2sq") =>
+        call_function("graft_l2sq", a, b)
+      case _ => l2sqHof(a, b)
+    }
+
+  /** the pure-builtin formulation graft_l2sq is codegen for */
+  def l2sqHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (p, q) => {
       val d = p.cast("double") - q.cast("double"); d * d
     }), lit(0.0), (acc, v) => acc + v)
@@ -191,53 +202,130 @@ object Similarity {
   val annIvf: Q = Q(
     "ann_ivf",
     (s, dir) => {
-      import org.apache.spark.ml.clustering.KMeans
-      import org.apache.spark.ml.functions.array_to_vector
-      val NumCells = 16
-      val NProbe = 4
       val emb = Tables(s, dir).embeddings
-        .withColumn("features", array_to_vector(col("embedding")))
-      // The coarse quantizer trains on a deterministic 25% hash-sample
-      // (reproducible across partitionings/cluster sizes, unlike rand())
-      // with random init and few iterations: IVF needs roughly balanced
-      // cells, not a converged clustering, and every Lloyd pass is a full
-      // scan of the training set. Assignment still covers the full corpus.
-      val trainSet = emb
-        .filter(substring(md5(col("vec_id").cast("string")), 1, 1).isin("0", "1", "2", "3"))
-      val model = new KMeans().setK(NumCells).setSeed(42L).setMaxIter(5)
-        .setInitMode("random")
-        .fit(trainSet.select("features"))
-      val assigned = model.transform(emb)
-        .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
-      val centers = s.createDataFrame(
-        model.clusterCenters.zipWithIndex.map { case (c, i) =>
-          (i, c.toArray.map(_.toFloat))
-        }.toIndexedSeq).toDF("cell", "centroid")
-      // each query probes its NProbe nearest cells — ranked by the same
-      // euclidean metric KMeans assigns with, so a query's own cell is
-      // always probed first (guaranteed recall of exact duplicates)
-      val probeW = Window.partitionBy("query_id").orderBy(asc("cdist"), asc("cell"))
-      val probes = assigned.filter(col("vec_id") < NumQueries)
+      val centroids = IvfIndex.trainCentroids(emb, "vec_id", "embedding")
+      val queries = emb.filter(col("vec_id") < NumQueries)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-        .crossJoin(broadcast(centers))
-        .select(col("query_id"), col("q_emb"), col("cell"),
-          l2sq(col("q_emb"), col("centroid")).as("cdist"))
-        .withColumn("crank", row_number().over(probeW))
-        .filter(col("crank") <= NProbe)
-        .select("query_id", "q_emb", "cell")
-      val w = Window.partitionBy("query_id").orderBy(desc("score"), asc("neighbor_id"))
-      assigned.select(col("vec_id").as("neighbor_id"), col("embedding"), col("cell"))
-        .join(broadcast(probes), Seq("cell"))
-        .filter(col("neighbor_id") =!= col("query_id"))
-        .select(col("query_id"), col("neighbor_id"),
-          cosine(col("q_emb"), col("embedding")).as("score"))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= TopK)
-        .select("query_id", "rank", "neighbor_id", "score")
-        .orderBy("query_id", "rank")
+      IvfIndex.searchTopK(emb, "vec_id", "embedding", centroids, queries,
+        k = TopK, nProbe = IvfIndex.DefaultNProbe)
     },
     None // approximate + KMeans-trained — recall pinned in SimilaritySpec
   )
 
   val all: Seq[Q] = Seq(annBruteforce, annLsh, annIvf)
+}
+
+/** IVF (inverted-file) ANN with a PERSISTABLE coarse quantizer: a KMeans
+  * model trains ONCE, its centroids are stored as an ordinary lake table
+  * (16 rows of (cell, centroid) — a data artifact, not a pickled model),
+  * and every later job cold-starts by reading the table and assigning /
+  * probing declaratively, with no ML library at query time.
+  *
+  * At 100 TB the economics demand exactly this split: training touches a
+  * hash-sample once (amortized), while assignment is a narrow broadcast
+  * argmin over the stored centroids (codegen'd graft_l2sq per cell — no
+  * shuffle, no model deserialization on executors) and the probe join
+  * shuffles only on cell id, touching nProbe/numCells of the corpus.
+  */
+object IvfIndex {
+
+  val DefaultNumCells = 16
+  val DefaultNProbe = 4
+
+  /** Train the coarse quantizer on a deterministic 25% hash-sample
+    * (reproducible across partitionings/cluster sizes, unlike rand()) with
+    * random init and few iterations: IVF needs roughly balanced cells, not
+    * a converged clustering, and every Lloyd pass is a full scan of the
+    * training set. Returns the (cell, centroid) frame — the whole model.
+    */
+  def trainCentroids(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      numCells: Int = DefaultNumCells,
+      seed: Long = 42L,
+      maxIter: Int = 5): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val trainSet = corpus
+      .filter(substring(md5(col(idCol).cast("string")), 1, 1).isin("0", "1", "2", "3"))
+      .select(array_to_vector(col(vecCol)).as("features"))
+    val model = new KMeans().setK(numCells).setSeed(seed).setMaxIter(maxIter)
+      .setInitMode("random")
+      .fit(trainSet)
+    corpus.sparkSession.createDataFrame(
+      model.clusterCenters.zipWithIndex.map { case (c, i) =>
+        (i, c.toArray.map(_.toFloat))
+      }.toIndexedSeq).toDF("cell", "centroid")
+  }
+
+  /** Train and persist the model into the lake — one commit of a tiny
+    * (cell, centroid) table, versioned and time-travelable like any other.
+    */
+  def buildIndex(
+      catalog: graft.lake.LakeCatalog,
+      ns: String,
+      table: String,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      numCells: Int = DefaultNumCells): Int =
+    catalog.write(ns, table, trainCentroids(corpus, idCol, vecCol, numCells))
+
+  /** Cold-start: the stored quantizer, straight from the lake. */
+  def loadCentroids(catalog: graft.lake.LakeCatalog, ns: String, table: String): DataFrame =
+    catalog.read(ns, table).select("cell", "centroid")
+
+  /** Nearest-centroid cell assignment as a pure narrow map: the centroid
+    * table (a bounded model artifact) is collected once driver-side and
+    * unrolled into a codegen'd least-of-structs argmin — ties break to the
+    * lowest cell id, matching KMeans' first-closest rule. No shuffle, no
+    * ML model on executors.
+    */
+  def assign(corpus: DataFrame, vecCol: String, centroids: DataFrame): DataFrame = {
+    val cents = centroids.select("cell", "centroid").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    require(cents.nonEmpty, "empty centroid table")
+    val cands = cents.map { case (cell, c) =>
+      struct(Similarity.l2sq(col(vecCol), lit(c)).as("d"), lit(cell).as("cell"))
+    }
+    corpus.withColumn("cell", least(cands.toIndexedSeq: _*).getField("cell"))
+  }
+
+  /** Probe-and-rank: each query probes its `nProbe` nearest cells (ranked
+    * by the same euclidean metric the quantizer assigns with, so a query's
+    * own cell is always probed first — guaranteed recall of exact
+    * duplicates) and ranks candidates by cosine. Returns
+    * (query_id, rank, neighbor_id, score), rank 1..k per query.
+    */
+  def searchTopK(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: DataFrame,
+      queries: DataFrame, // (query_id, q_emb)
+      k: Int,
+      nProbe: Int = DefaultNProbe): DataFrame = {
+    val assigned = assign(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("embedding")),
+      "embedding", centroids)
+    val probeW = Window.partitionBy("query_id").orderBy(asc("cdist"), asc("cell"))
+    val probes = queries
+      .crossJoin(broadcast(centroids))
+      .select(col("query_id"), col("q_emb"), col("cell"),
+        Similarity.l2sq(col("q_emb"), col("centroid")).as("cdist"))
+      .withColumn("crank", row_number().over(probeW))
+      .filter(col("crank") <= nProbe)
+      .select("query_id", "q_emb", "cell")
+    val w = Window.partitionBy("query_id").orderBy(desc("score"), asc("neighbor_id"))
+    assigned
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Similarity.cosine(col("q_emb"), col("embedding")).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "score")
+      .orderBy("query_id", "rank")
+  }
 }

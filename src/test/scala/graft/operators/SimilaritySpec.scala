@@ -72,6 +72,24 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.3, s"IVF recall $recall too low")
   }
 
+  test("IVF centroids persist to the lake; cold-start search matches warm search") {
+    val emb = graft.Tables(spark, sfDir).embeddings
+    val cat = graft.lake.LakeCatalog(spark,
+      java.nio.file.Files.createTempDirectory("graft_ivf").toString)
+    // train once, store the model as an ordinary versioned lake table
+    IvfIndex.buildIndex(cat, "models", "ivf_centroids", emb, "vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val warm = IvfIndex.searchTopK(emb, "vec_id", "embedding",
+      IvfIndex.trainCentroids(emb, "vec_id", "embedding"), queries, k = 5)
+    // cold start: no retraining — centroids read back from the lake
+    val cold = IvfIndex.searchTopK(emb, "vec_id", "embedding",
+      IvfIndex.loadCentroids(cat, "models", "ivf_centroids"), queries, k = 5)
+    assert(cold.collect().toSeq == warm.collect().toSeq,
+      "cold-start (stored centroids) must reproduce the warm search exactly")
+    assert(cat.versions("models", "ivf_centroids") == Seq(1))
+  }
+
   test("cosine accepts double arrays and matches the HOF formulation bit-exactly") {
     import spark.implicits._
     val df = Seq((Array(0.6, 0.8, 0.1), Array(0.3, 0.9, 0.7)))
