@@ -197,5 +197,162 @@ object Multimodal {
     GROUP BY kind ORDER BY kind""")
   )
 
-  val all: Seq[Q] = Seq(mmPipeline, mmFrameSample, mmBinaryDedup, mmMetadataFilter)
+  // ==================== REAL codec path (round 3) ========================
+  // MediaCodec implements the actual byte formats (24-bit BMP, PCM WAV, a
+  // length-prefixed BMP-frame container). Payloads below are genuine
+  // encoded media synthesized deterministically from each document, and
+  // decode PARSES those bytes — header geometry, bottom-up BGR rows with
+  // stride padding, RIFF chunk walking. The oracle recomputes the expected
+  // metadata and pixel/sample probes independently from doc_id and
+  // length(text), so a decode bug (wrong stride, byte order, chunk offset)
+  // breaks the hash. The stub path above remains for compressed formats.
+
+  case class RealDecoded(media_id: Long, kind: String, width: Int, height: Int,
+      n_frames: Int, sample_rate: Int, n_samples: Int, first_red: Int, first_sample: Int)
+
+  private def pixelBytes(id: Long, off: Int, len: Int): Array[Byte] =
+    Array.tabulate(len)(p => ((id * 31 + off + p) % 256).toByte)
+
+  /** Genuine encoded payloads per document: images are real BMPs, audio is
+    * real PCM WAV, video is a container of real BMP frames. All geometry /
+    * content derives from (doc_id, char length) only, so an independent
+    * engine can recompute what decode must find.
+    */
+  def realMediaFromDocuments(docs: DataFrame): Dataset[MediaRecord] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), length(col("text")).as("n"))
+      .as[(Long, Int)]
+      .map { case (id, n) =>
+        val payload = (id % 3) match {
+          case 0 =>
+            val w = 8 + n % 24
+            val h = 8 + (n * 3) % 24
+            MediaCodec.encodeBmp(w, h, pixelBytes(id, 0, w * h * 3))
+          case 1 =>
+            val ns = 64 + n % 256
+            MediaCodec.encodeWav(16000,
+              Array.tabulate(ns)(j => (((id * 131 + j * 7) % 65536) - 32768).toShort))
+          case _ =>
+            val nf = 1 + n % 5
+            val w = 8 + n % 16
+            val h = 8
+            MediaCodec.encodeVideo((0 until nf).map(i =>
+              MediaCodec.encodeBmp(w, h, pixelBytes(id, i * 17, w * h * 3))))
+        }
+        val kind = (id % 3) match { case 0 => "image"; case 1 => "audio"; case _ => "video" }
+        MediaRecord(id, kind, payload)
+      }
+  }
+
+  /** Batched partition-local REAL decode: parse each payload's actual
+    * bytes. Malformed payloads drop out (per-record isolation, like the
+    * corrupt-record readers) instead of failing the batch.
+    */
+  def decodeReal(media: Dataset[MediaRecord]): Dataset[RealDecoded] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch =>
+        batch.iterator.flatMap { m =>
+          m.kind match {
+            case "image" => MediaCodec.decodeBmp(m.payload).map { case (w, h, rgb) =>
+              RealDecoded(m.media_id, m.kind, w, h, 1, 0, 0, rgb(0) & 0xff, 0)
+            }
+            case "audio" => MediaCodec.decodeWav(m.payload).map { case (sr, ss) =>
+              RealDecoded(m.media_id, m.kind, 0, 0, 0, sr, ss.length, 0,
+                if (ss.nonEmpty) ss(0).toInt else 0)
+            }
+            case _ => MediaCodec.decodeVideo(m.payload).flatMap { frames =>
+              MediaCodec.decodeBmp(frames.head).map { case (w, h, rgb) =>
+                RealDecoded(m.media_id, m.kind, w, h, frames.length, 0, 0, rgb(0) & 0xff, 0)
+              }
+            }
+          }
+        }
+      }
+    }
+  }
+
+  /** REAL resize: decode pixels, nearest-neighbor resample, re-encode.
+    * The payload is rewritten — downstream consumers read the resized BMP.
+    */
+  def resizeImages(media: Dataset[MediaRecord], maxDim: Int): Dataset[MediaRecord] = {
+    import media.sparkSession.implicits._
+    media.map { m =>
+      if (m.kind != "image") m
+      else MediaCodec.decodeBmp(m.payload) match {
+        case Some((w, h, rgb)) =>
+          val s = math.min(1.0, maxDim.toDouble / math.max(w, h))
+          val nw = math.max(1, (w * s).toInt)
+          val nh = math.max(1, (h * s).toInt)
+          m.copy(payload = MediaCodec.encodeBmp(nw, nh,
+            MediaCodec.resizeRgb(w, h, rgb, nw, nh)))
+        case None => m
+      }
+    }
+  }
+
+  /** Decode REAL payloads and aggregate metadata plus pixel/sample probes
+    * per kind — every value must survive an actual encode→parse round trip
+    * through the binary format.
+    */
+  val mmRealDecode: Q = Q(
+    "mm_real_decode",
+    (s, dir) => {
+      val media = realMediaFromDocuments(Tables(s, dir).documents)
+      decodeReal(media).toDF()
+        .groupBy("kind")
+        .agg(
+          count(lit(1)).as("n_media"),
+          sum("width").as("sum_width"),
+          sum("height").as("sum_height"),
+          sum("n_frames").as("sum_frames"),
+          sum("n_samples").as("sum_samples"),
+          sum("first_red").as("sum_first_red"),
+          sum("first_sample").as("sum_first_sample"))
+        .orderBy("kind")
+    },
+    Some("""SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+      COUNT(*) AS n_media,
+      CAST(SUM(CASE WHEN doc_id % 3 = 0 THEN 8 + length(text) % 24
+                    WHEN doc_id % 3 = 2 THEN 8 + length(text) % 16 ELSE 0 END) AS BIGINT) AS sum_width,
+      CAST(SUM(CASE WHEN doc_id % 3 = 0 THEN 8 + (length(text) * 3) % 24
+                    WHEN doc_id % 3 = 2 THEN 8 ELSE 0 END) AS BIGINT) AS sum_height,
+      CAST(SUM(CASE WHEN doc_id % 3 = 0 THEN 1
+                    WHEN doc_id % 3 = 2 THEN 1 + length(text) % 5 ELSE 0 END) AS BIGINT) AS sum_frames,
+      CAST(SUM(CASE WHEN doc_id % 3 = 1 THEN 64 + length(text) % 256 ELSE 0 END) AS BIGINT) AS sum_samples,
+      CAST(SUM(CASE WHEN doc_id % 3 <> 1 THEN (doc_id * 31) % 256 ELSE 0 END) AS BIGINT) AS sum_first_red,
+      CAST(SUM(CASE WHEN doc_id % 3 = 1 THEN (doc_id * 131) % 65536 - 32768 ELSE 0 END) AS BIGINT) AS sum_first_sample
+    FROM documents GROUP BY 1 ORDER BY 1""")
+  )
+
+  /** Pixel-level resize through the real codec: decode → resample →
+    * re-encode → re-decode. Dimensions follow the truncating scale
+    * arithmetic; the (0,0) pixel probe must be UNCHANGED by nearest-
+    * neighbor resampling — both recomputed independently by the oracle.
+    */
+  val mmRealResize: Q = Q(
+    "mm_real_resize",
+    (s, dir) => {
+      import s.implicits._
+      val media = realMediaFromDocuments(Tables(s, dir).documents)
+        .filter(col("kind") === "image").as[MediaRecord]
+      decodeReal(resizeImages(media, maxDim = 16)).toDF()
+        .agg(
+          count(lit(1)).as("n_media"),
+          sum("width").as("sum_width"),
+          sum("height").as("sum_height"),
+          sum("first_red").as("sum_first_red"))
+    },
+    Some("""WITH img AS (
+      SELECT doc_id, 8 + length(text) % 24 AS w0, 8 + (length(text) * 3) % 24 AS h0
+      FROM documents WHERE doc_id % 3 = 0)
+    SELECT COUNT(*) AS n_media,
+      CAST(SUM(greatest(1, trunc(w0 * least(1.0, 16.0 / greatest(w0, h0)))::INT)) AS BIGINT) AS sum_width,
+      CAST(SUM(greatest(1, trunc(h0 * least(1.0, 16.0 / greatest(w0, h0)))::INT)) AS BIGINT) AS sum_height,
+      CAST(SUM((doc_id * 31) % 256) AS BIGINT) AS sum_first_red
+    FROM img""")
+  )
+
+  val all: Seq[Q] = Seq(mmPipeline, mmFrameSample, mmBinaryDedup, mmMetadataFilter,
+    mmRealDecode, mmRealResize)
 }

@@ -55,4 +55,77 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.map(_.getString(0)).toSeq == Seq("audio", "image", "video"))
     assert(rows.map(_.getLong(1)).sum == graft.Tables(spark, sfDir).documents.count())
   }
+
+  test("BMP codec: golden round-trip, stride padding, corrupt rejection") {
+    // 3x2 with distinct per-channel bytes — odd width forces row padding
+    val rgb = Array.tabulate(3 * 2 * 3)(i => (i * 11 + 5).toByte)
+    val bmp = MediaCodec.encodeBmp(3, 2, rgb)
+    assert(bmp(0) == 'B'.toByte && bmp(1) == 'M'.toByte)
+    // 54-byte header + 2 rows of stride 12 (3*3=9 padded to 12)
+    assert(bmp.length == 54 + 2 * 12, s"stride padding wrong: ${bmp.length}")
+    val Some((w, h, back)) = MediaCodec.decodeBmp(bmp)
+    assert(w == 3 && h == 2)
+    assert(back.toSeq == rgb.toSeq, "pixel round-trip must be exact (BGR+bottom-up undone)")
+    // rejection: wrong magic, truncation, unsupported depth
+    assert(MediaCodec.decodeBmp("not a bitmap".getBytes).isEmpty)
+    assert(MediaCodec.decodeBmp(bmp.take(40)).isEmpty)
+    val bad = bmp.clone(); bad(28) = 8 // claim 8bpp
+    assert(MediaCodec.decodeBmp(bad).isEmpty)
+  }
+
+  test("WAV codec: golden round-trip, chunk walking, non-PCM rejection") {
+    val samples = Array.tabulate(100)(i => (i * 337 - 16000).toShort)
+    val wav = MediaCodec.encodeWav(16000, samples)
+    assert(wav.length == 44 + 200)
+    val Some((sr, back)) = MediaCodec.decodeWav(wav)
+    assert(sr == 16000 && back.toSeq == samples.toSeq)
+    // an extra chunk between fmt and data must be skipped, not fatal
+    val withList = {
+      val bb = java.nio.ByteBuffer.allocate(wav.length + 12)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put(wav, 0, 36) // RIFF..fmt chunk
+      bb.put("LIST".getBytes("US-ASCII")).putInt(4).put("INFO".getBytes("US-ASCII"))
+      bb.put(wav, 36, wav.length - 36) // data chunk
+      val out = bb.array()
+      // patch RIFF size
+      java.nio.ByteBuffer.wrap(out).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        .putInt(4, out.length - 8)
+      out
+    }
+    assert(MediaCodec.decodeWav(withList).map(_._2.toSeq).contains(samples.toSeq))
+    val stereo = wav.clone(); stereo(22) = 2 // claim 2 channels
+    assert(MediaCodec.decodeWav(stereo).isEmpty)
+  }
+
+  test("video container + nearest-neighbor resize are pixel-exact") {
+    val f0 = MediaCodec.encodeBmp(2, 2, Array.tabulate(12)(_.toByte))
+    val f1 = MediaCodec.encodeBmp(2, 2, Array.tabulate(12)(i => (i + 100).toByte))
+    val vid = MediaCodec.encodeVideo(Seq(f0, f1))
+    val Some(frames) = MediaCodec.decodeVideo(vid)
+    assert(frames.length == 2)
+    assert(MediaCodec.decodeBmp(frames(1)).get._3.head == 100.toByte)
+    assert(MediaCodec.decodeVideo(f0).isEmpty) // BMP is not a container
+    // 4x4 -> 2x2 nearest neighbor picks pixels (0,0),(2,0),(0,2),(2,2)
+    val src = Array.tabulate(4 * 4 * 3)(_.toByte)
+    val out = MediaCodec.resizeRgb(4, 4, src, 2, 2)
+    def px(a: Array[Byte], w: Int, x: Int, y: Int) =
+      Seq(a((y * w + x) * 3), a((y * w + x) * 3 + 1), a((y * w + x) * 3 + 2))
+    assert(px(out, 2, 0, 0) == px(src, 4, 0, 0))
+    assert(px(out, 2, 1, 0) == px(src, 4, 2, 0))
+    assert(px(out, 2, 0, 1) == px(src, 4, 0, 2))
+    assert(px(out, 2, 1, 1) == px(src, 4, 2, 2))
+  }
+
+  test("real decode pipeline: every synthesized payload parses; probes match formulas") {
+    import spark.implicits._
+    val docs = graft.Tables(spark, sfDir).documents
+    val media = Multimodal.realMediaFromDocuments(docs)
+    val decoded = Multimodal.decodeReal(media).cache()
+    // no payload dropped: decode parsed every synthesized BMP/WAV/GVID
+    assert(decoded.count() == docs.count(), "real decode dropped payloads")
+    // spot-check the (0,0)-pixel probe against the generator formula
+    val bad = decoded.filter(d => d.kind != "audio" && d.first_red != ((d.media_id * 31) % 256).toInt)
+    assert(bad.count() == 0, bad.take(3).mkString(","))
+    decoded.unpersist()
+  }
 }
