@@ -524,16 +524,33 @@ object Relational {
             _.iterator.asScala.toSeq.reverse.foreach(java.nio.file.Files.delete))
         }
       }
-      resetSlot("graft_orders_bkt")
-      resetSlot("graft_lineitem_bkt")
+      // Bucketed tables are PERSISTENT artifacts — write once, join
+      // exchange-free forever after. Rebuild only when this session hasn't
+      // yet bucketed THIS source dir (tracked via a table property), so a
+      // long-lived session pays the bucketing cost exactly once per input.
+      val srcProp = "graft.bucketed.src"
+      def ensureBucketed(name: String)(build: => Unit): Unit = {
+        val fresh = s.catalog.tableExists(name) &&
+          s.sql(s"SHOW TBLPROPERTIES $name")
+            .collect().exists(r => r.getString(0) == srcProp && r.getString(1) == dir)
+        if (!fresh) {
+          resetSlot(name)
+          build
+          s.sql(s"ALTER TABLE $name SET TBLPROPERTIES ('$srcProp' = '$dir')")
+        }
+      }
       // bucket only the join/agg columns — bucketing pays a write, so write
       // the narrowest projection that serves the join.
-      t.orders.select("o_orderkey", "o_orderpriority")
-        .write.bucketBy(16, "o_orderkey").sortBy("o_orderkey")
-        .mode("overwrite").saveAsTable("graft_orders_bkt")
-      t.lineitem.select("l_orderkey", "l_extendedprice", "l_discount")
-        .write.bucketBy(16, "l_orderkey").sortBy("l_orderkey")
-        .mode("overwrite").saveAsTable("graft_lineitem_bkt")
+      ensureBucketed("graft_orders_bkt") {
+        t.orders.select("o_orderkey", "o_orderpriority")
+          .write.bucketBy(16, "o_orderkey").sortBy("o_orderkey")
+          .mode("overwrite").saveAsTable("graft_orders_bkt")
+      }
+      ensureBucketed("graft_lineitem_bkt") {
+        t.lineitem.select("l_orderkey", "l_extendedprice", "l_discount")
+          .write.bucketBy(16, "l_orderkey").sortBy("l_orderkey")
+          .mode("overwrite").saveAsTable("graft_lineitem_bkt")
+      }
       s.table("graft_lineitem_bkt").hint("merge")
         .join(s.table("graft_orders_bkt"), col("l_orderkey") === col("o_orderkey"))
         .groupBy("o_orderpriority")

@@ -29,6 +29,25 @@ class BucketedJoinSpec extends SparkSpec {
     assert(joined.count() == 1000)
   }
 
+  test("q_bucketed_join reuses already-bucketed tables for the same source dir") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    Relational.qBucketedJoin.fn(spark, sfDir).count() // ensure tables built
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(s: SparkListenerJobStart): Unit = { jobs.incrementAndGet(); () }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val rebuilt =
+      try {
+        Relational.qBucketedJoin.fn(spark, sfDir).count()
+        org.apache.spark.sql.GraftBridge.drainListenerBus(spark)
+        jobs.get()
+      } finally spark.sparkContext.removeSparkListener(listener)
+    // a rebuild would add two multi-stage bucketed writes; a reused run is
+    // just the join itself (a couple of jobs at most)
+    assert(rebuilt <= 3, s"expected bucketed-table reuse, saw $rebuilt jobs")
+  }
+
   test("q_bucketed_join matches the plain shuffled join") {
     val bucketed = Relational.qBucketedJoin.fn(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
