@@ -268,17 +268,26 @@ object RelationalAnalytics {
         .withColumn("pid", spark_partition_id())
       val wLocal = Window.partitionBy("pid", "o_orderstatus")
         .orderBy(col("o_totalprice"), col("o_orderkey"))
+      // The ranked frame MUST be materialized once (lazy localCheckpoint):
+      // range-partition bounds come from sampling seeded per RDD
+      // instantiation, and spark_partition_id() blocks exchange reuse — so
+      // without a checkpoint the offsets aggregate and the final join would
+      // each recompute the shuffle and could see DIFFERENT partition
+      // boundaries, silently corrupting the global ranks. The checkpoint
+      // also halves the IO: one scan + one range exchange instead of two.
+      val local = parted
+        .withColumn("lrn", row_number().over(wLocal))
+        .localCheckpoint(eager = false)
       // per-(partition, status) row counts -> exclusive running offsets;
       // this frame has at most nParts x |statuses| rows
       val wOff = Window.partitionBy("o_orderstatus").orderBy("pid")
         .rowsBetween(Window.unboundedPreceding, -1)
-      val offsets = parted.groupBy("pid", "o_orderstatus")
+      val offsets = local.groupBy("pid", "o_orderstatus")
         .agg(count(lit(1)).as("c"))
         .select(col("pid"), col("o_orderstatus"),
           coalesce(sum("c").over(wOff), lit(0L)).as("off"),
           sum("c").over(Window.partitionBy("o_orderstatus")).as("n"))
-      parted
-        .withColumn("lrn", row_number().over(wLocal))
+      local
         .join(broadcast(offsets), Seq("pid", "o_orderstatus"))
         .withColumn("rn", col("lrn") + col("off"))
         .select(col("o_orderkey"), col("o_orderstatus"),
