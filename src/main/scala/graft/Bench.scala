@@ -14,12 +14,6 @@ package graft
   */
 object Bench {
 
-  /** family key: leading name segment with trailing digits stripped, so
-    * q1/q3/q22/q_asof all land in one "q" family.
-    */
-  private def familyOf(name: String): String =
-    name.split("_")(0).replaceAll("\\d+$", "")
-
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.getOrCreate("graft-bench")
@@ -30,7 +24,7 @@ object Bench {
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     var family: String = null
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val f = familyOf(name)
+      val f = GraftSession.familyOf(name)
       if (family != null && f != family) GraftSession.releaseCaches(spark)
       family = f
       val t0 = System.nanoTime()

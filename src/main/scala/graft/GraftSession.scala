@@ -56,6 +56,14 @@ object GraftSession {
     * round-2 bench regressions: q_asof_join 1.2s -> 18.9s with identical
     * code and an identical plan).
     */
+  /** family key for cache-release grouping: leading query-name segment with
+    * trailing digits stripped, so q1/q3/q22/q_asof all land in one "q"
+    * family. Shared by Bench and Verify so both release at the SAME
+    * boundaries.
+    */
+  def familyOf(name: String): String =
+    name.split("_")(0).replaceAll("\\d+$", "")
+
   def releaseCaches(spark: SparkSession): Unit = {
     graft.operators.Dedup.clearCache(spark)
     spark.catalog.clearCache()

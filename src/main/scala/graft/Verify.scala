@@ -15,7 +15,7 @@ object Verify {
     // family's pinned storage (see GraftSession.releaseCaches).
     var family: String = null
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      val f = name.split("_")(0).replaceAll("\\d+$", "")
+      val f = GraftSession.familyOf(name)
       if (family != null && f != family) GraftSession.releaseCaches(spark)
       family = f
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -60,8 +60,14 @@ object ArrowInterop {
     val parts = df.rdd.getNumPartitions
     if (parts <= maxPartitions) df
     else {
-      val optimal = math.min(maxPartitions.toLong,
-        math.max(1L, df.count() / targetRowsPerPartition)).toInt
+      // plan-level row estimate, NOT an action: a count() here would scan
+      // the whole frame once before the export scans it again (doubling IO
+      // on exactly the large frames this helper exists for)
+      val rowEst = df.queryExecution.optimizedPlan.stats.rowCount
+      val optimal = rowEst
+        .map(n => (n / BigInt(targetRowsPerPartition)).toLong)
+        .map(n => math.min(maxPartitions.toLong, math.max(1L, n)).toInt)
+        .getOrElse(maxPartitions)
       df.coalesce(optimal)
     }
   }

@@ -11,7 +11,7 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * past the version the writer staged against (or another writer claimed the
   * same manifest name first). Retry by re-reading and re-staging — the
   * losing writer's data directory is already written and simply never
-  * referenced (unreferenced dirs are reclaimed by expireSnapshots' vacuum).
+  * referenced (never-referenced dirs are reclaimed by `vacuumOrphans`).
   */
 final class CommitConflictException(msg: String) extends RuntimeException(msg)
 
@@ -93,10 +93,44 @@ final class LakeCatalog(spark: SparkSession, val root: String) {
       .map(_.trim).filter(_.nonEmpty)
   }
 
+  /** How long a version lock may sit without its manifest appearing before
+    * it is considered abandoned by a crashed writer and broken.
+    */
+  val LockStaleMs: Long = 60000L
+
+  /** Atomically claim the right to publish a version. On `file://` roots
+    * this is a POSIX O_EXCL create (truly atomic — Hadoop's local create is
+    * only check-then-create); on HDFS, Hadoop's create-exclusive is atomic;
+    * on object stores it is best-effort (a production S3 deployment backs
+    * commits with a conditional-put catalog service, as Iceberg's REST
+    * catalog does). A lock older than [[LockStaleMs]] whose manifest never
+    * appeared is a crashed writer: it is broken and re-claimed once.
+    */
+  private def claim(lock: Path, target: Path): Boolean = {
+    def tryOnce(): Boolean =
+      if (fs.getScheme == "file") {
+        try {
+          java.nio.file.Files.createFile(java.nio.file.Paths.get(lock.toUri.getPath))
+          true
+        } catch { case _: java.nio.file.FileAlreadyExistsException | _: java.io.IOException => false }
+      } else {
+        try { fs.create(lock, false).close(); true }
+        catch { case _: java.io.IOException => false }
+      }
+    tryOnce() || {
+      val stale =
+        try System.currentTimeMillis() - fs.getFileStatus(lock).getModificationTime > LockStaleMs
+        catch { case _: java.io.IOException => false }
+      stale && !fs.exists(target) && { fs.delete(lock, false); tryOnce() }
+    }
+  }
+
   /** Publish `dataDirs` as the next version. Optimistic: verifies the
-    * current latest against `expectedVersion` (when given), then renames a
-    * fully-written temp manifest onto the versioned name, which must not
-    * exist — at most one concurrent writer wins a version.
+    * current latest against `expectedVersion` (when given), atomically
+    * claims the version via [[claim]], then renames a fully-written temp
+    * manifest onto the versioned name — readers can never observe a
+    * half-written file list, and at most one concurrent writer wins a
+    * version.
     */
   private def commit(
       ns: String,
@@ -111,19 +145,25 @@ final class LakeCatalog(spark: SparkSession, val root: String) {
     }
     val v = cur + 1
     val target = manifestFile(ns, t, v)
-    // write the full manifest to a temp name first so readers can never
-    // observe a half-written file list, then move it into place
-    val tmp = new Path(manifestDir(ns, t),
-      s".v$v-${java.util.UUID.randomUUID().toString}.tmp")
-    Using.resource(fs.create(tmp, false))(
-      _.write(dataDirs.mkString("\n").getBytes(StandardCharsets.UTF_8)))
-    val won = !fs.exists(target) && fs.rename(tmp, target)
-    if (!won) {
-      fs.delete(tmp, false)
+    val lock = new Path(manifestDir(ns, t), f".v$v%05d.lock")
+    if (!claim(lock, target))
       throw new CommitConflictException(
-        s"concurrent writer published $ns.$t v$v first")
-    }
-    v
+        s"concurrent writer is publishing $ns.$t v$v")
+    try {
+      val tmp = new Path(manifestDir(ns, t),
+        s".v$v-${java.util.UUID.randomUUID().toString}.tmp")
+      Using.resource(fs.create(tmp, false))(
+        _.write(dataDirs.mkString("\n").getBytes(StandardCharsets.UTF_8)))
+      // the claim makes a same-version racer impossible; the exists check
+      // stays as belt-and-braces against external interference
+      val won = !fs.exists(target) && fs.rename(tmp, target)
+      if (!won) {
+        fs.delete(tmp, false)
+        throw new CommitConflictException(
+          s"concurrent writer published $ns.$t v$v first")
+      }
+      v
+    } finally { fs.delete(lock, false); () }
   }
 
   // ----- read/write ------------------------------------------------------
@@ -164,8 +204,15 @@ final class LakeCatalog(spark: SparkSession, val root: String) {
       .parquet(out.toString)
     mode match {
       case SaveMode.Append if tableExists(ns, t) =>
+        // an append EXTENDS the entry list it read, so it is always CAS'd
+        // against the version it extended — otherwise a concurrent commit
+        // landing between the read and the publish would be silently
+        // dropped from the new manifest (lost update). Callers may still
+        // pin an earlier expectedVersion explicitly.
+        val base = versions(ns, t).last
         commit(ns, t,
-          manifestEntries(ns, t, versions(ns, t).last) :+ rel, expectedVersion)
+          manifestEntries(ns, t, base) :+ rel,
+          expectedVersion.orElse(Some(base)))
       case _ =>
         commit(ns, t, Seq(rel), expectedVersion)
     }
@@ -231,6 +278,25 @@ final class LakeCatalog(spark: SparkSession, val root: String) {
     expired.foreach(v => fs.delete(manifestFile(ns, t, v), false))
     expiredDirs.foreach(rel => deleteRec(new Path(tPath(ns, t), rel)))
     expiredDirs.size
+  }
+
+  /** Delete data dirs referenced by NO manifest — the staging debris of
+    * commits that lost their CAS (expireSnapshots only reclaims dirs that
+    * expired manifests referenced; a loser's dir never made any manifest).
+    * `graceMs` shields writers that have staged data but not yet committed.
+    * Returns the number of dirs removed.
+    */
+  def vacuumOrphans(ns: String, t: String, graceMs: Long = 3600000L): Int = {
+    val referenced = versions(ns, t).flatMap(v => manifestEntries(ns, t, v)).toSet
+    val dataRoot = new Path(tPath(ns, t), "data")
+    if (!fs.exists(dataRoot)) return 0
+    val now = System.currentTimeMillis()
+    val orphans = fs.listStatus(dataRoot)
+      .filter(_.isDirectory)
+      .filter(st => !referenced.contains(s"data/${st.getPath.getName}"))
+      .filter(st => now - st.getModificationTime > graceMs)
+    orphans.foreach(st => fs.delete(st.getPath, true))
+    orphans.length
   }
 
   private def deleteRec(p: Path): Unit = { fs.delete(p, true); () }

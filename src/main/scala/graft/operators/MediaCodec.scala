@@ -74,9 +74,15 @@ object MediaCodec {
     val height = bb.getInt(22)
     val bpp = bb.getShort(28)
     val compression = bb.getInt(30)
-    if (bpp != 24 || compression != 0 || width <= 0 || height <= 0) return None
-    val stride = bmpRowStride(width)
-    if (bytes.length < offset + stride * height) return None
+    if (bpp != 24 || compression != 0 || width <= 0 || height <= 0 || offset < 54)
+      return None
+    // size guards in LONG arithmetic: a hostile header (width=height=50000)
+    // must fail the bounds check, not overflow int into a negative "pass"
+    // and then blow up allocation — per-record isolation means None, never
+    // an exception that kills the task
+    val strideL = (width.toLong * 3 + 3) & ~3L
+    if (offset.toLong + strideL * height > bytes.length) return None
+    val stride = strideL.toInt // fits: strideL * height <= bytes.length
     val rgb = new Array[Byte](width * height * 3)
     var y = 0
     while (y < height) {
@@ -154,7 +160,8 @@ object MediaCodec {
     while (pos + 8 <= bytes.length && data == null) {
       val id = tag(pos)
       val size = bb.getInt(pos + 4)
-      if (size < 0 || pos + 8 + size > bytes.length) return None
+      // long arithmetic: size near Int.MaxValue must fail, not wrap negative
+      if (size < 0 || pos.toLong + 8 + size > bytes.length) return None
       id match {
         case "fmt " =>
           val fmt = bb.getShort(pos + 8)
@@ -197,7 +204,7 @@ object MediaCodec {
     while (i < n) {
       if (pos + 4 > bytes.length) return None
       val len = bb.getInt(pos)
-      if (len < 0 || pos + 4 + len > bytes.length) return None
+      if (len < 0 || pos.toLong + 4 + len > bytes.length) return None
       out += java.util.Arrays.copyOfRange(bytes, pos + 4, pos + 4 + len)
       pos += 4 + len
       i += 1

@@ -253,7 +253,10 @@ object Multimodal {
     media.mapPartitions { it =>
       it.grouped(BatchSize).flatMap { batch =>
         batch.iterator.flatMap { m =>
-          m.kind match {
+          // belt-and-braces: the codecs return None on every malformed
+          // shape they anticipate, and anything they did not anticipate
+          // still drops THIS record only — never the task
+          try m.kind match {
             case "image" => MediaCodec.decodeBmp(m.payload).map { case (w, h, rgb) =>
               RealDecoded(m.media_id, m.kind, w, h, 1, 0, 0, rgb(0) & 0xff, 0)
             }
@@ -261,12 +264,14 @@ object Multimodal {
               RealDecoded(m.media_id, m.kind, 0, 0, 0, sr, ss.length, 0,
                 if (ss.nonEmpty) ss(0).toInt else 0)
             }
-            case _ => MediaCodec.decodeVideo(m.payload).flatMap { frames =>
-              MediaCodec.decodeBmp(frames.head).map { case (w, h, rgb) =>
-                RealDecoded(m.media_id, m.kind, w, h, frames.length, 0, 0, rgb(0) & 0xff, 0)
+            case _ => MediaCodec.decodeVideo(m.payload)
+              .filter(_.nonEmpty) // a zero-frame container decodes to nothing
+              .flatMap { frames =>
+                MediaCodec.decodeBmp(frames.head).map { case (w, h, rgb) =>
+                  RealDecoded(m.media_id, m.kind, w, h, frames.length, 0, 0, rgb(0) & 0xff, 0)
+                }
               }
-            }
-          }
+          } catch { case _: Exception => None }
         }
       }
     }

@@ -274,6 +274,35 @@ class LakeSpec extends SparkSpec {
     assert(cat.read("ns", "t").collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 2))
   }
 
+  test("vacuumOrphans reclaims data staged by a losing commit, keeps committed data") {
+    val cat = freshCatalog()
+    import spark.implicits._
+    cat.write("ns", "t", Seq(1).toDF("id")) // v1
+    cat.write("ns", "t", Seq(2).toDF("id"), SaveMode.Append,
+      expectedVersion = Some(1)) // v2
+    intercept[CommitConflictException] {
+      cat.write("ns", "t", Seq(3).toDF("id"), SaveMode.Append,
+        expectedVersion = Some(1)) // staged its data dir, then lost the CAS
+    }
+    // the loser's dir is referenced by no manifest → reclaimed
+    assert(cat.vacuumOrphans("ns", "t", graceMs = 0L) == 1)
+    assert(cat.read("ns", "t").collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 2))
+    assert(cat.vacuumOrphans("ns", "t", graceMs = 0L) == 0)
+  }
+
+  test("append without expectedVersion still CASes against the version it extended") {
+    // appends EXTEND an entry list, so they are implicitly pinned: the
+    // commit publishes base+1 and includes every base entry — a concurrent
+    // commit between read and publish raises instead of losing its dirs
+    val cat = freshCatalog()
+    import spark.implicits._
+    cat.write("ns", "t", Seq(1).toDF("id"))
+    cat.write("ns", "t", Seq(2).toDF("id"), SaveMode.Append)
+    cat.write("ns", "t", Seq(3).toDF("id"), SaveMode.Append)
+    assert(cat.versions("ns", "t") == Seq(1, 2, 3))
+    assert(cat.read("ns", "t").collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 2, 3))
+  }
+
   test("merge collapses duplicate source keys to ONE deterministic row (MERGE semantics)") {
     val cat = freshCatalog()
     val merger = new TableMerger(cat)

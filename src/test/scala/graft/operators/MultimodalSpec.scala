@@ -116,6 +116,32 @@ class MultimodalSpec extends SparkSpec {
     assert(px(out, 2, 1, 1) == px(src, 4, 2, 2))
   }
 
+  test("codecs reject hostile headers without throwing (overflow guards)") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    // BMP claiming 50000x50000 in a tiny payload: int arithmetic would
+    // overflow negative and pass the bounds check — must be None, not throw
+    val bmp = MediaCodec.encodeBmp(2, 2, Array.fill(12)(1.toByte))
+    val huge = bmp.clone()
+    val hb = ByteBuffer.wrap(huge).order(ByteOrder.LITTLE_ENDIAN)
+    hb.putInt(18, 50000); hb.putInt(22, 50000)
+    assert(MediaCodec.decodeBmp(huge).isEmpty)
+    val negOff = bmp.clone()
+    ByteBuffer.wrap(negOff).order(ByteOrder.LITTLE_ENDIAN).putInt(10, -100)
+    assert(MediaCodec.decodeBmp(negOff).isEmpty)
+    // WAV data-chunk size near Int.MaxValue: pos + 8 + size must not wrap
+    val wav = MediaCodec.encodeWav(8000, Array.fill(4)(0.toShort))
+    val wHuge = wav.clone()
+    ByteBuffer.wrap(wHuge).order(ByteOrder.LITTLE_ENDIAN).putInt(40, Int.MaxValue - 4)
+    assert(MediaCodec.decodeWav(wHuge).isEmpty)
+    // zero-frame container is well-formed at the codec level...
+    val empty = MediaCodec.encodeVideo(Seq.empty)
+    assert(MediaCodec.decodeVideo(empty).exists(_.isEmpty))
+    // ...but the pipeline drops the record instead of calling frames.head
+    import spark.implicits._
+    val ds = Seq(Multimodal.MediaRecord(1L, "video", empty)).toDS()
+    assert(Multimodal.decodeReal(ds).count() == 0)
+  }
+
   test("real decode pipeline: every synthesized payload parses; probes match formulas") {
     import spark.implicits._
     val docs = graft.Tables(spark, sfDir).documents
