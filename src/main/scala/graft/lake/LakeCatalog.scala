@@ -202,6 +202,7 @@ final class LakeCatalog(spark: SparkSession, val root: String) {
     val writer = df.write.mode(SaveMode.Overwrite)
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
       .parquet(out.toString)
+    writeStats(ns, t, rel)
     mode match {
       case SaveMode.Append if tableExists(ns, t) =>
         // an append EXTENDS the entry list it read, so it is always CAS'd
@@ -278,6 +279,114 @@ final class LakeCatalog(spark: SparkSession, val root: String) {
     expired.foreach(v => fs.delete(manifestFile(ns, t, v), false))
     expiredDirs.foreach(rel => deleteRec(new Path(tPath(ns, t), rel)))
     expiredDirs.size
+  }
+
+  // ----- per-commit column statistics (data skipping) --------------------
+  // The Iceberg-manifest idea at commit granularity: every data dir carries
+  // a sidecar of per-column (min, max) plus a row count, and predicated
+  // reads prune whole commits whose range cannot match BEFORE any parquet
+  // scan is planned. On an append-heavy 100 TB table (commits ~ time
+  // buckets), a time-band query then touches only the overlapping commits —
+  // the metadata-level complement of parquet's row-group pruning. Stats are
+  // computed from the freshly written commit (one extra scan of the NEW
+  // data only; a production impl would fold parquet footer stats instead)
+  // and stored as an underscore-prefixed file Spark's readers ignore.
+
+  private def statsFile(ns: String, t: String, rel: String): Path =
+    new Path(new Path(tPath(ns, t), rel), "_graft_stats.tsv")
+
+  private def enc(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8")
+  private def dec(s: String): String =
+    java.net.URLDecoder.decode(s, "UTF-8")
+
+  private def writeStats(ns: String, t: String, rel: String): Unit = {
+    import org.apache.spark.sql.functions.{col, count, lit, max => fmax, min => fmin}
+    import org.apache.spark.sql.types._
+    val df = spark.read.parquet(new Path(tPath(ns, t), rel).toString)
+    val statCols = df.schema.fields.filter(f => f.dataType match {
+      case _: NumericType | StringType | DateType | TimestampType => true
+      case _ => false
+    })
+    val aggs = count(lit(1)).as("__n") +:
+      statCols.flatMap(f => Seq(
+        fmin(col(f.name)).cast(StringType), fmax(col(f.name)).cast(StringType))).toSeq
+    val row = df.agg(aggs.head, aggs.drop(1): _*).head()
+    val lines = new scala.collection.mutable.ArrayBuffer[String]
+    lines += s"rows\t${row.getLong(0)}"
+    statCols.zipWithIndex.foreach { case (f, i) =>
+      val (mn, mx) = (row.get(1 + i * 2), row.get(2 + i * 2))
+      if (mn != null && mx != null) {
+        val numeric = f.dataType.isInstanceOf[NumericType]
+        lines += s"col\t${enc(f.name)}\t${if (numeric) "num" else "str"}\t${enc(mn.toString)}\t${enc(mx.toString)}"
+      }
+    }
+    Using.resource(fs.create(statsFile(ns, t, rel), true))(
+      _.write(lines.mkString("\n").getBytes(StandardCharsets.UTF_8)))
+  }
+
+  /** Stats of one committed data dir: (rowCount, col -> (kind, min, max)).
+    * None when the commit predates stats collection (then nothing prunes).
+    */
+  def commitStats(ns: String, t: String, rel: String):
+      Option[(Long, Map[String, (String, String, String)])] = {
+    val p = statsFile(ns, t, rel)
+    if (!fs.exists(p)) return None
+    val text = new String(
+      Using.resource(fs.open(p))(_.readAllBytes()), StandardCharsets.UTF_8)
+    var rows = 0L
+    val cols = scala.collection.mutable.Map[String, (String, String, String)]()
+    text.split("\n").foreach { line =>
+      line.split("\t") match {
+        case Array("rows", n) => rows = n.toLong
+        case Array("col", name, kind, mn, mx) =>
+          cols(dec(name)) = (kind, dec(mn), dec(mx))
+        case _ => ()
+      }
+    }
+    Some((rows, cols.toMap))
+  }
+
+  /** Band-predicate read with commit-level data skipping: scans ONLY the
+    * commits whose recorded [min, max] of `column` intersects [lo, hi]
+    * (commits without stats are conservatively included), then applies the
+    * exact row filter on what remains. Bounds are compared numerically for
+    * numeric columns and lexicographically otherwise (ISO dates/timestamps
+    * order correctly as strings).
+    */
+  def readWhere(
+      ns: String,
+      t: String,
+      column: String,
+      lo: Any,
+      hi: Any,
+      version: Option[Int] = None): DataFrame = {
+    val vs = versions(ns, t)
+    require(vs.nonEmpty, s"no such table: $ns.$t")
+    val v = version.getOrElse(vs.last)
+    val rels = manifestEntries(ns, t, v)
+    def overlaps(rel: String): Boolean = commitStats(ns, t, rel) match {
+      case Some((_, cols)) => cols.get(column) match {
+        case Some((kind, mn, mx)) =>
+          if (kind == "num") {
+            val (l, h) = (BigDecimal(lo.toString), BigDecimal(hi.toString))
+            BigDecimal(mx) >= l && BigDecimal(mn) <= h
+          } else mx >= lo.toString && mn <= hi.toString
+        case None => true // column not covered by stats
+      }
+      case None => true // pre-stats commit
+    }
+    val kept = rels.filter(overlaps)
+    val base =
+      if (kept.isEmpty)
+        // every commit pruned: an empty frame with the table's schema
+        read(ns, t, Some(v)).limit(0)
+      else SchemaTools.unifySchemas(kept.map { rel =>
+        val d = new Path(tPath(ns, t), rel).toString
+        spark.read.option("basePath", d).parquet(d)
+      })
+    import org.apache.spark.sql.functions.{col => c, lit}
+    base.filter(c(column) >= lit(lo) && c(column) <= lit(hi))
   }
 
   /** Delete data dirs referenced by NO manifest — the staging debris of

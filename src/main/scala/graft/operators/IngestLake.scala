@@ -341,9 +341,40 @@ object IngestLake {
       (SELECT COUNT(*) FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)) AS fk_orphans""")
   )
 
+  /** Commit-level data skipping end-to-end: an append-per-period table
+    * (three date-band commits), then a band read that PRUNES to the
+    * overlapping commits via the per-commit min/max sidecars before any
+    * scan is planned — and still matches the oracle computed over the full
+    * table. LakeSpec separately pins that only the matching commit dirs
+    * are scanned.
+    */
+  val lakeDataSkipping: Q = Q(
+    "lake_data_skipping",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val cat = LakeCatalog(s, scratch("skip"))
+      val orders = t.orders.select("o_orderkey", "o_orderdate", "o_totalprice")
+      cat.write("lake", "orders_by_period",
+        orders.filter(col("o_orderdate") < lit("1994-01-01")))
+      cat.write("lake", "orders_by_period",
+        orders.filter(col("o_orderdate") >= lit("1994-01-01") &&
+          col("o_orderdate") < lit("1996-01-01")), SaveMode.Append)
+      cat.write("lake", "orders_by_period",
+        orders.filter(col("o_orderdate") >= lit("1996-01-01")), SaveMode.Append)
+      cat.readWhere("lake", "orders_by_period", "o_orderdate",
+          "1994-06-01", "1995-06-30")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(m(col("o_totalprice"))).cast(DoubleType).as("total"))
+    },
+    Some(s"""SELECT COUNT(*) AS n_orders,
+      CAST(SUM(CAST(o_totalprice AS $D)) AS DOUBLE) AS total
+    FROM orders
+    WHERE o_orderdate BETWEEN DATE '1994-06-01' AND DATE '1995-06-30'""")
+  )
+
   val all: Seq[Q] = Seq(
     ingestCsvRoundtrip, ingestJsonRoundtrip, ingestParquet, ingestTextLines,
     ingestOrcRoundtrip, ingestXmlRoundtrip, ingestSchemaEvolution, ingestJsonProps,
     lakeCtas, lakeMergeUpsert, lakeChangelog, lakeDataProfile,
-    lakeScd2, lakeDelete, lakeIncrementalRead, lakeConstraints)
+    lakeScd2, lakeDelete, lakeIncrementalRead, lakeConstraints, lakeDataSkipping)
 }

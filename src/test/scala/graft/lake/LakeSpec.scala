@@ -274,6 +274,36 @@ class LakeSpec extends SparkSpec {
     assert(cat.read("ns", "t").collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 2))
   }
 
+  test("readWhere prunes whole commits via min/max stats (data skipping)") {
+    val cat = freshCatalog()
+    import spark.implicits._
+    cat.write("ns", "ev", Seq((1, 10), (2, 19)).toDF("id", "day"))                   // commit A: 10..19
+    cat.write("ns", "ev", Seq((3, 20), (4, 29)).toDF("id", "day"), SaveMode.Append)  // commit B: 20..29
+    cat.write("ns", "ev", Seq((5, 30), (6, 39)).toDF("id", "day"), SaveMode.Append)  // commit C: 30..39
+    val q = cat.readWhere("ns", "ev", "day", 20, 25)
+    assert(q.collect().map(_.getInt(0)).toSeq == Seq(3))
+    // data skipping: only commit B's dir is ever scanned
+    assert(q.inputFiles.map(_.replaceAll("/[^/]*$", "")).distinct.length == 1,
+      "band read must scan exactly one commit dir")
+    // an all-pruned band yields an empty frame with the table schema
+    val none = cat.readWhere("ns", "ev", "day", 100, 200)
+    assert(none.count() == 0 && none.columns.toSeq == Seq("id", "day"))
+    // the stats sidecar itself is inspectable
+    val v1dir = {
+      val fsDir = new java.io.File(cat.root, "ns/ev/data")
+      fsDir.listFiles().filter(_.isDirectory).map(d => s"data/${d.getName}").sorted
+    }
+    assert(v1dir.forall(rel => cat.commitStats("ns", "ev", rel).isDefined))
+    val allStats = v1dir.flatMap(rel => cat.commitStats("ns", "ev", rel))
+    assert(allStats.map(_._1).sum == 6) // row counts across commits
+    // string-typed bounds prune lexicographically too
+    cat.write("ns", "names", Seq("apple", "berry").toDF("w"))
+    cat.write("ns", "names", Seq("melon", "peach").toDF("w"), SaveMode.Append)
+    val sq = cat.readWhere("ns", "names", "w", "a", "c")
+    assert(sq.collect().map(_.getString(0)).sorted.toSeq == Seq("apple", "berry"))
+    assert(sq.inputFiles.map(_.replaceAll("/[^/]*$", "")).distinct.length == 1)
+  }
+
   test("vacuumOrphans reclaims data staged by a losing commit, keeps committed data") {
     val cat = freshCatalog()
     import spark.implicits._
