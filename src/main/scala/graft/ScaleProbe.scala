@@ -76,6 +76,49 @@ object ScaleProbe {
       val dt = (System.nanoTime() - t0) / 1e9
       println(f"[scale] text-terms ${mult}x: docs=$n%d top=${top.head.getLong(1)}%d time=$dt%.1fs")
     }
+
+    // degenerate-bucket probe (round 3): ALL ids share one LSH bucket —
+    // the adversarial spam shape. The k-bounded min-k aggregate must keep
+    // pair output and memory constant while input grows 100x; time should
+    // track the scan, never the quadratic bucket size.
+    for (n <- Seq(10000, 100000, 1000000)) {
+      val banded = spark.range(n.toLong).select(col("id"),
+        array(struct(lit(0).as("band"), lit(42L).as("bh"))).as("bands"))
+      val t0 = System.nanoTime()
+      val pairs = operators.Dedup.candidatePairs(banded).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] mega-bucket n=$n%d pairs=$pairs%d time=$dt%.1fs")
+    }
+
+    // distributed global-rank probe (round 3): the de-skewed
+    // percent_rank/ntile shape over a 3-value key — time must scale with
+    // rows/partitions, not with the size of the largest key group.
+    for (mult <- Seq(1, 3, 10)) {
+      val loaded = spark.read.parquet(s"/tmp/graft_scale_${mult}x")
+        .select(col("doc_id"), (col("doc_id") % 3).cast("string").as("grp"),
+          length(col("text")).as("x"))
+      val n = loaded.count()
+      val nParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+      val parted = loaded
+        .repartitionByRange(nParts, col("grp"), col("x"), col("doc_id"))
+        .withColumn("pid", spark_partition_id())
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("pid", "grp").orderBy(col("x"), col("doc_id"))
+      val local = parted.withColumn("lrn", row_number().over(w))
+        .localCheckpoint(eager = false)
+      val wOff = org.apache.spark.sql.expressions.Window
+        .partitionBy("grp").orderBy("pid")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val offsets = local.groupBy("pid", "grp").agg(count(lit(1)).as("c"))
+        .select(col("pid"), col("grp"),
+          coalesce(sum("c").over(wOff), lit(0L)).as("off"))
+      val t0 = System.nanoTime()
+      val mx = local.join(broadcast(offsets), Seq("pid", "grp"))
+        .select((col("lrn") + col("off")).as("rn"))
+        .agg(max("rn")).head().getLong(0)
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] global-rank ${mult}x: rows=$n%d maxrank=$mx%d time=$dt%.1fs")
+    }
     spark.stop()
   }
 }
