@@ -166,6 +166,94 @@ object EventStreams {
       }
       .start()
 
+  // ----- E7: streaming near-duplicate detection ---------------------------
+
+  /** one incoming document on the stream */
+  case class DocIn(doc_id: Long, ts: java.sql.Timestamp, text: String)
+
+  /** a banded signature row (internal shape of the stateful stage) */
+  case class SigDoc(doc_id: Long, ts: java.sql.Timestamp, band: Int, bh: Long,
+      sig: Seq[Long])
+
+  case class BucketEntry(id: Long, sig: Seq[Long])
+  case class BucketState(entries: List[BucketEntry])
+
+  /** an emitted near-dup candidate (a < b), with the triggering doc's ts */
+  case class DupCandidate(a: Long, b: Long, est_jaccard: Double,
+      ts: java.sql.Timestamp)
+
+  /** E7: streaming MinHash near-dup detection — the batch LSH pipeline's
+    * exact signature expressions (native graft_shingle_hashes /
+    * graft_minhash_sig, columnar and stateless) run unchanged on the
+    * stream; the only stateful piece is the bucket memory: state per
+    * (band, bucket-hash) key holds the first `Dedup.MaxBucket` (id,
+    * signature) entries seen, each arriving doc is compared against its
+    * bucket's entries, and pairs at or above `threshold` estimated Jaccard
+    * are emitted as they happen.
+    *
+    * State is bounded twice over: per key by the same MaxBucket cap the
+    * batch path enforces (a degenerate spam bucket stores 64 entries, not
+    * millions), and across keys by an event-time TTL — buckets quiet past
+    * the watermark horizon are dropped. A pair colliding in several bands
+    * emits once per band (keys are independent); land the stream through a
+    * batch dedup or dropDuplicates when exact-once pairs are required.
+    */
+  def nearDupCandidates(
+      docs: Dataset[DocIn],
+      threshold: Double = 0.5,
+      ttlMinutes: Int = 60): Dataset[DupCandidate] = {
+    import docs.sparkSession.implicits._
+    import graft.operators.Dedup
+    val ttlMs = ttlMinutes * 60L * 1000L
+
+    def estJac(a: Seq[Long], b: Seq[Long]): Double =
+      a.iterator.zip(b.iterator).count { case (x, y) => x == y }.toDouble / Dedup.NumPerms
+
+    docs.toDF()
+      .withWatermark("ts", s"$ttlMinutes minutes")
+      .select(col("doc_id"), col("ts"),
+        Dedup.minhashSignature(Dedup.shingleHashes(col("text"))).as("sig"))
+      .select(col("doc_id"), col("ts"), explode(Dedup.bandKeys(col("sig"))).as("b"),
+        col("sig"))
+      .select(col("doc_id"), col("ts"), col("b.band").as("band"),
+        col("b.bh").as("bh"), col("sig"))
+      .as[SigDoc]
+      .groupByKey(d => (d.band, d.bh))
+      .flatMapGroupsWithState[BucketState, DupCandidate](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: (Int, Long), it: Iterator[SigDoc], state: GroupState[BucketState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var entries = state.getOption.map(_.entries).getOrElse(Nil)
+            val out = Seq.newBuilder[DupCandidate]
+            // deterministic within-batch order, same tie-break as batch
+            val sorted = it.toSeq.sortBy(x => (x.ts.getTime, x.doc_id))
+            for (d <- sorted) {
+              for (e <- entries if e.id != d.doc_id) {
+                val est = estJac(e.sig, d.sig)
+                if (est >= threshold)
+                  out += DupCandidate(math.min(e.id, d.doc_id),
+                    math.max(e.id, d.doc_id), est, d.ts)
+              }
+              if (entries.length < Dedup.MaxBucket && !entries.exists(_.id == d.doc_id))
+                entries = entries :+ BucketEntry(d.doc_id, d.sig)
+            }
+            state.update(BucketState(entries))
+            // TTL counts from this bucket's LAST EVENT (the watermark at
+            // arming time lags a full trigger behind and would expire the
+            // bucket prematurely); clamp above the watermark, which only
+            // matters for very late stragglers
+            val batchMaxMs = sorted.map(_.ts.getTime).max
+            val wmMs =
+              try state.getCurrentWatermarkMs()
+              catch { case _: UnsupportedOperationException => 0L }
+            try state.setTimeoutTimestamp(math.max(batchMaxMs + ttlMs, wmMs + 1))
+            catch { case _: UnsupportedOperationException => () }
+            out.result().iterator
+          }
+      }
+  }
+
   /** events table (nanos-long ts) → typed stream-shaped dataset */
   def eventsAsTyped(spark: SparkSession, dir: String): Dataset[Event] = {
     import spark.implicits._

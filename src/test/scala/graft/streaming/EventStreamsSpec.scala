@@ -203,4 +203,40 @@ class EventStreamsSpec extends SparkSpec {
       assert(streamed.getOrElse(u, 0L) == n - 1, s"user $u: batch=$n streamed=${streamed.get(u)}")
     }
   }
+
+  test("E7: streaming near-dup detection finds a planted duplicate across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and keeps on running " +
+      "through the quiet field toward the river bank before sunset tonight"
+    val input = MemoryStream[DocIn]
+    val q = nearDupCandidates(input.toDS(), threshold = 0.5)
+      .writeStream.format("memory").queryName("e7_out").outputMode("append").start()
+    try {
+      // batch 1: the original plus an unrelated doc
+      input.addData(
+        DocIn(1L, ts(0), base),
+        DocIn(3L, ts(1), "completely different content with no overlap whatsoever " +
+          "because every token here is from another domain entirely"))
+      q.processAllAvailable()
+      assert(spark.table("e7_out").count() == 0) // nothing similar yet
+      // batch 2: a near-duplicate of doc 1 arrives LATER — the bucket state
+      // must remember doc 1 across micro-batches
+      input.addData(DocIn(2L, ts(5), base + " near duplicate copy"))
+      q.processAllAvailable()
+      val pairs = spark.table("e7_out").as[DupCandidate].collect()
+        .map(c => (c.a, c.b, c.est_jaccard)).distinct
+      assert(pairs.map(p => (p._1, p._2)).toSeq == Seq((1L, 2L)),
+        s"expected exactly the planted pair, got ${pairs.mkString(",")}")
+      assert(pairs.head._3 >= 0.5)
+      // est must equal the batch pipeline's estimate for the same texts
+      val batchEst = Seq((1L, base), (2L, base + " near duplicate copy"))
+        .toDF("doc_id", "text")
+        .select(graft.operators.Dedup.minhashSignature(
+          graft.operators.Dedup.shingleHashes(col("text"))).as("sig"))
+        .collect().map(_.getSeq[Long](0))
+      val expected = batchEst(0).zip(batchEst(1)).count { case (x, y) => x == y } / 64.0
+      assert(pairs.head._3 == expected, "streaming estimate must match batch signatures")
+    } finally q.stop()
+  }
 }
