@@ -23,18 +23,25 @@ object Bench {
     // not first-call classloading.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     var family: String = null
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val f = GraftSession.familyOf(name)
-      if (family != null && f != family) GraftSession.releaseCaches(spark)
-      family = f
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Right(seconds) for a completed query, Left(error) for a failed one —
+    // a broken query must surface as "err:<class>" in the JSON, never as a
+    // plausible-looking fast timing.
+    val results: Seq[(String, Either[String, Double])] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val f = GraftSession.familyOf(name)
+        if (family != null && f != family) GraftSession.releaseCaches(spark)
+        family = f
+        val t0 = System.nanoTime()
+        name -> (try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
+          catch { case e: Throwable => Left(s"err:${e.getClass.getSimpleName}") })
+      }
+    val qs = results.map {
+      case (k, Right(v)) => s"\"" + k + "\":" + v
+      case (k, Left(m)) => s"\"" + k + "\":\"" + m + "\""
+    }.mkString("{", ",", "}")
+    val errs = results.count(_._2.isLeft)
+    val total = results.collect { case (_, Right(v)) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","errors":$errs,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

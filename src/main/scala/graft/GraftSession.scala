@@ -26,8 +26,11 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      // scheme-qualified on purpose: every run (tests, bench, verify)
+      // exercises the Hadoop-FS path the warehouse-dir consumers must
+      // speak, the same contract as the lake catalog's file://hdfs://s3a://
       .config("spark.sql.warehouse.dir",
-        sys.env.getOrElse("GRAFT_WAREHOUSE", "/tmp/graft_warehouse"))
+        sys.env.getOrElse("GRAFT_WAREHOUSE", "file:///tmp/graft_warehouse"))
       .config("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)
       .config("spark.sql.files.maxPartitionBytes", 128 * 1024 * 1024)
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")

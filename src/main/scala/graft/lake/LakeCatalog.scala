@@ -174,13 +174,43 @@ final class LakeCatalog(spark: SparkSession, val root: String) {
     require(vs.nonEmpty, s"no such table: $ns.$t")
     val v = version.getOrElse(vs.last)
     require(vs.contains(v), s"no snapshot v$v of $ns.$t (have: ${vs.mkString(",")})")
-    val dirs = manifestEntries(ns, t, v).map(rel => new Path(tPath(ns, t), rel).toString)
-    // one scan per commit dir (each may carry its own partition layout /
-    // schema generation), unified by name — schema evolution across commits.
-    SchemaTools.unifySchemas(dirs.map { d =>
+    readDirs(ns, t, manifestEntries(ns, t, v))
+  }
+
+  /** Latest committed version and its manifest entries (relative data
+    * dirs) — the read side of a file-scoped rewrite: callers stage against
+    * this version and pass it to [[commitRewrite]] as the CAS base.
+    */
+  def latestEntries(ns: String, t: String): (Int, Seq[String]) = {
+    val vs = versions(ns, t)
+    require(vs.nonEmpty, s"no such table: $ns.$t")
+    (vs.last, manifestEntries(ns, t, vs.last))
+  }
+
+  private[lake] def entriesOf(ns: String, t: String, version: Int): Seq[String] =
+    manifestEntries(ns, t, version)
+
+  /** Union of the given commit dirs, schemas unified by name (one scan per
+    * dir — each commit may carry its own partition layout / schema
+    * generation: schema evolution across commits).
+    */
+  private[lake] def readDirs(ns: String, t: String, rels: Seq[String]): DataFrame =
+    SchemaTools.unifySchemas(rels.map { rel =>
+      val d = new Path(tPath(ns, t), rel).toString
       spark.read.option("basePath", d).parquet(d)
     })
-  }
+
+  /** Like [[readDirs]] but every row carries its commit dir in `tagCol` —
+    * the scan-to-plan phase of file-scoped MERGE/DELETE reads this once,
+    * filters, and collects the DISTINCT tag values (bounded by the number
+    * of commits) to learn which commits a delta actually touches.
+    */
+  def readTagged(ns: String, t: String, rels: Seq[String], tagCol: String): DataFrame =
+    SchemaTools.unifySchemas(rels.map { rel =>
+      val d = new Path(tPath(ns, t), rel).toString
+      spark.read.option("basePath", d).parquet(d)
+        .withColumn(tagCol, org.apache.spark.sql.functions.lit(rel))
+    })
 
   /** Write a commit. OVERWRITE replaces the file list; APPEND extends it
     * (no data rewrite). Optional hive-style partitioning. Pass
@@ -219,6 +249,37 @@ final class LakeCatalog(spark: SparkSession, val root: String) {
     }
   }
 
+  /** File-scoped copy-on-write commit (the Iceberg `MERGE INTO` rewrite
+    * shape): publish baseVersion's entry list with `replaced` dirs swapped
+    * for ONE fresh dir holding `replacement`. Untouched commits keep their
+    * manifest entries VERBATIM — their data dirs are never read or
+    * rewritten, so a delta touching 1 of N commits costs one commit's IO,
+    * not the table's. CAS'd against `baseVersion`: a concurrent commit in
+    * between raises [[CommitConflictException]] instead of resurrecting
+    * rows the rewrite removed. An empty replacement is dropped from the
+    * manifest entirely (unless it would leave the table with no dirs at
+    * all, which would lose the schema).
+    */
+  def commitRewrite(
+      ns: String,
+      t: String,
+      baseVersion: Int,
+      replaced: Set[String],
+      replacement: DataFrame): Int = {
+    val entries = manifestEntries(ns, t, baseVersion)
+    val unknown = replaced -- entries.toSet
+    require(unknown.isEmpty, s"not in v$baseVersion of $ns.$t: ${unknown.mkString(",")}")
+    val rel = s"data/${java.util.UUID.randomUUID().toString}"
+    val out = new Path(tPath(ns, t), rel)
+    replacement.write.mode(SaveMode.Overwrite).parquet(out.toString)
+    val rows = writeStats(ns, t, rel)
+    val kept = entries.filterNot(replaced)
+    val next =
+      if (rows == 0L && kept.nonEmpty) { deleteRec(out); kept }
+      else kept :+ rel
+    commit(ns, t, next, Some(baseVersion))
+  }
+
   /** Change-data-capture between two snapshots (reference roadmap item
     * "incremental loading (change data capture)"): full-row diff — a row
     * counts as inserted if present in `toV` but not `fromV`, deleted if the
@@ -240,19 +301,31 @@ final class LakeCatalog(spark: SparkSession, val root: String) {
   def compact(ns: String, t: String): Int =
     write(ns, t, read(ns, t), SaveMode.Overwrite)
 
-  /** Predicate DELETE (copy-on-write): rows matching `predicate` are
-    * removed in a new snapshot; prior snapshots still time-travel to the
-    * undeleted data. At scale a production layout prunes the rewrite to
-    * affected partitions — snapshot granularity here is the whole table,
-    * same as overwrite.
+  /** Predicate DELETE, FILE-SCOPED copy-on-write (Iceberg `DELETE FROM`
+    * shape): a scan-to-plan pass finds the commits that actually contain
+    * matching rows (one job — predicate columns only reach the scan, and
+    * the distinct set is bounded by the commit count), then ONLY those
+    * commits are rewritten without their matches; every other commit keeps
+    * its manifest entry verbatim, untouched on disk. Prior snapshots still
+    * time-travel to the undeleted data. A no-match delete publishes a
+    * metadata-only snapshot (same entries, new version) so version
+    * semantics stay uniform. At 100 TB a delete hitting one day's commit
+    * costs that commit's IO, not the table's.
     */
-  def delete(ns: String, t: String, predicate: org.apache.spark.sql.Column): Int =
+  def delete(ns: String, t: String, predicate: org.apache.spark.sql.Column): Int = {
+    import org.apache.spark.sql.functions.{coalesce, lit}
     // NULL-predicate rows are KEPT (SQL DELETE semantics): a row only
     // leaves when the predicate is definitively TRUE.
-    write(ns, t,
-      read(ns, t).filter(!org.apache.spark.sql.functions.coalesce(
-        predicate, org.apache.spark.sql.functions.lit(false))),
-      SaveMode.Overwrite)
+    val hit = coalesce(predicate, lit(false))
+    val (base, rels) = latestEntries(ns, t)
+    val tag = "_graft_commit"
+    val touched = readTagged(ns, t, rels, tag)
+      .filter(hit).select(tag).distinct()
+      .collect().map(_.getString(0)).toSet
+    if (touched.isEmpty) commit(ns, t, rels, Some(base))
+    else commitRewrite(ns, t, base, touched,
+      readDirs(ns, t, rels.filter(touched)).filter(!hit))
+  }
 
   /** Incremental read: rows ADDED between two snapshots — the consumer-side
     * half of CDC (a downstream job resumes from its last-seen version and
@@ -300,7 +373,10 @@ final class LakeCatalog(spark: SparkSession, val root: String) {
   private def dec(s: String): String =
     java.net.URLDecoder.decode(s, "UTF-8")
 
-  private def writeStats(ns: String, t: String, rel: String): Unit = {
+  /** Returns the commit's row count (free here, reused by callers that
+    * need to know whether the freshly written dir is empty).
+    */
+  private def writeStats(ns: String, t: String, rel: String): Long = {
     import org.apache.spark.sql.functions.{col, count, lit, max => fmax, min => fmin}
     import org.apache.spark.sql.types._
     val df = spark.read.parquet(new Path(tPath(ns, t), rel).toString)
@@ -323,6 +399,7 @@ final class LakeCatalog(spark: SparkSession, val root: String) {
     }
     Using.resource(fs.create(statsFile(ns, t, rel), true))(
       _.write(lines.mkString("\n").getBytes(StandardCharsets.UTF_8)))
+    row.getLong(0)
   }
 
   /** Stats of one committed data dir: (rowCount, col -> (kind, min, max)).
@@ -347,12 +424,29 @@ final class LakeCatalog(spark: SparkSession, val root: String) {
     Some((rows, cols.toMap))
   }
 
+  /** True when the commit's recorded [min, max] of `column` could
+    * intersect [lo, hi] — conservatively true for pre-stats commits and
+    * uncovered columns. Numeric columns compare numerically; everything
+    * else lexicographically (ISO dates/timestamps order correctly as
+    * strings).
+    */
+  def statsMayOverlap(ns: String, t: String, rel: String,
+      column: String, lo: Any, hi: Any): Boolean = commitStats(ns, t, rel) match {
+    case Some((_, cols)) => cols.get(column) match {
+      case Some((kind, mn, mx)) =>
+        if (kind == "num") {
+          val (l, h) = (BigDecimal(lo.toString), BigDecimal(hi.toString))
+          BigDecimal(mx) >= l && BigDecimal(mn) <= h
+        } else mx >= lo.toString && mn <= hi.toString
+      case None => true // column not covered by stats
+    }
+    case None => true // pre-stats commit
+  }
+
   /** Band-predicate read with commit-level data skipping: scans ONLY the
     * commits whose recorded [min, max] of `column` intersects [lo, hi]
     * (commits without stats are conservatively included), then applies the
-    * exact row filter on what remains. Bounds are compared numerically for
-    * numeric columns and lexicographically otherwise (ISO dates/timestamps
-    * order correctly as strings).
+    * exact row filter on what remains.
     */
   def readWhere(
       ns: String,
@@ -365,26 +459,12 @@ final class LakeCatalog(spark: SparkSession, val root: String) {
     require(vs.nonEmpty, s"no such table: $ns.$t")
     val v = version.getOrElse(vs.last)
     val rels = manifestEntries(ns, t, v)
-    def overlaps(rel: String): Boolean = commitStats(ns, t, rel) match {
-      case Some((_, cols)) => cols.get(column) match {
-        case Some((kind, mn, mx)) =>
-          if (kind == "num") {
-            val (l, h) = (BigDecimal(lo.toString), BigDecimal(hi.toString))
-            BigDecimal(mx) >= l && BigDecimal(mn) <= h
-          } else mx >= lo.toString && mn <= hi.toString
-        case None => true // column not covered by stats
-      }
-      case None => true // pre-stats commit
-    }
-    val kept = rels.filter(overlaps)
+    val kept = rels.filter(rel => statsMayOverlap(ns, t, rel, column, lo, hi))
     val base =
       if (kept.isEmpty)
         // every commit pruned: an empty frame with the table's schema
         read(ns, t, Some(v)).limit(0)
-      else SchemaTools.unifySchemas(kept.map { rel =>
-        val d = new Path(tPath(ns, t), rel).toString
-        spark.read.option("basePath", d).parquet(d)
-      })
+      else readDirs(ns, t, kept)
     import org.apache.spark.sql.functions.{col => c, lit}
     base.filter(c(column) >= lit(lo) && c(column) <= lit(hi))
   }

@@ -13,12 +13,25 @@ import org.apache.spark.sql.functions.col
   *   2. target exists, no key       → INSERT OVERWRITE.
   *   3. target missing              → CREATE TABLE AS SELECT.
   *
-  * The upsert is copy-on-write: `target ANTI-JOIN source  UNION BY NAME
-  * source`. The anti-join shuffles both sides by the key once; with AQE on,
-  * a small source side broadcasts automatically, so at 100 TB the common
-  * "small delta into big table" case never shuffles the big table. (A
-  * production system prunes rewrite scope to affected partitions; here the
-  * snapshot granularity is the whole table, like reference's overwrite.)
+  * The upsert is FILE-SCOPED copy-on-write, the Iceberg `MERGE INTO`
+  * rewrite shape (reference: utils/merge_utils.py:70-82 rewrites only
+  * matched data files):
+  *
+  *   1. PRUNE — commits whose recorded key [min, max] (the per-commit
+  *      stats sidecars) cannot contain any delta key are dropped from the
+  *      plan without touching their data.
+  *   2. PLAN — one semi-join of the surviving candidates' key column
+  *      against the (broadcastable) delta keys finds the commits that hold
+  *      actual matches; candidates that merely overlap in range keep their
+  *      manifest entries verbatim.
+  *   3. REWRITE — only the touched commits are read, anti-joined against
+  *      the delta keys and re-unioned with the delta into ONE fresh commit
+  *      dir; every untouched commit's dir is never read or rewritten.
+  *
+  * At 100 TB a daily upsert of 0.1% of rows therefore costs the IO of the
+  * overlapping commits, not the table — and the whole commit is CAS'd
+  * against the version the plan read, so a concurrent writer conflicts
+  * loudly instead of being resurrected or clobbered.
   */
 final class TableMerger(catalog: LakeCatalog) {
 
@@ -62,7 +75,6 @@ final class TableMerger(catalog: LakeCatalog) {
 
     val strategy = (keyCol, targetExists) match {
       case (Some(k), true) =>
-        val target = catalog.read(ns, table)
         // MERGE INTO updates a matched target row ONCE (and the reference's
         // engine errors on multiple source matches) — so a source carrying
         // duplicate key values must collapse to one row per key first, or
@@ -70,9 +82,7 @@ final class TableMerger(catalog: LakeCatalog) {
         // winner deterministically (max over the orderable non-key columns)
         // rather than dropDuplicates' partition-order lottery.
         val deduped = dedupeOnKey(src, k)
-        val kept = target.join(deduped.select(col(k)), Seq(k), "left_anti")
-        val merged = kept.unionByName(deduped, allowMissingColumns = true)
-        catalog.write(ns, table, merged, SaveMode.Overwrite)
+        mergeScoped(deduped, ns, table, k)
         s"MERGE (upsert) using key `$k`"
       case (None, true) =>
         catalog.write(ns, table, src, SaveMode.Overwrite)
@@ -83,5 +93,43 @@ final class TableMerger(catalog: LakeCatalog) {
           k.map(kk => s" (Key `$kk` available for future merges)").getOrElse("")
     }
     MergeResult(strategy, sourceRows, catalog.rowCount(ns, table))
+  }
+
+  /** The file-scoped upsert itself (steps PRUNE → PLAN → REWRITE of the
+    * class doc). `deduped` must already be one row per key.
+    */
+  private def mergeScoped(deduped: DataFrame, ns: String, table: String, k: String): Unit = {
+    import org.apache.spark.sql.functions.{lit, max => fmax, min => fmin}
+    val (base, rels) = catalog.latestEntries(ns, table)
+
+    // PRUNE: commits whose key range can't contain any delta key. Bounds
+    // come from one tiny agg over the delta; all-null/empty bounds (or a
+    // key the stats never covered) disable pruning, never correctness.
+    val b = deduped.agg(fmin(col(k)), fmax(col(k))).head()
+    val candidates =
+      if (b.isNullAt(0) || b.isNullAt(1)) rels
+      else rels.filter(rel => catalog.statsMayOverlap(ns, table, rel, k, b.get(0), b.get(1)))
+
+    // PLAN: which candidates hold actual key matches. One job — the scan
+    // reads only the key column, the delta side broadcasts under AQE, and
+    // the distinct output is bounded by the commit count.
+    val keys = deduped.select(col(k))
+    val tag = "_graft_commit"
+    val touched: Set[String] =
+      if (candidates.isEmpty) Set.empty
+      else catalog.readTagged(ns, table, candidates, tag)
+        .join(keys, Seq(k), "left_semi")
+        .select(tag).distinct().collect().map(_.getString(0)).toSet
+
+    // REWRITE: touched commits lose their matched rows; the delta (updates
+    // + brand-new keys) lands in the same fresh commit dir. Untouched
+    // commits keep their manifest entries verbatim.
+    val kept =
+      if (touched.isEmpty) deduped.limit(0) // pure insert: schema of the delta
+      else catalog.readDirs(ns, table, rels.filter(touched))
+        .join(keys, Seq(k), "left_anti")
+    val merged = kept.unionByName(deduped, allowMissingColumns = true)
+    catalog.commitRewrite(ns, table, base, touched, merged)
+    ()
   }
 }

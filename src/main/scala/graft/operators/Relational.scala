@@ -516,13 +516,13 @@ object Relational {
       // CREATE TABLE fails with LOCATION_ALREADY_EXISTS.
       def resetSlot(name: String): Unit = {
         s.sql(s"DROP TABLE IF EXISTS $name")
-        val loc = java.nio.file.Paths.get(
-          java.net.URI.create(s.conf.get("spark.sql.warehouse.dir")).getPath, name)
-        if (java.nio.file.Files.exists(loc)) {
-          import scala.jdk.CollectionConverters._
-          scala.util.Using.resource(java.nio.file.Files.walk(loc))(
-            _.iterator.asScala.toSeq.reverse.foreach(java.nio.file.Files.delete))
-        }
+        // Hadoop FS, not java.nio: the warehouse dir follows the session
+        // config and may be any scheme (file://, hdfs://, s3a://) — same
+        // contract as the lake catalog's metadata IO.
+        val loc = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), name)
+        val fs = loc.getFileSystem(s.sessionState.newHadoopConf())
+        if (fs.exists(loc)) fs.delete(loc, true)
       }
       // Bucketed tables are PERSISTENT artifacts — write once, join
       // exchange-free forever after. Rebuild only when this session hasn't

@@ -138,20 +138,26 @@ object MultiFormatReader {
     * (schema_manager.py:118-140, README "Per-file error isolation").
     */
   def loadDirectory(spark: SparkSession, baseDir: String): Seq[IngestedTable] = {
-    val base = new java.io.File(baseDir)
-    def files(sub: String, exts: String*): Seq[java.io.File] = {
-      val d = new java.io.File(base, sub)
-      Option(d.listFiles()).toSeq.flatten
-        .filter(f => exts.exists(e => f.getName.toLowerCase.endsWith(e)))
+    // Hadoop FS, not java.io: the source dir follows the same scheme
+    // contract as the lake catalog (file://, hdfs://, s3a://), so the
+    // Orchestrator can ingest straight from object storage.
+    import org.apache.hadoop.fs.Path
+    val base = new Path(baseDir)
+    val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+    def files(sub: String, exts: String*): Seq[Path] = {
+      val d = new Path(base, sub)
+      if (!fs.exists(d)) Nil
+      else fs.listStatus(d).toSeq.filter(_.isFile).map(_.getPath)
+        .filter(p => exts.exists(e => p.getName.toLowerCase.endsWith(e)))
         .sortBy(_.getName)
     }
-    def stem(f: java.io.File): String =
-      SchemaTools.sanitizeName(f.getName.replaceAll("\\.[^.]+$", ""))
+    def stem(p: Path): String =
+      SchemaTools.sanitizeName(p.getName.replaceAll("\\.[^.]+$", ""))
 
-    def ingest(f: java.io.File, fmt: String, read: String => DataFrame): Option[IngestedTable] = {
+    def ingest(p: Path, fmt: String, read: String => DataFrame): Option[IngestedTable] = {
       var df: DataFrame = null
       try {
-        df = read(f.getAbsolutePath)
+        df = read(p.toString)
         val rows = df.count()
         // The parse cache stays PINNED until the caller is done staging:
         // unpersisting here would hand back a frame whose plan still filters
@@ -161,13 +167,13 @@ object MultiFormatReader {
         // once writes complete (Orchestrator does; so should batch jobs —
         // otherwise directory ingestion pins every parsed file).
         if (rows == 0) { df.unpersist(); None }
-        else Some(IngestedTable(df, s"${fmt.toLowerCase}_${stem(f)}", fmt, rows, df.columns.length))
+        else Some(IngestedTable(df, s"${fmt.toLowerCase}_${stem(p)}", fmt, rows, df.columns.length))
       } catch {
         case e: Throwable =>
           // a skipped file must not leave its parse cache registered (an
           // all-corrupt file throws on the count AFTER cache registration)
           if (df != null) { try df.unpersist() catch { case _: Throwable => () } }
-          System.err.println(s"[ingest] skipping ${f.getName}: ${e.getMessage}")
+          System.err.println(s"[ingest] skipping ${p.getName}: ${e.getMessage}")
           None
       }
     }

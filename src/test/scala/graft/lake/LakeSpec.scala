@@ -333,6 +333,93 @@ class LakeSpec extends SparkSpec {
     assert(cat.read("ns", "t").collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 2, 3))
   }
 
+  // (relative file path, length, mtime) of every data file under a commit
+  // dir — the "byte-identical" fingerprint for file-scoped rewrite tests
+  private def dirFingerprint(cat: LakeCatalog, ns: String, t: String, rel: String) = {
+    val base = java.nio.file.Paths.get(cat.root, ns, t, rel)
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(base).iterator().asScala
+      .filter(java.nio.file.Files.isRegularFile(_))
+      .map(p => (base.relativize(p).toString, java.nio.file.Files.size(p),
+        java.nio.file.Files.getLastModifiedTime(p).toMillis))
+      .toSet
+  }
+
+  test("MERGE is file-scoped: only commits holding matched keys are rewritten") {
+    val cat = freshCatalog()
+    val merger = new TableMerger(cat)
+    import spark.implicits._
+    // three commits with disjoint key ranges
+    cat.write("ns", "fs", (1 to 10).map(i => (i, "a")).toDF("id", "v"))                // A: 1..10
+    cat.write("ns", "fs", (11 to 20).map(i => (i, "b")).toDF("id", "v"), SaveMode.Append) // B: 11..20
+    cat.write("ns", "fs", (21 to 30).map(i => (i, "c")).toDF("id", "v"), SaveMode.Append) // C: 21..30
+    val (v3, rels) = cat.latestEntries("ns", "fs")
+    assert(v3 == 3 && rels.length == 3)
+    val before = rels.map(r => r -> dirFingerprint(cat, "ns", "fs", r)).toMap
+    // delta hits only B (key 15) plus a brand-new key beyond every range
+    val r = merger.mergeTable(Seq((15, "X"), (35, "new")).toDF("id", "v"), "ns", "fs")
+    assert(r.strategy.startsWith("MERGE") && r.finalRows == 31)
+    val (v4, after) = cat.latestEntries("ns", "fs")
+    assert(v4 == 4)
+    // A (stats-pruned) and C (range overlap 21..30 vs [15,35] but no actual
+    // match) keep their manifest entries VERBATIM; B is replaced
+    val (bRel, others) = (rels(1), Seq(rels(0), rels(2)))
+    others.foreach { rel =>
+      assert(after.contains(rel), s"untouched commit $rel must stay in the manifest")
+      assert(dirFingerprint(cat, "ns", "fs", rel) == before(rel),
+        s"untouched commit $rel was rewritten")
+    }
+    assert(!after.contains(bRel), "matched commit must be replaced")
+    assert(after.length == 3, s"expected 2 kept + 1 fresh dir, got $after")
+    // contents: update landed, insert landed, everything else intact
+    val back = cat.read("ns", "fs").orderBy("id")
+      .collect().map(x => (x.getInt(0), x.getString(1)))
+    assert(back.length == 31)
+    assert(back.contains((15, "X")) && back.contains((35, "new")))
+    assert(back.contains((14, "b")) && back.contains((1, "a")) && back.contains((30, "c")))
+  }
+
+  test("DELETE is file-scoped: untouched commits keep their dirs byte-identical") {
+    val cat = freshCatalog()
+    import spark.implicits._
+    cat.write("ns", "fd", (1 to 10).map(i => (i, i % 2 == 0)).toDF("id", "drop"))
+    cat.write("ns", "fd", (11 to 20).map(i => (i, false)).toDF("id", "drop"), SaveMode.Append)
+    val (_, rels) = cat.latestEntries("ns", "fd")
+    val before = rels.map(r => r -> dirFingerprint(cat, "ns", "fd", r)).toMap
+    cat.delete("ns", "fd", col("drop"))
+    val (_, after) = cat.latestEntries("ns", "fd")
+    // second commit has no matches → entry + dir untouched
+    assert(after.contains(rels(1)) && !after.contains(rels(0)))
+    assert(dirFingerprint(cat, "ns", "fd", rels(1)) == before(rels(1)))
+    assert(cat.read("ns", "fd").count() == 15)
+    assert(cat.read("ns", "fd").filter("drop").count() == 0)
+    assert(cat.read("ns", "fd", Some(2)).count() == 20) // time travel intact
+  }
+
+  test("DELETE with no matches publishes a metadata-only snapshot") {
+    val cat = freshCatalog()
+    import spark.implicits._
+    cat.write("ns", "nm", Seq((1, "keep"), (2, "keep")).toDF("id", "v"))
+    val (_, rels) = cat.latestEntries("ns", "nm")
+    val before = dirFingerprint(cat, "ns", "nm", rels.head)
+    cat.delete("ns", "nm", col("v") === "nothing-matches")
+    assert(cat.versions("ns", "nm") == Seq(1, 2))
+    val (_, after) = cat.latestEntries("ns", "nm")
+    assert(after == rels, "no-match delete must keep every entry verbatim")
+    assert(dirFingerprint(cat, "ns", "nm", rels.head) == before)
+    assert(cat.rowCount("ns", "nm") == 2)
+  }
+
+  test("DELETE of every row leaves an empty, readable table with its schema") {
+    val cat = freshCatalog()
+    import spark.implicits._
+    cat.write("ns", "all", Seq((1, "x"), (2, "y")).toDF("id", "v"))
+    cat.delete("ns", "all", lit(true))
+    val back = cat.read("ns", "all")
+    assert(back.count() == 0)
+    assert(back.columns.toSeq == Seq("id", "v"))
+  }
+
   test("merge collapses duplicate source keys to ONE deterministic row (MERGE semantics)") {
     val cat = freshCatalog()
     val merger = new TableMerger(cat)

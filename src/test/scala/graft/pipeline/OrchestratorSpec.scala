@@ -46,4 +46,18 @@ class OrchestratorSpec extends SparkSpec {
     // the report renders a per-table console summary (reference parity)
     assert(r2.render.contains("MERGE (upsert) using key `id`"), r2.render)
   }
+
+  test("source dir and lake root both work through scheme-qualified file:// URIs") {
+    // the ingestion scan and the catalog speak the same Hadoop FS contract:
+    // the whole pipeline must run when BOTH ends are URI-addressed (the
+    // object-store deployment shape — s3a:// swaps in via config alone)
+    val base = Files.createTempDirectory("graft_pipe_uri").toString
+    Files.createDirectories(Paths.get(base, "csv"))
+    Files.writeString(Paths.get(base, "csv", "t.csv"), "id,v\n1,a\n2,b\n")
+    val cat = graft.lake.LakeCatalog(spark,
+      "file://" + Files.createTempDirectory("graft_pipe_uri_lake").toString)
+    val r = Orchestrator.run(spark, "file://" + base, cat, "raw")
+    assert(r.staged == 1 && r.merged == 1 && r.failed == 0, r.render)
+    assert(cat.rowCount("raw", "csv_t") == 2)
+  }
 }
