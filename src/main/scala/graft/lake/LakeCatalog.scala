@@ -42,17 +42,29 @@ final class CommitConflictException(msg: String) extends RuntimeException(msg)
   * `expectedVersion` lets callers pin the version they staged against and a
   * mismatch raises [[CommitConflictException]] instead of silently
   * clobbering a concurrent commit. The final publish is a rename onto a
-  * name that must not exist — atomic compare-and-set on HDFS (rename fails
-  * if the destination exists); on local and S3 filesystems the exists-check
-  * narrows the race to the rename call itself, and a production S3
-  * deployment would back this with a conditional-put catalog service, as
-  * Iceberg's REST catalog does.
+  * name that must not exist. Which steps are truly atomic is a property of
+  * the store, captured by the [[CommitBackend]] seam and its guarantee
+  * matrix: POSIX/HDFS give atomic claim + publish; a plain object store
+  * keeps every SEQUENTIAL guarantee (strong listing catches stale writers)
+  * but racing same-version writers can double-publish — the step a
+  * production S3 deployment backs with conditional put (S3 If-None-Match /
+  * an Iceberg REST-catalog commit endpoint). ObjectStoreCommitSpec pins
+  * the matrix against a simulated store in both modes.
   */
-final class LakeCatalog(spark: SparkSession, val root: String) {
+final class LakeCatalog(
+    spark: SparkSession,
+    val root: String,
+    backendOpt: Option[CommitBackend] = None) {
 
   private val rootPath = new Path(root)
   private lazy val fs: FileSystem =
     rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+  /** All manifest/lock IO of the commit protocol goes through this seam —
+    * see [[CommitBackend]] for the per-store guarantee matrix. Data IO
+    * (parquet commits, stats sidecars) stays on Spark/FileSystem directly.
+    */
+  private lazy val backend: CommitBackend =
+    backendOpt.getOrElse(new HadoopCommitBackend(fs))
 
   private def nsPath(ns: String): Path = new Path(rootPath, ns)
   private def tPath(ns: String, t: String): Path = new Path(nsPath(ns), t)
@@ -80,50 +92,35 @@ final class LakeCatalog(spark: SparkSession, val root: String) {
 
   // ----- snapshots -------------------------------------------------------
 
-  def versions(ns: String, t: String): Seq[Int] = {
-    val d = manifestDir(ns, t)
-    if (!fs.exists(d)) Nil
-    else fs.listStatus(d).map(_.getPath.getName)
-      .filter(_.matches("v\\d+\\.txt")).map(_.drop(1).dropRight(4).toInt).toSeq.sorted
-  }
+  def versions(ns: String, t: String): Seq[Int] =
+    backend.list(manifestDir(ns, t))
+      .filter(_.matches("v\\d+\\.txt")).map(_.drop(1).dropRight(4).toInt).sorted
 
-  private def manifestEntries(ns: String, t: String, version: Int): Seq[String] = {
-    val bytes = Using.resource(fs.open(manifestFile(ns, t, version)))(_.readAllBytes())
-    new String(bytes, StandardCharsets.UTF_8).split("\n").toSeq
-      .map(_.trim).filter(_.nonEmpty)
-  }
+  private def manifestEntries(ns: String, t: String, version: Int): Seq[String] =
+    new String(backend.readBytes(manifestFile(ns, t, version)), StandardCharsets.UTF_8)
+      .split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
 
   /** How long a version lock may sit without its manifest appearing before
     * it is considered abandoned by a crashed writer and broken.
     */
   val LockStaleMs: Long = 60000L
 
-  /** Atomically claim the right to publish a version. On `file://` roots
-    * this is a POSIX O_EXCL create (truly atomic — Hadoop's local create is
-    * only check-then-create); on HDFS, Hadoop's create-exclusive is atomic;
-    * on object stores it is best-effort (a production S3 deployment backs
-    * commits with a conditional-put catalog service, as Iceberg's REST
-    * catalog does). A lock older than [[LockStaleMs]] whose manifest never
-    * appeared is a crashed writer: it is broken and re-claimed once.
+  /** Atomically claim the right to publish a version — atomic exactly
+    * where the backend's `createExclusive` is (see [[CommitBackend]]'s
+    * guarantee matrix; on plain object stores it is best-effort and a
+    * production deployment backs commits with a conditional-put catalog
+    * service, as Iceberg's REST catalog does). A lock older than
+    * [[LockStaleMs]] whose manifest never appeared is a crashed writer: it
+    * is broken and re-claimed once.
     */
-  private def claim(lock: Path, target: Path): Boolean = {
-    def tryOnce(): Boolean =
-      if (fs.getScheme == "file") {
-        try {
-          java.nio.file.Files.createFile(java.nio.file.Paths.get(lock.toUri.getPath))
-          true
-        } catch { case _: java.nio.file.FileAlreadyExistsException | _: java.io.IOException => false }
-      } else {
-        try { fs.create(lock, false).close(); true }
-        catch { case _: java.io.IOException => false }
+  private def claim(lock: Path, target: Path): Boolean =
+    backend.createExclusive(lock) || {
+      val stale = backend.mtime(lock)
+        .exists(m => System.currentTimeMillis() - m > LockStaleMs)
+      stale && !backend.exists(target) && {
+        backend.delete(lock); backend.createExclusive(lock)
       }
-    tryOnce() || {
-      val stale =
-        try System.currentTimeMillis() - fs.getFileStatus(lock).getModificationTime > LockStaleMs
-        catch { case _: java.io.IOException => false }
-      stale && !fs.exists(target) && { fs.delete(lock, false); tryOnce() }
     }
-  }
 
   /** Publish `dataDirs` as the next version. Optimistic: verifies the
     * current latest against `expectedVersion` (when given), atomically
@@ -137,7 +134,7 @@ final class LakeCatalog(spark: SparkSession, val root: String) {
       t: String,
       dataDirs: Seq[String],
       expectedVersion: Option[Int]): Int = {
-    fs.mkdirs(manifestDir(ns, t))
+    backend.mkdirs(manifestDir(ns, t))
     val cur = versions(ns, t).lastOption.getOrElse(0)
     expectedVersion.foreach { e =>
       if (cur != e) throw new CommitConflictException(
@@ -152,18 +149,17 @@ final class LakeCatalog(spark: SparkSession, val root: String) {
     try {
       val tmp = new Path(manifestDir(ns, t),
         s".v$v-${java.util.UUID.randomUUID().toString}.tmp")
-      Using.resource(fs.create(tmp, false))(
-        _.write(dataDirs.mkString("\n").getBytes(StandardCharsets.UTF_8)))
-      // the claim makes a same-version racer impossible; the exists check
+      backend.writeBytes(tmp,
+        dataDirs.mkString("\n").getBytes(StandardCharsets.UTF_8))
+      // the claim makes a same-version racer impossible; renameIfAbsent
       // stays as belt-and-braces against external interference
-      val won = !fs.exists(target) && fs.rename(tmp, target)
-      if (!won) {
-        fs.delete(tmp, false)
+      if (!backend.renameIfAbsent(tmp, target)) {
+        backend.delete(tmp)
         throw new CommitConflictException(
           s"concurrent writer published $ns.$t v$v first")
       }
       v
-    } finally { fs.delete(lock, false); () }
+    } finally { backend.delete(lock) }
   }
 
   // ----- read/write ------------------------------------------------------
@@ -349,7 +345,7 @@ final class LakeCatalog(spark: SparkSession, val root: String) {
     val (expired, kept) = vs.splitAt(math.max(0, vs.length - keepLast))
     val keptDirs = kept.flatMap(v => manifestEntries(ns, t, v)).toSet
     val expiredDirs = expired.flatMap(v => manifestEntries(ns, t, v)).toSet -- keptDirs
-    expired.foreach(v => fs.delete(manifestFile(ns, t, v), false))
+    expired.foreach(v => backend.delete(manifestFile(ns, t, v)))
     expiredDirs.foreach(rel => deleteRec(new Path(tPath(ns, t), rel)))
     expiredDirs.size
   }
@@ -494,8 +490,16 @@ final class LakeCatalog(spark: SparkSession, val root: String) {
 }
 
 object LakeCatalog {
-  def apply(spark: SparkSession, root: String): LakeCatalog = {
-    val cat = new LakeCatalog(spark, root)
+  def apply(spark: SparkSession, root: String): LakeCatalog =
+    apply(spark, root, None)
+
+  /** Catalog with an explicit commit backend — the seam the object-store
+    * simulator (test tree) plugs into; production callers use the default
+    * Hadoop backend.
+    */
+  def apply(spark: SparkSession, root: String,
+      backend: Option[CommitBackend]): LakeCatalog = {
+    val cat = new LakeCatalog(spark, root, backend)
     cat.createRoot()
     cat
   }

@@ -93,6 +93,19 @@ class PlanQualitySpec extends SparkSpec {
     assert(skew.findFirstIn(pm).isEmpty, pm)
   }
 
+  test("q_det_sample: single pruned scan, codegen'd filter, partial agg") {
+    // pins the shape behind SURVEY §6's round-4 finding: the plan is a
+    // one-column-family scan + in-codegen md5-prefix filter + partial
+    // aggregate — any regression that could explain a multi-x timing jump
+    // (extra scan, broken partial agg, codegen fallback) fails here
+    val p = plan(operators.RelationalAnalytics.qDetSample)
+    assert("FileScan".r.findAllIn(p).length == 1, p)
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("Window"), p)
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("o_comment") && !readSchema.contains("o_custkey"), readSchema)
+  }
+
   test("lake_constraints FK check is a broadcast anti-join") {
     val p = plan(operators.IngestLake.lakeConstraints)
     assert(p.contains("BroadcastHashJoin LeftAnti") ||
