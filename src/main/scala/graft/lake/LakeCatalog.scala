@@ -66,6 +66,22 @@ final class LakeCatalog(
   private lazy val backend: CommitBackend =
     backendOpt.getOrElse(new HadoopCommitBackend(fs))
 
+  /** Lake commits write modern INT64-micros timestamps, not the session's
+    * default (Spark still defaults to deprecated INT96, whose footers
+    * carry no usable min/max — timestamp columns would lose commit-stats
+    * pruning entirely). Scoped to lake writes so the engine's other
+    * parquet outputs keep their session-default representation.
+    */
+  private def withMicrosTimestamps[T](f: => T): T = {
+    val key = "spark.sql.parquet.outputTimestampType"
+    val prev = try Some(spark.conf.get(key)) catch { case _: Throwable => None }
+    spark.conf.set(key, "TIMESTAMP_MICROS")
+    try f finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   private def nsPath(ns: String): Path = new Path(rootPath, ns)
   private def tPath(ns: String, t: String): Path = new Path(nsPath(ns), t)
   private def manifestDir(ns: String, t: String): Path = new Path(tPath(ns, t), "manifests")
@@ -225,9 +241,11 @@ final class LakeCatalog(
     val commitId = java.util.UUID.randomUUID().toString
     val rel = s"data/$commitId"
     val out = new Path(tPath(ns, t), rel)
-    val writer = df.write.mode(SaveMode.Overwrite)
-    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
-      .parquet(out.toString)
+    withMicrosTimestamps {
+      val writer = df.write.mode(SaveMode.Overwrite)
+      (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
+        .parquet(out.toString)
+    }
     writeStats(ns, t, rel)
     mode match {
       case SaveMode.Append if tableExists(ns, t) =>
@@ -267,7 +285,9 @@ final class LakeCatalog(
     require(unknown.isEmpty, s"not in v$baseVersion of $ns.$t: ${unknown.mkString(",")}")
     val rel = s"data/${java.util.UUID.randomUUID().toString}"
     val out = new Path(tPath(ns, t), rel)
-    replacement.write.mode(SaveMode.Overwrite).parquet(out.toString)
+    withMicrosTimestamps {
+      replacement.write.mode(SaveMode.Overwrite).parquet(out.toString)
+    }
     val rows = writeStats(ns, t, rel)
     val kept = entries.filterNot(replaced)
     val next =
@@ -371,8 +391,29 @@ final class LakeCatalog(
 
   /** Returns the commit's row count (free here, reused by callers that
     * need to know whether the freshly written dir is empty).
+    *
+    * Stats come from the freshly written files' parquet FOOTERS — no
+    * second scan of the data ([[ParquetFooterStats]]); layouts the footer
+    * reader can't cover scan-equivalently (partitioned commits, exotic
+    * types) fall back to one aggregation scan of the new commit only.
     */
   private def writeStats(ns: String, t: String, rel: String): Long = {
+    val dir = new Path(tPath(ns, t), rel)
+    ParquetFooterStats.forDir(fs, spark.sessionState.newHadoopConf(), dir,
+        spark.sessionState.conf.sessionLocalTimeZone) match {
+      case Some((rows, cols)) =>
+        val lines = s"rows\t$rows" +: cols.map { case (name, (kind, mn, mx)) =>
+          s"col\t${enc(name)}\t$kind\t${enc(mn)}\t${enc(mx)}"
+        }
+        Using.resource(fs.create(statsFile(ns, t, rel), true))(
+          _.write(lines.mkString("\n").getBytes(StandardCharsets.UTF_8)))
+        rows
+      case None => scanStats(ns, t, rel)
+    }
+  }
+
+  /** The fallback stats path: one aggregation scan of the commit dir. */
+  private def scanStats(ns: String, t: String, rel: String): Long = {
     import org.apache.spark.sql.functions.{col, count, lit, max => fmax, min => fmin}
     import org.apache.spark.sql.types._
     val df = spark.read.parquet(new Path(tPath(ns, t), rel).toString)

@@ -1,0 +1,159 @@
+package graft.lake
+
+import java.time.{Instant, LocalDate, ZoneId}
+import java.time.format.DateTimeFormatter
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.io.api.Binary
+import org.apache.parquet.schema.{LogicalTypeAnnotation, PrimitiveType}
+import org.apache.parquet.schema.LogicalTypeAnnotation._
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+
+/** Commit statistics from parquet FOOTERS — zero data scan. The write path
+  * already paid for footer min/max/rowcount when it wrote the files;
+  * re-deriving the commit sidecar from them removes the extra stats job
+  * per commit (at 100 TB: one fewer full read of every fresh commit).
+  *
+  * Output is format-compatible with the scan-derived sidecar (values as
+  * Spark `cast(col AS STRING)` would render them, "num"/"str" kinds by the
+  * same rule), so [[LakeCatalog.readWhere]] prunes identically whichever
+  * path produced the stats — ParquetStatsSpec pins byte-equality of the
+  * two sidecars on a mixed-type table.
+  *
+  * Conservative by construction: any shape this reader does not fully
+  * understand (partitioned commit layout, INT96, truncated/absent binary
+  * stats, unknown logical types) returns None for the column or the whole
+  * dir, and the caller falls back to the scan — stats may then cost more,
+  * but pruning never lies.
+  */
+private[lake] object ParquetFooterStats {
+
+  /** (rowCount, col -> (kind, minString, maxString)) for one commit dir,
+    * or None when footers can't provide scan-equivalent stats.
+    */
+  def forDir(fs: FileSystem, conf: Configuration, dir: Path,
+      sessionTz: String): Option[(Long, Seq[(String, (String, String, String))])] = {
+    if (!fs.exists(dir)) return None
+    val entries = fs.listStatus(dir)
+    // hive-style partitioned commits keep values in dir names, not footers
+    if (entries.exists(_.isDirectory)) return None
+    val parts = entries.filter(_.isFile).map(_.getPath)
+      .filter(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("_") &&
+        !p.getName.startsWith("."))
+    if (parts.isEmpty) return None
+
+    var rows = 0L
+    // accumulated (kind, min, max) per column, in schema order of first file
+    val acc = scala.collection.mutable.LinkedHashMap[String, (String, String, String)]()
+    val unsupported = scala.collection.mutable.Set[String]()
+
+    import scala.jdk.CollectionConverters._
+    for (part <- parts) {
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(part, conf))
+      try {
+        val footer = reader.getFooter
+        for (block <- footer.getBlocks.asScala) {
+          rows += block.getRowCount
+          for (chunk <- block.getColumns.asScala) {
+            val colPath = chunk.getPath.toDotString
+            if (!colPath.contains('.') && !unsupported.contains(colPath)) {
+              val stats = chunk.getStatistics
+              if (stats == null) unsupported += colPath
+              else if (!stats.hasNonNullValue) () // all-null chunk: contributes nothing
+              else render(chunk.getPrimitiveType, stats, sessionTz) match {
+                case None => unsupported += colPath
+                case Some((kind, mn, mx)) =>
+                  acc.get(colPath) match {
+                    case None => acc(colPath) = (kind, mn, mx)
+                    case Some((k0, mn0, mx0)) =>
+                      acc(colPath) = (k0, minOf(k0, mn0, mn), maxOf(k0, mx0, mx))
+                  }
+              }
+            }
+          }
+        }
+      } finally reader.close()
+    }
+    unsupported.foreach(acc.remove)
+    Some((rows, acc.toSeq))
+  }
+
+  private def minOf(kind: String, a: String, b: String): String =
+    if (kind == "num") { if (BigDecimal(a) <= BigDecimal(b)) a else b }
+    else { if (a <= b) a else b }
+  private def maxOf(kind: String, a: String, b: String): String =
+    if (kind == "num") { if (BigDecimal(a) >= BigDecimal(b)) a else b }
+    else { if (a >= b) a else b }
+
+  private val TsFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+
+  /** Render one chunk's (min, max) exactly as Spark's cast-to-string
+    * would, or None when this type/stat shape isn't supported.
+    */
+  private def render(pt: PrimitiveType, stats: org.apache.parquet.column.statistics.Statistics[_],
+      sessionTz: String): Option[(String, String, String)] = {
+    val logical = pt.getLogicalTypeAnnotation
+    def num(mn: String, mx: String) = Some(("num", mn, mx))
+    def str(mn: String, mx: String) = Some(("str", mn, mx))
+
+    (pt.getPrimitiveTypeName, logical) match {
+      case (INT32, d: DateLogicalTypeAnnotation) =>
+        val _ = d
+        str(LocalDate.ofEpochDay(stats.genericGetMin.asInstanceOf[Int].toLong).toString,
+          LocalDate.ofEpochDay(stats.genericGetMax.asInstanceOf[Int].toLong).toString)
+      case (INT32, dec: DecimalLogicalTypeAnnotation) =>
+        num(BigDecimal(java.math.BigDecimal.valueOf(stats.genericGetMin.asInstanceOf[Int].toLong, dec.getScale)).toString,
+          BigDecimal(java.math.BigDecimal.valueOf(stats.genericGetMax.asInstanceOf[Int].toLong, dec.getScale)).toString)
+      case (INT32, null) | (INT32, _: IntLogicalTypeAnnotation) =>
+        num(stats.genericGetMin.toString, stats.genericGetMax.toString)
+      case (INT64, ts: TimestampLogicalTypeAnnotation) =>
+        if (!ts.isAdjustedToUTC) None // Spark TIMESTAMP_NTZ: not in statCols
+        else {
+          val unit = ts.getUnit
+          if (unit != LogicalTypeAnnotation.TimeUnit.MICROS &&
+            unit != LogicalTypeAnnotation.TimeUnit.MILLIS) None
+          else {
+            def fmt(v: Long): String = {
+              val micros = if (unit == LogicalTypeAnnotation.TimeUnit.MILLIS) v * 1000L else v
+              val secs = Math.floorDiv(micros, 1000000L)
+              val frac = Math.floorMod(micros, 1000000L)
+              val base = Instant.ofEpochSecond(secs).atZone(ZoneId.of(sessionTz)).format(TsFmt)
+              if (frac == 0L) base
+              else base + "." + f"$frac%06d".reverse.dropWhile(_ == '0').reverse
+            }
+            str(fmt(stats.genericGetMin.asInstanceOf[Long]),
+              fmt(stats.genericGetMax.asInstanceOf[Long]))
+          }
+        }
+      case (INT64, dec: DecimalLogicalTypeAnnotation) =>
+        num(BigDecimal(java.math.BigDecimal.valueOf(stats.genericGetMin.asInstanceOf[Long], dec.getScale)).toString,
+          BigDecimal(java.math.BigDecimal.valueOf(stats.genericGetMax.asInstanceOf[Long], dec.getScale)).toString)
+      case (INT64, null) | (INT64, _: IntLogicalTypeAnnotation) =>
+        num(stats.genericGetMin.toString, stats.genericGetMax.toString)
+      case (FLOAT, _) =>
+        num(stats.genericGetMin.toString, stats.genericGetMax.toString)
+      case (DOUBLE, _) =>
+        num(stats.genericGetMin.toString, stats.genericGetMax.toString)
+      case (BINARY, l) if l.isInstanceOf[StringLogicalTypeAnnotation] ||
+          l.isInstanceOf[EnumLogicalTypeAnnotation] =>
+        val mn = stats.genericGetMin.asInstanceOf[Binary].toStringUsingUTF8
+        val mx = stats.genericGetMax.asInstanceOf[Binary].toStringUsingUTF8
+        // writer-truncated stats would make max a PREFIX of the true max —
+        // unsafe as an upper bound; 64 is parquet-mr's truncation boundary
+        if (mn.getBytes("UTF-8").length >= 64 || mx.getBytes("UTF-8").length >= 64) None
+        else str(mn, mx)
+      case (BINARY, dec: DecimalLogicalTypeAnnotation) =>
+        def big(b: Binary) = BigDecimal(BigInt(b.getBytes), dec.getScale)
+        num(big(stats.genericGetMin.asInstanceOf[Binary]).toString,
+          big(stats.genericGetMax.asInstanceOf[Binary]).toString)
+      case (FIXED_LEN_BYTE_ARRAY, dec: DecimalLogicalTypeAnnotation) =>
+        def big(b: Binary) = BigDecimal(BigInt(b.getBytes), dec.getScale)
+        num(big(stats.genericGetMin.asInstanceOf[Binary]).toString,
+          big(stats.genericGetMax.asInstanceOf[Binary]).toString)
+      case _ => None // INT96, plain BINARY, BOOLEAN, unknown logical types
+    }
+  }
+}

@@ -90,6 +90,18 @@ class SimilaritySpec extends SparkSpec {
     assert(cat.versions("models", "ivf_centroids") == Seq(1))
   }
 
+  test("registered ann_ivf amortizes: second invocation runs ZERO KMeans fits, same rows") {
+    // the driver-checked query itself must follow the persisted-model
+    // economics: build-if-absent into the lake, cold-start after that
+    val first = Similarity.annIvf.fn(spark, sfDir).collect().toSeq
+    val fitsAfterFirst = IvfIndex.kmeansFits.get()
+    val second = Similarity.annIvf.fn(spark, sfDir).collect().toSeq
+    assert(IvfIndex.kmeansFits.get() == fitsAfterFirst,
+      "repeat ann_ivf invocation must not re-fit the quantizer")
+    assert(second == first,
+      "cold-start rows must match the invocation that built the index")
+  }
+
   test("cosine accepts double arrays and matches the HOF formulation bit-exactly") {
     import spark.implicits._
     val df = Seq((Array(0.6, 0.8, 0.1), Array(0.3, 0.9, 0.7)))
