@@ -10,16 +10,19 @@ import java.nio.{ByteBuffer, ByteOrder}
   *    uncompressed interchange format, decodable by any image tool.
   *  - WAV: RIFF PCM, 16-bit little-endian mono — the canonical
   *    uncompressed audio container.
+  *  - PNG: 8-bit truecolor, REAL zlib compression (java.util.zip) and the
+  *    full scanline filter set (None/Sub/Up/Average/Paeth) — a genuinely
+  *    compressed format decoded end to end with zero external libraries.
   *  - GVID: a toy length-prefixed container of BMP frames standing in for
   *    a video format (real deployments decode containers with
   *    ffmpeg-class libraries; the per-frame decode below them is exactly
   *    this BMP path).
   *
-  * These replace the round-2 codec STUB for uncompressed formats: decode
-  * genuinely parses headers and pixel/sample payloads, and resize really
-  * resamples pixels. Compressed codecs (JPEG/H.264/MP3) remain out of
-  * scope in this environment — the honest boundary is now "compressed
-  * bitstreams" rather than "all decoding".
+  * These replace the round-2 codec STUB: decode genuinely parses headers,
+  * entropy-coded payloads (PNG) and pixel/sample data, and resize really
+  * resamples pixels. The remaining out-of-scope boundary is LOSSY codecs
+  * only (JPEG/H.264/MP3 — DCT/motion-compensation stacks that need
+  * ffmpeg-class libraries this environment doesn't ship).
   */
 object MediaCodec {
 
@@ -121,6 +124,170 @@ object MediaCodec {
       y += 1
     }
     out
+  }
+
+  // ----- PNG -------------------------------------------------------------
+  // A real COMPRESSED format, pure JVM: zlib (java.util.zip) + the PNG
+  // scanline filter set. Encoder cycles through all five filter types row
+  // by row (None/Sub/Up/Average/Paeth), so every decoder filter path is
+  // exercised by any round trip taller than 4 rows; decoder accepts 8-bit
+  // truecolor (RGB) and truecolor+alpha (alpha dropped), non-interlaced —
+  // what virtually every ML-pipeline PNG is.
+
+  private val PngSig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  private def crcChunk(chunkType: String, data: Array[Byte]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(12 + data.length).order(ByteOrder.BIG_ENDIAN)
+    bb.putInt(data.length)
+    val typeBytes = chunkType.getBytes("US-ASCII")
+    bb.put(typeBytes).put(data)
+    val crc = new java.util.zip.CRC32
+    crc.update(typeBytes); crc.update(data)
+    bb.putInt(crc.getValue.toInt)
+    bb.array()
+  }
+
+  /** 8-bit truecolor PNG from row-major RGB (rgb.length == w*h*3). */
+  def encodePng(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == width * height * 3, s"need ${width * height * 3} bytes")
+    val bpp = 3
+    val stride = width * bpp
+    val raw = new Array[Byte](height * (1 + stride))
+    var y = 0
+    while (y < height) {
+      val f = y % 5 // cycle every filter type — decoder coverage by construction
+      val o = y * (1 + stride)
+      raw(o) = f.toByte
+      var i = 0
+      while (i < stride) {
+        val cur = rgb(y * stride + i) & 0xff
+        val a = if (i >= bpp) rgb(y * stride + i - bpp) & 0xff else 0
+        val b = if (y > 0) rgb((y - 1) * stride + i) & 0xff else 0
+        val c = if (y > 0 && i >= bpp) rgb((y - 1) * stride + i - bpp) & 0xff else 0
+        raw(o + 1 + i) = (f match {
+          case 0 => cur
+          case 1 => cur - a
+          case 2 => cur - b
+          case 3 => cur - (a + b) / 2
+          case _ => cur - paeth(a, b, c)
+        }).toByte
+        i += 1
+      }
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val buf = new Array[Byte](8192)
+    val zout = new java.io.ByteArrayOutputStream()
+    while (!deflater.finished()) zout.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    val ihdr = ByteBuffer.allocate(13).order(ByteOrder.BIG_ENDIAN)
+      .putInt(width).putInt(height)
+      .put(8.toByte)  // bit depth
+      .put(2.toByte)  // color type: truecolor
+      .put(0.toByte).put(0.toByte).put(0.toByte) // compression/filter/interlace
+      .array()
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(PngSig)
+    out.write(crcChunk("IHDR", ihdr))
+    out.write(crcChunk("IDAT", zout.toByteArray))
+    out.write(crcChunk("IEND", Array.emptyByteArray))
+    out.toByteArray
+  }
+
+  /** Parse an 8-bit truecolor (or truecolor+alpha) non-interlaced PNG →
+    * (width, height, row-major RGB). None on anything else — per-record
+    * isolation, same contract as decodeBmp.
+    */
+  def decodePng(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    if (bytes.length < 8 + 25 || !bytes.take(8).sameElements(PngSig)) return None
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
+    var pos = 8
+    var width = -1; var height = -1; var bpp = 0
+    val idat = new java.io.ByteArrayOutputStream()
+    var done = false
+    while (!done) {
+      if (pos.toLong + 8 > bytes.length) return None
+      val len = bb.getInt(pos)
+      if (len < 0 || pos.toLong + 12 + len > bytes.length) return None
+      val ctype = new String(bytes, pos + 4, 4, "US-ASCII")
+      ctype match {
+        case "IHDR" =>
+          if (len != 13) return None
+          width = bb.getInt(pos + 8)
+          height = bb.getInt(pos + 12)
+          val depth = bytes(pos + 16) & 0xff
+          val color = bytes(pos + 17) & 0xff
+          val interlace = bytes(pos + 20) & 0xff
+          if (depth != 8 || (color != 2 && color != 6) || interlace != 0 ||
+            width <= 0 || height <= 0) return None
+          // hostile-geometry guard in LONG arithmetic before any allocation
+          if (width.toLong * height * 4 + height > Int.MaxValue) return None
+          bpp = if (color == 2) 3 else 4
+        case "IDAT" => idat.write(bytes, pos + 8, len)
+        case "IEND" => done = true
+        case _ => () // ancillary chunk: skip
+      }
+      pos += 12 + len
+    }
+    if (width <= 0 || idat.size == 0) return None
+    val stride = width * bpp
+    val expect = height * (1 + stride)
+    val raw = new Array[Byte](expect)
+    val inflater = new java.util.zip.Inflater()
+    inflater.setInput(idat.toByteArray)
+    try {
+      var off = 0
+      while (off < expect && !inflater.finished()) {
+        val n = inflater.inflate(raw, off, expect - off)
+        if (n == 0 && inflater.needsInput()) return None // truncated stream
+        off += n
+      }
+      if (off != expect) return None
+    } catch { case _: java.util.zip.DataFormatException => return None }
+    finally inflater.end()
+    // de-filter scanlines in place over a reconstruction buffer
+    val recon = new Array[Byte](height * stride)
+    var y = 0
+    while (y < height) {
+      val f = raw(y * (1 + stride)) & 0xff
+      if (f > 4) return None
+      var i = 0
+      while (i < stride) {
+        val x = raw(y * (1 + stride) + 1 + i) & 0xff
+        val a = if (i >= bpp) recon(y * stride + i - bpp) & 0xff else 0
+        val b = if (y > 0) recon((y - 1) * stride + i) & 0xff else 0
+        val c = if (y > 0 && i >= bpp) recon((y - 1) * stride + i - bpp) & 0xff else 0
+        recon(y * stride + i) = (f match {
+          case 0 => x
+          case 1 => x + a
+          case 2 => x + b
+          case 3 => x + (a + b) / 2
+          case _ => x + paeth(a, b, c)
+        }).toByte
+        i += 1
+      }
+      y += 1
+    }
+    val rgb =
+      if (bpp == 3) recon
+      else { // drop alpha
+        val out = new Array[Byte](width * height * 3)
+        var p = 0
+        while (p < width * height) {
+          out(p * 3) = recon(p * 4); out(p * 3 + 1) = recon(p * 4 + 1)
+          out(p * 3 + 2) = recon(p * 4 + 2)
+          p += 1
+        }
+        out
+      }
+    Some((width, height, rgb))
   }
 
   // ----- WAV -------------------------------------------------------------

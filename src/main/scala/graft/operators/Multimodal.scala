@@ -9,11 +9,12 @@ import org.apache.spark.sql.functions._
   * feature-extract / resize / frame-sample run batched per partition.
   *
   * The Spark-side plumbing — schema, partition-local batching, typed
-  * records, explode of variable-length outputs — is real and tested. The
-  * codec itself is a clearly-marked deterministic STUB (no image/audio
-  * libraries exist in this environment): "decoded" dimensions and features
-  * derive only from the payload bytes, so results are reproducible and the
-  * stub swaps out for a real codec without touching any plan structure.
+  * records, explode of variable-length outputs — is real and tested. REAL
+  * pure-JVM codecs (MediaCodec) cover BMP, PCM WAV, a frame container and
+  * zlib-compressed PNG end to end; the deterministic STUB below remains
+  * only where LOSSY codecs would sit (JPEG/H.264/MP3 need ffmpeg-class
+  * libraries this environment doesn't ship) and swaps out for a real
+  * decoder without touching any plan structure.
   *
   * Scale: decode is mapPartitions with fixed-size batches — the same shape
   * a vectorized (Arrow/pandas-style) UDF pipeline has, embarrassingly
@@ -358,6 +359,50 @@ object Multimodal {
     FROM img""")
   )
 
+  /** PNG round trip — a real COMPRESSED format end to end: every document
+    * becomes a genuine zlib-deflated PNG (encoder cycles all five scanline
+    * filters, so any image ≥5 rows exercises Sub/Up/Average/Paeth
+    * reconstruction), decode re-inflates and de-filters, and the oracle
+    * independently recomputes geometry plus FIRST and LAST pixel probes
+    * from (doc_id, length(text)). The last-pixel probe only matches if
+    * filter reconstruction was correct across every row above it.
+    */
+  val mmRealPng: Q = Q(
+    "mm_real_png",
+    (s, dir) => {
+      import s.implicits._
+      Tables(s, dir).documents
+        .select(col("doc_id"), length(col("text")).as("n"))
+        .as[(Long, Int)]
+        .map { case (id, n) =>
+          val w = 5 + n % 20
+          val h = 5 + (n * 7) % 20
+          val png = MediaCodec.encodePng(w, h, pixelBytes(id, 0, w * h * 3))
+          MediaCodec.decodePng(png) match {
+            case Some((dw, dh, rgb)) =>
+              (id, dw, dh, rgb(0) & 0xff, rgb(rgb.length - 3) & 0xff)
+            case None => (id, -1, -1, -1, -1)
+          }
+        }
+        .toDF("doc_id", "width", "height", "first_red", "last_red")
+        .agg(
+          count(lit(1)).as("n_media"),
+          sum("width").as("sum_width"),
+          sum("height").as("sum_height"),
+          sum("first_red").as("sum_first_red"),
+          sum("last_red").as("sum_last_red"))
+    },
+    Some("""WITH g AS (
+      SELECT doc_id, 5 + length(text) % 20 AS w, 5 + (length(text) * 7) % 20 AS h
+      FROM documents)
+    SELECT COUNT(*) AS n_media,
+      CAST(SUM(w) AS BIGINT) AS sum_width,
+      CAST(SUM(h) AS BIGINT) AS sum_height,
+      CAST(SUM((doc_id * 31) % 256) AS BIGINT) AS sum_first_red,
+      CAST(SUM((doc_id * 31 + (w * h - 1) * 3) % 256) AS BIGINT) AS sum_last_red
+    FROM g""")
+  )
+
   val all: Seq[Q] = Seq(mmPipeline, mmFrameSample, mmBinaryDedup, mmMetadataFilter,
-    mmRealDecode, mmRealResize)
+    mmRealDecode, mmRealResize, mmRealPng)
 }

@@ -154,4 +154,80 @@ class MultimodalSpec extends SparkSpec {
     assert(bad.count() == 0, bad.take(3).mkString(","))
     decoded.unpersist()
   }
+
+  test("PNG codec: lossless round-trip through real zlib + all five filters") {
+    // ≥5 rows so the encoder's filter cycle covers None/Sub/Up/Average/
+    // Paeth; pseudo-random pixels make filter-reconstruction errors visible
+    val rnd = new scala.util.Random(7)
+    for ((w, h) <- Seq((1, 1), (3, 7), (16, 16), (23, 9))) {
+      val rgb = Array.fill(w * h * 3)(rnd.nextInt(256).toByte)
+      val png = MediaCodec.encodePng(w, h, rgb)
+      // genuinely a PNG: signature + zlib-deflated payload
+      assert((png(0) & 0xff) == 0x89 && png(1) == 'P'.toByte)
+      val Some((dw, dh, out)) = MediaCodec.decodePng(png): @unchecked
+      assert(dw == w && dh == h)
+      assert(out.sameElements(rgb), s"pixel mismatch at ${w}x$h")
+    }
+  }
+
+  test("PNG codec: RGBA input decodes with alpha dropped; rejects malformed") {
+    // hand-build a tiny 2x1 color-type-6 (RGBA) PNG: decoder must strip the
+    // alpha channel — the shape every screenshot-style PNG ships in
+    def chunk(ctype: String, data: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(12 + data.length)
+        .order(java.nio.ByteOrder.BIG_ENDIAN)
+      bb.putInt(data.length).put(ctype.getBytes("US-ASCII")).put(data)
+      val crc = new java.util.zip.CRC32
+      crc.update(ctype.getBytes("US-ASCII")); crc.update(data)
+      bb.putInt(crc.getValue.toInt).array()
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13).order(java.nio.ByteOrder.BIG_ENDIAN)
+      .putInt(2).putInt(1).put(8.toByte).put(6.toByte) // 2x1, depth 8, RGBA
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    val raw = Array[Byte](0, /* filter None */ 10, 20, 30, 99, 40, 50, 60, 77)
+    val defl = new java.util.zip.Deflater(); defl.setInput(raw); defl.finish()
+    val zbuf = new Array[Byte](128)
+    val zlen = defl.deflate(zbuf); defl.end()
+    val rgbaPng = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      chunk("IHDR", ihdr) ++ chunk("IDAT", zbuf.take(zlen)) ++
+      chunk("IEND", Array.emptyByteArray)
+    val Some((aw, ah, argb)) = MediaCodec.decodePng(rgbaPng): @unchecked
+    assert(aw == 2 && ah == 1)
+    assert(argb.toSeq == Seq[Byte](10, 20, 30, 40, 50, 60), "alpha must be dropped")
+
+    val rgb = Array[Byte](10, 20, 30, 40, 50, 60)
+    val png = MediaCodec.encodePng(2, 1, rgb)
+    // truncated IDAT stream → None, not an exception
+    val cut = png.take(png.length - 16)
+    assert(MediaCodec.decodePng(cut).isEmpty)
+    // corrupted signature → None
+    val sig = png.clone(); sig(1) = 'X'.toByte
+    assert(MediaCodec.decodePng(sig).isEmpty)
+    // hostile geometry: width*height*4 overflowing int must be rejected
+    // before allocation
+    val huge = png.clone()
+    java.nio.ByteBuffer.wrap(huge).order(java.nio.ByteOrder.BIG_ENDIAN)
+      .putInt(16, 0x40000000) // width at IHDR offset 8+8
+    assert(MediaCodec.decodePng(huge).isEmpty)
+    // interlaced flag → unsupported → None
+    val inter = png.clone(); inter(8 + 8 + 12) = 1.toByte
+    assert(MediaCodec.decodePng(inter).isEmpty)
+  }
+
+  test("mm_real_png: geometry and both pixel probes match the oracle formulas") {
+    val row = Multimodal.mmRealPng.fn(spark, sfDir).head()
+    val docs = graft.Tables(spark, sfDir).documents
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.length(org.apache.spark.sql.functions.col("text")).as("n"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    val w = docs.map { case (_, n) => 5L + n % 20 }
+    val h = docs.map { case (_, n) => 5L + (n * 7) % 20 }
+    assert(row.getAs[Long]("n_media") == docs.length.toLong)
+    assert(row.getAs[Long]("sum_width") == w.sum)
+    assert(row.getAs[Long]("sum_height") == h.sum)
+    assert(row.getAs[Long]("sum_first_red") ==
+      docs.map { case (id, _) => (id * 31) % 256 }.sum)
+    assert(row.getAs[Long]("sum_last_red") ==
+      docs.zipWithIndex.map { case ((id, _), i) => (id * 31 + (w(i) * h(i) - 1) * 3) % 256 }.sum)
+  }
 }
