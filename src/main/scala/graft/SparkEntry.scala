@@ -14,7 +14,8 @@ object SparkEntry {
       operators.RelationalAnalytics.all ++
       operators.IngestLake.all ++
       operators.Dedup.all ++ operators.TextAnalysis.all ++ operators.Similarity.all ++
-      operators.Multimodal.all ++ operators.TopK.all
+      operators.Multimodal.all ++ operators.TopK.all ++
+      streaming.StreamingQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

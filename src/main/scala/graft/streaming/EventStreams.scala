@@ -197,6 +197,14 @@ object EventStreams {
     * the watermark horizon are dropped. A pair colliding in several bands
     * emits once per band (keys are independent); land the stream through a
     * batch dedup or dropDuplicates when exact-once pairs are required.
+    *
+    * Replayed-stream equivalence: the `stream_neardup_twin` driver query
+    * replays the dedup corpus through this operator and hash-matches the
+    * batch pipeline's DuckDB oracle — stream == batch, est values
+    * included. Caveat inherited from Structured Streaming: the global
+    * watermark starts at epoch 0, so documents stamped at or below epoch 0
+    * are dropped as late before reaching the operator — replays must use
+    * realistic event times.
     */
   def nearDupCandidates(
       docs: Dataset[DocIn],

@@ -1,0 +1,71 @@
+package graft.streaming
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Driver-checked STREAMING query (SURVEY §2 E7 twin): the batch-vs-stream
+  * equivalence itself, under the DuckDB oracle.
+  *
+  * The corpus (documents + planted mutants — the exact input of
+  * `dedup_minhash`) is replayed through the E7 streaming near-dup operator
+  * as a two-micro-batch stream, and the emitted candidate pairs are
+  * returned as an ordinary frame. The oracle is the SAME generated SQL
+  * that checks the batch pipeline — so a hash match proves the streaming
+  * path (stateful LSH buckets, cross-batch memory, per-arrival scoring)
+  * reproduces the batch MinHash pairs bit-for-bit, est_jaccard included.
+  *
+  * Replay order is doc_id-ascending (ties impossible), which makes the
+  * stream's first-k bucket occupancy equal the batch path's min-k bucket
+  * cap — the two caps provably coincide when arrival order is id order.
+  */
+object StreamingQueries {
+
+  val streamNeardupTwin: Q = Q(
+    "stream_neardup_twin",
+    (s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      // the replay source: bounded, collected once (the stream side must be
+      // fed from the driver; pair output is bounded by the batch twin's)
+      val corpus = graft.operators.Dedup
+        .withPlantedDups(Tables(s, dir).documents)
+        .select("doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      val input = MemoryStream[EventStreams.DocIn]
+      val sink = s"stream_neardup_twin_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val query = EventStreams.nearDupCandidates(input.toDS(), threshold = 0.5)
+        .writeStream.format("memory").queryName(sink).outputMode("append").start()
+      try {
+        // two micro-batches: cross-batch pairs exercise the bucket state.
+        // Timestamps must sit ABOVE epoch 0 — Spark's global watermark
+        // starts at 0 and the stateful operator drops rows at/below it as
+        // late, so an epoch-0 replay would silently discard every doc.
+        val base = 1700000000000L
+        val (first, second) = corpus.splitAt(corpus.length / 2)
+        input.addData(first.map { case (id, t) =>
+          EventStreams.DocIn(id, new java.sql.Timestamp(base), t) }.toIndexedSeq)
+        query.processAllAvailable()
+        input.addData(second.map { case (id, t) =>
+          EventStreams.DocIn(id, new java.sql.Timestamp(base + 60000L), t) }.toIndexedSeq)
+        query.processAllAvailable()
+        // a pair colliding in several bands emits once per band: distinct
+        s.table(sink)
+          .select(col("a"), col("b"), col("est_jaccard"))
+          .distinct()
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+          .toIndexedSeq
+          .toDF("a", "b", "est_jaccard")
+          .orderBy("a", "b")
+      } finally {
+        query.stop()
+        s.catalog.dropTempView(sink)
+        ()
+      }
+    },
+    // the batch pipeline's generated oracle, verbatim — stream == batch
+    Some(graft.Q.oracleResource("dedup_minhash"))
+  )
+
+  val all: Seq[Q] = Seq(streamNeardupTwin)
+}

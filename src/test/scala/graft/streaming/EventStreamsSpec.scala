@@ -204,6 +204,45 @@ class EventStreamsSpec extends SparkSpec {
     }
   }
 
+  test("E7: near-dups arriving in the SAME micro-batch pair immediately") {
+    // regression guard for the round-4 twin investigation: within one
+    // bucket invocation, each doc must see same-batch predecessors (and
+    // event times must sit above epoch 0, or the watermark's late filter
+    // silently drops them before the operator)
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val text = "the quick brown fox jumps over the lazy dog and keeps on running " +
+      "through the quiet field toward the river bank before sunset tonight"
+    val base = 1700000000000L
+    val input = MemoryStream[DocIn]
+    val q = nearDupCandidates(input.toDS(), threshold = 0.5)
+      .writeStream.format("memory").queryName("e7_same_batch").outputMode("append").start()
+    try {
+      input.addData(
+        DocIn(1L, new java.sql.Timestamp(base), text),
+        DocIn(2L, new java.sql.Timestamp(base + 1), text))
+      q.processAllAvailable()
+      val pairs = spark.table("e7_same_batch").as[DupCandidate].collect()
+        .map(c => (c.a, c.b)).distinct.toSeq
+      assert(pairs == Seq((1L, 2L)), s"same-batch pair not emitted: $pairs")
+    } finally q.stop()
+  }
+
+  test("E7 batch twin: replayed corpus reproduces the batch minhash pairs exactly") {
+    // the driver checks this via stream_neardup_twin's DuckDB oracle at
+    // sf0.01; this pins the same equality in CI at sf0.001, est included
+    val batch = graft.operators.Dedup.nearDuplicatePairs(
+      graft.operators.Dedup.withPlantedDups(graft.Tables(spark, sfDir).documents),
+      "doc_id", "text", 0.5)
+      .select("a", "b", "est_jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val streamed = StreamingQueries.streamNeardupTwin.fn(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(batch.nonEmpty)
+    assert(streamed == batch,
+      s"stream/batch divergence: missing=${(batch -- streamed).take(5)} extra=${(streamed -- batch).take(5)}")
+  }
+
   test("E7: streaming near-dup detection finds a planted duplicate across batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
