@@ -119,6 +119,37 @@ object ScaleProbe {
       val dt = (System.nanoTime() - t0) / 1e9
       println(f"[scale] global-rank ${mult}x: rows=$n%d maxrank=$mx%d time=$dt%.1fs")
     }
+
+    // file-scoped MERGE probe (round 4): upsert cost must track the
+    // TOUCHED commit, not the table. Tables of 4/16/64 equal-size commits
+    // with disjoint id ranges; a small delta always hits exactly ONE
+    // commit. Time (and the replaced-entry count) must stay ~flat while
+    // the table grows 16x — the whole point of the stats-pruned rewrite.
+    val rowsPerCommit = 100000L
+    for (k <- Seq(4, 16, 64)) {
+      val root = s"/tmp/graft_scale_merge_$k"
+      org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(root), true)
+      val cat = lake.LakeCatalog(spark, root)
+      for (i <- 0 until k)
+        cat.write("p", "t",
+          spark.range(i * rowsPerCommit, (i + 1) * rowsPerCommit)
+            .select(col("id"), (col("id") * 2).as("v")),
+          SaveMode.Append)
+      val (_, before) = cat.latestEntries("p", "t")
+      // 1000 updates inside commit 0's range + 10 brand-new keys
+      val delta = spark.range(0L, 1000L).select(col("id"), lit(-1L).as("v"))
+        .unionByName(spark.range(k * rowsPerCommit, k * rowsPerCommit + 10)
+          .select(col("id"), lit(-2L).as("v")))
+      val merger = new lake.TableMerger(cat)
+      val t0 = System.nanoTime()
+      merger.mergeTable(delta, "p", "t")
+      val dt = (System.nanoTime() - t0) / 1e9
+      val (_, after) = cat.latestEntries("p", "t")
+      val replaced = before.toSet -- after.toSet
+      println(f"[scale] file-merge commits=$k%d rows=${k * rowsPerCommit}%d " +
+        f"replaced=${replaced.size}%d time=$dt%.1fs")
+    }
     spark.stop()
   }
 }

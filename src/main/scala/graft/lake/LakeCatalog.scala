@@ -104,7 +104,17 @@ final class LakeCatalog(
 
   def dropTable(ns: String, t: String): Unit = deleteRec(tPath(ns, t))
 
-  def rowCount(ns: String, t: String): Long = read(ns, t).count()
+  /** Metadata-only when possible: every commit sidecar carries its exact
+    * row count, so the common case is a sum over a few KB of manifests —
+    * no table scan (the Iceberg metadata-count idea). Commits predating
+    * stats fall back to one count job.
+    */
+  def rowCount(ns: String, t: String): Long = {
+    val (_, rels) = latestEntries(ns, t)
+    val counts = rels.map(rel => commitStats(ns, t, rel).map(_._1))
+    if (counts.nonEmpty && counts.forall(_.isDefined)) counts.flatten.sum
+    else read(ns, t).count()
+  }
 
   // ----- snapshots -------------------------------------------------------
 
@@ -127,7 +137,14 @@ final class LakeCatalog(
     * production deployment backs commits with a conditional-put catalog
     * service, as Iceberg's REST catalog does). A lock older than
     * [[LockStaleMs]] whose manifest never appeared is a crashed writer: it
-    * is broken and re-claimed once.
+    * is broken and re-claimed once. The break (delete + re-create) is NOT
+    * atomic as a pair: two waiters can each delete-then-create, and the
+    * second delete may remove the first waiter's FRESH lock — both then
+    * believe they hold it. This is accepted because the lock is an
+    * optimization, not the safety mechanism: the publish itself is
+    * `renameIfAbsent` onto the versioned name, and at most one of the two
+    * "holders" can win it; the loser raises [[CommitConflictException]]
+    * and its staged dir is reclaimed by vacuumOrphans.
     */
   private def claim(lock: Path, target: Path): Boolean =
     backend.createExclusive(lock) || {
@@ -260,6 +277,51 @@ final class LakeCatalog(
           expectedVersion.orElse(Some(base)))
       case _ =>
         commit(ns, t, Seq(rel), expectedVersion)
+    }
+  }
+
+  /** Z-ORDER clustered write ([[ZOrder]]): rows are Morton-bucketed on the
+    * cluster columns and EACH z-bucket becomes its own manifest entry with
+    * its own min/max sidecar — so [[readWhere]] band queries prune commits
+    * on ANY clustered column, not just the append key. One approxQuantile
+    * pass for boundaries, one shuffle on the bucket id, one partitioned
+    * write; stats come from footers per bucket dir. Returns the committed
+    * version.
+    */
+  def writeClustered(
+      ns: String,
+      t: String,
+      df: DataFrame,
+      clusterCols: Seq[String],
+      commits: Int = 16,
+      mode: SaveMode = SaveMode.Overwrite,
+      expectedVersion: Option[Int] = None): Int = {
+    require(clusterCols.nonEmpty, "need at least one cluster column")
+    require(commits >= 1, "need at least one z-bucket")
+    createNamespace(ns)
+    import org.apache.spark.sql.functions.col
+    val cuts = ZOrder.boundaries(df, clusterCols)
+    val totalCells = 1 << (ZOrder.BitsPerCol * clusterCols.length)
+    // contiguous Morton ranges → compact hyper-rectangles per bucket
+    val zb = (ZOrder.mortonKey(clusterCols.map(col), cuts) * commits / totalCells)
+      .cast("int")
+    val rel = s"data/${java.util.UUID.randomUUID().toString}"
+    val out = new Path(tPath(ns, t), rel)
+    withMicrosTimestamps {
+      df.withColumn("_zbucket", zb)
+        .repartition(commits, col("_zbucket"))
+        .write.mode(SaveMode.Overwrite).partitionBy("_zbucket").parquet(out.toString)
+    }
+    val fresh = fs.listStatus(out).filter(_.isDirectory)
+      .map(st => s"$rel/${st.getPath.getName}").sorted.toSeq
+    fresh.foreach(e => writeStats(ns, t, e))
+    mode match {
+      case SaveMode.Append if tableExists(ns, t) =>
+        val base = versions(ns, t).last
+        commit(ns, t, manifestEntries(ns, t, base) ++ fresh,
+          expectedVersion.orElse(Some(base)))
+      case _ =>
+        commit(ns, t, fresh, expectedVersion)
     }
   }
 
@@ -480,6 +542,13 @@ final class LakeCatalog(
     case None => true // pre-stats commit
   }
 
+  /** One column's recorded (kind, min, max) for a commit, None when the
+    * commit predates stats or the column isn't covered.
+    */
+  def commitColumnRange(ns: String, t: String, rel: String,
+      column: String): Option[(String, String, String)] =
+    commitStats(ns, t, rel).flatMap(_._2.get(column))
+
   /** Band-predicate read with commit-level data skipping: scans ONLY the
     * commits whose recorded [min, max] of `column` intersects [lo, hi]
     * (commits without stats are conservatively included), then applies the
@@ -519,7 +588,13 @@ final class LakeCatalog(
     val now = System.currentTimeMillis()
     val orphans = fs.listStatus(dataRoot)
       .filter(_.isDirectory)
-      .filter(st => !referenced.contains(s"data/${st.getPath.getName}"))
+      // a clustered commit references SUBDIRS of its top-level dir (one
+      // manifest entry per z-bucket), so a dir is live when any entry
+      // equals it OR lives under it
+      .filter { st =>
+        val rel = s"data/${st.getPath.getName}"
+        !referenced.exists(r => r == rel || r.startsWith(rel + "/"))
+      }
       .filter(st => now - st.getModificationTime > graceMs)
     orphans.foreach(st => fs.delete(st.getPath, true))
     orphans.length

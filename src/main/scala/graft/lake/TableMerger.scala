@@ -82,7 +82,7 @@ final class TableMerger(catalog: LakeCatalog) {
         // winner deterministically (max over the orderable non-key columns)
         // rather than dropDuplicates' partition-order lottery.
         val deduped = dedupeOnKey(src, k)
-        mergeScoped(deduped, ns, table, k)
+        mergeScoped(deduped, ns, table, k, sourceRows)
         s"MERGE (upsert) using key `$k`"
       case (None, true) =>
         catalog.write(ns, table, src, SaveMode.Overwrite)
@@ -95,20 +95,72 @@ final class TableMerger(catalog: LakeCatalog) {
     MergeResult(strategy, sourceRows, catalog.rowCount(ns, table))
   }
 
+  /** first index in [0, n) where the monotone predicate turns true; n if never */
+  private def lowerBound(n: Int, pred: Int => Boolean): Int = {
+    var lo = 0; var hi = n
+    while (lo < hi) { val mid = (lo + hi) >>> 1; if (pred(mid)) hi = mid else lo = mid + 1 }
+    lo
+  }
+
+  /** Delta-key sets up to this size are collected driver-side for EXACT
+    * candidate pruning (a sorted array of key strings, ~tens of MB at the
+    * cap). Above it the plan falls back to [min, max] bound pruning.
+    */
+  val DeltaKeyCollectCap = 500000L
+
   /** The file-scoped upsert itself (steps PRUNE → PLAN → REWRITE of the
     * class doc). `deduped` must already be one row per key.
     */
-  private def mergeScoped(deduped: DataFrame, ns: String, table: String, k: String): Unit = {
+  private def mergeScoped(
+      deduped: DataFrame, ns: String, table: String, k: String,
+      sourceRows: Long): Unit = {
     import org.apache.spark.sql.functions.{lit, max => fmax, min => fmin}
     val (base, rels) = catalog.latestEntries(ns, table)
 
-    // PRUNE: commits whose key range can't contain any delta key. Bounds
-    // come from one tiny agg over the delta; all-null/empty bounds (or a
-    // key the stats never covered) disable pruning, never correctness.
+    // PRUNE: commits whose key range can't contain any delta key. For a
+    // small delta (the daily-upsert shape) the key set itself is collected
+    // and each commit's [min, max] is tested for ANY member — exact, so a
+    // delta of {low keys} ∪ {brand-new high keys} doesn't degenerate to a
+    // whole-table range the way plain min/max bounds do. Large deltas fall
+    // back to bounds; stats gaps disable pruning, never correctness.
+    val numericKey = deduped.schema(k).dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType]
+    val deltaKeys: Option[(Array[String], Array[java.math.BigDecimal])] =
+      if (sourceRows > DeltaKeyCollectCap) None
+      else {
+        val ks = deduped.select(col(k).cast("string")).na.drop()
+          .collect().map(_.getString(0))
+        if (numericKey) {
+          val nums = ks.map(new java.math.BigDecimal(_)).sortWith((a, b) => a.compareTo(b) < 0)
+          Some((Array.empty, nums))
+        } else Some((ks.sorted, Array.empty))
+      }
+
+    def anyKeyIn(kind: String, mn: String, mx: String): Boolean = deltaKeys match {
+      case None => true // handled by the bounds fallback below
+      case Some((strs, nums)) =>
+        if (kind == "num") {
+          val lo = new java.math.BigDecimal(mn)
+          val i = lowerBound(nums.length, j => nums(j).compareTo(lo) >= 0)
+          i < nums.length && nums(i).compareTo(new java.math.BigDecimal(mx)) <= 0
+        } else {
+          val i = lowerBound(strs.length, j => strs(j) >= mn)
+          i < strs.length && strs(i) <= mx
+        }
+    }
+
     val b = deduped.agg(fmin(col(k)), fmax(col(k))).head()
     val candidates =
       if (b.isNullAt(0) || b.isNullAt(1)) rels
-      else rels.filter(rel => catalog.statsMayOverlap(ns, table, rel, k, b.get(0), b.get(1)))
+      else rels.filter { rel =>
+        catalog.commitColumnRange(ns, table, rel, k) match {
+          case None => true // pre-stats commit or uncovered key: keep
+          case Some((kind, mn, mx)) =>
+            if (deltaKeys.isDefined &&
+              (kind == "num") == numericKey) anyKeyIn(kind, mn, mx)
+            else catalog.statsMayOverlap(ns, table, rel, k, b.get(0), b.get(1))
+        }
+      }
 
     // PLAN: which candidates hold actual key matches. One job — the scan
     // reads only the key column, the delta side broadcasts under AQE, and

@@ -372,9 +372,41 @@ object IngestLake {
     WHERE o_orderdate BETWEEN DATE '1994-06-01' AND DATE '1995-06-30'""")
   )
 
+  /** Z-order clustered table end-to-end: orders clustered on
+    * (o_custkey, o_totalprice), then band reads on EACH clustered column
+    * answered through commit-level pruning — and still matching the oracle
+    * computed over the raw table. ZOrderSpec separately pins that both
+    * bands scan a strict subset of the z-bucket commits (the multi-column
+    * skipping single-column sorting cannot give).
+    */
+  val lakeZorder: Q = Q(
+    "lake_zorder",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val cat = LakeCatalog(s, scratch("zorder"))
+      cat.writeClustered("lake", "orders_z",
+        t.orders.select("o_orderkey", "o_custkey", "o_totalprice"),
+        Seq("o_custkey", "o_totalprice"), commits = 16)
+      val priceBand = cat
+        .readWhere("lake", "orders_z", "o_totalprice", 10000.0, 50000.0)
+        .agg(count(lit(1)).as("n_price_band"),
+          dsum(col("o_totalprice")).as("price_band_total"))
+      val custBand = cat
+        .readWhere("lake", "orders_z", "o_custkey", 100, 500)
+        .agg(count(lit(1)).as("n_cust_band"))
+      priceBand.crossJoin(custBand)
+    },
+    Some(s"""SELECT
+      (SELECT COUNT(*) FROM orders WHERE o_totalprice BETWEEN 10000.0 AND 50000.0) AS n_price_band,
+      (SELECT CAST(SUM(CAST(o_totalprice AS $D)) AS DOUBLE) FROM orders
+        WHERE o_totalprice BETWEEN 10000.0 AND 50000.0) AS price_band_total,
+      (SELECT COUNT(*) FROM orders WHERE o_custkey BETWEEN 100 AND 500) AS n_cust_band""")
+  )
+
   val all: Seq[Q] = Seq(
     ingestCsvRoundtrip, ingestJsonRoundtrip, ingestParquet, ingestTextLines,
     ingestOrcRoundtrip, ingestXmlRoundtrip, ingestSchemaEvolution, ingestJsonProps,
     lakeCtas, lakeMergeUpsert, lakeChangelog, lakeDataProfile,
-    lakeScd2, lakeDelete, lakeIncrementalRead, lakeConstraints, lakeDataSkipping)
+    lakeScd2, lakeDelete, lakeIncrementalRead, lakeConstraints, lakeDataSkipping,
+    lakeZorder)
 }

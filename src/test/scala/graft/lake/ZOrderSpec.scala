@@ -1,0 +1,89 @@
+package graft.lake
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+
+/** Pins the Z-order clustering contract: band queries prune commits on
+  * EVERY clustered column, results stay exact, and the nested manifest
+  * entries survive vacuum/expiry.
+  */
+class ZOrderSpec extends SparkSpec {
+
+  private def freshCatalog() =
+    LakeCatalog(spark, Files.createTempDirectory("graft_zorder").toString)
+
+  // two INDEPENDENT uniform dimensions — the adversarial case for
+  // single-column sorting, the home turf of a space-filling curve
+  private def grid() = {
+    import spark.implicits._
+    (0 until 10000).map { i =>
+      val x = (i * 7919) % 1000   // pseudo-random but deterministic
+      val y = (i * 104729) % 1000
+      (i.toLong, x, y)
+    }.toDF("id", "x", "y")
+  }
+
+  private def scannedDirs(df: org.apache.spark.sql.DataFrame): Int =
+    df.inputFiles.map(_.replaceAll("/[^/]*$", "")).distinct.length
+
+  test("z-ordered table prunes commits on BOTH clustered dimensions") {
+    val cat = freshCatalog()
+    val df = grid()
+    cat.writeClustered("ns", "zt", df, Seq("x", "y"), commits = 16)
+    val (_, entries) = cat.latestEntries("ns", "zt")
+    assert(entries.length > 4, s"expected many z-bucket entries, got ${entries.length}")
+    // full contents intact
+    assert(cat.read("ns", "zt").count() == 10000)
+
+    // a narrow band on x alone must NOT touch every commit...
+    val qx = cat.readWhere("ns", "zt", "x", 0, 99)
+    assert(scannedDirs(qx) < entries.length / 2,
+      s"x-band scanned ${scannedDirs(qx)} of ${entries.length} commits — no pruning")
+    // ...and neither must a band on y — the property single-column
+    // sorting cannot give
+    val qy = cat.readWhere("ns", "zt", "y", 0, 99)
+    assert(scannedDirs(qy) < entries.length / 2,
+      s"y-band scanned ${scannedDirs(qy)} of ${entries.length} commits — no pruning")
+
+    // exactness: pruned reads equal brute-force filters
+    assert(qx.count() == df.filter("x BETWEEN 0 AND 99").count())
+    assert(qy.count() == df.filter("y BETWEEN 0 AND 99").count())
+    val q2 = cat.readWhere("ns", "zt", "x", 500, 599).filter(col("y").between(500, 599))
+    assert(q2.count() == df.filter("x BETWEEN 500 AND 599 AND y BETWEEN 500 AND 599").count())
+  }
+
+  test("clustered commits interoperate: append, time travel, vacuum, expiry") {
+    val cat = freshCatalog()
+    import spark.implicits._
+    cat.writeClustered("ns", "t", grid(), Seq("x", "y"), commits = 8) // v1
+    val v1Count = cat.read("ns", "t").count()
+    // plain append on top of a clustered snapshot
+    cat.write("ns", "t", Seq((99999L, 1, 1)).toDF("id", "x", "y"), SaveMode.Append) // v2
+    assert(cat.read("ns", "t").count() == v1Count + 1)
+    assert(cat.read("ns", "t", Some(1)).count() == v1Count)
+    // vacuum must NOT reclaim the clustered commit's parent dir (entries
+    // reference subdirs of it)
+    assert(cat.vacuumOrphans("ns", "t", graceMs = 0L) == 0)
+    assert(cat.read("ns", "t").count() == v1Count + 1)
+    // expiry reclaims clustered data once unreferenced
+    cat.write("ns", "t", Seq((1L, 2, 2)).toDF("id", "x", "y"), SaveMode.Overwrite) // v3
+    assert(cat.expireSnapshots("ns", "t", keepLast = 1) > 0)
+    assert(cat.read("ns", "t").count() == 1)
+  }
+
+  test("file-scoped DELETE rewrites only the z-buckets holding matches") {
+    val cat = freshCatalog()
+    cat.writeClustered("ns", "d", grid(), Seq("x", "y"), commits = 16)
+    val (_, before) = cat.latestEntries("ns", "d")
+    cat.delete("ns", "d", col("x") < 50 && col("y") < 50)
+    val (_, after) = cat.latestEntries("ns", "d")
+    val kept = before.toSet & after.toSet
+    assert(kept.nonEmpty, "a corner delete must leave far-corner z-buckets untouched")
+    assert(cat.read("ns", "d").filter("x < 50 AND y < 50").count() == 0)
+    assert(cat.read("ns", "d").count() ==
+      grid().filter("NOT (x < 50 AND y < 50)").count())
+  }
+}
