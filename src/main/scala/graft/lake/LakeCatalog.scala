@@ -379,6 +379,39 @@ final class LakeCatalog(
   def compact(ns: String, t: String): Int =
     write(ns, t, read(ns, t), SaveMode.Overwrite)
 
+  /** FILE-SCOPED compaction (bin-packing): only commits below
+    * `smallRowThreshold` rows are coalesced into one fresh commit; every
+    * commit already big enough keeps its manifest entry verbatim. The
+    * decision reads sidecar row counts — no data scan for the untouched
+    * majority. This is the maintenance loop for append-heavy tables at
+    * scale: thousands of small streaming commits fold together for
+    * pennies, while the multi-TB base commits are never rewritten
+    * (plain [[compact]] would pay the whole table every time). Returns
+    * the new version, or the current one when fewer than two small
+    * commits exist (nothing to fold).
+    */
+  def compactSmall(ns: String, t: String, smallRowThreshold: Long): Int = {
+    val (base, rels) = latestEntries(ns, t)
+    val small = rels.filter { rel =>
+      commitStats(ns, t, rel).map(_._1).exists(_ < smallRowThreshold)
+    }
+    if (small.length < 2) base
+    else commitRewrite(ns, t, base, small.toSet, readDirs(ns, t, small))
+  }
+
+  /** Snapshot ROLLBACK (Iceberg rollback_to_snapshot analog): republish
+    * `toVersion`'s entry list as a NEW version — metadata-only, no data
+    * IO, and the rolled-back-over versions remain time-travelable until
+    * expired. CAS'd against the latest version so a concurrent commit
+    * conflicts instead of being silently undone.
+    */
+  def rollback(ns: String, t: String, toVersion: Int): Int = {
+    val vs = versions(ns, t)
+    require(vs.contains(toVersion),
+      s"no snapshot v$toVersion of $ns.$t (have: ${vs.mkString(",")})")
+    commit(ns, t, manifestEntries(ns, t, toVersion), Some(vs.last))
+  }
+
   /** Predicate DELETE, FILE-SCOPED copy-on-write (Iceberg `DELETE FROM`
     * shape): a scan-to-plan pass finds the commits that actually contain
     * matching rows (one job — predicate columns only reach the scan, and

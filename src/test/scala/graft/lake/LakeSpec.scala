@@ -420,6 +420,42 @@ class LakeSpec extends SparkSpec {
     assert(back.columns.toSeq == Seq("id", "v"))
   }
 
+  test("compactSmall folds only small commits; big ones keep their dirs verbatim") {
+    val cat = freshCatalog()
+    import spark.implicits._
+    cat.write("ns", "cs", (1 to 1000).toDF("id"))                        // big
+    cat.write("ns", "cs", Seq(1001).toDF("id"), SaveMode.Append)          // small
+    cat.write("ns", "cs", Seq(1002).toDF("id"), SaveMode.Append)          // small
+    cat.write("ns", "cs", Seq(1003).toDF("id"), SaveMode.Append)          // small
+    val (_, rels) = cat.latestEntries("ns", "cs")
+    val bigRel = rels.head
+    val bigBefore = dirFingerprint(cat, "ns", "cs", bigRel)
+    val v = cat.compactSmall("ns", "cs", smallRowThreshold = 100L)
+    assert(v == 5)
+    val (_, after) = cat.latestEntries("ns", "cs")
+    assert(after.length == 2, s"3 small commits should fold into one: $after")
+    assert(after.contains(bigRel) && dirFingerprint(cat, "ns", "cs", bigRel) == bigBefore,
+      "the big commit must not be rewritten")
+    assert(cat.rowCount("ns", "cs") == 1003)
+    // nothing left to fold: metadata no-op returns the current version
+    assert(cat.compactSmall("ns", "cs", smallRowThreshold = 100L) == 5)
+  }
+
+  test("rollback republishes an old snapshot as a new version, metadata-only") {
+    val cat = freshCatalog()
+    import spark.implicits._
+    cat.write("ns", "rb", Seq(1, 2).toDF("id"))                          // v1
+    cat.write("ns", "rb", Seq(9).toDF("id"), SaveMode.Overwrite)          // v2 (bad deploy)
+    val (_, v1Entries) = (1, cat.entriesOf("ns", "rb", 1))
+    val v = cat.rollback("ns", "rb", 1)
+    assert(v == 3)
+    assert(cat.entriesOf("ns", "rb", 3) == v1Entries, "rollback must republish v1's entries")
+    assert(cat.read("ns", "rb").collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 2))
+    assert(cat.read("ns", "rb", Some(2)).collect().map(_.getInt(0)).toSeq == Seq(9),
+      "rolled-back-over snapshot stays time-travelable")
+    intercept[IllegalArgumentException] { cat.rollback("ns", "rb", 9) }
+  }
+
   test("merge collapses duplicate source keys to ONE deterministic row (MERGE semantics)") {
     val cat = freshCatalog()
     val merger = new TableMerger(cat)
