@@ -206,6 +206,22 @@ final class LakeCatalog(
     readDirs(ns, t, manifestEntries(ns, t, v))
   }
 
+  /** Time travel by WALL CLOCK (Iceberg/Delta `TIMESTAMP AS OF` analog):
+    * read the snapshot whose manifest was the latest published at or
+    * before `epochMs`. Publish times come from manifest mtimes — the
+    * rename that made the version visible.
+    */
+  def readAsOf(ns: String, t: String, epochMs: Long): DataFrame = {
+    val vs = versions(ns, t)
+    require(vs.nonEmpty, s"no such table: $ns.$t")
+    val at = vs.filter { v =>
+      backend.mtime(manifestFile(ns, t, v)).exists(_ <= epochMs)
+    }
+    require(at.nonEmpty,
+      s"no snapshot of $ns.$t existed at epoch-ms $epochMs (earliest: v${vs.head})")
+    read(ns, t, Some(at.last))
+  }
+
   /** Latest committed version and its manifest entries (relative data
     * dirs) — the read side of a file-scoped rewrite: callers stage against
     * this version and pass it to [[commitRewrite]] as the CAS base.

@@ -168,6 +168,32 @@ object EventStreams {
 
   // ----- E7: streaming near-duplicate detection ---------------------------
 
+  /** E4b: streaming CDC UPSERT into the lakehouse — each micro-batch lands
+    * through [[graft.lake.TableMerger]], so late corrections to
+    * already-landed keys UPDATE in place instead of appending duplicates
+    * (the reference's merge strategies, continuously applied). Combined
+    * with the file-scoped MERGE this is the scale shape of a streaming CDC
+    * sink: per batch, only the commits holding corrected keys are
+    * rewritten; pure-insert batches cost one fresh commit.
+    */
+  def streamUpsertIntoLake(
+      stream: DataFrame,
+      catalog: graft.lake.LakeCatalog,
+      ns: String,
+      table: String,
+      key: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val merger = new graft.lake.TableMerger(catalog)
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) { merger.mergeTable(batch.toDF(), ns, table, Some(key)); () }
+        (): Unit
+      }
+      .start()
+  }
+
   /** one incoming document on the stream */
   case class DocIn(doc_id: Long, ts: java.sql.Timestamp, text: String)
 

@@ -441,6 +441,19 @@ class LakeSpec extends SparkSpec {
     assert(cat.compactSmall("ns", "cs", smallRowThreshold = 100L) == 5)
   }
 
+  test("readAsOf time-travels by wall clock to the snapshot live at that instant") {
+    val cat = freshCatalog()
+    import spark.implicits._
+    cat.write("ns", "ts", Seq(1).toDF("id"))                    // v1
+    val afterV1 = System.currentTimeMillis()
+    Thread.sleep(20)
+    cat.write("ns", "ts", Seq(2).toDF("id"), SaveMode.Append)   // v2
+    assert(cat.readAsOf("ns", "ts", afterV1).count() == 1)
+    assert(cat.readAsOf("ns", "ts", System.currentTimeMillis()).count() == 2)
+    val e = intercept[IllegalArgumentException] { cat.readAsOf("ns", "ts", 1000L) }
+    assert(e.getMessage.contains("no snapshot"))
+  }
+
   test("rollback republishes an old snapshot as a new version, metadata-only") {
     val cat = freshCatalog()
     import spark.implicits._

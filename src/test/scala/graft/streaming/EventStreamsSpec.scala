@@ -204,6 +204,30 @@ class EventStreamsSpec extends SparkSpec {
     }
   }
 
+  test("E4b: streaming CDC upsert updates keys in place across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val cat = graft.lake.LakeCatalog(spark,
+      java.nio.file.Files.createTempDirectory("graft_stream_upsert").toString)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_upsert_ck").toString
+    val input = MemoryStream[(Long, String)]
+    val q = streamUpsertIntoLake(
+      input.toDS().toDF("id", "v"), cat, "cdc", "t", "id", ckpt)
+    try {
+      input.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      assert(cat.rowCount("cdc", "t") == 2)
+      // batch 2: correction for id=2 plus a new key — must upsert, not append
+      input.addData((2L, "B"), (3L, "c"))
+      q.processAllAvailable()
+      val rows = cat.read("cdc", "t").orderBy("id")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(rows == Seq((1L, "a"), (2L, "B"), (3L, "c")), rows.toString)
+      // versions: CTAS then one MERGE commit per non-empty batch
+      assert(cat.versions("cdc", "t") == Seq(1, 2))
+    } finally q.stop()
+  }
+
   test("E7: near-dups arriving in the SAME micro-batch pair immediately") {
     // regression guard for the round-4 twin investigation: within one
     // bucket invocation, each doc must see same-batch predecessors (and
