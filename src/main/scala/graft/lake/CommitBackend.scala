@@ -20,8 +20,12 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   *     (S3 `If-None-Match`, GCS preconditions) or an external catalog
   *     service arbitrates commits (Iceberg REST catalog).
   *   - `renameIfAbsent` ATOMIC   → a published manifest is complete and
-  *     unique. True on POSIX/HDFS rename; on object stores "rename" is
-  *     copy+delete and needs the same conditional-put escape hatch.
+  *     unique. On `file://` this is a hard link (link(2) fails EEXIST
+  *     atomically — note plain POSIX rename(2) REPLACES an existing
+  *     target, and Hadoop's local rename only guards it with its own
+  *     check-then-rename); HDFS rename genuinely fails on an existing
+  *     destination; on object stores "rename" is copy+delete and needs
+  *     the same conditional-put escape hatch.
   *   - `list`/`exists` CONSISTENT after a completed write → a writer that
   *     reads the latest version sees every published commit. True on
   *     POSIX/HDFS and on modern S3/GCS (strongly consistent since 2020);
@@ -88,7 +92,23 @@ final class HadoopCommitBackend(fs: FileSystem) extends CommitBackend {
     catch { case _: java.io.IOException => None }
   def delete(p: Path): Unit = { fs.delete(p, false); () }
   def renameIfAbsent(src: Path, dst: Path): Boolean =
-    !fs.exists(dst) && fs.rename(src, dst)
+    if (fs.getScheme == "file") {
+      // truly atomic publish: link(2) fails EEXIST atomically, where
+      // rename(2) would replace the destination and Hadoop's local rename
+      // only narrows that with a non-atomic exists check
+      try {
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(dst.toUri.getPath),
+          java.nio.file.Paths.get(src.toUri.getPath))
+        fs.delete(src, false)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+        case _: UnsupportedOperationException | _: java.io.IOException =>
+          // filesystem without hard links: Hadoop's checked rename
+          !fs.exists(dst) && fs.rename(src, dst)
+      }
+    } else !fs.exists(dst) && fs.rename(src, dst)
 }
 
 object CommitBackend {

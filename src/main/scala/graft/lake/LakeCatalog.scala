@@ -71,15 +71,19 @@ final class LakeCatalog(
     * carry no usable min/max — timestamp columns would lose commit-stats
     * pruning entirely). Scoped to lake writes so the engine's other
     * parquet outputs keep their session-default representation.
+    *
+    * The conf has no per-write equivalent, so the toggle is REF-COUNTED
+    * per session: concurrent lake writers (a streaming upsert sink racing
+    * a batch merge) nest safely — the original value is captured once and
+    * restored when the last writer leaves, never mid-flight. Residual
+    * window, documented: an unrelated parquet write on the same session
+    * DURING a lake write also emits micros — a valid (and in fact more
+    * modern) encoding, so nothing breaks; it just differs from the
+    * session default.
     */
   private def withMicrosTimestamps[T](f: => T): T = {
-    val key = "spark.sql.parquet.outputTimestampType"
-    val prev = try Some(spark.conf.get(key)) catch { case _: Throwable => None }
-    spark.conf.set(key, "TIMESTAMP_MICROS")
-    try f finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
-    }
+    LakeCatalog.microsToggleEnter(spark)
+    try f finally LakeCatalog.microsToggleExit(spark)
   }
 
   private def nsPath(ns: String): Path = new Path(rootPath, ns)
@@ -313,7 +317,11 @@ final class LakeCatalog(
       mode: SaveMode = SaveMode.Overwrite,
       expectedVersion: Option[Int] = None): Int = {
     require(clusterCols.nonEmpty, "need at least one cluster column")
-    require(commits >= 1, "need at least one z-bucket")
+    // 4 bits x 6 cols = 24 morton bits; x commits stays inside Int. More
+    // dimensions than ~4 defeat a space-filling curve anyway (each extra
+    // dimension halves the per-dimension resolution of every bucket).
+    require(clusterCols.length <= 6, "z-order supports at most 6 cluster columns")
+    require(commits >= 1 && commits <= 4096, "z-bucket count out of range")
     createNamespace(ns)
     import org.apache.spark.sql.functions.col
     val cuts = ZOrder.boundaries(df, clusterCols)
@@ -583,8 +591,13 @@ final class LakeCatalog(
     case Some((_, cols)) => cols.get(column) match {
       case Some((kind, mn, mx)) =>
         if (kind == "num") {
-          val (l, h) = (BigDecimal(lo.toString), BigDecimal(hi.toString))
-          BigDecimal(mx) >= l && BigDecimal(mn) <= h
+          // unparsable numeric bounds (NaN/Infinity floats) disable
+          // pruning for this commit, never throw: pruning is an
+          // optimization, conservatively-true is always safe
+          try {
+            val (l, h) = (BigDecimal(lo.toString), BigDecimal(hi.toString))
+            BigDecimal(mx) >= l && BigDecimal(mn) <= h
+          } catch { case _: NumberFormatException => true }
         } else mx >= lo.toString && mn <= hi.toString
       case None => true // column not covered by stats
     }
@@ -655,6 +668,36 @@ final class LakeCatalog(
 }
 
 object LakeCatalog {
+
+  private val TsKey = "spark.sql.parquet.outputTimestampType"
+  // session -> (nesting depth, conf value before the first writer entered)
+  private val microsToggles =
+    scala.collection.mutable.Map[SparkSession, (Int, Option[String])]()
+
+  private def microsToggleEnter(s: SparkSession): Unit = microsToggles.synchronized {
+    microsToggles.get(s) match {
+      case Some((d, saved)) => microsToggles(s) = (d + 1, saved)
+      case None =>
+        val saved = try Some(s.conf.get(TsKey)) catch { case _: Throwable => None }
+        s.conf.set(TsKey, "TIMESTAMP_MICROS")
+        microsToggles(s) = (1, saved)
+    }
+  }
+
+  private def microsToggleExit(s: SparkSession): Unit = microsToggles.synchronized {
+    microsToggles.get(s) match {
+      case Some((1, saved)) =>
+        saved match {
+          case Some(v) => s.conf.set(TsKey, v)
+          case None => s.conf.unset(TsKey)
+        }
+        microsToggles.remove(s)
+        ()
+      case Some((d, saved)) => microsToggles(s) = (d - 1, saved)
+      case None => () // unbalanced exit: nothing to restore
+    }
+  }
+
   def apply(spark: SparkSession, root: String): LakeCatalog =
     apply(spark, root, None)
 

@@ -61,8 +61,19 @@ private[lake] object ParquetFooterStats {
             val colPath = chunk.getPath.toDotString
             if (!colPath.contains('.') && !unsupported.contains(colPath)) {
               val stats = chunk.getStatistics
-              if (stats == null) unsupported += colPath
-              else if (!stats.hasNonNullValue) () // all-null chunk: contributes nothing
+              if (stats == null || stats.isEmpty)
+                // ABSENT stats (disabled by writer config, or discarded as
+                // corrupt) are indistinguishable from "no values" — they
+                // must mark the column unsupported, NOT contribute an
+                // empty range: a silent understatement here would make
+                // readWhere prune commits that DO contain matches
+                unsupported += colPath
+              else if (!stats.hasNonNullValue) {
+                // recorded stats with zero non-null values: genuinely an
+                // all-null chunk only when the null count confirms it
+                if (!(stats.isNumNullsSet && stats.getNumNulls == chunk.getValueCount))
+                  unsupported += colPath
+              }
               else render(chunk.getPrimitiveType, stats, sessionTz) match {
                 case None => unsupported += colPath
                 case Some((kind, mn, mx)) =>

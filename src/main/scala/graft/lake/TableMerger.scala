@@ -112,76 +112,92 @@ final class TableMerger(catalog: LakeCatalog) {
     * class doc). `deduped` must already be one row per key.
     */
   private def mergeScoped(
-      deduped: DataFrame, ns: String, table: String, k: String,
+      dedupedRaw: DataFrame, ns: String, table: String, k: String,
       sourceRows: Long): Unit = {
-    import org.apache.spark.sql.functions.{lit, max => fmax, min => fmin}
+    import org.apache.spark.sql.functions.{max => fmax, min => fmin}
     val (base, rels) = catalog.latestEntries(ns, table)
+    // the deduped delta feeds FOUR consumers (key collect / bounds, plan
+    // semi-join, rewrite anti-join, rewrite union) — pin it once instead
+    // of re-running the dedupe window per job
+    val deduped = dedupedRaw.persist()
+    try {
+      // PRUNE: commits whose key range can't contain any delta key. For a
+      // small delta (the daily-upsert shape) the key set itself is
+      // collected and each commit's [min, max] is tested for ANY member —
+      // exact, so a delta of {low keys} ∪ {brand-new high keys} doesn't
+      // degenerate to a whole-table range the way plain min/max bounds do.
+      // Large deltas fall back to bounds. NaN/Infinity float keys don't
+      // parse as BigDecimal: they simply disable pruning (candidates =
+      // everything), never throw — pruning is an optimization.
+      val numericKey = deduped.schema(k).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType]
+      val deltaKeys: Option[(Array[String], Array[java.math.BigDecimal])] =
+        if (sourceRows > DeltaKeyCollectCap) None
+        else {
+          val ks = deduped.select(col(k).cast("string")).na.drop()
+            .collect().map(_.getString(0))
+          if (numericKey) {
+            try Some((Array.empty,
+              ks.map(new java.math.BigDecimal(_)).sortWith((a, b) => a.compareTo(b) < 0)))
+            catch { case _: NumberFormatException => None }
+          } else Some((ks.sorted, Array.empty))
+        }
 
-    // PRUNE: commits whose key range can't contain any delta key. For a
-    // small delta (the daily-upsert shape) the key set itself is collected
-    // and each commit's [min, max] is tested for ANY member — exact, so a
-    // delta of {low keys} ∪ {brand-new high keys} doesn't degenerate to a
-    // whole-table range the way plain min/max bounds do. Large deltas fall
-    // back to bounds; stats gaps disable pruning, never correctness.
-    val numericKey = deduped.schema(k).dataType
-      .isInstanceOf[org.apache.spark.sql.types.NumericType]
-    val deltaKeys: Option[(Array[String], Array[java.math.BigDecimal])] =
-      if (sourceRows > DeltaKeyCollectCap) None
-      else {
-        val ks = deduped.select(col(k).cast("string")).na.drop()
-          .collect().map(_.getString(0))
-        if (numericKey) {
-          val nums = ks.map(new java.math.BigDecimal(_)).sortWith((a, b) => a.compareTo(b) < 0)
-          Some((Array.empty, nums))
-        } else Some((ks.sorted, Array.empty))
+      def anyKeyIn(kind: String, mn: String, mx: String): Boolean = deltaKeys match {
+        case None => true // handled by the bounds fallback below
+        case Some((strs, nums)) =>
+          if (kind == "num") {
+            try {
+              val lo = new java.math.BigDecimal(mn)
+              val i = lowerBound(nums.length, j => nums(j).compareTo(lo) >= 0)
+              i < nums.length && nums(i).compareTo(new java.math.BigDecimal(mx)) <= 0
+            } catch { case _: NumberFormatException => true }
+          } else {
+            val i = lowerBound(strs.length, j => strs(j) >= mn)
+            i < strs.length && strs(i) <= mx
+          }
       }
 
-    def anyKeyIn(kind: String, mn: String, mx: String): Boolean = deltaKeys match {
-      case None => true // handled by the bounds fallback below
-      case Some((strs, nums)) =>
-        if (kind == "num") {
-          val lo = new java.math.BigDecimal(mn)
-          val i = lowerBound(nums.length, j => nums(j).compareTo(lo) >= 0)
-          i < nums.length && nums(i).compareTo(new java.math.BigDecimal(mx)) <= 0
-        } else {
-          val i = lowerBound(strs.length, j => strs(j) >= mn)
-          i < strs.length && strs(i) <= mx
-        }
-    }
-
-    val b = deduped.agg(fmin(col(k)), fmax(col(k))).head()
-    val candidates =
-      if (b.isNullAt(0) || b.isNullAt(1)) rels
-      else rels.filter { rel =>
-        catalog.commitColumnRange(ns, table, rel, k) match {
-          case None => true // pre-stats commit or uncovered key: keep
-          case Some((kind, mn, mx)) =>
-            if (deltaKeys.isDefined &&
-              (kind == "num") == numericKey) anyKeyIn(kind, mn, mx)
-            else catalog.statsMayOverlap(ns, table, rel, k, b.get(0), b.get(1))
-        }
+      // bounds: free from the collected keys when present, one tiny agg
+      // job otherwise; all-null/empty bounds disable pruning entirely
+      lazy val b = deduped.agg(fmin(col(k)), fmax(col(k))).head()
+      val noPrune = deltaKeys match {
+        case Some((strs, nums)) => strs.isEmpty && nums.isEmpty
+        case None => b.isNullAt(0) || b.isNullAt(1)
       }
+      val candidates =
+        if (noPrune) rels
+        else rels.filter { rel =>
+          catalog.commitColumnRange(ns, table, rel, k) match {
+            case None => true // pre-stats commit or uncovered key: keep
+            case Some((kind, mn, mx)) =>
+              if (deltaKeys.isDefined &&
+                (kind == "num") == numericKey) anyKeyIn(kind, mn, mx)
+              else catalog.statsMayOverlap(ns, table, rel, k, b.get(0), b.get(1))
+          }
+        }
 
-    // PLAN: which candidates hold actual key matches. One job — the scan
-    // reads only the key column, the delta side broadcasts under AQE, and
-    // the distinct output is bounded by the commit count.
-    val keys = deduped.select(col(k))
-    val tag = "_graft_commit"
-    val touched: Set[String] =
-      if (candidates.isEmpty) Set.empty
-      else catalog.readTagged(ns, table, candidates, tag)
-        .join(keys, Seq(k), "left_semi")
-        .select(tag).distinct().collect().map(_.getString(0)).toSet
+      // PLAN: which candidates hold actual key matches. One job — the
+      // scan reads only the key column, the delta side broadcasts under
+      // AQE, and the distinct output is bounded by the commit count.
+      val keys = deduped.select(col(k))
+      val tag = "_graft_commit"
+      val touched: Set[String] =
+        if (candidates.isEmpty) Set.empty
+        else catalog.readTagged(ns, table, candidates, tag)
+          .join(keys, Seq(k), "left_semi")
+          .select(tag).distinct().collect().map(_.getString(0)).toSet
 
-    // REWRITE: touched commits lose their matched rows; the delta (updates
-    // + brand-new keys) lands in the same fresh commit dir. Untouched
-    // commits keep their manifest entries verbatim.
-    val kept =
-      if (touched.isEmpty) deduped.limit(0) // pure insert: schema of the delta
-      else catalog.readDirs(ns, table, rels.filter(touched))
-        .join(keys, Seq(k), "left_anti")
-    val merged = kept.unionByName(deduped, allowMissingColumns = true)
-    catalog.commitRewrite(ns, table, base, touched, merged)
-    ()
+      // REWRITE: touched commits lose their matched rows; the delta
+      // (updates + brand-new keys) lands in the same fresh commit dir.
+      // Untouched commits keep their manifest entries verbatim.
+      val kept =
+        if (touched.isEmpty) deduped.limit(0) // pure insert: delta's schema
+        else catalog.readDirs(ns, table, rels.filter(touched))
+          .join(keys, Seq(k), "left_anti")
+      val merged = kept.unionByName(deduped, allowMissingColumns = true)
+      catalog.commitRewrite(ns, table, base, touched, merged)
+      ()
+    } finally { deduped.unpersist(); () }
   }
 }

@@ -246,7 +246,11 @@ object MediaCodec {
       var off = 0
       while (off < expect && !inflater.finished()) {
         val n = inflater.inflate(raw, off, expect - off)
-        if (n == 0 && inflater.needsInput()) return None // truncated stream
+        // output space is available, so a zero-byte step means the stream
+        // cannot progress: truncated input, or a preset-dictionary (FDICT)
+        // request this decoder does not serve. Either way: None — a
+        // hostile record must never spin the task forever.
+        if (n == 0) return None
         off += n
       }
       if (off != expect) return None

@@ -192,12 +192,15 @@ object Similarity {
     WHERE "rank" <= 5 ORDER BY query_id, "rank" """)
   )
 
-  // one persisted IVF index per (session, source dir) — the KMeans fit
-  // happens on the FIRST invocation only; every later invocation (and any
-  // later session pointed at the same index root) cold-starts from the
-  // stored (cell, centroid) lake table. Same memoization policy as the
-  // dedup signature caches, but the artifact lives on disk, so even a
-  // cache eviction costs a 16-row read, never a re-fit.
+  // one persisted IVF index per source dir — the KMeans fit happens on
+  // the FIRST invocation only; every later invocation cold-starts from
+  // the stored (cell, centroid) lake table. The index root is a
+  // DETERMINISTIC function of the source dir, so a brand-new session (or
+  // JVM) pointed at the same data finds the stored centroids and skips
+  // the fit too — the amortization is real across sessions, not just
+  // within one. (Deterministic roots also mean no orphan scratch dirs
+  // accumulate.) Stale-index caveat: if the source dir's CONTENT is
+  // replaced in place, drop the index root to retrain.
   private val ivfCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String),
       (org.apache.spark.sql.SparkSession, graft.lake.LakeCatalog)]()
@@ -207,8 +210,10 @@ object Similarity {
     ivfCache.entrySet().removeIf(e => e.getValue._1.sparkContext.isStopped)
     ivfCache.computeIfAbsent(
       (org.apache.spark.sql.GraftBridge.sessionUUID(s), dir), _ => s -> {
+        val digest = java.security.MessageDigest.getInstance("MD5")
+          .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
         val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-          "graft_scratch", "ivf", java.util.UUID.randomUUID().toString)
+          "graft_scratch", "ivf", digest)
         java.nio.file.Files.createDirectories(root)
         graft.lake.LakeCatalog(s, root.toString)
       })._2

@@ -420,6 +420,22 @@ class LakeSpec extends SparkSpec {
     assert(back.columns.toSeq == Seq("id", "v"))
   }
 
+  test("merge tolerates NaN/Infinity in a floating-point key column") {
+    // NaN bounds can't stats-prune — they must disable pruning, not throw
+    val cat = freshCatalog()
+    val merger = new TableMerger(cat)
+    import spark.implicits._
+    merger.mergeTable(Seq((1.0, "a"), (Double.NaN, "n")).toDF("id", "v"), "ns", "nan")
+    val r = merger.mergeTable(
+      Seq((1.0, "A"), (Double.PositiveInfinity, "inf")).toDF("id", "v"), "ns", "nan")
+    assert(r.strategy.startsWith("MERGE"))
+    val back = cat.read("ns", "nan")
+    assert(back.filter("id = 1.0 AND v = 'A'").count() == 1)
+    assert(back.filter("v = 'n'").count() == 1)   // NaN row untouched
+    assert(back.filter("v = 'inf'").count() == 1) // Infinity row inserted
+    assert(back.count() == 3)
+  }
+
   test("compactSmall folds only small commits; big ones keep their dirs verbatim") {
     val cat = freshCatalog()
     import spark.implicits._

@@ -212,6 +212,16 @@ class MultimodalSpec extends SparkSpec {
     // interlaced flag → unsupported → None
     val inter = png.clone(); inter(8 + 8 + 12) = 1.toByte
     assert(MediaCodec.decodePng(inter).isEmpty)
+    // zlib FDICT (preset dictionary) stream: Inflater reports neither
+    // finished nor needs-input — must return None, never spin the task
+    // (0x78 0x20 is a valid zlib header with the FDICT bit set)
+    val fdictIdat = Array[Byte](0x78, 0x20, 1, 2, 3, 4, 0, 0, 0, 0)
+    val fdict = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      chunk("IHDR", java.nio.ByteBuffer.allocate(13).order(java.nio.ByteOrder.BIG_ENDIAN)
+        .putInt(2).putInt(1).put(8.toByte).put(2.toByte)
+        .put(0.toByte).put(0.toByte).put(0.toByte).array()) ++
+      chunk("IDAT", fdictIdat) ++ chunk("IEND", Array.emptyByteArray)
+    assert(MediaCodec.decodePng(fdict).isEmpty, "FDICT stream must be rejected, not hang")
   }
 
   test("mm_real_png: geometry and both pixel probes match the oracle formulas") {
