@@ -637,6 +637,73 @@ final class LakeCatalog(
     base.filter(c(column) >= lit(lo) && c(column) <= lit(hi))
   }
 
+  // ----- per-commit Bloom sidecars (point-lookup skipping) ---------------
+  // min/max ranges prune BAND predicates, but a point lookup (or IN list)
+  // on a high-cardinality key that every commit's range covers prunes
+  // nothing. A small per-commit Bloom filter of the key column answers
+  // "definitely not in this commit" in O(1) — the Iceberg/parquet
+  // bloom-filter idea at commit granularity. Built on demand as a
+  // maintenance op (one scan per commit, skipping commits already
+  // covered); readers degrade gracefully when absent.
+
+  private def bloomFile(ns: String, t: String, rel: String, column: String): Path =
+    new Path(new Path(tPath(ns, t), rel), s"_graft_bloom_${enc(column)}.bin")
+
+  /** Build Bloom sidecars of `column` for every commit of the CURRENT
+    * snapshot that doesn't have one yet. Returns the number built.
+    * `fpp` trades sidecar size for false-positive scan cost.
+    */
+  def buildBlooms(ns: String, t: String, column: String,
+      expectedItems: Long = 1000000L, fpp: Double = 0.01): Int = {
+    val (_, rels) = latestEntries(ns, t)
+    val missing = rels.filterNot(rel => fs.exists(bloomFile(ns, t, rel, column)))
+    missing.foreach { rel =>
+      val df = readDirs(ns, t, Seq(rel))
+      val n = commitStats(ns, t, rel).map(_._1).getOrElse(expectedItems)
+      val bloom = df.stat.bloomFilter(column, math.max(1L, n), fpp)
+      Using.resource(fs.create(bloomFile(ns, t, rel, column), true)) { out =>
+        bloom.writeTo(out)
+      }
+    }
+    missing.length
+  }
+
+  private def commitBloom(ns: String, t: String, rel: String,
+      column: String): Option[org.apache.spark.util.sketch.BloomFilter] = {
+    val p = bloomFile(ns, t, rel, column)
+    if (!fs.exists(p)) None
+    else Using.resource(fs.open(p)) { in =>
+      Some(org.apache.spark.util.sketch.BloomFilter.readFrom(in))
+    }
+  }
+
+  /** Point/IN-list read with commit-level skipping: a commit is scanned
+    * only when (a) its [min, max] range could contain some value AND
+    * (b) its Bloom filter (when built) might contain some value. Bloom
+    * "no" is definitive, so pruning stays exact; commits without sidecars
+    * are conservatively scanned.
+    */
+  def readWhereIn(ns: String, t: String, column: String,
+      values: Seq[Any], version: Option[Int] = None): DataFrame = {
+    require(values.nonEmpty, "need at least one lookup value")
+    val vs = versions(ns, t)
+    require(vs.nonEmpty, s"no such table: $ns.$t")
+    val v = version.getOrElse(vs.last)
+    val rels = manifestEntries(ns, t, v)
+    val kept = rels.filter { rel =>
+      val rangeHit = values.exists(x => statsMayOverlap(ns, t, rel, column, x, x))
+      rangeHit && (commitBloom(ns, t, rel, column) match {
+        case Some(bloom) => values.exists(x => bloom.mightContain(x))
+        case None => true
+      })
+    }
+    import org.apache.spark.sql.functions.{col => c, lit}
+    val base =
+      if (kept.isEmpty) read(ns, t, Some(v)).limit(0)
+      else readDirs(ns, t, kept)
+    base.filter(c(column).isin(values.map(lit): _*))
+  }
+
   /** Delete data dirs referenced by NO manifest — the staging debris of
     * commits that lost their CAS (expireSnapshots only reclaims dirs that
     * expired manifests referenced; a loser's dir never made any manifest).

@@ -74,6 +74,31 @@ class ZOrderSpec extends SparkSpec {
     assert(cat.read("ns", "t").count() == 1)
   }
 
+  test("bloom sidecars prune point lookups where min/max ranges cannot") {
+    val cat = freshCatalog()
+    import spark.implicits._
+    // two commits with IDENTICAL id ranges but disjoint membership —
+    // range pruning is blind here, blooms are not
+    cat.write("ns", "bl", (0 until 1000 by 2).map(i => (i, "even")).toDF("id", "v"))
+    cat.write("ns", "bl", (1 until 1000 by 2).map(i => (i, "odd")).toDF("id", "v"),
+      SaveMode.Append)
+    // before blooms: both commits scanned (range can't discriminate)
+    val before = cat.readWhereIn("ns", "bl", "id", Seq(4))
+    assert(before.inputFiles.map(_.replaceAll("/[^/]*$", "")).distinct.length == 2)
+    assert(cat.buildBlooms("ns", "bl", "id") == 2)
+    assert(cat.buildBlooms("ns", "bl", "id") == 0) // idempotent: already covered
+    val q = cat.readWhereIn("ns", "bl", "id", Seq(4))
+    assert(q.inputFiles.map(_.replaceAll("/[^/]*$", "")).distinct.length == 1,
+      "bloom must rule out the odd-ids commit")
+    assert(q.collect().map(r => (r.getInt(0), r.getString(1))).toSeq == Seq((4, "even")))
+    // multi-value lookup spanning both commits scans both, returns both
+    val q2 = cat.readWhereIn("ns", "bl", "id", Seq(4, 7))
+    assert(q2.collect().map(_.getInt(0)).sorted.toSeq == Seq(4, 7))
+    // a value no commit holds: bloom prunes everything, schema preserved
+    val none = cat.readWhereIn("ns", "bl", "id", Seq(5000))
+    assert(none.count() == 0 && none.columns.toSeq == Seq("id", "v"))
+  }
+
   test("file-scoped DELETE rewrites only the z-buckets holding matches") {
     val cat = freshCatalog()
     cat.writeClustered("ns", "d", grid(), Seq("x", "y"), commits = 16)
