@@ -423,6 +423,18 @@ final class LakeCatalog(
     else commitRewrite(ns, t, base, small.toSet, readDirs(ns, t, small))
   }
 
+  /** Re-cluster the current snapshot ([[writeClustered]] of the full
+    * table): the maintenance op for tables whose clustering has degraded —
+    * every file-scoped MERGE/DELETE lands its rewrite as one unclustered
+    * commit, so after many upserts an increasing fraction of rows lives
+    * outside the z-bucket structure and band pruning weakens. Periodic
+    * reclustering restores tight per-commit ranges, like Delta re-running
+    * OPTIMIZE ZORDER.
+    */
+  def recluster(ns: String, t: String, clusterCols: Seq[String],
+      commits: Int = 16): Int =
+    writeClustered(ns, t, read(ns, t), clusterCols, commits, SaveMode.Overwrite)
+
   /** Snapshot ROLLBACK (Iceberg rollback_to_snapshot analog): republish
     * `toVersion`'s entry list as a NEW version — metadata-only, no data
     * IO, and the rolled-back-over versions remain time-travelable until

@@ -74,6 +74,31 @@ class ZOrderSpec extends SparkSpec {
     assert(cat.read("ns", "t").count() == 1)
   }
 
+  test("z-order degenerate shapes: null values, constant columns, recluster") {
+    val cat = freshCatalog()
+    import spark.implicits._
+    // nulls in a cluster column land in a bucket (rank 0) and survive
+    val withNulls = Seq((1L, Some(10), 5), (2L, None, 7), (3L, Some(20), 9))
+      .toDF("id", "x", "y")
+    cat.writeClustered("ns", "n", withNulls, Seq("x", "y"), commits = 4)
+    assert(cat.read("ns", "n").count() == 3)
+    assert(cat.read("ns", "n").filter("x IS NULL").count() == 1)
+    // a constant column collapses every rank to one value: still correct,
+    // just one bucket on that dimension
+    val const = (1 to 100).map(i => (i.toLong, 7, i)).toDF("id", "x", "y")
+    cat.writeClustered("ns", "c", const, Seq("x", "y"), commits = 4)
+    assert(cat.read("ns", "c").count() == 100)
+    assert(cat.readWhere("ns", "c", "y", 1, 10).count() == 10)
+    // recluster restores bucket structure after an unclustered merge commit
+    val merger = new TableMerger(cat)
+    merger.mergeTable((1 to 50).map(i => (i.toLong, 7, i + 1000)).toDF("id", "x", "y"),
+      "ns", "c")
+    val v = cat.recluster("ns", "c", Seq("x", "y"), commits = 4)
+    assert(cat.versions("ns", "c").last == v)
+    assert(cat.read("ns", "c").count() == 100) // 50 updated in place, 50 kept
+    assert(cat.readWhere("ns", "c", "y", 1001, 1010).count() == 10)
+  }
+
   test("bloom sidecars prune point lookups where min/max ranges cannot") {
     val cat = freshCatalog()
     import spark.implicits._
