@@ -95,16 +95,26 @@ final class HadoopCommitBackend(fs: FileSystem) extends CommitBackend {
     if (fs.getScheme == "file") {
       // truly atomic publish: link(2) fails EEXIST atomically, where
       // rename(2) would replace the destination and Hadoop's local rename
-      // only narrows that with a non-atomic exists check
-      try {
-        java.nio.file.Files.createLink(
-          java.nio.file.Paths.get(dst.toUri.getPath),
-          java.nio.file.Paths.get(src.toUri.getPath))
-        fs.delete(src, false)
-        true
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException => false
-        case _: UnsupportedOperationException | _: java.io.IOException =>
+      // only narrows that with a non-atomic exists check. The catch is
+      // scoped to the LINK alone: once dst exists the publish HAS
+      // happened, and a failing cleanup of the temp name must not be
+      // misreported as a lost commit (the caller would raise a conflict
+      // for a version it actually published).
+      val linked =
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(dst.toUri.getPath),
+            java.nio.file.Paths.get(src.toUri.getPath))
+          Some(true)
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => Some(false)
+          case _: UnsupportedOperationException | _: java.io.IOException => None
+        }
+      linked match {
+        case Some(won) =>
+          if (won) { try fs.delete(src, false) catch { case _: java.io.IOException => () }; () }
+          won
+        case None =>
           // filesystem without hard links: Hadoop's checked rename
           !fs.exists(dst) && fs.rename(src, dst)
       }

@@ -317,18 +317,21 @@ final class LakeCatalog(
       mode: SaveMode = SaveMode.Overwrite,
       expectedVersion: Option[Int] = None): Int = {
     require(clusterCols.nonEmpty, "need at least one cluster column")
-    // 4 bits x 6 cols = 24 morton bits; x commits stays inside Int. More
-    // dimensions than ~4 defeat a space-filling curve anyway (each extra
-    // dimension halves the per-dimension resolution of every bucket).
+    // 4 bits x 6 cols = 24 morton bits (the x-commits product is computed
+    // in Long below). More dimensions than ~4 defeat a space-filling curve
+    // anyway (each extra dimension halves the per-dimension resolution of
+    // every bucket).
     require(clusterCols.length <= 6, "z-order supports at most 6 cluster columns")
     require(commits >= 1 && commits <= 4096, "z-bucket count out of range")
     createNamespace(ns)
     import org.apache.spark.sql.functions.col
     val cuts = ZOrder.boundaries(df, clusterCols)
-    val totalCells = 1 << (ZOrder.BitsPerCol * clusterCols.length)
-    // contiguous Morton ranges → compact hyper-rectangles per bucket
-    val zb = (ZOrder.mortonKey(clusterCols.map(col), cuts) * commits / totalCells)
-      .cast("int")
+    val totalCells = 1L << (ZOrder.BitsPerCol * clusterCols.length)
+    // contiguous Morton ranges → compact hyper-rectangles per bucket.
+    // LONG arithmetic: morton (up to 2^24) x commits (up to 2^12) can
+    // exceed Int — the bucket id itself always fits.
+    val zb = (ZOrder.mortonKey(clusterCols.map(col), cuts).cast("long")
+      * commits / totalCells).cast("int")
     val rel = s"data/${java.util.UUID.randomUUID().toString}"
     val out = new Path(tPath(ns, t), rel)
     withMicrosTimestamps {
@@ -432,8 +435,14 @@ final class LakeCatalog(
     * OPTIMIZE ZORDER.
     */
   def recluster(ns: String, t: String, clusterCols: Seq[String],
-      commits: Int = 16): Int =
-    writeClustered(ns, t, read(ns, t), clusterCols, commits, SaveMode.Overwrite)
+      commits: Int = 16): Int = {
+    // CAS against the snapshot being reclustered: a concurrent commit
+    // (e.g. the streaming upsert sink) landing mid-recluster must raise,
+    // not be silently clobbered by the reclustered copy of older data
+    val (base, _) = latestEntries(ns, t)
+    writeClustered(ns, t, read(ns, t, Some(base)), clusterCols, commits,
+      SaveMode.Overwrite, expectedVersion = Some(base))
+  }
 
   /** Snapshot ROLLBACK (Iceberg rollback_to_snapshot analog): republish
     * `toVersion`'s entry list as a NEW version — metadata-only, no data
@@ -692,8 +701,9 @@ final class LakeCatalog(
   /** Point/IN-list read with commit-level skipping: a commit is scanned
     * only when (a) its [min, max] range could contain some value AND
     * (b) its Bloom filter (when built) might contain some value. Bloom
-    * "no" is definitive, so pruning stays exact; commits without sidecars
-    * are conservatively scanned.
+    * "no" is definitive, so pruning stays exact; commits without sidecars,
+    * and probe values the bloom can't test reliably, are conservatively
+    * scanned. One sidecar read per commit — never per (commit, value).
     */
   def readWhereIn(ns: String, t: String, column: String,
       values: Seq[Any], version: Option[Int] = None): DataFrame = {
@@ -702,12 +712,42 @@ final class LakeCatalog(
     require(vs.nonEmpty, s"no such table: $ns.$t")
     val v = version.getOrElse(vs.last)
     val rels = manifestEntries(ns, t, v)
+
+    def inRange(kind: String, mn: String, mx: String, x: Any): Boolean =
+      if (kind == "num") {
+        try {
+          val d = BigDecimal(x.toString)
+          BigDecimal(mx) >= d && BigDecimal(mn) <= d
+        } catch { case _: NumberFormatException => true }
+      } else mx >= x.toString && mn <= x.toString
+
+    // a probe must hash EXACTLY as the builder put the column's values
+    // (integral → putLong, string → putString); anything else — or a
+    // mismatched probe type like a string probe against a numeric column —
+    // is normalized when lossless and treated as might-contain otherwise.
+    // A wrong-typed probe must never flip a true match to a prune.
+    def mightContain(bloom: org.apache.spark.util.sketch.BloomFilter,
+        kind: String, x: Any): Boolean = x match {
+      case n @ (_: Byte | _: Short | _: Int | _: Long) =>
+        if (kind == "num") bloom.mightContainLong(n.asInstanceOf[Number].longValue)
+        else bloom.mightContainString(n.toString) // int probe, string column
+      case s: String if kind == "num" =>
+        try bloom.mightContainLong(new java.math.BigDecimal(s).longValueExact)
+        catch { case _: ArithmeticException | _: NumberFormatException => true }
+      case s: String => bloom.mightContainString(s)
+      case _ => true // double/date/...: not bloom-testable, scan the commit
+    }
+
     val kept = rels.filter { rel =>
-      val rangeHit = values.exists(x => statsMayOverlap(ns, t, rel, column, x, x))
-      rangeHit && (commitBloom(ns, t, rel, column) match {
-        case Some(bloom) => values.exists(x => bloom.mightContain(x))
-        case None => true
-      })
+      commitColumnRange(ns, t, rel, column) match {
+        case None => true // pre-stats commit or uncovered column
+        case Some((kind, mn, mx)) =>
+          val rangeHits = values.filter(x => inRange(kind, mn, mx, x))
+          rangeHits.nonEmpty && (commitBloom(ns, t, rel, column) match {
+            case Some(bloom) => rangeHits.exists(x => mightContain(bloom, kind, x))
+            case None => true
+          })
+      }
     }
     import org.apache.spark.sql.functions.{col => c, lit}
     val base =

@@ -80,7 +80,10 @@ private[lake] object ParquetFooterStats {
                   acc.get(colPath) match {
                     case None => acc(colPath) = (kind, mn, mx)
                     case Some((k0, mn0, mx0)) =>
-                      acc(colPath) = (k0, minOf(k0, mn0, mn), maxOf(k0, mx0, mx))
+                      // belt-and-braces: a cross-file bound that fails to
+                      // combine marks the column unsupported, never throws
+                      try acc(colPath) = (k0, minOf(k0, mn0, mn), maxOf(k0, mx0, mx))
+                      catch { case _: NumberFormatException => unsupported += colPath }
                   }
               }
             }
@@ -145,9 +148,19 @@ private[lake] object ParquetFooterStats {
       case (INT64, null) | (INT64, _: IntLogicalTypeAnnotation) =>
         num(stats.genericGetMin.toString, stats.genericGetMax.toString)
       case (FLOAT, _) =>
-        num(stats.genericGetMin.toString, stats.genericGetMax.toString)
+        val (mn, mx) = (stats.genericGetMin.asInstanceOf[Float],
+          stats.genericGetMax.asInstanceOf[Float])
+        // NaN/Infinity don't parse as BigDecimal downstream (and NaN makes
+        // parquet float stats unreliable anyway): unsupported, not a crash
+        if (java.lang.Float.isFinite(mn) && java.lang.Float.isFinite(mx))
+          num(mn.toString, mx.toString)
+        else None
       case (DOUBLE, _) =>
-        num(stats.genericGetMin.toString, stats.genericGetMax.toString)
+        val (mn, mx) = (stats.genericGetMin.asInstanceOf[Double],
+          stats.genericGetMax.asInstanceOf[Double])
+        if (java.lang.Double.isFinite(mn) && java.lang.Double.isFinite(mx))
+          num(mn.toString, mx.toString)
+        else None
       case (BINARY, l) if l.isInstanceOf[StringLogicalTypeAnnotation] ||
           l.isInstanceOf[EnumLogicalTypeAnnotation] =>
         val mn = stats.genericGetMin.asInstanceOf[Binary].toStringUsingUTF8

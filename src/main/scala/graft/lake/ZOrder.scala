@@ -27,13 +27,13 @@ object ZOrder {
   val BitsPerCol = 4 // 16 quantile ranks per column
 
   /** Per-column quantile boundaries (15 internal cut points for 16 ranks).
-    * One approxQuantile action over the frame; columns must be numeric.
+    * ONE approxQuantile pass covers every column (the multi-column
+    * overload); columns must be numeric.
     */
   def boundaries(df: DataFrame, cols: Seq[String]): Seq[Array[Double]] =
-    cols.map { c =>
-      df.stat.approxQuantile(c,
-        (1 until (1 << BitsPerCol)).map(_.toDouble / (1 << BitsPerCol)).toArray, 0.001)
-    }
+    df.stat.approxQuantile(cols.toArray,
+      (1 until (1 << BitsPerCol)).map(_.toDouble / (1 << BitsPerCol)).toArray, 0.001)
+      .toSeq
 
   /** Quantile rank (0..15) of `c` against its boundary cut points — a
     * codegen'd when-chain, no UDF.

@@ -210,8 +210,20 @@ object Similarity {
     ivfCache.entrySet().removeIf(e => e.getValue._1.sparkContext.isStopped)
     ivfCache.computeIfAbsent(
       (org.apache.spark.sql.GraftBridge.sessionUUID(s), dir), _ => s -> {
+        // the root digests the source path PLUS the embeddings file's
+        // (mtime, length) fingerprint: regenerated data at the same path
+        // gets a fresh index instead of silently reusing stale centroids
+        val fp = try {
+          val p = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
+          val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+          val st = fs.getFileStatus(p)
+          if (st.isDirectory)
+            fs.listStatus(p).map(f => s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}")
+              .sorted.mkString(",")
+          else s"${st.getLen}:${st.getModificationTime}"
+        } catch { case _: java.io.IOException => "absent" }
         val digest = java.security.MessageDigest.getInstance("MD5")
-          .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+          .digest(s"$dir|$fp".getBytes("UTF-8")).map("%02x".format(_)).mkString
         val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
           "graft_scratch", "ivf", digest)
         java.nio.file.Files.createDirectories(root)
@@ -238,7 +250,10 @@ object Similarity {
       val emb = Tables(s, dir).embeddings
       val cat = ivfIndexFor(s, dir)
       if (!cat.tableExists("ann", "ivf_centroids"))
-        IvfIndex.buildIndex(cat, "ann", "ivf_centroids", emb, "vec_id", "embedding")
+        // two processes racing the shared index root: the CAS loser's
+        // build conflicts — fall through and read the winner's centroids
+        try IvfIndex.buildIndex(cat, "ann", "ivf_centroids", emb, "vec_id", "embedding")
+        catch { case _: graft.lake.CommitConflictException => () }
       val centroids = IvfIndex.loadCentroids(cat, "ann", "ivf_centroids")
       val queries = emb.filter(col("vec_id") < NumQueries)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))

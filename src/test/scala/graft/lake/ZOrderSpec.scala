@@ -124,6 +124,52 @@ class ZOrderSpec extends SparkSpec {
     assert(none.count() == 0 && none.columns.toSeq == Seq("id", "v"))
   }
 
+  test("multi-file commits with Infinity/NaN doubles write stats without crashing") {
+    val cat = freshCatalog()
+    import spark.implicits._
+    // 2+ part files so cross-file bound accumulation runs; one file holds
+    // non-finite doubles — column must degrade to unsupported, not throw
+    val df = Seq((1L, 1.5), (2L, Double.PositiveInfinity), (3L, Double.NaN), (4L, 2.5))
+      .toDF("id", "x").repartition(2)
+    cat.write("ns", "inf", df)
+    assert(cat.rowCount("ns", "inf") == 4)
+    val (_, rels) = cat.latestEntries("ns", "inf")
+    val stats = cat.commitStats("ns", "inf", rels.head)
+    assert(stats.isDefined && stats.get._1 == 4)
+    // id column keeps bounds; band reads stay correct either way
+    assert(cat.readWhere("ns", "inf", "id", 1, 2).count() == 2)
+  }
+
+  test("5-column z-order with 4096 buckets stays in range (Long morton arithmetic)") {
+    val cat = freshCatalog()
+    import spark.implicits._
+    val df = (0 until 200).map { i =>
+      (i.toLong, i % 97, (i * 7) % 89, (i * 13) % 83, (i * 17) % 79, (i * 19) % 73)
+    }.toDF("id", "a", "b", "c", "d", "e")
+    // 5 cols x 4 bits = 2^20 morton cells; x 4096 overflows Int — must not
+    // produce negative/garbage bucket ids
+    cat.writeClustered("ns", "wide", df, Seq("a", "b", "c", "d", "e"), commits = 4096)
+    val (_, entries) = cat.latestEntries("ns", "wide")
+    val ids = entries.map(_.split("_zbucket=").last.toInt)
+    assert(ids.forall(i => i >= 0 && i < 4096), s"bucket ids out of range: ${ids.take(5)}")
+    assert(cat.read("ns", "wide").count() == 200)
+  }
+
+  test("bloom probes tolerate mismatched value types (no false prune, no crash)") {
+    val cat = freshCatalog()
+    import spark.implicits._
+    cat.write("ns", "bt", Seq((42L, "x"), (43L, "y")).toDF("id", "v"))
+    assert(cat.buildBlooms("ns", "bt", "id") == 1)
+    // string probe against the long-keyed bloom: normalized, still found
+    assert(cat.readWhereIn("ns", "bt", "id", Seq("42")).count() == 1)
+    // double probe: not bloom-testable — conservative scan, correct result
+    assert(cat.readWhereIn("ns", "bt", "id", Seq(42.0)).count() == 1)
+    // and on a STRING column, an int probe normalizes to the string hash
+    cat.write("ns", "bs", Seq(("7", "a"), ("8", "b")).toDF("k", "v"))
+    assert(cat.buildBlooms("ns", "bs", "k") == 1)
+    assert(cat.readWhereIn("ns", "bs", "k", Seq(7)).count() == 1)
+  }
+
   test("file-scoped DELETE rewrites only the z-buckets holding matches") {
     val cat = freshCatalog()
     cat.writeClustered("ns", "d", grid(), Seq("x", "y"), commits = 16)
