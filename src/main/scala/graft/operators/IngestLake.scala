@@ -403,10 +403,63 @@ object IngestLake {
       (SELECT COUNT(*) FROM orders WHERE o_custkey BETWEEN 100 AND 500) AS n_cust_band""")
   )
 
+  /** Maintenance lifecycle end-to-end under the oracle: seed + two small
+    * appends, a bad overwrite, ROLLBACK to the good snapshot, then
+    * bin-packing compactSmall — the final table must equal the pre-bad
+    * state computed independently by the oracle, through four maintenance
+    * commits.
+    */
+  val lakeMaintenance: Q = Q(
+    "lake_maintenance",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val cat = LakeCatalog(s, scratch("maint"))
+      val orders = t.orders.select("o_orderkey", "o_totalprice")
+      cat.write("lake", "om", orders.filter(col("o_orderkey") % 3 === 0))            // v1 big
+      cat.write("lake", "om", orders.filter(col("o_orderkey") % 3 === 1),
+        SaveMode.Append)                                                              // v2
+      cat.write("lake", "om", orders.filter(col("o_orderkey") % 3 === 2),
+        SaveMode.Append)                                                              // v3
+      cat.write("lake", "om", orders.limit(0), SaveMode.Overwrite)                    // v4: bad deploy
+      cat.rollback("lake", "om", 3)                                                   // v5 == v3
+      cat.compactSmall("lake", "om", smallRowThreshold = Long.MaxValue)               // v6: fold all
+      cat.read("lake", "om")
+        .agg(count(lit(1)).as("n_rows"),
+          dsum(col("o_totalprice")).as("total"),
+          countDistinct(col("o_orderkey")).as("n_keys"))
+    },
+    Some(s"""SELECT COUNT(*) AS n_rows,
+      CAST(SUM(CAST(o_totalprice AS $D)) AS DOUBLE) AS total,
+      COUNT(DISTINCT o_orderkey) AS n_keys
+    FROM orders""")
+  )
+
+  /** Bloom-pruned point lookup under the oracle: per-period commits, bloom
+    * sidecars on the key, then an IN-list read answered through
+    * range+bloom commit skipping — equal to the oracle's plain IN query.
+    */
+  val lakePointLookup: Q = Q(
+    "lake_point_lookup",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val cat = LakeCatalog(s, scratch("ptlk"))
+      val orders = t.orders.select("o_orderkey", "o_custkey", "o_totalprice")
+      cat.write("lake", "op", orders.filter(col("o_orderkey") % 2 === 0))
+      cat.write("lake", "op", orders.filter(col("o_orderkey") % 2 === 1), SaveMode.Append)
+      cat.buildBlooms("lake", "op", "o_orderkey")
+      cat.readWhereIn("lake", "op", "o_orderkey",
+          Seq(1L, 2L, 3L, 100L, 101L, 9999999L))
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    WHERE o_orderkey IN (1, 2, 3, 100, 101, 9999999)
+    ORDER BY o_orderkey""")
+  )
+
   val all: Seq[Q] = Seq(
     ingestCsvRoundtrip, ingestJsonRoundtrip, ingestParquet, ingestTextLines,
     ingestOrcRoundtrip, ingestXmlRoundtrip, ingestSchemaEvolution, ingestJsonProps,
     lakeCtas, lakeMergeUpsert, lakeChangelog, lakeDataProfile,
     lakeScd2, lakeDelete, lakeIncrementalRead, lakeConstraints, lakeDataSkipping,
-    lakeZorder)
+    lakeZorder, lakeMaintenance, lakePointLookup)
 }
