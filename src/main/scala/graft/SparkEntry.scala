@@ -13,7 +13,8 @@ object SparkEntry {
     operators.Relational.all ++ operators.RelationalTpch.all ++
       operators.RelationalAnalytics.all ++
       operators.IngestLake.all ++
-      operators.Dedup.all ++ operators.TextAnalysis.all ++ operators.Similarity.all ++
+      operators.Dedup.all ++ operators.TextAnalysis.all ++ operators.Curation.all ++
+      operators.Similarity.all ++
       operators.Multimodal.all ++ operators.TopK.all ++
       streaming.StreamingQueries.all
 
