@@ -20,9 +20,11 @@ import java.nio.{ByteBuffer, ByteOrder}
   *
   * These replace the round-2 codec STUB: decode genuinely parses headers,
   * entropy-coded payloads (PNG) and pixel/sample data, and resize really
-  * resamples pixels. The remaining out-of-scope boundary is LOSSY codecs
-  * only (JPEG/H.264/MP3 — DCT/motion-compensation stacks that need
-  * ffmpeg-class libraries this environment doesn't ship).
+  * resamples pixels. Baseline JPEG — the LOSSY image path — lives in
+  * [[JpegCodec]] (pure-JVM Huffman + DCT, no external libraries). The
+  * remaining out-of-scope boundary is motion-compensated video and
+  * perceptual audio only (H.264/MP3 — stacks that need ffmpeg-class
+  * libraries this environment doesn't ship).
   */
 object MediaCodec {
 

@@ -403,6 +403,70 @@ object Multimodal {
     FROM g""")
   )
 
+  /** LOSSY codec round trip — baseline JPEG end to end through the engine's
+    * own pure-JVM encoder/decoder (JpegCodec): every document becomes a
+    * smooth-gradient image, encoded with per-doc parameter variation
+    * (4:2:0 vs 4:4:4 by doc parity, restart markers every 2 MCUs for
+    * doc_id % 4 == 0) and decoded back. Lossy means pixel values can't be
+    * recomputed in SQL, so the oracle pins what IS exact — geometry and
+    * counts — while the engine asserts the fidelity claim per record
+    * against the formula-defined source pixels: decode succeeds, dims
+    * match, max |err| ≤ 32, and images ≥ 1024 px compress smaller than
+    * raw. A broken Huffman path, IDCT, or upsampler fails those counts,
+    * which the oracle predicts independently from (doc_id, length(text)).
+    */
+  val mmRealJpeg: Q = Q(
+    "mm_real_jpeg",
+    (s, dir) => {
+      import s.implicits._
+      Tables(s, dir).documents
+        .select(col("doc_id"), length(col("text")).as("n"))
+        .as[(Long, Int)]
+        .map { case (id, n) =>
+          val w = 16 + n % 33
+          val h = 16 + (n * 7) % 33
+          val base = ((id * 31) % 128).toInt
+          val rgb = Array.tabulate(w * h * 3) { i =>
+            val p = i / 3
+            math.min(255, base + (p % w) * 2 + p / w).toByte
+          }
+          val jpg = JpegCodec.encodeJpeg(w, h, rgb, quality = 85,
+            subsample420 = id % 2 == 0,
+            restartInterval = if (id % 4 == 0) 2 else 0)
+          val ok = JpegCodec.decodeJpeg(jpg) match {
+            case Some((dw, dh, out)) if dw == w && dh == h =>
+              var m = 0; var i = 0
+              while (i < out.length) {
+                val d = math.abs((out(i) & 0xff) - (rgb(i) & 0xff))
+                if (d > m) m = d
+                i += 1
+              }
+              if (m <= 32) 1 else 0
+            case _ => 0
+          }
+          val largeSmaller =
+            if (w * h >= 1024) { if (jpg.length < rgb.length) 1 else 0 } else 0
+          (id, w, h, ok, largeSmaller)
+        }
+        .toDF("doc_id", "width", "height", "ok", "large_smaller")
+        .agg(
+          count(lit(1)).as("n_media"),
+          sum("width").as("sum_width"),
+          sum("height").as("sum_height"),
+          sum("ok").as("n_ok"),
+          sum("large_smaller").as("n_large_smaller"))
+    },
+    Some("""WITH g AS (
+      SELECT doc_id, 16 + length(text) % 33 AS w, 16 + (length(text) * 7) % 33 AS h
+      FROM documents)
+    SELECT COUNT(*) AS n_media,
+      CAST(SUM(w) AS BIGINT) AS sum_width,
+      CAST(SUM(h) AS BIGINT) AS sum_height,
+      CAST(COUNT(*) AS BIGINT) AS n_ok,
+      CAST(SUM(CASE WHEN w * h >= 1024 THEN 1 ELSE 0 END) AS BIGINT) AS n_large_smaller
+    FROM g""")
+  )
+
   val all: Seq[Q] = Seq(mmPipeline, mmFrameSample, mmBinaryDedup, mmMetadataFilter,
-    mmRealDecode, mmRealResize, mmRealPng)
+    mmRealDecode, mmRealResize, mmRealPng, mmRealJpeg)
 }
