@@ -249,17 +249,25 @@ final class LakeCatalog(
       spark.read.option("basePath", d).parquet(d)
     })
 
-  /** Like [[readDirs]] but every row carries its commit dir in `tagCol` —
-    * the scan-to-plan phase of file-scoped MERGE/DELETE reads this once,
-    * filters, and collects the DISTINCT tag values (bounded by the number
-    * of commits) to learn which commits a delta actually touches.
+  /** Like [[readDirs]] but every row carries its commit dir in a tag
+    * column — the scan-to-plan phase of file-scoped MERGE/DELETE reads
+    * this once, filters, and collects the DISTINCT tag values (bounded by
+    * the number of commits) to learn which commits a delta actually
+    * touches. The tag name is chosen collision-free against the table's
+    * own columns (a user table may genuinely contain `_graft_commit`;
+    * shadowing it would make predicates on that column evaluate against
+    * the injected literal) and returned alongside the frame.
     */
-  def readTagged(ns: String, t: String, rels: Seq[String], tagCol: String): DataFrame =
-    SchemaTools.unifySchemas(rels.map { rel =>
+  def readTagged(ns: String, t: String, rels: Seq[String]): (DataFrame, String) = {
+    val dfs = rels.map { rel =>
       val d = new Path(tPath(ns, t), rel).toString
-      spark.read.option("basePath", d).parquet(d)
-        .withColumn(tagCol, org.apache.spark.sql.functions.lit(rel))
-    })
+      rel -> spark.read.option("basePath", d).parquet(d)
+    }
+    val tag = StatsOrder.freshTag(dfs.flatMap(_._2.columns))
+    (SchemaTools.unifySchemas(dfs.map { case (rel, df) =>
+      df.withColumn(tag, org.apache.spark.sql.functions.lit(rel))
+    }), tag)
+  }
 
   /** Write a commit. OVERWRITE replaces the file list; APPEND extends it
     * (no data rewrite). Optional hive-style partitioning. Pass
@@ -474,8 +482,8 @@ final class LakeCatalog(
     // leaves when the predicate is definitively TRUE.
     val hit = coalesce(predicate, lit(false))
     val (base, rels) = latestEntries(ns, t)
-    val tag = "_graft_commit"
-    val touched = readTagged(ns, t, rels, tag)
+    val (tagged, tag) = readTagged(ns, t, rels)
+    val touched = tagged
       .filter(hit).select(tag).distinct()
       .collect().map(_.getString(0)).toSet
     if (touched.isEmpty) commit(ns, t, rels, Some(base))
@@ -604,8 +612,9 @@ final class LakeCatalog(
   /** True when the commit's recorded [min, max] of `column` could
     * intersect [lo, hi] — conservatively true for pre-stats commits and
     * uncovered columns. Numeric columns compare numerically; everything
-    * else lexicographically (ISO dates/timestamps order correctly as
-    * strings).
+    * else in unsigned UTF-8 byte order ([[StatsOrder]] — the order the
+    * stats were produced under; ISO dates/timestamps order correctly
+    * there too).
     */
   def statsMayOverlap(ns: String, t: String, rel: String,
       column: String, lo: Any, hi: Any): Boolean = commitStats(ns, t, rel) match {
@@ -619,7 +628,7 @@ final class LakeCatalog(
             val (l, h) = (BigDecimal(lo.toString), BigDecimal(hi.toString))
             BigDecimal(mx) >= l && BigDecimal(mn) <= h
           } catch { case _: NumberFormatException => true }
-        } else mx >= lo.toString && mn <= hi.toString
+        } else StatsOrder.geq(mx, lo.toString) && StatsOrder.leq(mn, hi.toString)
       case None => true // column not covered by stats
     }
     case None => true // pre-stats commit
@@ -719,7 +728,7 @@ final class LakeCatalog(
           val d = BigDecimal(x.toString)
           BigDecimal(mx) >= d && BigDecimal(mn) <= d
         } catch { case _: NumberFormatException => true }
-      } else mx >= x.toString && mn <= x.toString
+      } else StatsOrder.geq(mx, x.toString) && StatsOrder.leq(mn, x.toString)
 
     // a probe must hash EXACTLY as the builder put the column's values
     // (integral → putLong, string → putString); anything else — or a

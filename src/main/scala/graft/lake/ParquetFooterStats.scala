@@ -95,12 +95,16 @@ private[lake] object ParquetFooterStats {
     Some((rows, acc.toSeq))
   }
 
+  // str bounds combine in unsigned UTF-8 byte order — the same order the
+  // per-file footer stats were selected under (parquet orders BINARY/UTF8
+  // byte-wise); Scala String order (UTF-16) diverges for high-BMP vs
+  // supplementary code points and could produce a wrong cross-file bound
   private def minOf(kind: String, a: String, b: String): String =
     if (kind == "num") { if (BigDecimal(a) <= BigDecimal(b)) a else b }
-    else { if (a <= b) a else b }
+    else { if (StatsOrder.leq(a, b)) a else b }
   private def maxOf(kind: String, a: String, b: String): String =
     if (kind == "num") { if (BigDecimal(a) >= BigDecimal(b)) a else b }
-    else { if (a >= b) a else b }
+    else { if (StatsOrder.geq(a, b)) a else b }
 
   private val TsFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
 

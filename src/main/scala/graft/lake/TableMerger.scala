@@ -33,7 +33,14 @@ import org.apache.spark.sql.functions.col
   * against the version the plan read, so a concurrent writer conflicts
   * loudly instead of being resurrected or clobbered.
   */
-final class TableMerger(catalog: LakeCatalog) {
+final class TableMerger(
+    catalog: LakeCatalog,
+    /** Delta-key sets up to this size are collected driver-side for EXACT
+      * candidate pruning; above it the plan falls back to [min, max]
+      * bound pruning. Overridable so specs can exercise the fallback
+      * without a 500k-row delta.
+      */
+    val DeltaKeyCollectCap: Long = 500000L) {
 
   /** Reference's auto-detection list (merge_utils.py:13). */
   val keyCandidates: Seq[String] = Seq("id", "product_id", "sku", "code", "_id")
@@ -102,12 +109,6 @@ final class TableMerger(catalog: LakeCatalog) {
     lo
   }
 
-  /** Delta-key sets up to this size are collected driver-side for EXACT
-    * candidate pruning (a sorted array of key strings, ~tens of MB at the
-    * cap). Above it the plan falls back to [min, max] bound pruning.
-    */
-  val DeltaKeyCollectCap = 500000L
-
   /** The file-scoped upsert itself (steps PRUNE → PLAN → REWRITE of the
     * class doc). `deduped` must already be one row per key.
     */
@@ -140,7 +141,10 @@ final class TableMerger(catalog: LakeCatalog) {
             try Some((Array.empty,
               ks.map(new java.math.BigDecimal(_)).sortWith((a, b) => a.compareTo(b) < 0)))
             catch { case _: NumberFormatException => None }
-          } else Some((ks.sorted, Array.empty))
+          } else
+            // sorted in the SAME order the sidecar bounds compare under
+            // (unsigned UTF-8 bytes) or the binary search below lies
+            Some((ks.sortWith(StatsOrder.lt), Array.empty))
         }
 
       def anyKeyIn(kind: String, mn: String, mx: String): Boolean = deltaKeys match {
@@ -153,14 +157,20 @@ final class TableMerger(catalog: LakeCatalog) {
               i < nums.length && nums(i).compareTo(new java.math.BigDecimal(mx)) <= 0
             } catch { case _: NumberFormatException => true }
           } else {
-            val i = lowerBound(strs.length, j => strs(j) >= mn)
-            i < strs.length && strs(i) <= mx
+            val i = lowerBound(strs.length, j => StatsOrder.geq(strs(j), mn))
+            i < strs.length && StatsOrder.leq(strs(i), mx)
           }
       }
 
       // bounds: free from the collected keys when present, one tiny agg
-      // job otherwise; all-null/empty bounds disable pruning entirely
-      lazy val b = deduped.agg(fmin(col(k)), fmax(col(k))).head()
+      // job otherwise; all-null/empty bounds disable pruning entirely.
+      // The bounds are rendered by Spark's cast-to-string AFTER the
+      // aggregate — the exact formatting the stats sidecar stores (a
+      // timestamp probe via JVM toString would render '…10:00:00.0'
+      // where the sidecar strips trailing zeros, and the lexicographic
+      // compare would falsely prune a commit holding an equal key)
+      lazy val b = deduped
+        .agg(fmin(col(k)).cast("string"), fmax(col(k)).cast("string")).head()
       val noPrune = deltaKeys match {
         case Some((strs, nums)) => strs.isEmpty && nums.isEmpty
         case None => b.isNullAt(0) || b.isNullAt(1)
@@ -181,12 +191,13 @@ final class TableMerger(catalog: LakeCatalog) {
       // scan reads only the key column, the delta side broadcasts under
       // AQE, and the distinct output is bounded by the commit count.
       val keys = deduped.select(col(k))
-      val tag = "_graft_commit"
       val touched: Set[String] =
         if (candidates.isEmpty) Set.empty
-        else catalog.readTagged(ns, table, candidates, tag)
-          .join(keys, Seq(k), "left_semi")
-          .select(tag).distinct().collect().map(_.getString(0)).toSet
+        else {
+          val (tagged, tag) = catalog.readTagged(ns, table, candidates)
+          tagged.join(keys, Seq(k), "left_semi")
+            .select(tag).distinct().collect().map(_.getString(0)).toSet
+        }
 
       // REWRITE: touched commits lose their matched rows; the delta
       // (updates + brand-new keys) lands in the same fresh commit dir.

@@ -430,7 +430,7 @@ object JpegCodec {
 
   private def ext(r: Int, s: Int): Int = if (r < (1 << (s - 1))) r - (1 << s) + 1 else r
 
-  private final class JComp(val hs: Int, val vs: Int, val tq: Int) {
+  private final class JComp(val id: Int, val hs: Int, val vs: Int, val tq: Int) {
     var td = 0
     var ta = 0
     var plane: Array[Int] = null
@@ -503,11 +503,15 @@ object JpegCodec {
             var ci = 0
             while (ci < nc) {
               val o = seg + 6 + ci * 3
+              val cid = b(o) & 0xff
               val hv = b(o + 1) & 0xff
               val chs = hv >> 4; val cvs = hv & 0x0f
               val tq = b(o + 2) & 0xff
               if (chs < 1 || chs > 2 || cvs < 1 || cvs > 2 || tq > 3) return None
-              cs(ci) = new JComp(chs, cvs, tq)
+              // duplicate component ids make SOS references ambiguous
+              var cj = 0
+              while (cj < ci) { if (cs(cj).id == cid) return None; cj += 1 }
+              cs(ci) = new JComp(cid, chs, cvs, tq)
               ci += 1
             }
             comps = cs
@@ -520,15 +524,32 @@ object JpegCodec {
             if (comps == null || w < 0) return None
             val ns = b(seg) & 0xff
             if (ns != comps.length || segEnd - seg < 1 + 2 * ns + 3) return None
+            // scan entries are matched to SOF components by the scan
+            // component selector Cs, NOT positionally — a spec-valid scan
+            // may list components in a different order than SOF, and the
+            // entropy-coded MCU interleave follows the SCAN order (T.81
+            // B.2.3). Unknown or repeated selectors → malformed → None.
+            val scanComps = new Array[JComp](ns)
             var si = 0
             while (si < ns) {
+              val csel = b(seg + 1 + si * 2) & 0xff
               val tsel = b(seg + 2 + si * 2) & 0xff
-              comps(si).td = tsel >> 4
-              comps(si).ta = tsel & 0x0f
-              if (comps(si).td > 3 || comps(si).ta > 3) return None
+              var cj = 0
+              var hit: JComp = null
+              while (cj < comps.length) {
+                if (comps(cj).id == csel) hit = comps(cj); cj += 1
+              }
+              if (hit == null) return None // selector names no SOF component
+              var sj = 0
+              while (sj < si) { if (scanComps(sj) eq hit) return None; sj += 1 }
+              hit.td = tsel >> 4
+              hit.ta = tsel & 0x0f
+              if (hit.td > 3 || hit.ta > 3) return None
+              scanComps(si) = hit
               si += 1
             }
-            return decodeScan(b, segEnd, w, h, comps, quant, dcTabs, acTabs, restartInterval)
+            return decodeScan(b, segEnd, w, h, comps, scanComps, quant, dcTabs, acTabs,
+              restartInterval)
           case _ => () // APPn / COM / others: skip
         }
         pos = segEnd
@@ -539,6 +560,7 @@ object JpegCodec {
 
   private def decodeScan(
       b: Array[Byte], scanStart: Int, w: Int, h: Int, comps: Array[JComp],
+      scanComps: Array[JComp],
       quant: Array[Array[Int]], dcTabs: Array[HuffTable], acTabs: Array[HuffTable],
       restartInterval: Int): Option[(Int, Int, Array[Byte])] = {
     val hMax = comps.map(_.hs).max
@@ -565,9 +587,11 @@ object JpegCodec {
           comps.foreach(_.dcPred = 0)
           sinceRst = 0
         }
+        // MCU component interleave follows the SCAN-header order, which
+        // may differ from SOF order (scanComps vs comps)
         var ci = 0
-        while (ci < comps.length) {
-          val c = comps(ci)
+        while (ci < scanComps.length) {
+          val c = scanComps(ci)
           val qt = quant(c.tq); val dcT = dcTabs(c.td); val acT = acTabs(c.ta)
           var by = 0
           while (by < c.vs) {
@@ -640,7 +664,15 @@ object JpegCodec {
         y += 1
       }
     } else {
-      val cY = comps(0); val cCb = comps(1); val cCr = comps(2)
+      // JFIF binds YCbCr roles to component IDs 1/2/3, not to SOF slot
+      // order — honor that when the stream uses the standard IDs, fall
+      // back to slot order for nonstandard numbering
+      def byId(id: Int, slot: Int): JComp =
+        comps.find(_.id == id).getOrElse(comps(slot))
+      val standardIds = comps.map(_.id).sorted.sameElements(Array(1, 2, 3))
+      val cY = if (standardIds) byId(1, 0) else comps(0)
+      val cCb = if (standardIds) byId(2, 1) else comps(1)
+      val cCr = if (standardIds) byId(3, 2) else comps(2)
       var y = 0
       while (y < h) {
         val yY = y * cY.vs / vMax; val yCb = y * cCb.vs / vMax; val yCr = y * cCr.vs / vMax

@@ -224,9 +224,27 @@ object Similarity {
         } catch { case _: java.io.IOException => "absent" }
         val digest = java.security.MessageDigest.getInstance("MD5")
           .digest(s"$dir|$fp".getBytes("UTF-8")).map("%02x".format(_)).mkString
-        val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-          "graft_scratch", "ivf", digest)
+        // scratch is scoped PER USER (or to an explicit GRAFT_SCRATCH
+        // root): a world-shared deterministic tmpdir path would let
+        // another local user pre-create the dir (createDirectories
+        // fails) or plant stale/tampered centroids that a later session
+        // silently loads. Ownership is verified before reuse.
+        val base = sys.env.get("GRAFT_SCRATCH")
+          .map(java.nio.file.Paths.get(_))
+          .getOrElse {
+            val user = sys.props.getOrElse("user.name", "unknown")
+              .replaceAll("[^A-Za-z0-9._-]", "_")
+            java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+              s"graft_scratch_$user")
+          }
+        val root = base.resolve("ivf").resolve(digest)
         java.nio.file.Files.createDirectories(root)
+        val owner = java.nio.file.Files.getOwner(root).getName
+        val self = sys.props.getOrElse("user.name", owner)
+        require(owner == self,
+          s"IVF scratch $root is owned by '$owner', not '$self' — refusing " +
+            "to reuse a directory another user controls (set GRAFT_SCRATCH " +
+            "to relocate the scratch root)")
         graft.lake.LakeCatalog(s, root.toString)
       })._2
   }

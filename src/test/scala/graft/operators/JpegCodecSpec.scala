@@ -161,4 +161,62 @@ class JpegCodecSpec extends AnyFunSuite {
     prog(sof + 1) = 0xC2.toByte
     assert(JpegCodec.decodeJpeg(prog).isEmpty)
   }
+
+  private def findMarker(b: Array[Byte], m: Int): Int = {
+    var i = 2
+    while (i + 1 < b.length) {
+      if ((b(i) & 0xff) == 0xFF && (b(i + 1) & 0xff) == m) return i
+      i += 1
+    }
+    -1
+  }
+
+  test("SOS scan components are matched by ID, not position") {
+    val (w, h) = (16, 16)
+    val jpg = JpegCodec.encodeJpeg(w, h, gradient(w, h), quality = 90)
+    val sos = findMarker(jpg, 0xDA)
+    assert(sos > 0)
+    // SOS layout: FF DA len(2) ns(1) then (Cs, Td/Ta) pairs — first
+    // selector byte is at sos+5. An ID naming no SOF component must be
+    // malformed (None), not silently bound to whatever sits at that slot.
+    val unknown = jpg.clone()
+    unknown(sos + 5) = 9
+    assert(JpegCodec.decodeJpeg(unknown).isEmpty,
+      "scan referencing an unknown component ID must decode to None")
+    // a repeated selector is equally malformed
+    val dup = jpg.clone()
+    dup(sos + 7) = dup(sos + 5) // second entry selects the same component
+    assert(JpegCodec.decodeJpeg(dup).isEmpty,
+      "scan selecting the same component twice must decode to None")
+  }
+
+  test("scan order that differs from SOF slot order decodes by ID (T.81 B.2.3)") {
+    val (w, h) = (16, 16)
+    val src = gradient(w, h)
+    val jpg = JpegCodec.encodeJpeg(w, h, src, quality = 90)
+    val expected = JpegCodec.decodeJpeg(jpg).get
+    // Swap the Cb and Cr component ENTRIES inside SOF (3 bytes each: id,
+    // sampling, quant selector) while leaving the SOS scan list (1,2,3)
+    // and the entropy stream untouched. The stream stays spec-valid —
+    // the MCU interleave follows the SCAN list — but SOF slot order is
+    // now [Y, Cr, Cb], so a decoder that pairs scan entries to SOF slots
+    // positionally swaps the chroma planes and produces wrong colors;
+    // only ID matching reproduces the image.
+    val perm = jpg.clone()
+    val sof = findMarker(perm, 0xC0)
+    assert(sof > 0)
+    // entries start at sof+10 (FF C0 len2 prec1 h2 w2 nc1): Y +10..12,
+    // Cb +13..15, Cr +16..18
+    for (i <- 0 until 3) {
+      val t = perm(sof + 13 + i)
+      perm(sof + 13 + i) = perm(sof + 16 + i)
+      perm(sof + 16 + i) = t
+    }
+    val decoded = JpegCodec.decodeJpeg(perm)
+    assert(decoded.isDefined, "SOF-permuted stream must still decode")
+    val (dw, dh, out) = decoded.get
+    assert(dw == w && dh == h)
+    assert(out.sameElements(expected._3),
+      "SOF-permuted stream must decode identically — chroma planes must bind by ID")
+  }
 }

@@ -100,6 +100,17 @@ class SimilaritySpec extends SparkSpec {
       "repeat ann_ivf invocation must not re-fit the quantizer")
     assert(second == first,
       "cold-start rows must match the invocation that built the index")
+    // the persisted index must live under a USER-SCOPED scratch root (or
+    // an explicit GRAFT_SCRATCH): a world-shared deterministic tmpdir
+    // path lets another local user squat the dir or plant stale centroids
+    val user = sys.props("user.name").replaceAll("[^A-Za-z0-9._-]", "_")
+    val expectedBase = sys.env.get("GRAFT_SCRATCH")
+      .map(java.nio.file.Paths.get(_))
+      .getOrElse(java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), s"graft_scratch_$user"))
+      .resolve("ivf")
+    assert(java.nio.file.Files.isDirectory(expectedBase),
+      s"IVF scratch must be rooted at the user-scoped $expectedBase")
   }
 
   test("cosine accepts double arrays and matches the HOF formulation bit-exactly") {
