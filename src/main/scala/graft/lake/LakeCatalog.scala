@@ -308,6 +308,76 @@ final class LakeCatalog(
     }
   }
 
+  // ----- write-audit-publish (Iceberg WAP pattern) ------------------------
+  // Stage the data of a commit WITHOUT making it visible, audit the
+  // would-be table state, and only then publish (or abort). Readers never
+  // see unaudited data — no manifest references the staged dir until
+  // publish, and publish itself is a pure metadata CAS against the
+  // version the writer staged on, so audited-then-published remains
+  // atomic under concurrency. At 100 TB this is how bad data is kept out
+  // of a table that downstream jobs tail incrementally: the expensive
+  // write happens once, the audit reads the staged commit (plus
+  // metadata), and a failed audit costs one dir delete — never a
+  // published-then-rolled-back window where consumers saw the bad rows.
+
+  /** Handle to a staged-but-unpublished commit. */
+  final case class StagedCommit(ns: String, table: String, rel: String,
+      mode: SaveMode, baseVersion: Int)
+
+  /** Write `df` as a data dir + stats sidecar but do NOT commit it to any
+    * manifest. The staged data is invisible to every reader until
+    * [[publishStaged]].
+    */
+  def stageWrite(ns: String, t: String, df: DataFrame,
+      mode: SaveMode = SaveMode.Append,
+      partitionBy: Seq[String] = Nil): StagedCommit = {
+    createNamespace(ns)
+    val rel = s"data/${java.util.UUID.randomUUID().toString}"
+    val out = new Path(tPath(ns, t), rel)
+    withMicrosTimestamps {
+      val writer = df.write.mode(SaveMode.Overwrite)
+      (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
+        .parquet(out.toString)
+    }
+    writeStats(ns, t, rel)
+    val base = if (tableExists(ns, t)) versions(ns, t).last else 0
+    StagedCommit(ns, t, rel, mode, base)
+  }
+
+  /** The staged commit's own rows — the audit surface for per-batch checks. */
+  def readStagedData(s: StagedCommit): DataFrame =
+    readDirs(s.ns, s.table, Seq(s.rel))
+
+  /** What the table WILL look like if `s` publishes — the audit surface
+    * for whole-table invariants (row counts, uniqueness, FK integrity).
+    */
+  def readStagedView(s: StagedCommit): DataFrame = s.mode match {
+    case SaveMode.Append if s.baseVersion > 0 =>
+      SchemaTools.unifySchemas(Seq(read(s.ns, s.table, Some(s.baseVersion)),
+        readStagedData(s)))
+    case _ => readStagedData(s)
+  }
+
+  /** Publish the staged commit as a new snapshot. CAS'd against the
+    * version the stage read — a concurrent commit in between raises
+    * [[CommitConflictException]] and the staged dir stays intact for a
+    * re-audit + retry on the new base.
+    */
+  def publishStaged(s: StagedCommit): Int = s.mode match {
+    case SaveMode.Append if s.baseVersion > 0 =>
+      commit(s.ns, s.table,
+        manifestEntries(s.ns, s.table, s.baseVersion) :+ s.rel,
+        Some(s.baseVersion))
+    case _ => commit(s.ns, s.table, Seq(s.rel), Some(s.baseVersion))
+  }
+
+  /** Drop a staged commit that failed its audit: one dir delete, no
+    * snapshot was ever visible. ([[vacuumOrphans]] would eventually
+    * reclaim abandoned stages too.)
+    */
+  def abortStaged(s: StagedCommit): Unit =
+    deleteRec(new Path(tPath(s.ns, s.table), s.rel))
+
   /** Z-ORDER clustered write ([[ZOrder]]): rows are Morton-bucketed on the
     * cluster columns and EACH z-bucket becomes its own manifest entry with
     * its own min/max sidecar — so [[readWhere]] band queries prune commits
@@ -405,6 +475,55 @@ final class LakeCatalog(
     val after = read(ns, t, Some(toV))
     after.exceptAll(before).withColumn("_change", lit("insert"))
       .unionByName(before.exceptAll(after).withColumn("_change", lit("delete")))
+  }
+
+  /** The commit dirs ADDED between two snapshots when the history is
+    * append-only in that window (the old entry list survives intact into
+    * the new one) — a pure METADATA answer. None when entries were
+    * removed or rewritten in between (overwrite/delete/compaction), i.e.
+    * when "what changed" genuinely requires a data diff.
+    */
+  private[lake] def appendedEntries(
+      ns: String, t: String, fromV: Int, toV: Int): Option[Seq[String]] = {
+    val before = manifestEntries(ns, t, fromV)
+    val after = manifestEntries(ns, t, toV)
+    if (before.forall(after.contains)) Some(after.filterNot(before.toSet))
+    else None
+  }
+
+  /** Rows ADDED between two snapshots at METADATA+delta cost when the
+    * window is append-only: reads ONLY the commit dirs added after
+    * `fromV`, never the base data. Falls back to [[readIncremental]]
+    * (which diffs both snapshots) when the window saw rewrites. This is
+    * the path incremental consumers should prefer — on a 100 TB
+    * append-heavy table the delta read costs the new commits' IO, not
+    * the table's.
+    */
+  def readAppended(ns: String, t: String, fromV: Int, toV: Int): DataFrame =
+    appendedEntries(ns, t, fromV, toV) match {
+      case Some(Nil) => read(ns, t, Some(toV)).limit(0)
+      case Some(added) => readDirs(ns, t, added)
+      case None => readIncremental(ns, t, fromV, toV)
+    }
+
+  // ----- small per-table metadata sidecars --------------------------------
+  // Named auxiliary state that belongs to a table but not to any commit
+  // (e.g. a materialized view's definition + refresh cursor). Stored as
+  // underscore-prefixed files Spark's readers ignore, via the same
+  // Hadoop-FS backend as the rest of the catalog metadata.
+
+  def putTableMeta(ns: String, t: String, name: String, content: String): Unit = {
+    require(tableExists(ns, t), s"no such table: $ns.$t")
+    val p = new Path(tPath(ns, t), s"_graft_meta_${enc(name)}")
+    Using.resource(fs.create(p, true))(
+      _.write(content.getBytes(StandardCharsets.UTF_8)))
+  }
+
+  def getTableMeta(ns: String, t: String, name: String): Option[String] = {
+    val p = new Path(tPath(ns, t), s"_graft_meta_${enc(name)}")
+    if (!fs.exists(p)) None
+    else Some(new String(
+      Using.resource(fs.open(p))(_.readAllBytes()), StandardCharsets.UTF_8))
   }
 
   /** Compaction (Iceberg OPTIMIZE analog): rewrite the current snapshot's

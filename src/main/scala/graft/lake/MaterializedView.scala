@@ -1,0 +1,175 @@
+package graft.lake
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, LongType}
+
+/** Incrementally-maintained materialized aggregate view — the
+  * Delta/Iceberg "incremental model" shape: a grouped aggregate over a
+  * base lake table is itself stored as a lake table, together with the
+  * base snapshot version it reflects, and `refresh` advances it by
+  * aggregating ONLY the base's append delta and merging the partial
+  * aggregate into the stored state by key.
+  *
+  * The aggregate vocabulary is restricted to self-mergeable ops —
+  * COUNT, SUM (exact decimal), MIN, MAX — precisely because those make
+  * the delta merge algebraically equal to a full recompute (AVG is
+  * derivable downstream as sum/count). When the base history in the
+  * refresh window is NOT append-only (an overwrite/delete/compaction
+  * rewrote entries), merging a delta would be wrong for every op, so
+  * refresh detects that from the manifests alone and falls back to a
+  * full recompute.
+  *
+  * At 100 TB the economics are the point: a daily refresh of a
+  * dashboard aggregate costs the IO of the day's commits plus the (keys
+  * × columns)-sized view, never a scan of the base table. The refresh
+  * cursor rides the catalog's optimistic commits — the view write CAS'es
+  * against the version the merge read, so two concurrent refreshes
+  * conflict loudly instead of double-counting a delta.
+  */
+object MaterializedView {
+  /** One aggregate column: `op` ∈ sum_money (exact DECIMAL(12,2) sum,
+    * for the 2-decimal money columns), sum_long, min, max.
+    */
+  final case class MvAgg(op: String, column: String, as: String) {
+    require(Set("sum_money", "sum_long", "min", "max")(op), s"unsupported op: $op")
+  }
+}
+
+final class MaterializedView(catalog: LakeCatalog) {
+  import MaterializedView.MvAgg
+
+  private final case class Spec(
+      baseNs: String, baseT: String, seenVersion: Int,
+      keys: Seq[String], aggs: Seq[MvAgg], countAs: String)
+
+  private val MetaName = "mv"
+
+  // the sidecar format mirrors the stats sidecar: tab-separated lines,
+  // URL-encoded fields
+  private def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+  private def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
+
+  private def writeSpec(ns: String, t: String, spec: Spec): Unit = {
+    val lines =
+      Seq(s"base\t${enc(spec.baseNs)}\t${enc(spec.baseT)}",
+        s"seen\t${spec.seenVersion}",
+        s"count\t${enc(spec.countAs)}") ++
+        spec.keys.map(k => s"key\t${enc(k)}") ++
+        spec.aggs.map(a => s"agg\t${a.op}\t${enc(a.column)}\t${enc(a.as)}")
+    catalog.putTableMeta(ns, t, MetaName, lines.mkString("\n"))
+  }
+
+  private def readSpec(ns: String, t: String): Spec = {
+    val text = catalog.getTableMeta(ns, t, MetaName)
+      .getOrElse(sys.error(s"$ns.$t is not a materialized view (no mv sidecar)"))
+    var baseNs = ""; var baseT = ""; var seen = -1; var countAs = "mv_count"
+    val keys = Seq.newBuilder[String]
+    val aggs = Seq.newBuilder[MvAgg]
+    text.split("\n").foreach {
+      _.split("\t") match {
+        case Array("base", n, t2) => baseNs = dec(n); baseT = dec(t2)
+        case Array("seen", v) => seen = v.toInt
+        case Array("count", c) => countAs = dec(c)
+        case Array("key", k) => keys += dec(k)
+        case Array("agg", op, c, as) => aggs += MvAgg(op, dec(c), dec(as))
+        case _ => ()
+      }
+    }
+    require(baseNs.nonEmpty && seen >= 0, s"corrupt mv sidecar on $ns.$t")
+    Spec(baseNs, baseT, seen, keys.result(), aggs.result(), countAs)
+  }
+
+  /** The sum columns' stored type: wide enough that no realistic commit
+    * count overflows, fixed so merge arithmetic round-trips parquet
+    * without precision drift.
+    */
+  private val SumMoney = DecimalType(28, 2)
+
+  private def aggExprs(spec: Spec): Seq[Column] =
+    count(lit(1)).cast(LongType).as(spec.countAs) +: spec.aggs.map { a =>
+      a.op match {
+        case "sum_money" => sum(col(a.column).cast(DecimalType(12, 2)))
+          .cast(SumMoney).as(a.as)
+        case "sum_long" => sum(col(a.column).cast(LongType)).as(a.as)
+        case "min" => min(col(a.column)).as(a.as)
+        case "max" => max(col(a.column)).as(a.as)
+      }
+    }
+
+  private def aggregate(base: DataFrame, spec: Spec): DataFrame = {
+    val exprs = aggExprs(spec)
+    base.groupBy(spec.keys.map(col): _*).agg(exprs.head, exprs.drop(1): _*)
+  }
+
+  /** Merge a delta partial aggregate into the stored view state: full
+    * outer join on the keys, then per-op combine (brand-new keys appear,
+    * untouched keys pass through with nothing re-read from the base).
+    */
+  private def merge(stored: DataFrame, delta: DataFrame, spec: Spec): DataFrame = {
+    val joined = stored.as("s").join(delta.as("d"), spec.keys, "full_outer")
+    def s(c: String) = col(s"s.$c"); def d(c: String) = col(s"d.$c")
+    val combined =
+      (coalesce(s(spec.countAs), lit(0L)) + coalesce(d(spec.countAs), lit(0L)))
+        .as(spec.countAs) +:
+        spec.aggs.map { a =>
+          (a.op match {
+            case "sum_money" =>
+              (coalesce(s(a.as), lit(0).cast(SumMoney)) +
+                coalesce(d(a.as), lit(0).cast(SumMoney))).cast(SumMoney)
+            case "sum_long" =>
+              coalesce(s(a.as), lit(0L)) + coalesce(d(a.as), lit(0L))
+            case "min" => least(s(a.as), d(a.as)) // least/greatest skip nulls
+            case "max" => greatest(s(a.as), d(a.as))
+          }).as(a.as)
+        }
+    joined.select(spec.keys.map(col) ++ combined: _*)
+  }
+
+  /** Full compute at the base's current snapshot; stores the view and its
+    * refresh cursor. Returns the view's version (1).
+    */
+  def create(
+      mvNs: String, mvT: String,
+      baseNs: String, baseT: String,
+      keys: Seq[String], aggs: Seq[MvAgg],
+      countAs: String = "mv_count"): Int = {
+    require(keys.nonEmpty, "need at least one group-by key")
+    val (baseV, _) = catalog.latestEntries(baseNs, baseT)
+    val spec = Spec(baseNs, baseT, baseV, keys, aggs, countAs)
+    val v = catalog.write(mvNs, mvT, aggregate(
+      catalog.read(baseNs, baseT, Some(baseV)), spec))
+    writeSpec(mvNs, mvT, spec)
+    v
+  }
+
+  /** Advance the view to the base's current snapshot. Append-only window →
+    * aggregate ONLY the added commits and merge; rewritten window → full
+    * recompute (a delta merge would double- or under-count every op).
+    * No-op (current version returned) when the base hasn't moved.
+    */
+  def refresh(mvNs: String, mvT: String): Int = {
+    val spec = readSpec(mvNs, mvT)
+    val (baseV, _) = catalog.latestEntries(spec.baseNs, spec.baseT)
+    if (baseV == spec.seenVersion)
+      return catalog.versions(mvNs, mvT).last
+    val (mvV, _) = catalog.latestEntries(mvNs, mvT)
+    val next = catalog.appendedEntries(spec.baseNs, spec.baseT,
+        spec.seenVersion, baseV) match {
+      case Some(added) =>
+        val delta =
+          if (added.isEmpty) null
+          else aggregate(catalog.readDirs(spec.baseNs, spec.baseT, added), spec)
+        if (delta == null) mvV
+        else catalog.write(mvNs, mvT,
+          merge(catalog.read(mvNs, mvT, Some(mvV)), delta, spec),
+          SaveMode.Overwrite, expectedVersion = Some(mvV))
+      case None =>
+        catalog.write(mvNs, mvT, aggregate(
+          catalog.read(spec.baseNs, spec.baseT, Some(baseV)), spec),
+          SaveMode.Overwrite, expectedVersion = Some(mvV))
+    }
+    writeSpec(mvNs, mvT, spec.copy(seenVersion = baseV))
+    next
+  }
+}
