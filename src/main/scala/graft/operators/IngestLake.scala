@@ -22,10 +22,14 @@ object IngestLake {
   private val D = "DECIMAL(12,2)"
 
   /** fresh scratch dir per invocation — lake ops are stateful, so reruns
-    * must not see previous snapshots.
+    * must not see previous snapshots. User-scoped root (same reasoning as
+    * the IVF scratch: a world-shared tmpdir subpath can be squatted by
+    * another local user).
     */
   private def scratch(name: String): String = {
-    val p = Paths.get(sys.props("java.io.tmpdir"), "graft_scratch", name,
+    val user = sys.props.getOrElse("user.name", "unknown")
+      .replaceAll("[^A-Za-z0-9._-]", "_")
+    val p = Paths.get(sys.props("java.io.tmpdir"), s"graft_scratch_$user", name,
       java.util.UUID.randomUUID().toString)
     Files.createDirectories(p)
     p.toString
@@ -456,10 +460,106 @@ object IngestLake {
     ORDER BY o_orderkey""")
   )
 
+  /** Incrementally-maintained materialized view end-to-end under the
+    * oracle: a per-customer aggregate view over a growing orders table,
+    * advanced by two refreshes that each aggregate ONLY the appended
+    * commits and merge by key — the final view must equal a full
+    * recompute over everything (which is exactly what the oracle does).
+    * MaterializedViewSpec separately pins that refresh never reads the
+    * base commits (they are deleted from disk before the refresh).
+    */
+  val lakeMvRefresh: Q = Q(
+    "lake_mv_refresh",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val cat = LakeCatalog(s, scratch("mv"))
+      val orders = t.orders.select("o_orderkey", "o_custkey", "o_totalprice")
+      cat.write("lake", "ord", orders.filter(col("o_orderkey") % 3 === 0))
+      import graft.lake.MaterializedView.MvAgg
+      val mv = new graft.lake.MaterializedView(cat)
+      mv.create("lake", "ord_by_cust", "lake", "ord", Seq("o_custkey"),
+        Seq(MvAgg("sum_money", "o_totalprice", "total"),
+          MvAgg("min", "o_orderkey", "first_key"),
+          MvAgg("max", "o_orderkey", "last_key")),
+        countAs = "n_orders")
+      cat.write("lake", "ord", orders.filter(col("o_orderkey") % 3 === 1),
+        SaveMode.Append)
+      mv.refresh("lake", "ord_by_cust")
+      cat.write("lake", "ord", orders.filter(col("o_orderkey") % 3 === 2),
+        SaveMode.Append)
+      mv.refresh("lake", "ord_by_cust")
+      cat.read("lake", "ord_by_cust")
+        .withColumn("total", col("total").cast(DoubleType))
+        .orderBy("o_custkey")
+    },
+    Some(s"""SELECT o_custkey,
+      COUNT(*) AS n_orders,
+      CAST(SUM(CAST(o_totalprice AS $D)) AS DOUBLE) AS total,
+      MIN(o_orderkey) AS first_key,
+      MAX(o_orderkey) AS last_key
+    FROM orders
+    GROUP BY o_custkey
+    ORDER BY o_custkey""")
+  )
+
+  /** Write-audit-publish lifecycle end-to-end under the oracle: a
+    * corrupted batch is staged, FAILS its audit (negative money), and is
+    * aborted without ever becoming visible; the corrected batch and a
+    * second append batch each pass their audits (non-negative money;
+    * key uniqueness over the would-be table) and publish. The final
+    * table must equal the clean source — which is exactly what the
+    * oracle computes. If the aborted stage had leaked into any
+    * manifest, every aggregate below would be off.
+    */
+  val lakeWap: Q = Q(
+    "lake_wap",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val cat = LakeCatalog(s, scratch("wap"))
+      val orders = t.orders.select("o_orderkey", "o_custkey", "o_totalprice")
+      val evens = orders.filter(col("o_orderkey") % 2 === 0)
+
+      // batch 1, corrupted: some prices negated upstream
+      val corrupted = evens.withColumn("o_totalprice",
+        when(col("o_orderkey") % 100 === 0, -col("o_totalprice"))
+          .otherwise(col("o_totalprice")))
+      val s1 = cat.stageWrite("lake", "wap_orders", corrupted, SaveMode.Overwrite)
+      val bad1 = cat.readStagedData(s1)
+        .filter(col("o_totalprice") < 0).limit(1).count() > 0
+      require(bad1, "audit should catch the planted corruption")
+      cat.abortStaged(s1) // never published, never visible
+
+      // batch 1, corrected
+      val s2 = cat.stageWrite("lake", "wap_orders", evens, SaveMode.Overwrite)
+      require(cat.readStagedData(s2)
+        .filter(col("o_totalprice") < 0).limit(1).count() == 0)
+      cat.publishStaged(s2)
+
+      // batch 2 appends; audit key uniqueness over the WOULD-BE table
+      val s3 = cat.stageWrite("lake", "wap_orders",
+        orders.filter(col("o_orderkey") % 2 === 1), SaveMode.Append)
+      val v = cat.readStagedView(s3)
+        .agg(count(lit(1)).as("n"), countDistinct(col("o_orderkey")).as("k")).head()
+      require(v.getLong(0) == v.getLong(1), "audit: duplicate keys in staged view")
+      cat.publishStaged(s3)
+
+      cat.read("lake", "wap_orders")
+        .agg(count(lit(1)).as("n_rows"),
+          dsum(col("o_totalprice")).as("total"),
+          countDistinct(col("o_orderkey")).as("n_keys"),
+          min(col("o_totalprice")).cast(DoubleType).as("min_price"))
+    },
+    Some(s"""SELECT COUNT(*) AS n_rows,
+      CAST(SUM(CAST(o_totalprice AS $D)) AS DOUBLE) AS total,
+      COUNT(DISTINCT o_orderkey) AS n_keys,
+      CAST(MIN(o_totalprice) AS DOUBLE) AS min_price
+    FROM orders""")
+  )
+
   val all: Seq[Q] = Seq(
     ingestCsvRoundtrip, ingestJsonRoundtrip, ingestParquet, ingestTextLines,
     ingestOrcRoundtrip, ingestXmlRoundtrip, ingestSchemaEvolution, ingestJsonProps,
     lakeCtas, lakeMergeUpsert, lakeChangelog, lakeDataProfile,
     lakeScd2, lakeDelete, lakeIncrementalRead, lakeConstraints, lakeDataSkipping,
-    lakeZorder, lakeMaintenance, lakePointLookup)
+    lakeZorder, lakeMaintenance, lakePointLookup, lakeMvRefresh, lakeWap)
 }
