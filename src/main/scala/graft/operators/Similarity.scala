@@ -281,7 +281,101 @@ object Similarity {
     None // approximate + KMeans-trained — recall pinned in SimilaritySpec
   )
 
-  val all: Seq[Q] = Seq(annBruteforce, annLsh, annIvf)
+  /** Scalar (int8) embedding quantization + search over the RECONSTRUCTED
+    * vectors — the memory-side scale path ANN deployments pair with IVF:
+    * per-dimension corpus [min, max] maps each float to one of 256 levels
+    * (4× smaller than float32, 8× smaller than float64), and search runs
+    * against the dequantized midpoints. The bounds are a single broadcast
+    * row (two arrays), quantization is a narrow codegen'd map — no
+    * shuffle is added over plain brute force, and the one corpus pass
+    * that computes the bounds is the only extra cost.
+    *
+    * Everything is IEEE double arithmetic mirrored operation-for-
+    * operation in the DuckDB twin, so the full quantize → reconstruct →
+    * cosine → rank pipeline hash-matches bit-exactly — the oracle is not
+    * a weaker "recall" check but the actual output. SimilaritySpec
+    * additionally pins the reconstruction-error bound ((mx-mn)/510 per
+    * dimension) and quantized-vs-exact top-k overlap.
+    */
+  /** Per-dimension corpus [min, max] as ONE broadcastable row of two
+    * arrays (`mns`, `mxs`) — the whole "codebook" of scalar quantization.
+    */
+  def quantBounds(emb: DataFrame, vecCol: String): DataFrame =
+    emb.select(posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .groupBy("pos")
+      .agg(min(col("v").cast("double")).as("mn"), max(col("v").cast("double")).as("mx"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("mn"), col("mx")))).as("b"))
+      .select(transform(col("b"), x => x.getField("mn")).as("mns"),
+        transform(col("b"), x => x.getField("mx")).as("mxs"))
+
+  /** Dequantized (midpoint-reconstructed) vectors: each element snapped to
+    * one of 256 levels of its dimension's [min, max] range — what a
+    * search over int8-stored embeddings actually scores against. Narrow
+    * map over a broadcast bounds row; no shuffle.
+    */
+  def quantizeRecon(emb: DataFrame, idCol: String, vecCol: String,
+      idAs: String): DataFrame =
+    emb.crossJoin(broadcast(quantBounds(emb, vecCol)))
+      .select(col(idCol).as(idAs),
+        transform(col(vecCol), (x, i) => {
+          val mn = element_at(col("mns"), i + 1)
+          val mx = element_at(col("mxs"), i + 1)
+          val q = least(greatest(
+            floor((x.cast("double") - mn) * lit(255.0) / (mx - mn)).cast("double"),
+            lit(0.0)), lit(255.0))
+          when(mx === mn, mn)
+            .otherwise(mn + (q + lit(0.5)) * (mx - mn) / lit(255.0))
+        }).as("recon"))
+
+  val annQuantized: Q = Q(
+    "ann_quantized",
+    (s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      val recon = quantizeRecon(emb, "vec_id", "embedding", "neighbor_id")
+      val queries = emb.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      val w = Window.partitionBy("query_id").orderBy(desc("score"), asc("neighbor_id"))
+      recon
+        .join(broadcast(queries), col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          cosine(col("q_emb"), col("recon")).as("score"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= TopK)
+        .select("query_id", "rank", "neighbor_id", "score")
+        .orderBy("query_id", "rank")
+    },
+    Some("""WITH stats AS (
+      SELECT i AS pos, MIN(embedding[i]::DOUBLE) AS mn, MAX(embedding[i]::DOUBLE) AS mx
+      FROM embeddings, UNNEST(range(1, len(embedding)+1)) AS u(i)
+      GROUP BY i),
+    bounds AS (SELECT list(mn ORDER BY pos) AS mns, list(mx ORDER BY pos) AS mxs FROM stats),
+    recon AS (
+      SELECT vec_id AS neighbor_id,
+        list_transform(range(1, len(embedding)+1), i ->
+          CASE WHEN mxs[i] = mns[i] THEN mns[i]
+          ELSE mns[i] + (LEAST(GREATEST(
+              floor((embedding[i]::DOUBLE - mns[i]) * 255.0 / (mxs[i] - mns[i])),
+              0.0), 255.0) + 0.5) * (mxs[i] - mns[i]) / 255.0 END) AS recon
+      FROM embeddings, bounds),
+    q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
+    scored AS (
+      SELECT query_id, neighbor_id,
+        list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(q_emb)+1),
+          i -> q_emb[i]::DOUBLE * recon[i])), (x,y) -> x+y)
+        / (sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(q_emb)+1),
+            i -> q_emb[i]::DOUBLE * q_emb[i]::DOUBLE)), (x,y) -> x+y))
+         * sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(recon)+1),
+            i -> recon[i] * recon[i])), (x,y) -> x+y))) AS score
+      FROM recon JOIN q ON neighbor_id <> query_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, score,
+        row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS "rank"
+      FROM scored)
+    SELECT query_id, "rank", neighbor_id, score FROM ranked
+    WHERE "rank" <= 5 ORDER BY query_id, "rank" """)
+  )
+
+  val all: Seq[Q] = Seq(annBruteforce, annLsh, annIvf, annQuantized)
 }
 
 /** IVF (inverted-file) ANN with a PERSISTABLE coarse quantizer: a KMeans

@@ -605,8 +605,94 @@ object TextAnalysis {
     None // zlib output is engine-local — spec-pinned, rows-only here
   )
 
+  /** Corpus-frequency rarity signals — the exact-arithmetic stand-in for
+    * LM-perplexity quality scoring (the CCNet/Gopher recipe ranks docs by
+    * how "surprising" their n-grams are; without an external LM, corpus
+    * frequencies ARE the model). Per document:
+    *
+    *   - `oov_tokens` / `oov_ratio`: tokens outside the top-V corpus
+    *     vocabulary (V=100 here; tie-broken deterministically) — the
+    *     vocabulary is a bounded top-k, so it BROADCASTS at any corpus
+    *     size while the token stream is scored with a map-side join;
+    *   - `rare_bigrams` / `novelty_ratio`: bigrams whose corpus count ≤ 2
+    *     (hapax/dis legomena) — high novelty means unmodelable text
+    *     (mojibake, boilerplate soup), near-zero means duplication. The
+    *     bigram-frequency join shuffles on the bigram key, co-partitioned
+    *     with the groupBy that produced the counts.
+    *
+    * Everything is integer counts + one final double division, so the
+    * result is bit-deterministic across partition orders and engines —
+    * deliberately NOT a log-space score, where libm vs JVM ulp drift
+    * would make a distributed hash-compare flaky.
+    */
+  val textRarity: Q = Q(
+    "text_rarity",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val docs = t.documents.filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"), wsTokens(lower(col("text"))).as("tk"))
+      val tokens = docs.select(col("doc_id"), explode(col("tk")).as("token"))
+      val bigrams = docs.select(col("doc_id"), explode(bigramsOf(col("tk"))).as("bigram"))
+      val vocab = tokens.groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("token")).limit(100).select("token")
+      val bigramFreq = bigrams.groupBy("bigram").agg(count(lit(1)).as("bn"))
+      val oov = tokens
+        .join(broadcast(vocab.withColumn("in_vocab", lit(1))), Seq("token"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("in_vocab").isNull, 1).otherwise(0)).as("oov_tokens"))
+      val novelty = bigrams.join(bigramFreq, "bigram")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(when(col("bn") <= 2, 1).otherwise(0)).as("rare_bigrams"))
+      oov.join(novelty, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"), col("oov_tokens"),
+          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+          coalesce(col("rare_bigrams"), lit(0L)).as("rare_bigrams"),
+          (col("oov_tokens").cast("double") / col("n_tokens").cast("double"))
+            .as("oov_ratio"),
+          when(coalesce(col("n_bigrams"), lit(0L)) === 0, lit(0.0))
+            .otherwise(col("rare_bigrams").cast("double") /
+              col("n_bigrams").cast("double")).as("novelty_ratio"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+      FROM documents WHERE trim(text) <> ''),
+    tk AS (
+      SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
+        ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS tk
+      FROM documents WHERE trim(text) <> ''),
+    bigrams AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS bigram
+      FROM tk),
+    vocab AS (
+      SELECT token FROM (
+        SELECT token, COUNT(*) AS n FROM toks GROUP BY token
+        ORDER BY n DESC, token LIMIT 100)),
+    bfreq AS (SELECT bigram, COUNT(*) AS bn FROM bigrams GROUP BY bigram),
+    oov AS (
+      SELECT t.doc_id, COUNT(*) AS n_tokens,
+        CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS oov_tokens
+      FROM toks t LEFT JOIN vocab v ON t.token = v.token
+      GROUP BY t.doc_id),
+    novelty AS (
+      SELECT b.doc_id, COUNT(*) AS n_bigrams,
+        CAST(SUM(CASE WHEN f.bn <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS rare_bigrams
+      FROM bigrams b JOIN bfreq f ON b.bigram = f.bigram
+      GROUP BY b.doc_id)
+    SELECT o.doc_id, o.n_tokens, o.oov_tokens,
+      COALESCE(n.n_bigrams, 0) AS n_bigrams,
+      COALESCE(n.rare_bigrams, 0) AS rare_bigrams,
+      CAST(o.oov_tokens AS DOUBLE) / CAST(o.n_tokens AS DOUBLE) AS oov_ratio,
+      CASE WHEN COALESCE(n.n_bigrams, 0) = 0 THEN 0.0
+        ELSE CAST(n.rare_bigrams AS DOUBLE) / CAST(n.n_bigrams AS DOUBLE) END AS novelty_ratio
+    FROM oov o LEFT JOIN novelty n ON o.doc_id = n.doc_id
+    ORDER BY o.doc_id""")
+  )
+
   val all: Seq[Q] = Seq(textTokens, textQuality, textLangId, textFingerprint,
     textQualityFilter, textTermDocfreq, pipelineCurate, textScrub, textChunk,
     textSeqPacking, textNgrams, textStopwordStrip, textTfidf, textRepetition,
-    textNormalize, textCompression)
+    textNormalize, textCompression, textRarity)
 }

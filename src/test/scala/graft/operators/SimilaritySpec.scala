@@ -113,6 +113,33 @@ class SimilaritySpec extends SparkSpec {
       s"IVF scratch must be rooted at the user-scoped $expectedBase")
   }
 
+  test("scalar quantization: per-element error within half a level; top-1 mostly preserved") {
+    val emb = graft.Tables(spark, sfDir).embeddings
+    val joined = Similarity.quantizeRecon(emb, "vec_id", "embedding", "vec_id")
+      .join(emb, "vec_id")
+    // |recon - x| <= (mx - mn) / 255 / 2 + eps per dimension, by construction
+    val bounds = Similarity.quantBounds(emb, "embedding").head()
+    val mns = bounds.getSeq[Double](0); val mxs = bounds.getSeq[Double](1)
+    val rows = joined.select("embedding", "recon").collect()
+    rows.foreach { r =>
+      val orig = r.getSeq[Float](0); val rec = r.getSeq[Double](1)
+      orig.indices.foreach { i =>
+        val halfLevel = (mxs(i) - mns(i)) / 255.0 / 2.0
+        assert(math.abs(rec(i) - orig(i)) <= halfLevel * (1 + 1e-9),
+          s"dim $i: |${rec(i)} - ${orig(i)}| > $halfLevel")
+      }
+    }
+    // quantized search should agree with exact search on most top-1s
+    def top1(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.filter(col("rank") === 1).select("query_id", "neighbor_id").collect()
+        .map(r => r.getAs[Number](0).longValue -> r.getAs[Number](1).longValue).toMap
+    val exact = top1(Similarity.annBruteforce.fn(spark, sfDir))
+    val quant = top1(Similarity.annQuantized.fn(spark, sfDir))
+    val agree = exact.count { case (q, n) => quant.get(q).contains(n) }
+    assert(agree >= exact.size / 2,
+      s"quantized top-1 agrees on only $agree/${exact.size} queries")
+  }
+
   test("cosine accepts double arrays and matches the HOF formulation bit-exactly") {
     import spark.implicits._
     val df = Seq((Array(0.6, 0.8, 0.1), Array(0.3, 0.9, 0.7)))
