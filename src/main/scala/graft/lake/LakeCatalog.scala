@@ -115,8 +115,13 @@ final class LakeCatalog(
     */
   def rowCount(ns: String, t: String): Long = {
     val (_, rels) = latestEntries(ns, t)
-    val counts = rels.map(rel => commitStats(ns, t, rel).map(_._1))
-    if (counts.nonEmpty && counts.forall(_.isDefined)) counts.flatten.sum
+    val data = dataRels(rels).map(rel => commitStats(ns, t, rel).map(_._1))
+    // each deletion-vector row marks exactly one live row (marking scans
+    // exclude already-marked rows; rewrites prune dangling refs), so the
+    // metadata-only count is data-sidecar sum minus vector-sidecar sum
+    val dvs = dvRels(rels).map(rel => commitStats(ns, t, rel).map(_._1))
+    if (data.nonEmpty && (data ++ dvs).forall(_.isDefined))
+      data.flatten.sum - dvs.flatten.sum
     else read(ns, t).count()
   }
 
@@ -201,13 +206,18 @@ final class LakeCatalog(
 
   // ----- read/write ------------------------------------------------------
 
-  /** Read a table at a snapshot (default: latest) — time travel. */
+  /** Read a table at a snapshot (default: latest) — time travel. Applies
+    * the snapshot's deletion vectors (merge-on-read): rows marked deleted
+    * by `dv/` entries are filtered out via a broadcast anti-join, with no
+    * data dir ever rewritten.
+    */
   def read(ns: String, t: String, version: Option[Int] = None): DataFrame = {
     val vs = versions(ns, t)
     require(vs.nonEmpty, s"no such table: $ns.$t")
     val v = version.getOrElse(vs.last)
     require(vs.contains(v), s"no snapshot v$v of $ns.$t (have: ${vs.mkString(",")})")
-    readDirs(ns, t, manifestEntries(ns, t, v))
+    val entries = manifestEntries(ns, t, v)
+    readDirsClean(ns, t, entries, dataRels(entries))
   }
 
   /** Time travel by WALL CLOCK (Iceberg/Delta `TIMESTAMP AS OF` analog):
@@ -259,14 +269,143 @@ final class LakeCatalog(
     * the injected literal) and returned alongside the frame.
     */
   def readTagged(ns: String, t: String, rels: Seq[String]): (DataFrame, String) = {
+    import org.apache.spark.sql.functions.{broadcast, col, lit}
+    val dvs = dvRels(latestEntries(ns, t)._2)
     val dfs = rels.map { rel =>
       val d = new Path(tPath(ns, t), rel).toString
       rel -> spark.read.option("basePath", d).parquet(d)
     }
     val tag = StatsOrder.freshTag(dfs.flatMap(_._2.columns))
-    (SchemaTools.unifySchemas(dfs.map { case (rel, df) =>
-      df.withColumn(tag, org.apache.spark.sql.functions.lit(rel))
-    }), tag)
+    val tagged = SchemaTools.unifySchemas(dfs.map { case (rel, df) =>
+      // deletion-vector-marked rows must not count as matches (they are
+      // logically gone): attach row identity and subtract the vectors
+      val base =
+        if (dvs.isEmpty) df
+        else df.withColumn("__graft_file", fileKeyExpr)
+          .withColumn("__graft_pos", col("_metadata.row_index"))
+      base.withColumn(tag, lit(rel))
+    })
+    val clean =
+      if (dvs.isEmpty) tagged
+      else tagged.join(broadcast(dvFrame(ns, t, dvs)),
+        col("__graft_file") === col("_dv_file") &&
+          col("__graft_pos") === col("_dv_pos"), "left_anti")
+        .drop("__graft_file", "__graft_pos")
+    (clean, tag)
+  }
+
+  // ----- merge-on-read DELETION VECTORS ----------------------------------
+  // The Delta/Iceberg v2 merge-on-read shape: a DELETE writes a tiny
+  // positional sidecar commit (`dv/<uuid>` manifest entries holding
+  // (file, row position) pairs) instead of rewriting any data. Readers
+  // subtract the marked rows with a BROADCAST anti-join — a narrow
+  // map-side filter, no shuffle — so a delete of 0.001% of a 100 TB
+  // table costs the predicate scan plus KBs of sidecar, and reads pay
+  // ~nothing while DVs stay small. `materializeDeletes` is the
+  // maintenance valve: it folds the vectors into a FILE-SCOPED rewrite
+  // of only the commits that contain marked rows, returning the table to
+  // vector-free reads. Row identity is (data dir + file + parquet row
+  // index) — stable across reads because parquet row order is the file
+  // order.
+
+  private[lake] def dataRels(entries: Seq[String]): Seq[String] =
+    entries.filterNot(_.startsWith("dv/"))
+  private[lake] def dvRels(entries: Seq[String]): Seq[String] =
+    entries.filter(_.startsWith("dv/"))
+
+  /** File key relative to the table root ("data/<uuid>/…"), derived from
+    * the scan's `_metadata.file_path` — URI-scheme-agnostic, so vectors
+    * written on one filesystem rendering still match on another.
+    */
+  private def fileKeyExpr: org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.regexp_extract(
+      org.apache.spark.sql.functions.col("_metadata.file_path"),
+      "/(data/[^/]+/.*)$", 1)
+
+  /** Data dirs with row identity attached: `__graft_file` (table-relative
+    * path) + `__graft_pos` (row index within the file).
+    */
+  private def readDirsWithKey(ns: String, t: String, rels: Seq[String]): DataFrame =
+    SchemaTools.unifySchemas(rels.map { rel =>
+      val d = new Path(tPath(ns, t), rel).toString
+      spark.read.option("basePath", d).parquet(d)
+        .withColumn("__graft_file", fileKeyExpr)
+        .withColumn("__graft_pos",
+          org.apache.spark.sql.functions.col("_metadata.row_index"))
+    })
+
+  /** Union of the given deletion-vector dirs: (_dv_file, _dv_pos). */
+  private def dvFrame(ns: String, t: String, dvs: Seq[String]): DataFrame =
+    SchemaTools.unifySchemas(dvs.map { rel =>
+      spark.read.parquet(new Path(tPath(ns, t), rel).toString)
+    })
+
+  /** The given DATA dirs with the snapshot's deletion vectors applied.
+    * Vector-free snapshots take the plain scan path (no `_metadata`
+    * columns, no join in the plan).
+    */
+  private[lake] def readDirsClean(ns: String, t: String,
+      entries: Seq[String], wanted: Seq[String]): DataFrame = {
+    val dvs = dvRels(entries)
+    if (dvs.isEmpty) readDirs(ns, t, wanted)
+    else {
+      import org.apache.spark.sql.functions.{broadcast, col}
+      val dv = dvFrame(ns, t, dvs)
+      readDirsWithKey(ns, t, wanted)
+        .join(broadcast(dv),
+          col("__graft_file") === col("_dv_file") &&
+            col("__graft_pos") === col("_dv_pos"),
+          "left_anti")
+        .drop("__graft_file", "__graft_pos")
+    }
+  }
+
+  /** Merge-on-read DELETE: mark matching rows in a positional sidecar
+    * commit; NO data dir is read back or rewritten beyond the predicate
+    * scan. Stacked deletes compose (the marking scan already excludes
+    * previously-marked rows, so no row is ever double-counted). A
+    * no-match delete publishes a metadata-only snapshot, like the CoW
+    * path. Prior snapshots still time-travel to the undeleted data.
+    */
+  def deleteMoR(ns: String, t: String, predicate: org.apache.spark.sql.Column): Int = {
+    import org.apache.spark.sql.functions.{broadcast, coalesce, col, lit}
+    val hit = coalesce(predicate, lit(false))
+    val (base, entries) = latestEntries(ns, t)
+    val data = dataRels(entries)
+    val dvs = dvRels(entries)
+    val marked0 = readDirsWithKey(ns, t, data).filter(hit)
+      .select(col("__graft_file").as("_dv_file"), col("__graft_pos").as("_dv_pos"))
+    val marked =
+      if (dvs.isEmpty) marked0
+      else marked0.join(broadcast(dvFrame(ns, t, dvs)), Seq("_dv_file", "_dv_pos"),
+        "left_anti")
+    val rel = s"dv/${java.util.UUID.randomUUID().toString}"
+    val out = new Path(tPath(ns, t), rel)
+    marked.write.mode(SaveMode.Overwrite).parquet(out.toString)
+    if (writeStats(ns, t, rel) == 0L) {
+      deleteRec(out)
+      commit(ns, t, entries, Some(base))
+    } else commit(ns, t, entries :+ rel, Some(base))
+  }
+
+  /** Fold the current snapshot's deletion vectors into the data,
+    * FILE-SCOPED: only the commits that actually contain marked rows are
+    * rewritten (without those rows); untouched commits keep their
+    * manifest entries verbatim, and every `dv/` entry disappears. The
+    * maintenance partner of [[deleteMoR]] — run it when vectors grow past
+    * broadcast comfort. Returns the new version (current one when there
+    * is nothing to fold).
+    */
+  def materializeDeletes(ns: String, t: String): Int = {
+    import org.apache.spark.sql.functions.{col, regexp_extract}
+    val (base, entries) = latestEntries(ns, t)
+    val dvs = dvRels(entries)
+    if (dvs.isEmpty) return base
+    val touched = dvFrame(ns, t, dvs)
+      .select(regexp_extract(col("_dv_file"), "^(data/[^/]+)", 1).as("rel"))
+      .distinct().collect().map(_.getString(0)).toSet
+    commitRewrite(ns, t, base, touched,
+      readDirsClean(ns, t, entries, entries.filter(touched)))
   }
 
   /** Write a commit. OVERWRITE replaces the file list; APPEND extends it
@@ -456,10 +595,31 @@ final class LakeCatalog(
       replacement.write.mode(SaveMode.Overwrite).parquet(out.toString)
     }
     val rows = writeStats(ns, t, rel)
-    val kept = entries.filterNot(replaced)
+    // deletion vectors referencing a replaced commit would dangle (their
+    // marked rows are gone from the data) — prune those refs, dropping or
+    // rewriting each affected vector, so vector row counts stay exact
+    // (rowCount subtracts them) and materializeDeletes converges
+    val keptData = dataRels(entries).filterNot(replaced)
+    val keptDvs = dvRels(entries).flatMap { dvRel =>
+      import org.apache.spark.sql.functions.{col, regexp_extract}
+      val frame = dvFrame(ns, t, Seq(dvRel))
+        .withColumn("__rel", regexp_extract(col("_dv_file"), "^(data/[^/]+)", 1))
+      val refsReplaced = frame
+        .filter(col("__rel").isin(replaced.toSeq: _*)).limit(1).count() > 0
+      if (!refsReplaced) Some(dvRel)
+      else {
+        val surviving = frame.filter(!col("__rel").isin(replaced.toSeq: _*))
+          .drop("__rel")
+        val fresh = s"dv/${java.util.UUID.randomUUID().toString}"
+        val freshOut = new Path(tPath(ns, t), fresh)
+        surviving.write.mode(SaveMode.Overwrite).parquet(freshOut.toString)
+        if (writeStats(ns, t, fresh) == 0L) { deleteRec(freshOut); None }
+        else Some(fresh)
+      }
+    }
     val next =
-      if (rows == 0L && kept.nonEmpty) { deleteRec(out); kept }
-      else kept :+ rel
+      if (rows == 0L && keptData.nonEmpty) { deleteRec(out); keptData ++ keptDvs }
+      else (keptData :+ rel) ++ keptDvs
     commit(ns, t, next, Some(baseVersion))
   }
 
@@ -487,7 +647,10 @@ final class LakeCatalog(
       ns: String, t: String, fromV: Int, toV: Int): Option[Seq[String]] = {
     val before = manifestEntries(ns, t, fromV)
     val after = manifestEntries(ns, t, toV)
-    if (before.forall(after.contains)) Some(after.filterNot(before.toSet))
+    val added = after.filterNot(before.toSet)
+    // an added deletion vector is a logical DELETE, not an append — the
+    // window then needs a real diff, same as a rewrite
+    if (before.forall(after.contains) && dvRels(added).isEmpty) Some(added)
     else None
   }
 
@@ -546,11 +709,12 @@ final class LakeCatalog(
     */
   def compactSmall(ns: String, t: String, smallRowThreshold: Long): Int = {
     val (base, rels) = latestEntries(ns, t)
-    val small = rels.filter { rel =>
+    val small = dataRels(rels).filter { rel =>
       commitStats(ns, t, rel).map(_._1).exists(_ < smallRowThreshold)
     }
     if (small.length < 2) base
-    else commitRewrite(ns, t, base, small.toSet, readDirs(ns, t, small))
+    else commitRewrite(ns, t, base, small.toSet,
+      readDirsClean(ns, t, rels, small))
   }
 
   /** Re-cluster the current snapshot ([[writeClustered]] of the full
@@ -601,13 +765,13 @@ final class LakeCatalog(
     // leaves when the predicate is definitively TRUE.
     val hit = coalesce(predicate, lit(false))
     val (base, rels) = latestEntries(ns, t)
-    val (tagged, tag) = readTagged(ns, t, rels)
+    val (tagged, tag) = readTagged(ns, t, dataRels(rels))
     val touched = tagged
       .filter(hit).select(tag).distinct()
       .collect().map(_.getString(0)).toSet
     if (touched.isEmpty) commit(ns, t, rels, Some(base))
     else commitRewrite(ns, t, base, touched,
-      readDirs(ns, t, rels.filter(touched)).filter(!hit))
+      readDirsClean(ns, t, rels, rels.filter(touched)).filter(!hit))
   }
 
   /** Incremental read: rows ADDED between two snapshots — the consumer-side
@@ -775,13 +939,14 @@ final class LakeCatalog(
     val vs = versions(ns, t)
     require(vs.nonEmpty, s"no such table: $ns.$t")
     val v = version.getOrElse(vs.last)
-    val rels = manifestEntries(ns, t, v)
-    val kept = rels.filter(rel => statsMayOverlap(ns, t, rel, column, lo, hi))
+    val entries = manifestEntries(ns, t, v)
+    val kept = dataRels(entries)
+      .filter(rel => statsMayOverlap(ns, t, rel, column, lo, hi))
     val base =
       if (kept.isEmpty)
         // every commit pruned: an empty frame with the table's schema
         read(ns, t, Some(v)).limit(0)
-      else readDirs(ns, t, kept)
+      else readDirsClean(ns, t, entries, kept)
     import org.apache.spark.sql.functions.{col => c, lit}
     base.filter(c(column) >= lit(lo) && c(column) <= lit(hi))
   }
@@ -804,7 +969,8 @@ final class LakeCatalog(
     */
   def buildBlooms(ns: String, t: String, column: String,
       expectedItems: Long = 1000000L, fpp: Double = 0.01): Int = {
-    val (_, rels) = latestEntries(ns, t)
+    val (_, rels0) = latestEntries(ns, t)
+    val rels = dataRels(rels0)
     val missing = rels.filterNot(rel => fs.exists(bloomFile(ns, t, rel, column)))
     missing.foreach { rel =>
       val df = readDirs(ns, t, Seq(rel))
@@ -839,7 +1005,8 @@ final class LakeCatalog(
     val vs = versions(ns, t)
     require(vs.nonEmpty, s"no such table: $ns.$t")
     val v = version.getOrElse(vs.last)
-    val rels = manifestEntries(ns, t, v)
+    val entries = manifestEntries(ns, t, v)
+    val rels = dataRels(entries)
 
     def inRange(kind: String, mn: String, mx: String, x: Any): Boolean =
       if (kind == "num") {
@@ -880,7 +1047,7 @@ final class LakeCatalog(
     import org.apache.spark.sql.functions.{col => c, lit}
     val base =
       if (kept.isEmpty) read(ns, t, Some(v)).limit(0)
-      else readDirs(ns, t, kept)
+      else readDirsClean(ns, t, entries, kept)
     base.filter(c(column).isin(values.map(lit): _*))
   }
 
@@ -892,19 +1059,23 @@ final class LakeCatalog(
     */
   def vacuumOrphans(ns: String, t: String, graceMs: Long = 3600000L): Int = {
     val referenced = versions(ns, t).flatMap(v => manifestEntries(ns, t, v)).toSet
-    val dataRoot = new Path(tPath(ns, t), "data")
-    if (!fs.exists(dataRoot)) return 0
     val now = System.currentTimeMillis()
-    val orphans = fs.listStatus(dataRoot)
-      .filter(_.isDirectory)
-      // a clustered commit references SUBDIRS of its top-level dir (one
-      // manifest entry per z-bucket), so a dir is live when any entry
-      // equals it OR lives under it
-      .filter { st =>
-        val rel = s"data/${st.getPath.getName}"
-        !referenced.exists(r => r == rel || r.startsWith(rel + "/"))
-      }
-      .filter(st => now - st.getModificationTime > graceMs)
+    // deletion-vector dirs are reclaimed by the same rule as data dirs
+    // (a pruned/rewritten vector's old dir loses its last reference)
+    val orphans = Seq("data", "dv").flatMap { kind =>
+      val root = new Path(tPath(ns, t), kind)
+      if (!fs.exists(root)) Nil
+      else fs.listStatus(root).toSeq
+        .filter(_.isDirectory)
+        // a clustered commit references SUBDIRS of its top-level dir (one
+        // manifest entry per z-bucket), so a dir is live when any entry
+        // equals it OR lives under it
+        .filter { st =>
+          val rel = s"$kind/${st.getPath.getName}"
+          !referenced.exists(r => r == rel || r.startsWith(rel + "/"))
+        }
+        .filter(st => now - st.getModificationTime > graceMs)
+    }
     orphans.foreach(st => fs.delete(st.getPath, true))
     orphans.length
   }

@@ -116,7 +116,11 @@ final class TableMerger(
       dedupedRaw: DataFrame, ns: String, table: String, k: String,
       sourceRows: Long): Unit = {
     import org.apache.spark.sql.functions.{max => fmax, min => fmin}
-    val (base, rels) = catalog.latestEntries(ns, table)
+    val (base, entries) = catalog.latestEntries(ns, table)
+    // deletion-vector entries are not data: candidates come from the data
+    // dirs only, and the plan/rewrite reads subtract the vectors so a
+    // logically-deleted row can neither select a commit nor be resurrected
+    val rels = catalog.dataRels(entries)
     // the deduped delta feeds FOUR consumers (key collect / bounds, plan
     // semi-join, rewrite anti-join, rewrite union) — pin it once instead
     // of re-running the dedupe window per job
@@ -204,7 +208,7 @@ final class TableMerger(
       // Untouched commits keep their manifest entries verbatim.
       val kept =
         if (touched.isEmpty) deduped.limit(0) // pure insert: delta's schema
-        else catalog.readDirs(ns, table, rels.filter(touched))
+        else catalog.readDirsClean(ns, table, entries, rels.filter(touched))
           .join(keys, Seq(k), "left_anti")
       val merged = kept.unionByName(deduped, allowMissingColumns = true)
       catalog.commitRewrite(ns, table, base, touched, merged)

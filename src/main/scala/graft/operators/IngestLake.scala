@@ -556,10 +556,54 @@ object IngestLake {
     FROM orders""")
   )
 
+  /** Merge-on-read DELETE end-to-end under the oracle: three append
+    * commits, then two STACKED deletion-vector deletes (overlapping
+    * predicates — the second must not double-mark) with zero data
+    * rewrite, read back through the vector-subtracting scan; then
+    * materializeDeletes folds the vectors file-scoped and the table must
+    * still read identically. Both states are checked against the same
+    * plain-SQL filter over the source. DeletionVectorSpec separately
+    * pins that the data dirs stay byte-identical through the deletes.
+    */
+  val lakeDeleteMor: Q = Q(
+    "lake_delete_mor",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val cat = LakeCatalog(s, scratch("mor"))
+      val orders = t.orders.select("o_orderkey", "o_custkey", "o_totalprice")
+      cat.write("lake", "om", orders.filter(col("o_orderkey") % 3 === 0))
+      cat.write("lake", "om", orders.filter(col("o_orderkey") % 3 === 1), SaveMode.Append)
+      cat.write("lake", "om", orders.filter(col("o_orderkey") % 3 === 2), SaveMode.Append)
+      cat.deleteMoR("lake", "om", col("o_totalprice") < 50000.0)
+      cat.deleteMoR("lake", "om",
+        col("o_totalprice") < 100000.0 && col("o_custkey") % 2 === 0)
+      val mor = cat.read("lake", "om")
+        .agg(count(lit(1)).as("n_mor"),
+          dsum(col("o_totalprice")).as("total_mor"),
+          countDistinct(col("o_orderkey")).as("k_mor"))
+      cat.materializeDeletes("lake", "om")
+      val mat = cat.read("lake", "om")
+        .agg(count(lit(1)).as("n_mat"),
+          dsum(col("o_totalprice")).as("total_mat"))
+      mor.crossJoin(mat)
+    },
+    Some(s"""WITH kept AS (
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE NOT (o_totalprice < 50000.0)
+        AND NOT (o_totalprice < 100000.0 AND o_custkey % 2 = 0))
+    SELECT COUNT(*) AS n_mor,
+      CAST(SUM(CAST(o_totalprice AS $D)) AS DOUBLE) AS total_mor,
+      COUNT(DISTINCT o_orderkey) AS k_mor,
+      COUNT(*) AS n_mat,
+      CAST(SUM(CAST(o_totalprice AS $D)) AS DOUBLE) AS total_mat
+    FROM kept""")
+  )
+
   val all: Seq[Q] = Seq(
     ingestCsvRoundtrip, ingestJsonRoundtrip, ingestParquet, ingestTextLines,
     ingestOrcRoundtrip, ingestXmlRoundtrip, ingestSchemaEvolution, ingestJsonProps,
     lakeCtas, lakeMergeUpsert, lakeChangelog, lakeDataProfile,
     lakeScd2, lakeDelete, lakeIncrementalRead, lakeConstraints, lakeDataSkipping,
-    lakeZorder, lakeMaintenance, lakePointLookup, lakeMvRefresh, lakeWap)
+    lakeZorder, lakeMaintenance, lakePointLookup, lakeMvRefresh, lakeWap,
+    lakeDeleteMor)
 }
