@@ -691,8 +691,68 @@ object TextAnalysis {
     ORDER BY o.doc_id""")
   )
 
+  /** Intra-corpus SPAN dedup — the sub-document half of deduplication
+    * (RefinedWeb/CCNet strip repeated paragraphs and boilerplate inside
+    * otherwise-unique pages; doc-level dedup cannot see them). The corpus
+    * is segmented into fixed 20-token spans (the testdata has no
+    * paragraph breaks, so boundaries are synthetic — the operator is
+    * boundary-agnostic), every span occurrence after the first
+    * (first = smallest (doc_id, position)) is dropped corpus-wide, and
+    * each document is REASSEMBLED from its surviving spans, content-
+    * hashed so the oracle checks the exact rebuilt text. Scale shape:
+    * one shuffle on span content for the keep-first window (the same
+    * partitioning dedup_keep_first uses on whole docs), then a groupBy
+    * doc_id for reassembly — both partial-agg-friendly, nothing
+    * quadratic.
+    */
+  val textSpanDedup: Q = Q(
+    "text_span_dedup",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables(s, dir)
+      val SegTokens = 20
+      val docs = t.documents.filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"), wsTokens(lower(col("text"))).as("tk"))
+      val segs = docs.select(col("doc_id"),
+          posexplode(transform(
+            sequence(lit(0), floor((size(col("tk")) - 1) / lit(SegTokens)).cast("int")),
+            i => array_join(slice(col("tk"), i * SegTokens + 1, lit(SegTokens)), " ")))
+          .as(Seq("seg_idx", "seg")))
+      val w = Window.partitionBy("seg").orderBy("doc_id", "seg_idx")
+      segs.withColumn("rn", row_number().over(w))
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_segs"),
+          sum(when(col("rn") === 1, 1).otherwise(0)).as("kept_segs"),
+          md5(array_join(
+            transform(
+              array_sort(collect_list(when(col("rn") === 1,
+                struct(col("seg_idx"), col("seg"))))),
+              x => x.getField("seg")),
+            " ")).as("rebuilt_md5"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH tk AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+      FROM documents WHERE trim(text) <> ''),
+    segs AS (
+      SELECT doc_id, i AS seg_idx,
+        array_to_string(tk[(i*20+1):(i*20+20)], ' ') AS seg
+      FROM tk, UNNEST(range(0, ((len(tk)-1)//20)+1)) AS u(i)),
+    ranked AS (
+      SELECT doc_id, seg_idx, seg,
+        row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+      FROM segs)
+    SELECT doc_id,
+      COUNT(*) AS n_segs,
+      CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS kept_segs,
+      md5(COALESCE(string_agg(CASE WHEN rn = 1 THEN seg END, ' ' ORDER BY seg_idx), ''))
+        AS rebuilt_md5
+    FROM ranked GROUP BY doc_id ORDER BY doc_id""")
+  )
+
   val all: Seq[Q] = Seq(textTokens, textQuality, textLangId, textFingerprint,
     textQualityFilter, textTermDocfreq, pipelineCurate, textScrub, textChunk,
     textSeqPacking, textNgrams, textStopwordStrip, textTfidf, textRepetition,
-    textNormalize, textCompression, textRarity)
+    textNormalize, textCompression, textRarity, textSpanDedup)
 }

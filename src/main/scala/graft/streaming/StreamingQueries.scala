@@ -67,5 +67,69 @@ object StreamingQueries {
     Some(graft.Q.oracleResource("dedup_minhash"))
   )
 
-  val all: Seq[Q] = Seq(streamNeardupTwin)
+  /** Second stream-vs-batch equivalence, this time for the WINDOWED
+    * AGGREGATION operator (E1): the whole events table is replayed
+    * through `hourlyAggregates` as a two-micro-batch stream in complete
+    * output mode, and the final aggregation state must hash-match the
+    * same per-hour totals DuckDB computes over the table at rest. This
+    * pins the streaming agg's window assignment, decimal sum and
+    * cross-batch state merge — count and sum partials from batch 1 must
+    * combine exactly with batch 2's — under the external oracle, not
+    * just a Spark-vs-Spark spec. (countDistinct is not available to
+    * streaming aggs, so the twin checks the count/sum columns.)
+    *
+    * The driver-fed replay collects the bounded events table once — the
+    * cost of making a stream from data at rest, not a pattern for
+    * production sources.
+    */
+  val streamBucketsTwin: Q = Q(
+    "stream_buckets_twin",
+    (s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      // events.ts is a nanos long (TESTDATA): micros → Timestamp keeps
+      // hour-bucket assignment exact (truncation cannot cross an hour)
+      val rows = Tables(s, dir).events
+        .select(col("ts"), col("user_id"), col("event_type"), col("value"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+        .sortBy(_._1)
+      val input = MemoryStream[EventStreams.Event]
+      val sink = s"stream_buckets_twin_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val query = EventStreams.hourlyAggregates(input.toDF())
+        .writeStream.format("memory").queryName(sink).outputMode("complete").start()
+      try {
+        val (first, second) = rows.splitAt(rows.length / 2)
+        def toEvents(part: Array[(Long, Long, String, Double)], off: Long) =
+          part.zipWithIndex.map { case ((nanos, uid, et, v), i) =>
+            val ts = new java.sql.Timestamp(nanos / 1000000L)
+            ts.setNanos(((nanos % 1000000000L) / 1000L * 1000L).toInt)
+            EventStreams.Event(off + i, ts, uid, et, v)
+          }.toIndexedSeq
+        input.addData(toEvents(first, 0L))
+        query.processAllAvailable()
+        input.addData(toEvents(second, first.length.toLong))
+        query.processAllAvailable()
+        val out = s.table(sink)
+          .select(col("window.start").cast("long").as("bucket_s"),
+            col("event_type"), col("n_events"), col("total_value"))
+          .collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+          .toIndexedSeq
+        out.toDF("bucket_s", "event_type", "n_events", "total_value")
+          .orderBy("bucket_s", "event_type")
+      } finally {
+        query.stop()
+        s.catalog.dropTempView(sink)
+        ()
+      }
+    },
+    Some("""SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket_s,
+      event_type,
+      COUNT(*) AS n_events,
+      CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2""")
+  )
+
+  val all: Seq[Q] = Seq(streamNeardupTwin, streamBucketsTwin)
 }
