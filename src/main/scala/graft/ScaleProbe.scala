@@ -150,6 +150,35 @@ object ScaleProbe {
       println(f"[scale] file-merge commits=$k%d rows=${k * rowsPerCommit}%d " +
         f"replaced=${replaced.size}%d time=$dt%.1fs")
     }
+
+    // merge-on-read DELETE probe (round 5): a vectored delete must cost
+    // the predicate scan + a KB-sized sidecar, with ZERO data dirs
+    // rewritten at any table size — and the vectored READ's broadcast
+    // anti-join must stay ~flat too. Same 4/16/64-commit tables.
+    for (k <- Seq(4, 16, 64)) {
+      val root = s"/tmp/graft_scale_mor_$k"
+      org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(root), true)
+      val cat = lake.LakeCatalog(spark, root)
+      for (i <- 0 until k)
+        cat.write("p", "t",
+          spark.range(i * rowsPerCommit, (i + 1) * rowsPerCommit)
+            .select(col("id"), (col("id") * 2).as("v")),
+          SaveMode.Append)
+      val tb = System.nanoTime()
+      cat.read("p", "t").count() // vector-free baseline over the same dirs
+      val tBase = (System.nanoTime() - tb) / 1e9
+      val t0 = System.nanoTime()
+      cat.deleteMoR("p", "t", col("id") < 1000L)
+      val tDel = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val remaining = cat.read("p", "t").count()
+      val tRead = (System.nanoTime() - t1) / 1e9
+      val (_, entries) = cat.latestEntries("p", "t")
+      println(f"[scale] mor-delete commits=$k%d rows=${k * rowsPerCommit}%d " +
+        f"remaining=$remaining%d dvs=${entries.count(_.startsWith("dv/"))}%d " +
+        f"base_read=$tBase%.1fs delete=$tDel%.1fs read=$tRead%.1fs")
+    }
     spark.stop()
   }
 }

@@ -111,4 +111,38 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin LeftAnti") ||
       (p.contains("LeftAnti") && p.contains("BroadcastExchange")), p)
   }
+
+  test("deletion vectors subtract via a broadcast anti-join, never a shuffled one") {
+    import java.nio.file.Files
+    val cat = graft.lake.LakeCatalog(spark,
+      Files.createTempDirectory("graft_dvplan").toString)
+    import spark.implicits._
+    cat.write("ns", "t", (1 to 1000).map(i => (i, i * 2)).toDF("id", "x"))
+    cat.deleteMoR("ns", "t", col("id") <= 5)
+    val p = cat.read("ns", "t").queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"DV subtraction must be a broadcast anti-join:\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+    // vector-free snapshots keep the plain scan: no join, no _metadata
+    val clean = cat.read("ns", "t", Some(1)).queryExecution.executedPlan.toString
+    assert(!clean.contains("Join"), s"vector-free read must not plan a join:\n$clean")
+  }
+
+  test("ann_quantized: bounds broadcast; no shuffle added over plain brute force") {
+    val p = plan(operators.Similarity.annQuantized)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    val brute = plan(operators.Similarity.annBruteforce)
+    val bruteExchanges = "Exchange hashpartitioning".r.findAllIn(brute).length
+    assert(exchanges <= bruteExchanges + 1, // +1: the tiny bounds aggregation
+      s"quantized search added shuffles: $exchanges vs brute's $bruteExchanges\n$p")
+    assert("BroadcastExchange".r.findAllIn(p).length >= 2, p) // bounds + queries
+  }
+
+  test("text_rarity: vocabulary join is broadcast (map-side OOV scoring)") {
+    val p = plan(operators.TextAnalysis.textRarity)
+    assert(p.contains("BroadcastHashJoin"),
+      s"top-V vocab must broadcast, not shuffle the token stream:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-V vocab should plan as a bounded top-k, not a global sort:\n$p")
+  }
 }

@@ -129,6 +129,29 @@ class DeletionVectorSpec extends SparkSpec {
     assert(rows == Map("a" -> 1L, "b" -> 1L))
   }
 
+  test("vectors interoperate with z-ordered tables (deeper manifest entries)") {
+    val cat = freshCatalog()
+    import spark.implicits._
+    cat.writeClustered("ns", "z",
+      (1 to 2000).map(i => (i, i % 50, i * 1.0)).toDF("id", "grp", "x"),
+      Seq("id"), commits = 8)
+    cat.deleteMoR("ns", "z", col("id") <= 100)
+    assert(cat.read("ns", "z").count() == 1900)
+    assert(cat.readWhere("ns", "z", "id", 1, 200).count() == 100)
+    val (_, pre) = cat.latestEntries("ns", "z")
+    val preData = cat.dataRels(pre)
+    cat.materializeDeletes("ns", "z")
+    val (_, post) = cat.latestEntries("ns", "z")
+    assert(cat.dvRels(post).isEmpty)
+    assert(cat.read("ns", "z").count() == 1900)
+    // only z-buckets containing marked rows were rewritten
+    val survivors = preData.toSet.intersect(cat.dataRels(post).toSet)
+    assert(survivors.nonEmpty, "unmarked z-bucket entries must survive verbatim")
+    // CoW delete on the z table still correct post-materialize
+    cat.delete("ns", "z", col("id") === 101)
+    assert(cat.read("ns", "z").count() == 1899)
+  }
+
   test("expiry reclaims vector dirs with their snapshots; orphan vacuum covers dv/") {
     val cat = freshCatalog()
     import spark.implicits._
