@@ -109,12 +109,44 @@ final class TableMerger(
     lo
   }
 
+  /** Apply a CDC delta — upsert rows and delete tombstones tagged in
+    * `opCol` ("upsert" / "delete", the Debezium-feed shape) — in ONE
+    * file-scoped pass: a single PRUNE → PLAN → REWRITE cycle handles
+    * both, so commits touched by an update and a tombstone are rewritten
+    * once, not twice, and every untouched commit keeps its manifest
+    * entry verbatim. Tombstones for absent keys are no-ops; a missing
+    * target is created from the upsert rows alone.
+    */
+  def applyCdc(
+      delta: DataFrame,
+      ns: String,
+      table: String,
+      key: Option[String] = None,
+      opCol: String = "_op"): MergeResult = {
+    require(delta.columns.contains(opCol), s"CDC delta needs a `$opCol` column")
+    val k = key.orElse(findKeyColumn(delta.drop(opCol))).getOrElse(
+      sys.error(s"no merge key among ${keyCandidates.mkString(",")} — pass one explicitly"))
+    val sourceRows = delta.count()
+    val ups = dedupeOnKey(delta.filter(col(opCol) === "upsert").drop(opCol), k)
+    val dels = delta.filter(col(opCol) === "delete").select(col(k)).distinct()
+    val strategy =
+      if (!catalog.tableExists(ns, table)) {
+        catalog.write(ns, table, ups, SaveMode.Overwrite)
+        s"CDC CREATE from upserts (key `$k`)"
+      } else {
+        mergeScoped(ups, ns, table, k, sourceRows, tombstones = Some(dels))
+        s"CDC apply (upsert + delete) using key `$k`"
+      }
+    MergeResult(strategy, sourceRows, catalog.rowCount(ns, table))
+  }
+
   /** The file-scoped upsert itself (steps PRUNE → PLAN → REWRITE of the
-    * class doc). `deduped` must already be one row per key.
+    * class doc). `deduped` must already be one row per key; `tombstones`
+    * (CDC) contributes keys whose rows are removed without replacement.
     */
   private def mergeScoped(
       dedupedRaw: DataFrame, ns: String, table: String, k: String,
-      sourceRows: Long): Unit = {
+      sourceRows: Long, tombstones: Option[DataFrame] = None): Unit = {
     import org.apache.spark.sql.functions.{max => fmax, min => fmin}
     val (base, entries) = catalog.latestEntries(ns, table)
     // deletion-vector entries are not data: candidates come from the data
@@ -125,6 +157,11 @@ final class TableMerger(
     // semi-join, rewrite anti-join, rewrite union) — pin it once instead
     // of re-running the dedupe window per job
     val deduped = dedupedRaw.persist()
+    // PRUNE/PLAN/anti-join all operate on upsert keys PLUS tombstone
+    // keys (CDC); only the upsert rows land in the rewrite union
+    val allKeys = tombstones
+      .map(tb => deduped.select(col(k)).unionByName(tb.select(col(k))))
+      .getOrElse(deduped.select(col(k)))
     try {
       // PRUNE: commits whose key range can't contain any delta key. For a
       // small delta (the daily-upsert shape) the key set itself is
@@ -139,7 +176,7 @@ final class TableMerger(
       val deltaKeys: Option[(Array[String], Array[java.math.BigDecimal])] =
         if (sourceRows > DeltaKeyCollectCap) None
         else {
-          val ks = deduped.select(col(k).cast("string")).na.drop()
+          val ks = allKeys.select(col(k).cast("string")).na.drop()
             .collect().map(_.getString(0))
           if (numericKey) {
             try Some((Array.empty,
@@ -173,7 +210,7 @@ final class TableMerger(
       // timestamp probe via JVM toString would render '…10:00:00.0'
       // where the sidecar strips trailing zeros, and the lexicographic
       // compare would falsely prune a commit holding an equal key)
-      lazy val b = deduped
+      lazy val b = allKeys
         .agg(fmin(col(k)).cast("string"), fmax(col(k)).cast("string")).head()
       val noPrune = deltaKeys match {
         case Some((strs, nums)) => strs.isEmpty && nums.isEmpty
@@ -194,7 +231,7 @@ final class TableMerger(
       // PLAN: which candidates hold actual key matches. One job — the
       // scan reads only the key column, the delta side broadcasts under
       // AQE, and the distinct output is bounded by the commit count.
-      val keys = deduped.select(col(k))
+      val keys = allKeys
       val touched: Set[String] =
         if (candidates.isEmpty) Set.empty
         else {

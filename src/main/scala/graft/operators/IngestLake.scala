@@ -599,11 +599,60 @@ object IngestLake {
     FROM kept""")
   )
 
+  /** CDC apply end-to-end under the oracle: one Debezium-shaped delta —
+    * updates (+1000.00 on matched prices), inserts (shifted new keys)
+    * and delete tombstones — applied in a SINGLE file-scoped pass, then
+    * the whole-table aggregate must equal the oracle's reconstruction
+    * of the same final state from the source. TableMergerSpec pins
+    * single-version commit + untouched-dir behavior.
+    */
+  val lakeCdcApply: Q = Q(
+    "lake_cdc_apply",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val cat = LakeCatalog(s, scratch("cdc"))
+      val merger = new TableMerger(cat)
+      val orders = t.orders.select("o_orderkey", "o_custkey", "o_totalprice")
+      cat.write("lake", "oc", orders.filter(col("o_orderkey") % 3 === 0))
+      cat.write("lake", "oc", orders.filter(col("o_orderkey") % 3 =!= 0),
+        SaveMode.Append)
+      val updates = orders.filter(col("o_orderkey") % 10 === 3)
+        .withColumn("o_totalprice",
+          (m(col("o_totalprice")) + lit(1000)).cast(DoubleType))
+        .withColumn("_op", lit("upsert"))
+      val inserts = orders.filter(col("o_orderkey") % 10 === 4)
+        .select((col("o_orderkey") + lit(10000000L)).as("o_orderkey"),
+          col("o_custkey"), col("o_totalprice"))
+        .withColumn("_op", lit("upsert"))
+      val tombstones = orders.filter(col("o_orderkey") % 10 === 7)
+        .withColumn("_op", lit("delete"))
+      merger.applyCdc(updates.unionByName(inserts).unionByName(tombstones),
+        "lake", "oc", key = Some("o_orderkey"))
+      cat.read("lake", "oc")
+        .agg(count(lit(1)).as("n_rows"),
+          dsum(col("o_totalprice")).as("total"),
+          countDistinct(col("o_orderkey")).as("n_keys"))
+    },
+    Some(s"""WITH final AS (
+      SELECT o_orderkey,
+        CASE WHEN o_orderkey % 10 = 3
+          THEN CAST(CAST(o_totalprice AS $D) + 1000 AS DOUBLE)
+          ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 10 <> 7
+      UNION ALL
+      SELECT o_orderkey + 10000000 AS o_orderkey, o_totalprice
+      FROM orders WHERE o_orderkey % 10 = 4)
+    SELECT COUNT(*) AS n_rows,
+      CAST(SUM(CAST(o_totalprice AS $D)) AS DOUBLE) AS total,
+      COUNT(DISTINCT o_orderkey) AS n_keys
+    FROM final""")
+  )
+
   val all: Seq[Q] = Seq(
     ingestCsvRoundtrip, ingestJsonRoundtrip, ingestParquet, ingestTextLines,
     ingestOrcRoundtrip, ingestXmlRoundtrip, ingestSchemaEvolution, ingestJsonProps,
     lakeCtas, lakeMergeUpsert, lakeChangelog, lakeDataProfile,
     lakeScd2, lakeDelete, lakeIncrementalRead, lakeConstraints, lakeDataSkipping,
     lakeZorder, lakeMaintenance, lakePointLookup, lakeMvRefresh, lakeWap,
-    lakeDeleteMor)
+    lakeDeleteMor, lakeCdcApply)
 }

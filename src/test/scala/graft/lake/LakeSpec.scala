@@ -379,6 +379,37 @@ class LakeSpec extends SparkSpec {
     assert(back.contains((14, "b")) && back.contains((1, "a")) && back.contains((30, "c")))
   }
 
+  test("CDC apply: upserts + tombstones in ONE pass, untouched commits verbatim") {
+    val cat = freshCatalog()
+    val merger = new TableMerger(cat)
+    import spark.implicits._
+    cat.write("ns", "cdc", (1 to 10).map(i => (i, "a")).toDF("id", "v"))
+    cat.write("ns", "cdc", (11 to 20).map(i => (i, "b")).toDF("id", "v"), SaveMode.Append)
+    cat.write("ns", "cdc", (21 to 30).map(i => (i, "c")).toDF("id", "v"), SaveMode.Append)
+    val (v3, rels) = cat.latestEntries("ns", "cdc")
+    val before = rels.map(r => r -> dirFingerprint(cat, "ns", "cdc", r)).toMap
+    // one delta: update key 5, delete key 6 (both commit A), insert key
+    // 99, tombstone for an ABSENT key (no-op)
+    val delta = Seq((5, "U5", "upsert"), (6, "x", "delete"),
+      (99, "new", "upsert"), (1000, "x", "delete")).toDF("id", "v", "_op")
+    val r = merger.applyCdc(delta, "ns", "cdc")
+    assert(r.strategy.startsWith("CDC apply"), r.strategy)
+    // exactly ONE new version: update + delete + insert in a single pass
+    assert(cat.versions("ns", "cdc") == Seq(1, 2, 3, 4),
+      s"one pass must create exactly v${v3 + 1}, have ${cat.versions("ns", "cdc")}")
+    val (_, after) = cat.latestEntries("ns", "cdc")
+    // commits B and C hold no matched keys: entries + dirs verbatim
+    Seq(rels(1), rels(2)).foreach { rel =>
+      assert(after.contains(rel), s"untouched commit $rel must stay")
+      assert(dirFingerprint(cat, "ns", "cdc", rel) == before(rel))
+    }
+    val back = cat.read("ns", "cdc").collect()
+      .map(x => (x.getInt(0), x.getString(1))).toMap
+    assert(back.size == 30, s"10 - 1 deleted + 1 inserted + 20 = 30, got ${back.size}")
+    assert(back(5) == "U5" && !back.contains(6) && back(99) == "new")
+    assert(back(1) == "a" && back(20) == "b" && back(30) == "c")
+  }
+
   test("DELETE is file-scoped: untouched commits keep their dirs byte-identical") {
     val cat = freshCatalog()
     import spark.implicits._

@@ -142,4 +142,28 @@ class ObjectStoreCommitSpec extends SparkSpec {
       assert(cat.read("ns", "t").count() == 2)
     } finally pool.shutdown()
   }
+
+  test("WAP and MoR deletes run on plain object-store semantics") {
+    val (cat, _) = simCatalog(conditionalPut = false)
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    cat.write("ns", "t", Seq((1, 10), (2, 20)).toDF("id", "x"))
+    // stage → audit-fail → abort leaves nothing; stage → publish lands
+    val bad = cat.stageWrite("ns", "t", Seq((3, -1)).toDF("id", "x"), SaveMode.Append)
+    assert(cat.readStagedData(bad).filter(col("x") < 0).count() == 1)
+    cat.abortStaged(bad)
+    val good = cat.stageWrite("ns", "t", Seq((3, 30)).toDF("id", "x"), SaveMode.Append)
+    cat.publishStaged(good)
+    assert(cat.read("ns", "t").count() == 3)
+    // publish CAS still guards the staged base on the object store
+    val stale = cat.stageWrite("ns", "t", Seq((4, 40)).toDF("id", "x"), SaveMode.Append)
+    cat.write("ns", "t", Seq((5, 50)).toDF("id", "x"), SaveMode.Append)
+    intercept[CommitConflictException] { cat.publishStaged(stale) }
+    // merge-on-read delete + vectored read + materialize through the sim
+    cat.deleteMoR("ns", "t", col("id") === 2)
+    assert(cat.read("ns", "t").collect().map(_.getInt(0)).toSet == Set(1, 3, 5))
+    cat.materializeDeletes("ns", "t")
+    assert(cat.read("ns", "t").collect().map(_.getInt(0)).toSet == Set(1, 3, 5))
+    assert(cat.rowCount("ns", "t") == 3)
+  }
 }
