@@ -428,7 +428,84 @@ object RelationalAnalytics {
     WHERE rn = 1 ORDER BY o_orderstatus""")
   )
 
+  /** Time-series RESAMPLE to a regular hourly grid with LINEAR
+    * interpolation of gaps — the time-series half of imputation (C35's
+    * forward-fill carries the last value; resampling reconstructs the
+    * trend between known points, the shape feature pipelines need for
+    * regularly-spaced training windows).
+    *
+    * Scale design: raw events collapse to per-(type, hour) totals FIRST
+    * (partial-agg groupBy), and every window below runs over the
+    * RESAMPLED grid — one row per hour per type, bounded by the time
+    * span, never by event volume. The interpolation itself is exact
+    * integer hour arithmetic and IEEE double ops mirrored
+    * operation-for-operation in the oracle.
+    */
+  val qResample: Q = Q(
+    "q_resample",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val hourly = t.events
+        .groupBy(expr("(ts DIV 3600000000000) * 3600").as("hour_s"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total"))
+      val grid = hourly.groupBy("event_type")
+        .agg(min(col("hour_s")).as("lo"), max(col("hour_s")).as("hi"))
+        .select(col("event_type"),
+          explode(sequence(col("lo"), col("hi"), lit(3600L))).as("hour_s"))
+      val w = Window.partitionBy("event_type").orderBy("hour_s")
+      val wPrev = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wNext = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      def known(c: String) = when(col("total").isNotNull, col(c))
+      grid.join(hourly, Seq("event_type", "hour_s"), "left")
+        .withColumn("prev_t", last(known("hour_s"), ignoreNulls = true).over(wPrev))
+        .withColumn("prev_v", last(known("total"), ignoreNulls = true).over(wPrev))
+        .withColumn("next_t", first(known("hour_s"), ignoreNulls = true).over(wNext))
+        .withColumn("next_v", first(known("total"), ignoreNulls = true).over(wNext))
+        .select(col("event_type"), col("hour_s"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          coalesce(col("total"),
+            col("prev_v") + (col("next_v") - col("prev_v")) *
+              (col("hour_s") - col("prev_t")).cast(DoubleType) /
+              (col("next_t") - col("prev_t")).cast(DoubleType)).as("total_filled"),
+          col("total").isNull.as("interpolated"))
+        .orderBy("event_type", "hour_s")
+    },
+    Some(s"""WITH hourly AS (
+      SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_s, event_type,
+        COUNT(*) AS n_events,
+        CAST(SUM(CAST(value AS $D)) AS DOUBLE) AS total
+      FROM events GROUP BY 1, 2),
+    grid AS (
+      SELECT event_type, unnest(range(lo, hi + 3600, 3600)) AS hour_s
+      FROM (SELECT event_type, MIN(hour_s) AS lo, MAX(hour_s) AS hi
+            FROM hourly GROUP BY event_type)),
+    joined AS (
+      SELECT g.event_type, g.hour_s, h.n_events, h.total,
+        last_value(CASE WHEN h.total IS NOT NULL THEN g.hour_s END IGNORE NULLS)
+          OVER (PARTITION BY g.event_type ORDER BY g.hour_s
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_t,
+        last_value(CASE WHEN h.total IS NOT NULL THEN h.total END IGNORE NULLS)
+          OVER (PARTITION BY g.event_type ORDER BY g.hour_s
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+        first_value(CASE WHEN h.total IS NOT NULL THEN g.hour_s END IGNORE NULLS)
+          OVER (PARTITION BY g.event_type ORDER BY g.hour_s
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_t,
+        first_value(CASE WHEN h.total IS NOT NULL THEN h.total END IGNORE NULLS)
+          OVER (PARTITION BY g.event_type ORDER BY g.hour_s
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v
+      FROM grid g LEFT JOIN hourly h
+        ON g.event_type = h.event_type AND g.hour_s = h.hour_s)
+    SELECT event_type, hour_s,
+      COALESCE(n_events, 0) AS n_events,
+      COALESCE(total,
+        prev_v + (next_v - prev_v) * CAST(hour_s - prev_t AS DOUBLE)
+          / CAST(next_t - prev_t AS DOUBLE)) AS total_filled,
+      total IS NULL AS interpolated
+    FROM joined ORDER BY event_type, hour_s""")
+  )
+
   val all: Seq[Q] = Seq(qGroupingSets, qUnpivot, qWindowRange, qForwardFill,
     qDetSample, qFunnel, qRetention, qOutliers, qWindowDistribution, qExactMedian,
-    qFullOuter, qArgmax)
+    qFullOuter, qArgmax, qResample)
 }

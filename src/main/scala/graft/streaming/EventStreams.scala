@@ -194,6 +194,33 @@ object EventStreams {
       .start()
   }
 
+  /** E11: streaming CDC APPLY into the lakehouse — the full Debezium
+    * shape: micro-batches carry upsert rows AND delete tombstones (an
+    * `_op` column), each batch landing through
+    * [[graft.lake.TableMerger.applyCdc]] as ONE file-scoped pass. Late
+    * corrections update in place, tombstones remove rows, and a batch
+    * touching both rewrites each affected commit once. This is the sink
+    * a replicated OLTP table needs: the stream IS the redo log, the
+    * lake table converges to the source state.
+    */
+  def streamCdcApplyIntoLake(
+      stream: DataFrame,
+      catalog: graft.lake.LakeCatalog,
+      ns: String,
+      table: String,
+      key: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val merger = new graft.lake.TableMerger(catalog)
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) { merger.applyCdc(batch.toDF(), ns, table, Some(key)); () }
+        (): Unit
+      }
+      .start()
+  }
+
   /** one incoming document on the stream */
   case class DocIn(doc_id: Long, ts: java.sql.Timestamp, text: String)
 

@@ -228,6 +228,32 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("E11: streaming CDC apply handles upserts AND tombstones per micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val cat = graft.lake.LakeCatalog(spark,
+      java.nio.file.Files.createTempDirectory("graft_stream_cdc").toString)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_cdc_ck").toString
+    val input = MemoryStream[(Long, String, String)]
+    val q = streamCdcApplyIntoLake(
+      input.toDS().toDF("id", "v", "_op"), cat, "cdc", "t", "id", ckpt)
+    try {
+      input.addData((1L, "a", "upsert"), (2L, "b", "upsert"), (3L, "c", "upsert"))
+      q.processAllAvailable()
+      assert(cat.rowCount("cdc", "t") == 3)
+      // batch 2: correction + tombstone + insert + absent-key tombstone,
+      // one file-scoped pass
+      input.addData((2L, "B", "upsert"), (3L, "x", "delete"),
+        (4L, "d", "upsert"), (99L, "x", "delete"))
+      q.processAllAvailable()
+      val rows = cat.read("cdc", "t").orderBy("id")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(rows == Seq((1L, "a"), (2L, "B"), (4L, "d")), rows.toString)
+      // versions: CDC-create then ONE apply commit for the mixed batch
+      assert(cat.versions("cdc", "t") == Seq(1, 2))
+    } finally q.stop()
+  }
+
   test("E7: near-dups arriving in the SAME micro-batch pair immediately") {
     // regression guard for the round-4 twin investigation: within one
     // bucket invocation, each doc must see same-batch predecessors (and
