@@ -260,24 +260,39 @@ final class LakeCatalog(
     * recovery); schema inference per dir was already paid by the
     * per-dir path, so grouping adds no IO.
     */
+  /** Memoized flatness/schema probes: commit dirs are IMMUTABLE once
+    * committed (rewrites mint fresh uuid dirs; vacuum only ever deletes),
+    * so a probe result never goes stale — repeated reads of the same
+    * snapshot must not re-pay the per-commit FS metadata sweep, and on a
+    * slow object store re-probing is what turns the scan-group timeout
+    * into a read failure.
+    */
+  private val probeCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (String, String, String), Option[org.apache.spark.sql.types.StructType]]()
+
   private def scanGroups(ns: String, t: String, rels: Seq[String])
       : (Seq[Seq[String]], Seq[String]) = {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.DurationInt
     implicit val ec: ExecutionContext = ExecutionContext.global
     // flatness probe + schema inference are one driver-side FS round
-    // trip per commit — run them CONCURRENTLY or a 1000-commit table
-    // pays 1000 sequential metadata RTTs before any job starts (this,
-    // not scan work, dominated the many-commit probe)
-    val probed = Await.result(
-      Future.sequence(rels.toList.map { rel =>
+    // trip per commit — memoize per immutable commit dir, and run the
+    // misses CONCURRENTLY or a 1000-commit table pays 1000 sequential
+    // metadata RTTs before any job starts (this, not scan work,
+    // dominated the many-commit probe)
+    val misses = rels.filterNot(rel => probeCache.containsKey((ns, t, rel)))
+    Await.result(
+      Future.sequence(misses.toList.map { rel =>
         Future {
           val p = new Path(tPath(ns, t), rel)
           val flat = fs.exists(p) && !fs.listStatus(p).exists(_.isDirectory)
           val sch = if (flat) Some(spark.read.parquet(p.toString).schema) else None
-          (rel, sch)
+          probeCache.put((ns, t, rel), sch)
         }
       }), 10.minutes)
+    // resolve in the caller's rel order so group membership stays stable
+    val probed = rels.toList.map(rel => (rel, probeCache.get((ns, t, rel))))
     val groups = scala.collection.mutable.LinkedHashMap[
       org.apache.spark.sql.types.StructType, Vector[String]]()
     probed.foreach {
@@ -315,7 +330,7 @@ final class LakeCatalog(
     * the injected literal) and returned alongside the frame.
     */
   def readTagged(ns: String, t: String, rels: Seq[String]): (DataFrame, String) = {
-    import org.apache.spark.sql.functions.{broadcast, col, lit, substring_index}
+    import org.apache.spark.sql.functions.{col, lit, substring_index}
     val dvs = dvRels(latestEntries(ns, t)._2)
     // the grouped-scan tag derives from the file path's first two
     // segments, which is only exact for plain "data/<uuid>" entries —
@@ -344,7 +359,7 @@ final class LakeCatalog(
         rawPer.map { case (rel, df) => withKeys(df).withColumn(tag, lit(rel)) })
     val clean =
       if (dvs.isEmpty) tagged
-      else tagged.join(broadcast(dvFrame(ns, t, dvs)),
+      else tagged.join(dvJoinSide(ns, t, dvs),
         col("__graft_file") === col("_dv_file") &&
           col("__graft_pos") === col("_dv_pos"), "left_anti")
         .drop("__graft_file", "__graft_pos")
@@ -410,6 +425,37 @@ final class LakeCatalog(
       spark.read.parquet(new Path(tPath(ns, t), rel).toString)
     })
 
+  /** Total marked rows across the given dv sidecars — metadata-only (each
+    * sidecar commit carries its exact row count; a sidecar predating stats
+    * falls back to one count job over KBs of parquet).
+    */
+  private def dvRowCount(ns: String, t: String, dvs: Seq[String]): Long =
+    dvs.map(rel => commitStats(ns, t, rel).map(_._1).getOrElse(
+      spark.read.parquet(new Path(tPath(ns, t), rel).toString).count())).sum
+
+  /** Vector cardinality ceiling for the broadcast anti-join. Deletion
+    * vectors are one row per MARKED row — unbounded: a single broad DELETE
+    * (1% of a 100 TB table) writes billions of positions, and a forced
+    * broadcast of that frame OOMs the driver on every subsequent read.
+    * Under the ceiling (the common case: point/narrow deletes) the
+    * subtraction stays a map-side broadcast anti-join with no shuffle;
+    * over it the hint is dropped, the planner shuffles both sides, and the
+    * read degrades gracefully instead of failing — `materializeDeletes`
+    * remains the maintenance valve that returns to vector-free scans.
+    */
+  private def dvBroadcastMaxRows: Long =
+    spark.conf.getOption("graft.lake.dv.broadcastMaxRows").map(_.toLong)
+      .getOrElse(1000000L)
+
+  /** The dv frame, broadcast-hinted only while its metadata row count is
+    * under [[dvBroadcastMaxRows]].
+    */
+  private def dvJoinSide(ns: String, t: String, dvs: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val frame = dvFrame(ns, t, dvs)
+    if (dvRowCount(ns, t, dvs) <= dvBroadcastMaxRows) broadcast(frame) else frame
+  }
+
   /** The distinct parent DIRECTORIES of vector-marked files — one row
     * per marked file in the KB-sized sidecars, so the collect is
     * bounded by file count, not marked-row count. Directory (not
@@ -444,13 +490,13 @@ final class LakeCatalog(
     val dvs = dvRels(entries)
     if (dvs.isEmpty) readDirs(ns, t, wanted)
     else {
-      import org.apache.spark.sql.functions.{broadcast, col}
+      import org.apache.spark.sql.functions.col
       val marked = markedDirs(ns, t, dvs)
       val (vectored, plain) = wanted.partition(rel => entryMarked(marked, rel))
       val parts =
         (if (vectored.isEmpty) Nil
          else Seq(readDirsWithKey(ns, t, vectored)
-           .join(broadcast(dvFrame(ns, t, dvs)),
+           .join(dvJoinSide(ns, t, dvs),
              col("__graft_file") === col("_dv_file") &&
                col("__graft_pos") === col("_dv_pos"),
              "left_anti")
@@ -468,7 +514,7 @@ final class LakeCatalog(
     * path. Prior snapshots still time-travel to the undeleted data.
     */
   def deleteMoR(ns: String, t: String, predicate: org.apache.spark.sql.Column): Int = {
-    import org.apache.spark.sql.functions.{broadcast, coalesce, col, lit}
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
     val hit = coalesce(predicate, lit(false))
     val (base, entries) = latestEntries(ns, t)
     val data = dataRels(entries)
@@ -477,7 +523,7 @@ final class LakeCatalog(
       .select(col("__graft_file").as("_dv_file"), col("__graft_pos").as("_dv_pos"))
     val marked =
       if (dvs.isEmpty) marked0
-      else marked0.join(broadcast(dvFrame(ns, t, dvs)), Seq("_dv_file", "_dv_pos"),
+      else marked0.join(dvJoinSide(ns, t, dvs), Seq("_dv_file", "_dv_pos"),
         "left_anti")
     val rel = s"dv/${java.util.UUID.randomUUID().toString}"
     val out = new Path(tPath(ns, t), rel)

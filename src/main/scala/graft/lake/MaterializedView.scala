@@ -45,6 +45,30 @@ final class MaterializedView(catalog: LakeCatalog) {
 
   private val MetaName = "mv"
 
+  /** The refresh cursor is persisted per MV VERSION (`mvseen-v<N>` sidecar,
+    * written BEFORE the CAS'd data commit that creates version N) and is
+    * only honored when version N actually committed. A crash between the
+    * sidecar write and the commit leaves an orphaned sidecar no reader
+    * ever resolves; a crash between a committed delta and a (hypothetical)
+    * post-commit cursor update — the window the old design had, which
+    * silently double-counted the delta on the next refresh — cannot occur,
+    * because by commit time the cursor is already durable. Effectively the
+    * cursor travels inside the commit, the Delta/Iceberg shape, built from
+    * the two primitives this catalog has (CAS'd manifests + idempotent
+    * sidecar puts).
+    */
+  private def seenMetaName(mvVersion: Int): String = s"mvseen-v$mvVersion"
+
+  /** The cursor of the LATEST committed MV version: the newest committed
+    * version carrying a cursor sidecar, falling back to the create-time
+    * cursor in the spec for MVs created before (or without) versioned
+    * cursors.
+    */
+  private def currentSeen(mvNs: String, mvT: String, spec: Spec): Int =
+    catalog.versions(mvNs, mvT).reverse.iterator
+      .flatMap(v => catalog.getTableMeta(mvNs, mvT, seenMetaName(v)))
+      .map(_.trim.toInt).nextOption().getOrElse(spec.seenVersion)
+
   // the sidecar format mirrors the stats sidecar: tab-separated lines,
   // URL-encoded fields
   private def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
@@ -150,26 +174,40 @@ final class MaterializedView(catalog: LakeCatalog) {
     */
   def refresh(mvNs: String, mvT: String): Int = {
     val spec = readSpec(mvNs, mvT)
+    val seen = currentSeen(mvNs, mvT, spec)
     val (baseV, _) = catalog.latestEntries(spec.baseNs, spec.baseT)
-    if (baseV == spec.seenVersion)
+    if (baseV == seen)
       return catalog.versions(mvNs, mvT).last
     val (mvV, _) = catalog.latestEntries(mvNs, mvT)
-    val next = catalog.appendedEntries(spec.baseNs, spec.baseT,
-        spec.seenVersion, baseV) match {
-      case Some(added) =>
-        val delta =
-          if (added.isEmpty) null
-          else aggregate(catalog.readDirs(spec.baseNs, spec.baseT, added), spec)
-        if (delta == null) mvV
-        else catalog.write(mvNs, mvT,
-          merge(catalog.read(mvNs, mvT, Some(mvV)), delta, spec),
-          SaveMode.Overwrite, expectedVersion = Some(mvV))
-      case None =>
-        catalog.write(mvNs, mvT, aggregate(
-          catalog.read(spec.baseNs, spec.baseT, Some(baseV)), spec),
-          SaveMode.Overwrite, expectedVersion = Some(mvV))
+    // stage the cursor for the version this CAS'd write will create
+    // (mvV+1) BEFORE committing — see seenMetaName's crash analysis. A
+    // refresh that loses the CAS restores whatever cursor the winner had
+    // staged for that version, so the losing put cannot poison the
+    // winner's committed snapshot (residual: losing AND crashing between
+    // put and restore — strictly narrower than the old unconditional
+    // crash window, and always preceded by a loud conflict).
+    def cursorThenWrite(df: DataFrame): Int = {
+      val prior = catalog.getTableMeta(mvNs, mvT, seenMetaName(mvV + 1))
+      catalog.putTableMeta(mvNs, mvT, seenMetaName(mvV + 1), baseV.toString)
+      try catalog.write(mvNs, mvT, df, SaveMode.Overwrite, expectedVersion = Some(mvV))
+      catch { case e: CommitConflictException =>
+        prior.foreach(p => catalog.putTableMeta(mvNs, mvT, seenMetaName(mvV + 1), p))
+        throw e
+      }
     }
-    writeSpec(mvNs, mvT, spec.copy(seenVersion = baseV))
-    next
+    catalog.appendedEntries(spec.baseNs, spec.baseT, seen, baseV) match {
+      case Some(added) =>
+        if (added.isEmpty) {
+          // base moved but added no data (metadata-only commits): advance
+          // the cursor alone; no new MV version is needed and the stale
+          // sidecar for mvV is simply overwritten in place
+          catalog.putTableMeta(mvNs, mvT, seenMetaName(mvV), baseV.toString)
+          mvV
+        } else cursorThenWrite(merge(catalog.read(mvNs, mvT, Some(mvV)),
+          aggregate(catalog.readDirs(spec.baseNs, spec.baseT, added), spec), spec))
+      case None =>
+        cursorThenWrite(aggregate(
+          catalog.read(spec.baseNs, spec.baseT, Some(baseV)), spec))
+    }
   }
 }

@@ -115,29 +115,63 @@ final class TableMerger(
     * both, so commits touched by an update and a tombstone are rewritten
     * once, not twice, and every untouched commit keeps its manifest
     * entry verbatim. Tombstones for absent keys are no-ops; a missing
-    * target is created from the upsert rows alone.
+    * target is created from the upsert rows alone (a delete-only or
+    * empty first delta is a no-op — it must NOT create an empty table).
+    *
+    * Event ordering: when a key carries BOTH an upsert and a tombstone in
+    * the same delta, pass `orderCol` (the feed's ts/LSN column) and the
+    * LATEST event per key wins — an insert-then-delete micro-batch
+    * correctly removes the row, converging to the source state. On exact
+    * orderCol ties the delete wins (deterministic; a tombstone at the
+    * same LSN means the key's final state is gone). WITHOUT `orderCol`
+    * there is no order to resolve by, and the tie-break is documented as
+    * UPSERT-WINS: tombstone keys are subtracted first, then upsert rows
+    * re-added, so a key present in both lists survives with its upsert
+    * row.
     */
   def applyCdc(
       delta: DataFrame,
       ns: String,
       table: String,
       key: Option[String] = None,
-      opCol: String = "_op"): MergeResult = {
+      opCol: String = "_op",
+      orderCol: Option[String] = None): MergeResult = {
     require(delta.columns.contains(opCol), s"CDC delta needs a `$opCol` column")
+    orderCol.foreach(oc => require(delta.columns.contains(oc),
+      s"ordering column `$oc` not in delta"))
     val k = key.orElse(findKeyColumn(delta.drop(opCol))).getOrElse(
       sys.error(s"no merge key among ${keyCandidates.mkString(",")} — pass one explicitly"))
     val sourceRows = delta.count()
-    val ups = dedupeOnKey(delta.filter(col(opCol) === "upsert").drop(opCol), k)
-    val dels = delta.filter(col(opCol) === "delete").select(col(k)).distinct()
+    // with an ordering column: ONE winner per key by (orderCol desc,
+    // delete-beats-upsert on ties), then split; the window shares the
+    // key's hash partitioning with the downstream anti-join
+    val resolved = orderCol match {
+      case Some(oc) =>
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col(k))
+          .orderBy(col(oc).desc_nulls_last, col(opCol).asc) // "delete" < "upsert"
+        delta.withColumn("__graft_rn",
+          org.apache.spark.sql.functions.row_number().over(w))
+          .filter(col("__graft_rn") === 1).drop("__graft_rn")
+      case None => delta
+    }
+    val ups = dedupeOnKey(
+      resolved.filter(col(opCol) === "upsert").drop(opCol +: orderCol.toSeq: _*), k)
+    val dels = resolved.filter(col(opCol) === "delete").select(col(k)).distinct()
     val strategy =
       if (!catalog.tableExists(ns, table)) {
-        catalog.write(ns, table, ups, SaveMode.Overwrite)
-        s"CDC CREATE from upserts (key `$k`)"
+        if (ups.isEmpty) s"CDC NO-OP (delete-only delta, no target table, key `$k`)"
+        else {
+          catalog.write(ns, table, ups, SaveMode.Overwrite)
+          s"CDC CREATE from upserts (key `$k`)"
+        }
       } else {
         mergeScoped(ups, ns, table, k, sourceRows, tombstones = Some(dels))
         s"CDC apply (upsert + delete) using key `$k`"
       }
-    MergeResult(strategy, sourceRows, catalog.rowCount(ns, table))
+    val finalRows =
+      if (catalog.tableExists(ns, table)) catalog.rowCount(ns, table) else 0L
+    MergeResult(strategy, sourceRows, finalRows)
   }
 
   /** The file-scoped upsert itself (steps PRUNE → PLAN → REWRITE of the

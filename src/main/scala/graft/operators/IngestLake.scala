@@ -319,7 +319,8 @@ object IngestLake {
     * pass of declarative rules — NOT NULL, value range, set membership,
     * and referential integrity (FK anti-join) — reported as violation
     * counts per rule. At scale each rule is a partial-aggregated count;
-    * the FK check broadcasts the dimension key set.
+    * the FK anti-join carries no broadcast hint (customer grows with SF) —
+    * the planner broadcasts the key set while it fits and shuffles beyond.
     */
   val lakeConstraints: Q = Q(
     "lake_constraints",
@@ -332,7 +333,7 @@ object IngestLake {
         sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L).otherwise(0L))
           .as("bad_status"))
       val fkViolations = t.orders
-        .join(broadcast(t.customer.select(col("c_custkey"))),
+        .join(t.customer.select(col("c_custkey")),
           col("o_custkey") === col("c_custkey"), "left_anti")
         .agg(count(lit(1)).as("fk_orphans"))
       scalarRules.crossJoin(fkViolations)

@@ -9,9 +9,14 @@ import org.apache.spark.sql.types.DoubleType
 /** Analytical query layer over the TPC-H-ish star schema (SURVEY §2 C).
   *
   * Design notes for scale (SURVEY §4):
-  *  - joins against dimension tables (`region nation supplier part`) are
-  *    explicitly `broadcast()`; the only shuffling joins are fact-fact
-  *    (`orders ⋈ lineitem`) on their natural keys.
+  *  - only the FIXED-SIZE dimensions (`region` = 5 rows, `nation` = 25 rows)
+  *    carry an explicit `broadcast()` hint. Scale-proportional tables
+  *    (`supplier part customer` grow linearly with SF) are joined with no
+  *    hint: AQE + autoBroadcastJoinThreshold pick broadcast at small SF and
+  *    degrade gracefully to shuffle joins at 100 TB instead of OOMing
+  *    (PlanQualitySpec pins that sf0.01 plans still choose
+  *    BroadcastHashJoin via the threshold). Fact-fact joins
+  *    (`orders ⋈ lineitem`) shuffle on their natural keys.
   *  - aggregations are declarative groupBy/agg → Catalyst plans partial
   *    (map-side) aggregation automatically.
   *  - money sums use exact DECIMAL(12,2) arithmetic (Num) so results are
@@ -91,7 +96,7 @@ object Relational {
           col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
             col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
         .join(t.customer, col("o_custkey") === col("c_custkey"))
-        .join(broadcast(t.supplier),
+        .join(t.supplier,
           col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
         .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
@@ -207,7 +212,7 @@ object Relational {
     (s, dir) => {
       val t = Tables(s, dir)
       t.lineitem
-        .join(broadcast(t.part), col("l_partkey") === col("p_partkey"))
+        .join(t.part, col("l_partkey") === col("p_partkey"))
         .groupBy("p_brand")
         .agg(sum(discPrice).cast(DoubleType).as("revenue"), count(lit(1)).as("n_items"))
         .orderBy(desc("revenue"), asc("p_brand"))

@@ -12,8 +12,10 @@ import org.apache.spark.sql.types.DoubleType
   * metrics, correlated per-group thresholds, HAVING filters, and
   * scalar-subquery anti-joins.
   *
-  * Scale notes: every query keeps dimension joins broadcast and fact
-  * aggregation partial; the correlated-threshold query (q17 shape) uses a
+  * Scale notes: `part` joins carry NO broadcast hint — part grows with SF,
+  * so the planner (AQE + autoBroadcastJoinThreshold) chooses broadcast at
+  * small SF and shuffle at large, instead of a hint forcing an OOM; fact
+  * aggregation stays partial; the correlated-threshold query (q17 shape) uses a
   * window over the fact's natural key instead of a per-row subquery — one
   * shuffle on l_partkey, no re-scan. Threshold comparisons are re-expressed
   * division-free (2*qty*cnt < sum) so decimal arithmetic stays exact on
@@ -110,7 +112,7 @@ object RelationalTpch {
       t.lineitem
         .filter(col("l_shipdate") >= lit("1997-09-01").cast("timestamp") &&
           col("l_shipdate") < lit("1997-10-01").cast("timestamp"))
-        .join(broadcast(t.part), col("l_partkey") === col("p_partkey"))
+        .join(t.part, col("l_partkey") === col("p_partkey"))
         .agg(
           (sum(when(col("p_type").startsWith("PROMO"), discPrice)
             .otherwise(m(lit(0)))).cast(DoubleType) * 100.0 /
@@ -181,14 +183,14 @@ object RelationalTpch {
 
   /** TPC-H Q19 shape: disjunctive multi-band predicate (brand x size x
     * quantity OR-of-ANDs) — the planner must push a complex boolean tree
-    * into the broadcast-join filter.
+    * into the join filter.
     */
   val q19DisjunctiveBands: Q = Q(
     "q19_disjunctive_bands",
     (s, dir) => {
       val t = Tables(s, dir)
       t.lineitem
-        .join(broadcast(t.part), col("l_partkey") === col("p_partkey"))
+        .join(t.part, col("l_partkey") === col("p_partkey"))
         .filter(
           (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
             col("l_quantity").between(1, 15)) ||

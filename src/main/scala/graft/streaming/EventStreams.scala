@@ -202,6 +202,12 @@ object EventStreams {
     * touching both rewrites each affected commit once. This is the sink
     * a replicated OLTP table needs: the stream IS the redo log, the
     * lake table converges to the source state.
+    *
+    * Pass `orderCol` (the feed's ts/LSN column) so a key carrying BOTH an
+    * upsert and a tombstone inside one micro-batch resolves to the LATEST
+    * event — without it, applyCdc's documented upsert-wins tie-break
+    * would let an insert-then-delete row survive and the table would
+    * diverge from the source.
     */
   def streamCdcApplyIntoLake(
       stream: DataFrame,
@@ -209,13 +215,16 @@ object EventStreams {
       ns: String,
       table: String,
       key: String,
-      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+      checkpoint: String,
+      orderCol: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
     val merger = new graft.lake.TableMerger(catalog)
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        if (!batch.isEmpty) { merger.applyCdc(batch.toDF(), ns, table, Some(key)); () }
+        if (!batch.isEmpty) {
+          merger.applyCdc(batch.toDF(), ns, table, Some(key), orderCol = orderCol); ()
+        }
         (): Unit
       }
       .start()

@@ -22,14 +22,18 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("partial_sum"), p)
   }
 
-  test("q5: dimension joins broadcast (fact table never shuffled for joins)") {
+  // supplier/part/customer carry NO broadcast() hint (they grow with SF —
+  // a forced hint OOMs at 100 TB). These tests pin that the PLANNER still
+  // chooses broadcast at small SF via autoBroadcastJoinThreshold, so the
+  // hints stay gone without a perf cliff at test scale.
+  test("q5: dimension joins broadcast via threshold, not hints (fact never shuffled)") {
     val p = plan(Relational.q5LocalSupplier)
     val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length
     assert(broadcasts >= 4, s"expected >=4 broadcast joins, got $broadcasts:\n$p")
     assert(!p.contains("SortMergeJoin"), p)
   }
 
-  test("q_topk_parts: part dimension is broadcast") {
+  test("q_topk_parts: part dimension is broadcast via threshold, not a hint") {
     val p = plan(Relational.qTopKParts)
     assert(p.contains("BroadcastHashJoin"), p)
   }
@@ -50,6 +54,11 @@ class PlanQualitySpec extends SparkSpec {
     val p = plan(operators.RelationalTpch.q10ReturnedItems)
     assert("BroadcastHashJoin".r.findAllIn(p).length >= 3, p)
     assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q14/q19: part joins still broadcast via threshold after hint removal") {
+    assert(plan(operators.RelationalTpch.q14PromoRevenue).contains("BroadcastHashJoin"))
+    assert(plan(operators.RelationalTpch.q19DisjunctiveBands).contains("BroadcastHashJoin"))
   }
 
   test("q19: the disjunctive quantity bands push into the lineitem scan") {
@@ -106,7 +115,7 @@ class PlanQualitySpec extends SparkSpec {
     assert(!readSchema.contains("o_comment") && !readSchema.contains("o_custkey"), readSchema)
   }
 
-  test("lake_constraints FK check is a broadcast anti-join") {
+  test("lake_constraints FK check is a broadcast anti-join via threshold, not a hint") {
     val p = plan(operators.IngestLake.lakeConstraints)
     assert(p.contains("BroadcastHashJoin LeftAnti") ||
       (p.contains("LeftAnti") && p.contains("BroadcastExchange")), p)

@@ -152,6 +152,37 @@ class DeletionVectorSpec extends SparkSpec {
     assert(cat.read("ns", "z").count() == 1899)
   }
 
+  test("dv broadcast is cardinality-guarded: a large vector drops the hint and still reads correctly") {
+    val cat = freshCatalog()
+    import spark.implicits._
+    cat.write("ns", "t", (1 to 1000).map(i => (i, i * 2)).toDF("id", "x"))
+    cat.deleteMoR("ns", "t", col("id") <= 500)
+    // disable the planner's own broadcast threshold so the ONLY way the
+    // join can be broadcast is the catalog's explicit hint — this isolates
+    // the guard decision from the tiny test-data sizes
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // under the cap (500 marked rows << default 1M): hint forces broadcast
+      val p1 = cat.read("ns", "t").queryExecution.executedPlan.toString
+      assert(p1.contains("BroadcastHashJoin") && p1.contains("LeftAnti"),
+        s"small vectors must keep the broadcast anti-join:\n$p1")
+      // over the cap: hint dropped, planner falls back to a shuffled anti-join
+      spark.conf.set("graft.lake.dv.broadcastMaxRows", "10")
+      val p2 = cat.read("ns", "t").queryExecution.executedPlan.toString
+      assert(!p2.contains("BroadcastHashJoin") && p2.contains("LeftAnti"),
+        s"oversized vectors must not be force-broadcast:\n$p2")
+      assert(cat.read("ns", "t").count() == 500,
+        "shuffle-path read must subtract the same rows")
+      // deleteMoR's already-marked subtraction takes the same guarded path
+      cat.deleteMoR("ns", "t", col("id") <= 600)
+      assert(cat.read("ns", "t").count() == 400)
+    } finally {
+      spark.conf.unset("graft.lake.dv.broadcastMaxRows")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+    }
+  }
+
   test("expiry reclaims vector dirs with their snapshots; orphan vacuum covers dv/") {
     val cat = freshCatalog()
     import spark.implicits._

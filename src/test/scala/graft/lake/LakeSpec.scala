@@ -410,6 +410,48 @@ class LakeSpec extends SparkSpec {
     assert(back(1) == "a" && back(20) == "b" && back(30) == "c")
   }
 
+  test("CDC apply with orderCol: latest event per key wins (insert-then-delete removes)") {
+    val cat = freshCatalog()
+    val merger = new TableMerger(cat)
+    import spark.implicits._
+    cat.write("ns", "cdco", (1 to 10).map(i => (i, "a")).toDF("id", "v"))
+    // one micro-batch carrying conflicting events per key, resolved by ts:
+    //  key 2: upsert@1 then delete@2  -> row must be GONE
+    //  key 3: delete@1 then upsert@2  -> row must survive as the upsert
+    //  key 4: upsert@1, upsert@3      -> latest upsert wins
+    //  key 5: upsert@2 vs delete@2    -> exact tie: delete wins (documented)
+    val delta = Seq(
+      (2, "U2", "upsert", 1L), (2, "x", "delete", 2L),
+      (3, "x", "delete", 1L), (3, "U3", "upsert", 2L),
+      (4, "OLD", "upsert", 1L), (4, "NEW", "upsert", 3L),
+      (5, "U5", "upsert", 2L), (5, "x", "delete", 2L)
+    ).toDF("id", "v", "_op", "ts")
+    merger.applyCdc(delta, "ns", "cdco", orderCol = Some("ts"))
+    val back = cat.read("ns", "cdco").collect()
+      .map(x => (x.getInt(0), x.getString(1))).toMap
+    assert(!back.contains(2), "insert-then-delete must remove the row")
+    assert(back(3) == "U3", "delete-then-insert must keep the later upsert")
+    assert(back(4) == "NEW", "latest upsert must win")
+    assert(!back.contains(5), "exact-tie resolves to delete")
+    assert(back(1) == "a" && back.size == 8, s"got $back")
+  }
+
+  test("CDC apply: a delete-only first delta must NOT create an empty table") {
+    val cat = freshCatalog()
+    val merger = new TableMerger(cat)
+    import spark.implicits._
+    val delta = Seq((1, "x", "delete")).toDF("id", "v", "_op")
+    val r = merger.applyCdc(delta, "ns", "ghost")
+    assert(r.strategy.contains("NO-OP"), r.strategy)
+    assert(!cat.tableExists("ns", "ghost"),
+      "delete-only delta on a missing target created a table")
+    assert(r.finalRows == 0L)
+    // and the next real delta creates it normally
+    val r2 = merger.applyCdc(Seq((1, "a", "upsert")).toDF("id", "v", "_op"), "ns", "ghost")
+    assert(r2.strategy.startsWith("CDC CREATE"), r2.strategy)
+    assert(cat.read("ns", "ghost").count() == 1)
+  }
+
   test("DELETE is file-scoped: untouched commits keep their dirs byte-identical") {
     val cat = freshCatalog()
     import spark.implicits._

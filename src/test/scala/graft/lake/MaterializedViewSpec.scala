@@ -77,11 +77,12 @@ class MaterializedViewSpec extends SparkSpec {
     cat.write("ns", "base", Seq(("b", 8L, 2.50)).toDF("k", "seq", "amt"), SaveMode.Append)
     mv.refresh("ns", "view")
     assert(viewRows(cat)("b") == ((2L, BigDecimal("9.50"), 3L, 8L)))
-    intercept[Exception] {
-      // sanity: the base really is unreadable now, so the refresh above
-      // could not have recomputed from it
-      cat.read("ns", "base").count()
-    }
+    // sanity: the seed rows are physically gone (a full read either fails
+    // schema inference or sees only the delta commit's single row — with
+    // the immutable-dir probe cache it's the latter), so the refresh above
+    // could not have recomputed the view from the base
+    val liveBase = try cat.read("ns", "base").count() catch { case _: Exception => 0L }
+    assert(liveBase <= 1, s"seed rows should be unreadable, saw $liveBase")
   }
 
   test("non-append-only window falls back to full recompute (delete between refreshes)") {
@@ -95,6 +96,33 @@ class MaterializedViewSpec extends SparkSpec {
     assert(viewRows(cat) == Map(
       "a" -> ((3L, BigDecimal("15.00"), 1L, 9L))),
       "deleted key must vanish from the view via the recompute path")
+  }
+
+  test("refresh cursor rides the commit: staged sidecar honored only once its version exists") {
+    val cat = freshCatalog()
+    seed(cat)
+    val mv = mkView(cat)
+    import spark.implicits._
+    cat.write("ns", "base", Seq(("a", 9L, 0.25)).toDF("k", "seq", "amt"), SaveMode.Append)
+    // emulate a refresh that staged its cursor for the NEXT view version
+    // and crashed before committing it — the old post-commit-cursor design
+    // failed the dual way (committed data + stale cursor → double-count);
+    // here the orphaned sidecar must be IGNORED because v2 never committed
+    cat.putTableMeta("ns", "view", "mvseen-v2",
+      cat.versions("ns", "base").last.toString)
+    mv.refresh("ns", "view")
+    assert(viewRows(cat)("a") == ((3L, BigDecimal("15.00"), 1L, 9L)),
+      "orphaned cursor must not suppress the delta")
+    // the committed refresh owns the cursor now: a second refresh is a
+    // no-op (no new version, no re-merge of the same delta)
+    val v = cat.versions("ns", "view").last
+    mv.refresh("ns", "view")
+    assert(cat.versions("ns", "view").last == v)
+    assert(viewRows(cat)("a") == ((3L, BigDecimal("15.00"), 1L, 9L)),
+      "re-refresh must not double-count the already-merged delta")
+    // and the cursor sidecar for the committed version matches the base
+    assert(cat.getTableMeta("ns", "view", s"mvseen-v$v").map(_.trim.toInt)
+      .contains(cat.versions("ns", "base").last))
   }
 
   test("readAppended is metadata-scoped for append windows, changelog fallback otherwise") {

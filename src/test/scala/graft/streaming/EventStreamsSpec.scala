@@ -254,6 +254,33 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("E11 with orderCol: insert-then-delete inside ONE micro-batch converges to source") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val cat = graft.lake.LakeCatalog(spark,
+      java.nio.file.Files.createTempDirectory("graft_stream_cdc_ord").toString)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_cdc_ord_ck").toString
+    val input = MemoryStream[(Long, String, String, Long)]
+    val q = streamCdcApplyIntoLake(
+      input.toDS().toDF("id", "v", "_op", "lsn"), cat, "cdc", "t", "id", ckpt,
+      orderCol = Some("lsn"))
+    try {
+      input.addData((1L, "a", "upsert", 1L), (2L, "b", "upsert", 2L))
+      q.processAllAvailable()
+      // ONE micro-batch where key 2 is deleted then re-inserted, key 1 is
+      // inserted then deleted, key 3 is inserted then updated — the lake
+      // table must converge to the source's final state, not upsert-wins
+      input.addData(
+        (1L, "A", "upsert", 10L), (1L, "x", "delete", 11L),
+        (2L, "x", "delete", 10L), (2L, "B2", "upsert", 11L),
+        (3L, "c", "upsert", 10L), (3L, "C", "upsert", 11L))
+      q.processAllAvailable()
+      val rows = cat.read("cdc", "t").orderBy("id")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(rows == Seq((2L, "B2"), (3L, "C")), rows.toString)
+    } finally q.stop()
+  }
+
   test("E7: near-dups arriving in the SAME micro-batch pair immediately") {
     // regression guard for the round-4 twin investigation: within one
     // bucket invocation, each doc must see same-batch predecessors (and
