@@ -65,7 +65,13 @@ object GraftSession {
     * boundaries.
     */
   def familyOf(name: String): String =
-    name.split("_")(0).replaceAll("\\d+$", "")
+    // each stream twin is its OWN family: both replay a full table through
+    // a stateful streaming operator and leave the memory sink + state
+    // store providers behind until release — measured r5-driver effect of
+    // sharing one family: stream_neardup_twin doubled (8.1 s -> 15.9 s)
+    // once stream_buckets_twin started running right before it
+    if (name.startsWith("stream_")) name
+    else name.split("_")(0).replaceAll("\\d+$", "")
 
   def releaseCaches(spark: SparkSession): Unit = {
     graft.operators.Dedup.clearCache(spark)

@@ -179,6 +179,48 @@ object ScaleProbe {
         f"remaining=$remaining%d dvs=${entries.count(_.startsWith("dv/"))}%d " +
         f"base_read=$tBase%.1fs delete=$tDel%.1fs read=$tRead%.1fs")
     }
+    // AQE skew-join probe (round 6): SURVEY §4 leans on AQE for fact-fact
+    // skew, so MEASURE it — a planted-skew join (half the left rows pile
+    // onto ONE key) must (a) show AQE splitting the skewed partition in
+    // the final plan and (b) keep wall time tracking total rows, not the
+    // hot key's row count. Thresholds are lowered so local[32]-sized data
+    // crosses the skew detector exactly as multi-GB partitions would on a
+    // cluster; broadcast is disabled so the join actually sort-merges (at
+    // this row count the planner would otherwise broadcast the small side
+    // and hide the skew path entirely).
+    val prevConf = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor"
+    ).map(k => k -> spark.conf.getOption(k))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256k")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "128k")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    try {
+      for (mult <- Seq(1, 3, 10)) {
+        val n = 300000L * mult
+        // md5 payload kept through the agg: identical hot keys alone would
+        // lz4-compress below the detector threshold (see PlanQualitySpec)
+        val left = spark.range(n).select(
+          when(col("id") % 2 === 0, lit(0L)).otherwise(col("id")).as("k"),
+          md5(col("id").cast("string")).as("payload"))
+        val right = spark.range(n / 10).select(col("id").as("k"), (col("id") * 3L).as("rv"))
+        val joined = left.join(right, "k")
+          .agg(count(lit(1)).as("c"), max("payload").as("p"), sum("rv").as("s"))
+        val t0 = System.nanoTime()
+        val c = joined.collect()(0).getLong(0)
+        val dt = (System.nanoTime() - t0) / 1e9
+        val plan = joined.queryExecution.executedPlan.toString
+        val handled = plan.contains("skew=true")
+        println(f"[scale] skew-join ${mult}x: rows=$n%d matched=$c%d " +
+          f"aqe_split=$handled%b time=$dt%.1fs")
+      }
+    } finally prevConf.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
     spark.stop()
   }
 }

@@ -1,0 +1,398 @@
+package graft.lake
+
+import java.nio.charset.StandardCharsets
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types._
+
+/** Iceberg v2 TABLE-METADATA EXPORTER: renders a graft.lake table's full
+  * snapshot lineage as Apache Iceberg format-version-2 table metadata —
+  * the public JSON spec (https://iceberg.apache.org/spec/) — so the one
+  * reference capability this environment's jar-less setup couldn't host
+  * (tables a real engine can adopt; reference
+  * utils/spark_write_iceberg.py:8-90 writes format-v2 tables through the
+  * Iceberg runtime) is closed as far as the spec's JSON surface reaches.
+  *
+  * What is emitted, per export, under `<table>/metadata/`:
+  *  - `v<N>.metadata.json` — the TableMetadata document: format-version 2,
+  *    table-uuid, schemas with Iceberg field IDs, partition-specs,
+  *    sort-orders, one snapshot per graft version, snapshot-log,
+  *    metadata-log, refs, and a `schema.name-mapping.default` property
+  *    (the spec's mechanism for adopting parquet files that carry no
+  *    field-id metadata — exactly what graft's data files are).
+  *  - `version-hint.text` — the HadoopCatalog current-version pointer.
+  *  - `snap-<id>.manifest-list.json` + `m-<n>.json` manifests — one
+  *    manifest per graft commit dir, REUSED across the snapshots that
+  *    reference it (Iceberg's manifest-reuse economics: an append writes
+  *    one manifest + one list, never rewrites history). Manifest lists
+  *    and manifests are spec-shaped but serialized as JSON — Avro
+  *    manifests are declared out of scope (no Avro writer ships here);
+  *    every field name and value follows the Avro schemas of the spec.
+  *  - merge-on-read deletion vectors are exported as REAL v2 position
+  *    deletes: each `dv/` sidecar is rewritten to the spec's delete-file
+  *    shape — columns `file_path` (field id 2147483546) / `pos` (field id
+  *    2147483545, written into the parquet footers via Spark's field-id
+  *    support), absolute file paths, sorted by (file_path, pos) — and
+  *    referenced from a content=1 delete manifest whose sequence number
+  *    makes it apply to all earlier data, matching graft's dv semantics.
+  *
+  * Sequence numbers: a manifest's data files carry the graft version in
+  * which their commit dir FIRST appeared (append reuse keeps it stable);
+  * a snapshot's sequence number is its version. This preserves the v2
+  * rule that a position delete applies to data files with data sequence
+  * number <= the delete's.
+  *
+  * Scale note: the export is a metadata operation — per data file it
+  * reads one parquet FOOTER (record count), never data pages; the only
+  * data IO is the dv → position-delete rewrite, proportional to marked
+  * rows, not to the table.
+  */
+object IcebergExport {
+
+  /** Iceberg spec: reserved field IDs of position-delete file columns. */
+  val FilePathFieldId = 2147483546L
+  val PosFieldId = 2147483545L
+
+  private val mapper = new ObjectMapper()
+
+  final case class Export(metadataDir: String, metadataFile: String)
+
+  /** Render `ns.t`'s whole lineage; returns the metadata locations.
+    * Re-exporting after new commits writes the next vN.metadata.json and
+    * chains the previous one into metadata-log.
+    */
+  def export(spark: SparkSession, catalog: LakeCatalog, ns: String, t: String): Export = {
+    val tableDir = new Path(new Path(new Path(catalog.root), ns), t)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = tableDir.getFileSystem(conf)
+    val metaDir = new Path(tableDir, "metadata")
+    fs.mkdirs(metaDir)
+    val location = fs.makeQualified(tableDir).toString
+
+    val versions = catalog.versions(ns, t)
+    require(versions.nonEmpty, s"no such table: $ns.$t")
+    val schema = catalog.read(ns, t).schema
+    val (schemaNode, lastColumnId, nameMapping) = icebergSchema(schema)
+
+    // ---- manifests: one per unique commit-dir entry, shared by snapshots
+    val entriesByV = versions.map(v => v -> catalog.entriesOf(ns, t, v)).toMap
+    val firstSeen = scala.collection.mutable.LinkedHashMap[String, Int]()
+    versions.foreach(v => entriesByV(v).foreach(e =>
+      if (!firstSeen.contains(e)) firstSeen(e) = v))
+
+    // dv sidecars become spec-shaped position-delete files (one pass each)
+    val deleteFilesByEntry: Map[String, Seq[Path]] =
+      firstSeen.keys.filter(_.startsWith("dv/")).map { rel =>
+        rel -> rewritePositionDeletes(spark, fs, tableDir, location, rel)
+      }.toMap
+
+    val manifestByEntry = scala.collection.mutable.LinkedHashMap[String, ObjectNode]()
+    for ((rel, seenV) <- firstSeen) {
+      val isDelete = rel.startsWith("dv/")
+      val files: Seq[(Path, Long, Long)] = // (path, bytes, records)
+        if (isDelete) deleteFilesByEntry(rel).map(p => fileEntry(fs, conf, p))
+        else parquetFilesUnder(fs, new Path(tableDir, rel))
+          .map(p => fileEntry(fs, conf, p))
+      val m = mapper.createObjectNode()
+      val entryArr = m.putArray("entries")
+      files.foreach { case (p, bytes, records) =>
+        val e = entryArr.addObject()
+        e.put("status", 1) // ADDED in the snapshot that minted the dir
+        e.put("snapshot_id", seenV.toLong)
+        e.put("sequence_number", seenV.toLong)
+        val df = e.putObject("data_file")
+        df.put("content", if (isDelete) 1 else 0) // 0=DATA, 1=POSITION_DELETES
+        df.put("file_path", fs.makeQualified(p).toString)
+        df.put("file_format", "PARQUET")
+        df.putObject("partition") // unpartitioned spec-0: empty struct
+        df.put("record_count", records)
+        df.put("file_size_in_bytes", bytes)
+      }
+      m.put("content", if (isDelete) 1 else 0)
+      m.put("added_files_count", files.size)
+      m.put("added_rows_count", files.map(_._3).sum)
+      manifestByEntry(rel) = m
+    }
+    // write each manifest once; remember its path + length + row totals
+    val manifestMeta = manifestByEntry.zipWithIndex.map {
+      case ((rel, node), i) =>
+        val p = new Path(metaDir, f"m-$i%05d.json")
+        val bytes = mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(node)
+        writeFile(fs, p, bytes)
+        rel -> (fs.makeQualified(p).toString, bytes.length.toLong,
+          node.get("added_files_count").asInt(),
+          node.get("added_rows_count").asLong())
+    }.toMap
+
+    // ---- one manifest LIST + snapshot per graft version
+    val snapshots = mapper.createArrayNode()
+    val snapshotLog = mapper.createArrayNode()
+    var lastTs = 0L
+    for (v <- versions) {
+      val entries = entriesByV(v)
+      val listNode = mapper.createArrayNode()
+      entries.foreach { rel =>
+        val (mPath, mLen, nFiles, nRows) = manifestMeta(rel)
+        val isDelete = rel.startsWith("dv/")
+        val li = listNode.addObject()
+        li.put("manifest_path", mPath)
+        li.put("manifest_length", mLen)
+        li.put("partition_spec_id", 0)
+        li.put("content", if (isDelete) 1 else 0)
+        li.put("sequence_number", firstSeen(rel).toLong)
+        li.put("min_sequence_number", firstSeen(rel).toLong)
+        li.put("added_snapshot_id", firstSeen(rel).toLong)
+        val added = firstSeen(rel) == v
+        li.put("added_files_count", if (added) nFiles else 0)
+        li.put("existing_files_count", if (added) 0 else nFiles)
+        li.put("deleted_files_count", 0)
+        li.put("added_rows_count", if (added) nRows else 0L)
+        li.put("existing_rows_count", if (added) 0L else nRows)
+        li.put("deleted_rows_count", 0L)
+      }
+      val listPath = new Path(metaDir, s"snap-$v.manifest-list.json")
+      writeFile(fs, listPath,
+        mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(listNode))
+
+      val ts = manifestMtime(fs, tableDir, v)
+      lastTs = math.max(lastTs, ts)
+      val sn = snapshots.addObject()
+      sn.put("snapshot-id", v.toLong)
+      if (v > versions.head) sn.put("parent-snapshot-id", (v - 1).toLong)
+      sn.put("sequence-number", v.toLong)
+      sn.put("timestamp-ms", ts)
+      sn.put("manifest-list", fs.makeQualified(listPath).toString)
+      sn.put("schema-id", 0)
+      val summary = sn.putObject("summary")
+      summary.put("operation", operationOf(v, versions, entriesByV))
+      summary.put("added-data-files",
+        entries.count(e => firstSeen(e) == v && !e.startsWith("dv/")).toString)
+      summary.put("total-records",
+        entries.filterNot(_.startsWith("dv/")).map(manifestMeta(_)._4).sum.toString)
+      val lg = snapshotLog.addObject()
+      lg.put("timestamp-ms", ts)
+      lg.put("snapshot-id", v.toLong)
+    }
+
+    // ---- the TableMetadata document itself
+    val meta = mapper.createObjectNode()
+    meta.put("format-version", 2)
+    meta.put("table-uuid", stableUuid(s"$ns.$t@${catalog.root}").toString)
+    meta.put("location", location)
+    meta.put("last-sequence-number", versions.last.toLong)
+    meta.put("last-updated-ms", if (lastTs > 0) lastTs else 0L)
+    meta.put("last-column-id", lastColumnId)
+    meta.put("current-schema-id", 0)
+    meta.set[ObjectNode]("schemas", {
+      val a = mapper.createArrayNode(); a.add(schemaNode); a
+    })
+    meta.put("default-spec-id", 0)
+    meta.set[ObjectNode]("partition-specs", {
+      val a = mapper.createArrayNode()
+      val spec = a.addObject()
+      spec.put("spec-id", 0)
+      spec.putArray("fields") // unpartitioned
+      a
+    })
+    meta.put("last-partition-id", 999) // spec: 1000-1 when no partition fields
+    meta.put("default-sort-order-id", 0)
+    meta.set[ObjectNode]("sort-orders", {
+      val a = mapper.createArrayNode()
+      val o = a.addObject()
+      o.put("order-id", 0)
+      o.putArray("fields") // unsorted
+      a
+    })
+    val props = meta.putObject("properties")
+    props.put("schema.name-mapping.default", mapper.writeValueAsString(nameMapping))
+    props.put("write.format.default", "parquet")
+    meta.put("current-snapshot-id", versions.last.toLong)
+    meta.set[ObjectNode]("snapshots", snapshots)
+    meta.set[ObjectNode]("snapshot-log", snapshotLog)
+    val refs = meta.putObject("refs")
+    val main = refs.putObject("main")
+    main.put("snapshot-id", versions.last.toLong)
+    main.put("type", "branch")
+
+    // metadata-log chains earlier exports (vN numbering continues theirs)
+    val prior = Option(fs.globStatus(new Path(metaDir, "v*.metadata.json")))
+      .getOrElse(Array.empty).map(_.getPath).sortBy(versionOfMeta)
+    val mlog = meta.putArray("metadata-log")
+    prior.foreach { p =>
+      val e = mlog.addObject()
+      e.put("timestamp-ms", fs.getFileStatus(p).getModificationTime)
+      e.put("metadata-file", fs.makeQualified(p).toString)
+    }
+    val nextN = prior.lastOption.map(p => versionOfMeta(p) + 1).getOrElse(1)
+    val metaFile = new Path(metaDir, s"v$nextN.metadata.json")
+    writeFile(fs, metaFile,
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(meta))
+    writeFile(fs, new Path(metaDir, "version-hint.text"),
+      nextN.toString.getBytes(StandardCharsets.UTF_8))
+    Export(fs.makeQualified(metaDir).toString, fs.makeQualified(metaFile).toString)
+  }
+
+  private def versionOfMeta(p: Path): Int =
+    p.getName.stripPrefix("v").stripSuffix(".metadata.json").toInt
+
+  /** deterministic UUID per table identity — re-exports agree */
+  private def stableUuid(s: String): java.util.UUID =
+    java.util.UUID.nameUUIDFromBytes(s.getBytes(StandardCharsets.UTF_8))
+
+  private def writeFile(fs: FileSystem, p: Path, bytes: Array[Byte]): Unit = {
+    val out = fs.create(p, true)
+    try out.write(bytes) finally out.close()
+  }
+
+  private def manifestMtime(fs: FileSystem, tableDir: Path, v: Int): Long = {
+    val p = new Path(new Path(tableDir, "manifests"), f"v$v%05d.txt")
+    if (fs.exists(p)) fs.getFileStatus(p).getModificationTime else 0L
+  }
+
+  private def parquetFilesUnder(fs: FileSystem, dir: Path): Seq[Path] = {
+    if (!fs.exists(dir)) return Nil
+    val it = fs.listFiles(dir, true)
+    val out = Seq.newBuilder[Path]
+    while (it.hasNext) {
+      val st = it.next()
+      val n = st.getPath.getName
+      if (st.isFile && n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith("."))
+        out += st.getPath
+    }
+    out.result().sortBy(_.toString)
+  }
+
+  /** (path, file bytes, record count) — record count from the parquet
+    * FOOTER only, no data pages read.
+    */
+  private def fileEntry(fs: FileSystem, conf: org.apache.hadoop.conf.Configuration,
+      p: Path): (Path, Long, Long) = {
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
+    val records = try {
+      import scala.jdk.CollectionConverters._
+      reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+    } finally reader.close()
+    (p, fs.getFileStatus(p).getLen, records)
+  }
+
+  private def operationOf(v: Int, versions: Seq[Int],
+      entriesByV: Map[Int, Seq[String]]): String = {
+    val idx = versions.indexOf(v)
+    if (idx == 0) "append"
+    else {
+      val prev = entriesByV(versions(idx - 1)).toSet
+      val cur = entriesByV(v).toSet
+      if (prev.subsetOf(cur)) {
+        val added = cur -- prev
+        if (added.nonEmpty && added.forall(_.startsWith("dv/"))) "delete" else "append"
+      } else if (cur.subsetOf(prev)) "delete"
+      else "overwrite"
+    }
+  }
+
+  /** Rewrite one graft `dv/` sidecar (table-relative `_dv_file`, `_dv_pos`)
+    * into spec-shaped position-delete parquet: absolute `file_path` with
+    * reserved field id 2147483546, `pos` with 2147483545 (Spark's
+    * parquet.field.id metadata lands them in the footers), sorted by
+    * (file_path, pos) as the spec requires. Returns the written files.
+    */
+  private def rewritePositionDeletes(spark: SparkSession, fs: FileSystem,
+      tableDir: Path, location: String, dvRel: String): Seq[Path] = {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val outDir = new Path(new Path(tableDir, "metadata"),
+      s"delete-${dvRel.stripPrefix("dv/")}")
+    val filePathField = StructField("file_path", StringType, nullable = false,
+      new MetadataBuilder().putLong("parquet.field.id", FilePathFieldId).build())
+    val posField = StructField("pos", LongType, nullable = false,
+      new MetadataBuilder().putLong("parquet.field.id", PosFieldId).build())
+    val src = spark.read.parquet(new Path(tableDir, dvRel).toString)
+      .select(
+        concat(lit(location + "/"), col("_dv_file")).as("file_path"),
+        col("_dv_pos").cast(LongType).as("pos"))
+      .coalesce(1)
+      .sortWithinPartitions("file_path", "pos") // ONE file, globally sorted
+    val withIds = spark.createDataFrame(src.rdd, StructType(Seq(filePathField, posField)))
+    withIds.write.mode("overwrite").parquet(outDir.toString)
+    parquetFilesUnder(fs, outDir)
+  }
+
+  /** Spark schema → (Iceberg schema JSON, last-column-id, name-mapping
+    * JSON). Field IDs are assigned depth-first in schema order — stable
+    * across exports of the same schema.
+    */
+  private[lake] def icebergSchema(schema: StructType)
+      : (ObjectNode, Int, ArrayNode) = {
+    var nextId = 0
+    def takeId(): Int = { nextId += 1; nextId }
+
+    def typeJson(dt: DataType): Either[String, ObjectNode] = dt match {
+      case BooleanType => Left("boolean")
+      case IntegerType | ShortType | ByteType => Left("int")
+      case LongType => Left("long")
+      case FloatType => Left("float")
+      case DoubleType => Left("double")
+      case StringType => Left("string")
+      case BinaryType => Left("binary")
+      case DateType => Left("date")
+      case TimestampType => Left("timestamptz") // Spark TimestampType is tz-adjusted
+      case TimestampNTZType => Left("timestamp")
+      case d: DecimalType => Left(s"decimal(${d.precision}, ${d.scale})")
+      case a: ArrayType =>
+        val n = mapper.createObjectNode()
+        n.put("type", "list")
+        n.put("element-id", takeId())
+        putType(n, "element", a.elementType)
+        n.put("element-required", !a.containsNull)
+        Right(n)
+      case m: MapType =>
+        val n = mapper.createObjectNode()
+        n.put("type", "map")
+        n.put("key-id", takeId())
+        putType(n, "key", m.keyType)
+        n.put("value-id", takeId())
+        putType(n, "value", m.valueType)
+        n.put("value-required", !m.valueContainsNull)
+        Right(n)
+      case s: StructType => Right(structJson(s))
+      case other => Left(s"string") // lossy fallback, documented: $other
+    }
+
+    def putType(parent: ObjectNode, field: String, dt: DataType): Unit =
+      typeJson(dt) match {
+        case Left(s) => parent.put(field, s); ()
+        case Right(n) => parent.set[ObjectNode](field, n); ()
+      }
+
+    def structJson(s: StructType): ObjectNode = {
+      val n = mapper.createObjectNode()
+      n.put("type", "struct")
+      val arr = n.putArray("fields")
+      s.fields.foreach { f =>
+        val fn = arr.addObject()
+        fn.put("id", takeId())
+        fn.put("name", f.name)
+        fn.put("required", !f.nullable)
+        putType(fn, "type", f.dataType)
+      }
+      n
+    }
+
+    // name mapping lists the TOP-LEVEL ids structJson just assigned
+    val root = structJson(schema)
+    root.put("schema-id", 0)
+    val mappingArr = mapper.createArrayNode()
+    val fieldsIt = root.get("fields").elements()
+    while (fieldsIt.hasNext) {
+      val f = fieldsIt.next()
+      val m = mappingArr.addObject()
+      m.put("field-id", f.get("id").asLong())
+      m.putArray("names").add(f.get("name").asText())
+    }
+    (root, nextId, mappingArr)
+  }
+}

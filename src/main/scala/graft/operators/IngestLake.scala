@@ -649,11 +649,105 @@ object IngestLake {
     FROM final""")
   )
 
+  /** REAL .docx parse under the oracle (strict upgrade over the reference,
+    * which reads .docx as raw text lines and gets zip garbage —
+    * schema_manager.py:96-104): build genuine OOXML files (zip +
+    * word/document.xml) carrying the nation table one paragraph per row,
+    * read them back through the distributed zip+StAX reader, and the
+    * parsed rows must equal the source table.
+    */
+  val ingestDocxReal: Q = Q(
+    "ingest_docx_real",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val rows = t.nation.select("n_nationkey", "n_name")
+        .collect().map(r => (r.getInt(0), r.getString(1))).sortBy(_._1)
+      val out = scratch("docx")
+      // two files: the read must union multiple documents
+      val (a, b) = rows.splitAt(rows.length / 2)
+      for ((name, part) <- Seq("a.docx" -> a, "b.docx" -> b)) {
+        java.nio.file.Files.write(
+          Paths.get(out, name),
+          graft.sources.DocxReader.docxBytes(part.map { case (k, n) => s"$k|$n" }))
+      }
+      graft.sources.DocxReader.readDocx(s, out)
+        .filter(col("para_idx") >= 0)
+        .select(
+          split(col("text"), "\\|").getItem(0).cast("int").as("n_nationkey"),
+          split(col("text"), "\\|").getItem(1).as("n_name"))
+        .orderBy("n_nationkey")
+    },
+    Some("SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey")
+  )
+
+  /** Iceberg v2 metadata export end-to-end under the oracle (reference:
+    * utils/spark_write_iceberg.py's format-v2 tables, re-expressed as a
+    * jar-less spec exporter): build a two-commit table, vector-delete a
+    * slice (merge-on-read), export the lineage as Iceberg v2 JSON
+    * metadata, then answer the query READING ONLY what the exported
+    * metadata references — current snapshot → manifest list → manifests →
+    * data files minus position-delete files. A hash match proves the
+    * exported metadata is a faithful, self-sufficient description of the
+    * table (files, lineage, AND delete semantics) that an adopting engine
+    * could trust. IcebergExportSpec pins the spec-field structure.
+    */
+  val lakeIcebergExport: Q = Q(
+    "lake_iceberg_export",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val cat = LakeCatalog(s, scratch("iceberg"))
+      val orders = t.orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
+      cat.write("ice", "orders", orders.filter(col("o_orderkey") % 2 === 0))
+      cat.write("ice", "orders", orders.filter(col("o_orderkey") % 2 === 1),
+        SaveMode.Append)
+      cat.deleteMoR("ice", "orders", col("o_orderkey") % 7 === 0)
+      val exp = graft.lake.IcebergExport.export(s, cat, "ice", "orders")
+      // ---- read back STRICTLY from the exported Iceberg metadata
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      def json(p: String) =
+        mapper.readTree(new java.io.File(new java.net.URI(p).getPath))
+      val meta = json(exp.metadataFile)
+      val snaps = meta.get("snapshots")
+      val cur = (0 until snaps.size()).map(snaps.get)
+        .find(_.get("snapshot-id").asLong() ==
+          meta.get("current-snapshot-id").asLong())
+        .getOrElse(sys.error("current snapshot missing from exported metadata"))
+      val list = json(cur.get("manifest-list").asText())
+      val (dataFiles, deleteFiles) = (0 until list.size()).map(list.get)
+        .flatMap { mf =>
+          val manifest = json(mf.get("manifest_path").asText())
+          (0 until manifest.get("entries").size())
+            .map(k => manifest.get("entries").get(k).get("data_file"))
+            .map(df => (df.get("file_path").asText(), df.get("content").asInt()))
+        }.partition(_._2 == 0)
+      // normalize both sides to table-relative keys (URI-scheme-agnostic,
+      // same rationale as LakeCatalog.fileKeyExpr)
+      def relKey(c: org.apache.spark.sql.Column) =
+        concat(lit("data/"), substring_index(c, "/data/", -1))
+      val data = s.read.parquet(dataFiles.map(_._1): _*)
+        .withColumn("__fp", relKey(col("_metadata.file_path")))
+        .withColumn("__pos", col("_metadata.row_index"))
+      val dels = s.read.parquet(deleteFiles.map(_._1): _*)
+        .select(relKey(col("file_path")).as("__dfp"), col("pos").as("__dpos"))
+      // no broadcast hint: delete cardinality is scale-proportional
+      data.join(dels,
+          col("__fp") === col("__dfp") && col("__pos") === col("__dpos"),
+          "left_anti")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_price"))
+        .orderBy("o_orderstatus")
+    },
+    Some(s"""SELECT o_orderstatus, COUNT(*) AS n_orders,
+      CAST(SUM(CAST(o_totalprice AS $D)) AS DOUBLE) AS total_price
+    FROM orders WHERE o_orderkey % 7 <> 0
+    GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+  )
+
   val all: Seq[Q] = Seq(
     ingestCsvRoundtrip, ingestJsonRoundtrip, ingestParquet, ingestTextLines,
     ingestOrcRoundtrip, ingestXmlRoundtrip, ingestSchemaEvolution, ingestJsonProps,
     lakeCtas, lakeMergeUpsert, lakeChangelog, lakeDataProfile,
     lakeScd2, lakeDelete, lakeIncrementalRead, lakeConstraints, lakeDataSkipping,
     lakeZorder, lakeMaintenance, lakePointLookup, lakeMvRefresh, lakeWap,
-    lakeDeleteMor, lakeCdcApply)
+    lakeDeleteMor, lakeCdcApply, lakeIcebergExport, ingestDocxReal)
 }

@@ -131,5 +131,90 @@ object StreamingQueries {
     FROM events GROUP BY 1, 2 ORDER BY 1, 2""")
   )
 
-  val all: Seq[Q] = Seq(streamNeardupTwin, streamBucketsTwin)
+  /** Third stream-vs-batch equivalence: the STATEFUL SESSIONIZER (E2)
+    * under the DuckDB oracle. The whole events table is replayed through
+    * `sessionize` (flatMapGroupsWithState, event-time timeout) in
+    * timestamp order, and the emitted sessions must hash-match the
+    * gaps-and-islands SQL the oracle computes over the table at rest —
+    * the same boundary arithmetic as q_sessionize (micros precision,
+    * 30-minute gap), now proven for the cross-batch state path: sessions
+    * spanning the replay split, session-id continuity through tombstones,
+    * and timeout-driven emission.
+    *
+    * The final open session per user only leaves the operator when the
+    * WATERMARK passes its gap horizon, which in a replay means feeding
+    * two sentinel batches whose far-future timestamps push the watermark
+    * past every real event (the first sentinel batch advances the
+    * watermark; timeouts FIRE while processing the second). The sentinel
+    * user (-1) is excluded from the result.
+    */
+  val streamSessionsTwin: Q = Q(
+    "stream_sessions_twin",
+    (s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      // replay in the oracle's per-user order key (micros, event_id):
+      // batches split a globally sorted feed, so no event arrives below
+      // the watermark and cross-batch per-user order is preserved
+      val rows = Tables(s, dir).events
+        .select(col("ts"), col("user_id"), col("event_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(t => (t._1 / 1000L, t._3))
+      def toEvent(nanos: Long, uid: Long, eid: Long): EventStreams.Event = {
+        // micros-truncated timestamp: the boundary precision both engines use
+        val ts = new java.sql.Timestamp(nanos / 1000000L)
+        ts.setNanos(((nanos % 1000000000L) / 1000L * 1000L).toInt)
+        EventStreams.Event(eid, ts, uid, "replay", 0.0)
+      }
+      val input = MemoryStream[EventStreams.Event]
+      val sink = s"stream_sessions_twin_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val query = EventStreams.sessionize(input.toDS())
+        .writeStream.format("memory").queryName(sink).outputMode("append").start()
+      try {
+        val (first, second) = rows.splitAt(rows.length / 2)
+        input.addData(first.map { case (n, u, e) => toEvent(n, u, e) }.toIndexedSeq)
+        query.processAllAvailable()
+        input.addData(second.map { case (n, u, e) => toEvent(n, u, e) }.toIndexedSeq)
+        query.processAllAvailable()
+        // sentinel batches: push the watermark past max(ts) + 10x gap so
+        // every real session's event-time timeout fires and emits
+        val maxNanos = rows.iterator.map(_._1).max
+        val gapMs = 30L * 60L * 1000L
+        for (k <- 1 to 2) {
+          input.addData(EventStreams.Event(-k.toLong,
+            new java.sql.Timestamp(maxNanos / 1000000L + (100L * k) * gapMs),
+            -1L, "sentinel", 0.0))
+          query.processAllAvailable()
+        }
+        s.table(sink)
+          .filter(col("user_id") >= 0)
+          .select(col("user_id"), col("session_id"), col("n_events"),
+            col("start_us"), col("end_us"))
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+          .toIndexedSeq
+          .toDF("user_id", "session_id", "n_events", "start_us", "end_us")
+          .orderBy("user_id", "session_id")
+      } finally {
+        query.stop()
+        s.catalog.dropTempView(sink)
+        ()
+      }
+    },
+    Some("""WITH marked AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) IS NULL
+          OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) > 1800000000
+        THEN 1 ELSE 0 END AS is_new
+      FROM events),
+    sess AS (
+      SELECT user_id, ts_us,
+        CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      FROM marked)
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+      MIN(ts_us) AS start_us, MAX(ts_us) AS end_us
+    FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id""")
+  )
+
+  val all: Seq[Q] = Seq(streamNeardupTwin, streamBucketsTwin, streamSessionsTwin)
 }

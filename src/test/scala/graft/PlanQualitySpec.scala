@@ -147,6 +147,43 @@ class PlanQualitySpec extends SparkSpec {
     assert("BroadcastExchange".r.findAllIn(p).length >= 2, p) // bounds + queries
   }
 
+  test("AQE splits a planted-skew sort-merge join (skew=true in the final plan)") {
+    // the CI pin behind ScaleProbe's skew canary: §4's fact-fact skew
+    // story depends on AQE actually detecting and splitting a hot key's
+    // partition — assert the mechanism engages on a planted 50%-one-key
+    // skew once thresholds are scaled down to test-data sizes
+    val prev = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor"
+    ).map(k => k -> spark.conf.getOption(k))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "128k")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64k")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    try {
+      // the payload column must survive pruning (max() in the agg) and be
+      // incompressible enough that the hot partition's COMPRESSED shuffle
+      // size crosses the detector threshold — 100k identical keys alone
+      // lz4 down to a few KB and the skew never registers
+      val left = spark.range(200000L).select(
+        when(col("id") % 2 === 0, lit(0L)).otherwise(col("id")).as("k"),
+        md5(col("id").cast("string")).as("payload"))
+      val right = spark.range(20000L).select(col("id").as("k"), (col("id") * 3L).as("rv"))
+      val joined = left.join(right, "k")
+        .agg(count(lit(1)).as("c"), max("payload").as("p"))
+      val c = joined.collect()(0).getLong(0)
+      assert(c == 110000L, s"join result wrong: $c") // 100k hot-key + 10k odd k<20000
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not split the skewed partition:\n$plan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("text_rarity: vocabulary join is broadcast (map-side OOV scoring)") {
     val p = plan(operators.TextAnalysis.textRarity)
     assert(p.contains("BroadcastHashJoin"),

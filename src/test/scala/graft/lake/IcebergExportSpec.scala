@@ -1,0 +1,180 @@
+package graft.lake
+
+import java.nio.file.Files
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import graft.SparkSpec
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+
+/** Iceberg v2 export: the emitted metadata must carry every required
+  * TableMetadata field, the snapshot lineage must round-trip (each
+  * snapshot's manifest list resolves to exactly that graft version's
+  * files), and merge-on-read deletion vectors must surface as spec-shaped
+  * position-delete files.
+  */
+class IcebergExportSpec extends SparkSpec {
+
+  private val mapper = new ObjectMapper()
+
+  private def readJson(path: String): JsonNode =
+    mapper.readTree(new java.io.File(new java.net.URI(path).getPath))
+
+  private def localFile(path: String): java.io.File =
+    new java.io.File(new java.net.URI(path).getPath)
+
+  private def buildTable(): (LakeCatalog, String) = {
+    val cat = LakeCatalog(spark, Files.createTempDirectory("graft_ice").toString)
+    import spark.implicits._
+    cat.write("ice", "t", (1 to 100).map(i => (i, s"v$i", i * 1.5)).toDF("id", "v", "x"))
+    cat.write("ice", "t", (101 to 200).map(i => (i, s"v$i", i * 1.5)).toDF("id", "v", "x"),
+      SaveMode.Append)
+    cat.deleteMoR("ice", "t", col("id") <= 10)
+    (cat, IcebergExport.export(spark, cat, "ice", "t").metadataFile)
+  }
+
+  test("metadata.json carries every required v2 field with consistent values") {
+    val (cat, metaFile) = buildTable()
+    val m = readJson(metaFile)
+    assert(m.get("format-version").asInt() == 2)
+    assert(java.util.UUID.fromString(m.get("table-uuid").asText()) != null)
+    for (f <- Seq("location", "last-sequence-number", "last-updated-ms",
+        "last-column-id", "schemas", "current-schema-id", "partition-specs",
+        "default-spec-id", "last-partition-id", "sort-orders",
+        "default-sort-order-id", "snapshots", "current-snapshot-id",
+        "snapshot-log", "metadata-log", "refs"))
+      assert(m.has(f), s"missing required field $f")
+    // schema: struct with unique positive field ids; last-column-id is max
+    val schema = m.get("schemas").get(0)
+    assert(schema.get("type").asText() == "struct")
+    assert(schema.get("schema-id").asInt() == m.get("current-schema-id").asInt())
+    val ids = schema.get("fields").elements()
+    val seen = scala.collection.mutable.Set[Int]()
+    while (ids.hasNext) {
+      val id = ids.next().get("id").asInt()
+      assert(id > 0 && seen.add(id), s"field id $id duplicated or invalid")
+    }
+    assert(seen.max <= m.get("last-column-id").asInt())
+    // snapshots: one per graft version, current = latest, parents chain
+    val versions = cat.versions("ice", "t")
+    assert(m.get("snapshots").size() == versions.length)
+    assert(m.get("current-snapshot-id").asLong() == versions.last.toLong)
+    assert(m.get("refs").get("main").get("snapshot-id").asLong() == versions.last.toLong)
+    // snapshot-log: ascending timestamps, ids = versions in order
+    val log = m.get("snapshot-log")
+    assert(log.size() == versions.length)
+    var prevTs = 0L
+    for (i <- 0 until log.size()) {
+      val e = log.get(i)
+      assert(e.get("snapshot-id").asLong() == versions(i).toLong)
+      assert(e.get("timestamp-ms").asLong() >= prevTs)
+      prevTs = e.get("timestamp-ms").asLong()
+    }
+    // name mapping covers every top-level column
+    val nm = mapper.readTree(
+      m.get("properties").get("schema.name-mapping.default").asText())
+    assert(nm.size() == cat.read("ice", "t").schema.length)
+  }
+
+  test("each snapshot's manifest list resolves to exactly that version's files") {
+    val (cat, metaFile) = buildTable()
+    val m = readJson(metaFile)
+    val snaps = m.get("snapshots")
+    for (i <- 0 until snaps.size()) {
+      val sn = snaps.get(i)
+      val v = sn.get("snapshot-id").asLong().toInt
+      val list = readJson(sn.get("manifest-list").asText())
+      // every manifest exists; data-file union == the version's parquet set
+      val fromMeta = scala.collection.mutable.Set[String]()
+      var deleteRows = 0L
+      for (j <- 0 until list.size()) {
+        val mf = list.get(j)
+        val manifest = readJson(mf.get("manifest_path").asText())
+        assert(localFile(mf.get("manifest_path").asText()).length() ==
+          mf.get("manifest_length").asLong())
+        val entries = manifest.get("entries")
+        for (k <- 0 until entries.size()) {
+          val df = entries.get(k).get("data_file")
+          assert(localFile(df.get("file_path").asText()).exists(),
+            s"missing file ${df.get("file_path").asText()}")
+          if (df.get("content").asInt() == 0)
+            fromMeta += df.get("file_path").asText()
+          else deleteRows += df.get("record_count").asLong()
+        }
+      }
+      // ground truth: the graft manifest's data dirs at this version
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sessionState.newHadoopConf())
+      val expected = cat.dataRels(cat.entriesOf("ice", "t", v)).flatMap { rel =>
+        val dir = new org.apache.hadoop.fs.Path(s"${cat.root}/ice/t/$rel")
+        fs.listStatus(dir).map(_.getPath.getName)
+          .filter(n => n.endsWith(".parquet") && !n.startsWith("_"))
+          .map(n => s"$rel/$n")
+      }.toSet
+      val got = fromMeta.map(p => p.substring(p.indexOf("/data/") + 1)).toSet
+      assert(got == expected, s"v$v file set mismatch:\n got=$got\n exp=$expected")
+      // the dv snapshot's manifest list carries the marked rows as deletes
+      if (cat.dvRels(cat.entriesOf("ice", "t", v)).nonEmpty)
+        assert(deleteRows == 10L, s"v$v expected 10 position deletes, got $deleteRows")
+    }
+  }
+
+  test("deletion vectors export as sorted spec-shaped position-delete parquet") {
+    val (cat, metaFile) = buildTable()
+    val m = readJson(metaFile)
+    val current = m.get("snapshots").get(m.get("snapshots").size() - 1)
+    val list = readJson(current.get("manifest-list").asText())
+    val deletePaths = (0 until list.size()).flatMap { j =>
+      val manifest = readJson(list.get(j).get("manifest_path").asText())
+      (0 until manifest.get("entries").size()).map(manifest.get("entries").get)
+        .filter(_.get("data_file").get("content").asInt() == 1)
+        .map(_.get("data_file").get("file_path").asText())
+    }
+    assert(deletePaths.nonEmpty, "MoR delete must surface as a delete manifest entry")
+    val del = spark.read.parquet(deletePaths.map(p => localFile(p).getPath): _*)
+    assert(del.columns.toSeq == Seq("file_path", "pos"))
+    val rows = del.collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.length == 10)
+    assert(rows.sortBy(identity).sameElements(rows), "position deletes must be sorted")
+    // field ids landed in the parquet footers (what a real reader keys on)
+    val conf = spark.sessionState.newHadoopConf()
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(deletePaths.head), conf))
+    try {
+      val pq = reader.getFooter.getFileMetaData.getSchema
+      def idOf(name: String): Int =
+        pq.getFields.get(pq.getFieldIndex(name)).getId.intValue()
+      assert(idOf("file_path") == IcebergExport.FilePathFieldId.toInt)
+      assert(idOf("pos") == IcebergExport.PosFieldId.toInt)
+    } finally reader.close()
+    // every referenced data file exists among the snapshot's data files
+    val dataFiles = (0 until list.size()).flatMap { j =>
+      val manifest = readJson(list.get(j).get("manifest_path").asText())
+      (0 until manifest.get("entries").size()).map(manifest.get("entries").get)
+        .filter(_.get("data_file").get("content").asInt() == 0)
+        .map(_.get("data_file").get("file_path").asText())
+    }.toSet
+    rows.foreach { case (fp, _) => assert(dataFiles.contains(fp), s"dangling delete ref $fp") }
+  }
+
+  test("re-export after new commits chains metadata-log and bumps version-hint") {
+    val (cat, _) = buildTable()
+    import spark.implicits._
+    cat.write("ice", "t", (201 to 210).map(i => (i, s"v$i", 0.0)).toDF("id", "v", "x"),
+      SaveMode.Append)
+    val second = IcebergExport.export(spark, cat, "ice", "t")
+    val m2 = readJson(second.metadataFile)
+    assert(second.metadataFile.endsWith("v2.metadata.json"))
+    assert(m2.get("metadata-log").size() == 1)
+    assert(m2.get("metadata-log").get(0).get("metadata-file").asText()
+      .endsWith("v1.metadata.json"))
+    assert(m2.get("snapshots").size() == cat.versions("ice", "t").length)
+    val hint = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(new java.net.URI(second.metadataDir).getPath,
+        "version-hint.text")))
+    assert(hint == "2")
+    // both exports agree on table identity
+    val m1 = readJson(m2.get("metadata-log").get(0).get("metadata-file").asText())
+    assert(m1.get("table-uuid") == m2.get("table-uuid"))
+  }
+}

@@ -281,6 +281,32 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream_sessions_twin == batch gaps-and-islands on sf0.001 (every session emitted)") {
+    // Spark-vs-Spark pin of the new driver query: the streamed sessions
+    // (including each user's FINAL session, closed via the sentinel
+    // watermark push) must equal the batch window computation exactly
+    import org.apache.spark.sql.expressions.Window
+    val streamed = StreamingQueries.streamSessionsTwin.fn(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val batch = graft.Tables(spark, sfDir).events
+      .select(col("user_id"), col("event_id"), expr("ts DIV 1000").as("ts_us"))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev_us").isNull || col("ts_us") - col("prev_us") > 1800000000L, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("is_new")).over(cum).cast("long"))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("start_us"), max(col("ts_us")).as("end_us"))
+      .orderBy("user_id", "session_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(streamed.length == batch.length,
+      s"session count: streamed=${streamed.length} batch=${batch.length}")
+    assert(streamed.sameElements(batch))
+  }
+
   test("E7: near-dups arriving in the SAME micro-batch pair immediately") {
     // regression guard for the round-4 twin investigation: within one
     // bucket invocation, each doc must see same-batch predecessors (and
