@@ -218,6 +218,12 @@ object IcebergExport {
     val main = refs.putObject("main")
     main.put("snapshot-id", versions.last.toLong)
     main.put("type", "branch")
+    // graft snapshot tags export as Iceberg tag refs
+    catalog.listTags(ns, t).toSeq.sortBy(_._1).foreach { case (name, v) =>
+      val r = refs.putObject(name)
+      r.put("snapshot-id", v.toLong)
+      r.put("type", "tag")
+    }
 
     // metadata-log chains earlier exports (vN numbering continues theirs)
     val prior = Option(fs.globStatus(new Path(metaDir, "v*.metadata.json")))

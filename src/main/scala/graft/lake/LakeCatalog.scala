@@ -942,12 +942,61 @@ final class LakeCatalog(
     require(keepLast >= 1, "must keep at least the current snapshot")
     val vs = versions(ns, t)
     require(vs.nonEmpty, s"no such table: $ns.$t")
-    val (expired, kept) = vs.splitAt(math.max(0, vs.length - keepLast))
+    val tagged = listTags(ns, t).values.toSet
+    // tagged snapshots are retention-protected (the Iceberg refs rule:
+    // expiry never removes a snapshot a tag can still reach)
+    val (old, kept0) = vs.splitAt(math.max(0, vs.length - keepLast))
+    val (protectedVs, expired) = old.partition(tagged)
+    val kept = protectedVs ++ kept0
     val keptDirs = kept.flatMap(v => manifestEntries(ns, t, v)).toSet
     val expiredDirs = expired.flatMap(v => manifestEntries(ns, t, v)).toSet -- keptDirs
     expired.foreach(v => backend.delete(manifestFile(ns, t, v)))
     expiredDirs.foreach(rel => deleteRec(new Path(tPath(ns, t), rel)))
     expiredDirs.size
+  }
+
+  // ----- snapshot TAGS (Iceberg refs, the immutable kind) -----------------
+  // A tag is a named pointer to a version: `readTag` time-travels by name,
+  // and `expireSnapshots` never reclaims a tagged snapshot — the audit/
+  // reproducibility primitive ("the exact table state run X trained on")
+  // that plain keepLast retention cannot express. Stored as one meta
+  // sidecar per tag so tags never contend with each other; the movable
+  // kind of ref (branch) is deliberately NOT duplicated here — write
+  // isolation with an audit gate already exists as WRITE-AUDIT-PUBLISH.
+
+  private def tagMetaName(name: String): String = s"tag-$name"
+
+  def createTag(ns: String, t: String, name: String, version: Option[Int] = None): Int = {
+    require(name.nonEmpty && !name.contains("/"), s"bad tag name: $name")
+    require(getTableMeta(ns, t, tagMetaName(name)).isEmpty,
+      s"tag $name already exists on $ns.$t (tags are immutable — drop it first)")
+    val v = version.getOrElse(versions(ns, t).last)
+    require(versions(ns, t).contains(v), s"no snapshot v$v on $ns.$t")
+    putTableMeta(ns, t, tagMetaName(name), v.toString)
+    v
+  }
+
+  def readTag(ns: String, t: String, name: String): DataFrame =
+    read(ns, t, Some(tagVersion(ns, t, name)))
+
+  def tagVersion(ns: String, t: String, name: String): Int =
+    getTableMeta(ns, t, tagMetaName(name))
+      .getOrElse(sys.error(s"no tag $name on $ns.$t")).trim.toInt
+
+  def dropTag(ns: String, t: String, name: String): Unit = {
+    val p = new Path(tPath(ns, t), s"_graft_meta_${enc(tagMetaName(name))}")
+    backend.delete(p)
+  }
+
+  /** name -> version of every tag on the table. */
+  def listTags(ns: String, t: String): Map[String, Int] = {
+    val dir = tPath(ns, t)
+    if (!fs.exists(dir)) return Map.empty
+    fs.listStatus(dir).iterator.map(_.getPath.getName)
+      .filter(_.startsWith("_graft_meta_tag-"))
+      .map(n => dec(n.stripPrefix("_graft_meta_")).stripPrefix("tag-"))
+      .map(name => name -> tagVersion(ns, t, name))
+      .toMap
   }
 
   // ----- per-commit column statistics (data skipping) --------------------

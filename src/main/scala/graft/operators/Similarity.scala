@@ -375,7 +375,139 @@ object Similarity {
     WHERE "rank" <= 5 ORDER BY query_id, "rank" """)
   )
 
-  val all: Seq[Q] = Seq(annBruteforce, annLsh, annIvf, annQuantized)
+  // ----- product quantization (PQ) ----------------------------------------
+
+  /** PQ subspace width: 64-dim embeddings → 8 subspaces of 8 dims, each
+    * coded to one of 256 codewords = 8 bytes per vector, a 32× memory
+    * reduction over float32 (vs int8's 4×) — the compression tier real
+    * ANN deployments (FAISS IVFPQ) pair with an IVF coarse quantizer.
+    */
+  val PqSubDim = 8
+  val PqCodebookSize = 256
+
+  /** The PQ codebook: per subspace, the subvectors of a DETERMINISTIC
+    * md5-ordered sample of the corpus (256 rows). A sample codebook is the
+    * classic cheap initialization (k-means refinement would shave
+    * distortion but makes the result engine-private); choosing it KEEPS
+    * THE ORACLE — assignment, reconstruction and scoring stay pure IEEE
+    * arithmetic that DuckDB reproduces bit-for-bit, so the PQ pipeline is
+    * hash-checked end to end rather than rows-only like the KMeans IVF.
+    * The codebook is a bounded model artifact (256 × dim floats),
+    * collected once and broadcast — never a shuffle.
+    */
+  def pqCodebook(emb: DataFrame, idCol: String, vecCol: String): (DataFrame, Int) = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val sample = emb
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .limit(PqCodebookSize)
+      .select(col(vecCol)).collect().map(_.getSeq[Float](0).toArray)
+    require(sample.nonEmpty, "empty corpus")
+    val dim = sample.head.length
+    require(dim % PqSubDim == 0, s"dim $dim not divisible by $PqSubDim")
+    val m = dim / PqSubDim
+    val rows = for {
+      (vec, cid) <- sample.zipWithIndex.toSeq
+      sub <- 0 until m
+    } yield (sub, cid, vec.slice(sub * PqSubDim, (sub + 1) * PqSubDim))
+    (rows.toDF("sub", "code_id", "codeword"), m)
+  }
+
+  /** PQ-encode and reconstruct: each vector's M subvectors snap to their
+    * nearest codeword (L2, ties to the lowest code id) and the
+    * reconstruction is the codewords concatenated back in subspace order —
+    * what an ADC search over PQ codes actually scores against.
+    *
+    * Shuffle shape at scale: the codebook broadcast-joins the exploded
+    * (id, sub, subvec) rows, the per-(id, sub) argmin PARTIAL-AGGREGATES
+    * map-side (all 256 candidates of a subvector are produced in its own
+    * partition), and reassembly shuffles M small rows per vector — cost
+    * tracks corpus size, never corpus × codebook.
+    */
+  def pqRecon(emb: DataFrame, idCol: String, vecCol: String,
+      idAs: String): DataFrame = {
+    val (codebook, m) = pqCodebook(emb, idCol, vecCol)
+    val exploded = emb.select(col(idCol).as(idAs),
+      explode(array((0 until m).map(i =>
+        struct(lit(i).as("sub"),
+          slice(col(vecCol), i * PqSubDim + 1, PqSubDim).as("subvec"))): _*)).as("x"))
+      .select(col(idAs), col("x.sub").as("sub"), col("x.subvec").as("subvec"))
+    exploded.join(broadcast(codebook), Seq("sub"))
+      .select(col(idAs), col("sub"),
+        struct(l2sq(col("subvec"), col("codeword")).as("d"),
+          col("code_id").as("cid"), col("codeword").as("cw")).as("cand"))
+      .groupBy(idAs, "sub").agg(min(col("cand")).as("best"))
+      .groupBy(idAs)
+      .agg(array_sort(collect_list(struct(col("sub"), col("best.cw").as("cw"))))
+        .as("parts"))
+      .select(col(idAs),
+        flatten(transform(col("parts"), p => p.getField("cw"))).as("recon"))
+  }
+
+  val annPq: Q = Q(
+    "ann_pq",
+    (s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      val recon = pqRecon(emb, "vec_id", "embedding", "neighbor_id")
+      val queries = emb.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      val w = Window.partitionBy("query_id").orderBy(desc("score"), asc("neighbor_id"))
+      recon
+        .join(broadcast(queries), col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          cosine(col("q_emb"), col("recon")).as("score"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= TopK)
+        .select("query_id", "rank", "neighbor_id", "score")
+        .orderBy("query_id", "rank")
+    },
+    // Bit-exact DuckDB twin of the FULL PQ pipeline: deterministic sample
+    // codebook → per-subspace L2 argmin (same left-to-right double fold,
+    // same lowest-code-id tie-break) → concatenated reconstruction →
+    // cosine → rank. Same IEEE-reproducibility argument as ann_quantized.
+    Some("""WITH ordered AS (
+      SELECT vec_id, embedding,
+        row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS code_id
+      FROM embeddings),
+    cb AS (
+      SELECT sub, code_id, embedding[sub*8+1 : sub*8+8] AS codeword
+      FROM ordered, UNNEST(range(0, 8)) AS s(sub)
+      WHERE code_id < 256),
+    subv AS (
+      SELECT vec_id, sub, embedding[sub*8+1 : sub*8+8] AS subvec
+      FROM embeddings, UNNEST(range(0, 8)) AS s(sub)),
+    dists AS (
+      SELECT vec_id, sub, code_id, codeword,
+        list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 9),
+          i -> (subvec[i]::DOUBLE - codeword[i]::DOUBLE)
+             * (subvec[i]::DOUBLE - codeword[i]::DOUBLE))), (x,y) -> x+y) AS d
+      FROM subv JOIN cb USING (sub)),
+    best AS (
+      SELECT vec_id, sub, codeword,
+        row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, code_id) AS rn
+      FROM dists),
+    recon AS (
+      SELECT vec_id AS neighbor_id, flatten(list(codeword ORDER BY sub)) AS recon
+      FROM best WHERE rn = 1 GROUP BY vec_id),
+    q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
+    scored AS (
+      SELECT query_id, neighbor_id,
+        list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(q_emb)+1),
+          i -> q_emb[i]::DOUBLE * recon[i]::DOUBLE)), (x,y) -> x+y)
+        / (sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(q_emb)+1),
+            i -> q_emb[i]::DOUBLE * q_emb[i]::DOUBLE)), (x,y) -> x+y))
+         * sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(recon)+1),
+            i -> recon[i]::DOUBLE * recon[i]::DOUBLE)), (x,y) -> x+y))) AS score
+      FROM recon JOIN q ON neighbor_id <> query_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, score,
+        row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS "rank"
+      FROM scored)
+    SELECT query_id, "rank", neighbor_id, score FROM ranked
+    WHERE "rank" <= 5 ORDER BY query_id, "rank" """)
+  )
+
+  val all: Seq[Q] = Seq(annBruteforce, annLsh, annIvf, annQuantized, annPq)
 }
 
 /** IVF (inverted-file) ANN with a PERSISTABLE coarse quantizer: a KMeans

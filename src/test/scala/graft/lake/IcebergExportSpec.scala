@@ -23,6 +23,9 @@ class IcebergExportSpec extends SparkSpec {
   private def localFile(path: String): java.io.File =
     new java.io.File(new java.net.URI(path).getPath)
 
+  private def freshCatalog(): LakeCatalog =
+    LakeCatalog(spark, Files.createTempDirectory("graft_ice").toString)
+
   private def buildTable(): (LakeCatalog, String) = {
     val cat = LakeCatalog(spark, Files.createTempDirectory("graft_ice").toString)
     import spark.implicits._
@@ -155,6 +158,37 @@ class IcebergExportSpec extends SparkSpec {
         .map(_.get("data_file").get("file_path").asText())
     }.toSet
     rows.foreach { case (fp, _) => assert(dataFiles.contains(fp), s"dangling delete ref $fp") }
+  }
+
+  test("snapshot tags: named time travel, retention protection, exported as tag refs") {
+    val cat = freshCatalog()
+    import spark.implicits._
+    cat.write("ice", "g", (1 to 10).map(i => (i, "a")).toDF("id", "v"))
+    cat.createTag("ice", "g", "train-run-1")
+    cat.write("ice", "g", (11 to 20).map(i => (i, "b")).toDF("id", "v"), SaveMode.Append)
+    cat.write("ice", "g", (21 to 30).map(i => (i, "c")).toDF("id", "v"), SaveMode.Append)
+    // named time travel
+    assert(cat.readTag("ice", "g", "train-run-1").count() == 10)
+    assert(cat.listTags("ice", "g") == Map("train-run-1" -> 1))
+    // tags are immutable
+    intercept[IllegalArgumentException] { cat.createTag("ice", "g", "train-run-1") }
+    // retention: keepLast=1 would normally drop v1 and v2 — the tagged v1
+    // must survive with its data readable; untagged v2 goes
+    cat.expireSnapshots("ice", "g", keepLast = 1)
+    assert(cat.versions("ice", "g") == Seq(1, 3),
+      s"tagged snapshot must survive expiry: ${cat.versions("ice", "g")}")
+    assert(cat.readTag("ice", "g", "train-run-1").count() == 10)
+    assert(cat.read("ice", "g").count() == 30)
+    // exported refs carry the tag
+    val exp = IcebergExport.export(spark, cat, "ice", "g")
+    val refs = readJson(exp.metadataFile).get("refs")
+    assert(refs.get("train-run-1").get("type").asText() == "tag")
+    assert(refs.get("train-run-1").get("snapshot-id").asLong() == 1L)
+    assert(refs.get("main").get("snapshot-id").asLong() == 3L)
+    // dropTag releases the protection on the next expiry
+    cat.dropTag("ice", "g", "train-run-1")
+    cat.expireSnapshots("ice", "g", keepLast = 1)
+    assert(cat.versions("ice", "g") == Seq(3))
   }
 
   test("re-export after new commits chains metadata-log and bumps version-hint") {

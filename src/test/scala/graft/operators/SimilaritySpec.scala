@@ -140,6 +140,42 @@ class SimilaritySpec extends SparkSpec {
       s"quantized top-1 agrees on only $agree/${exact.size} queries")
   }
 
+  test("PQ: codebook members reconstruct exactly; others from codewords; cross-engine row pinned") {
+    val emb = graft.Tables(spark, sfDir).embeddings
+    val (cbDf, m) = Similarity.pqCodebook(emb, "vec_id", "embedding")
+    val cb = cbDf.collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toVector))
+    val codewords: Map[Int, Set[Vector[Float]]] =
+      cb.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    val cbIds = emb.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(Similarity.PqCodebookSize).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    val recon = Similarity.pqRecon(emb, "vec_id", "embedding", "vec_id")
+      .join(emb, "vec_id").select("vec_id", "recon", "embedding").collect()
+    recon.foreach { r =>
+      val id = r.getLong(0)
+      val rec = r.getSeq[Float](1); val orig = r.getSeq[Float](2)
+      assert(rec.length == orig.length)
+      // every reconstructed subvector is a real codeword of its subspace
+      for (s <- 0 until m) {
+        val sub = rec.slice(s * Similarity.PqSubDim, (s + 1) * Similarity.PqSubDim).toVector
+        assert(codewords(s).contains(sub), s"vec $id sub $s not a codeword")
+      }
+      // a vector IN the codebook sample reconstructs to itself (distance-0
+      // codewords win, ties broken deterministically to an equal-value one)
+      if (cbIds.contains(id))
+        assert(rec == orig, s"codebook member $id must reconstruct exactly")
+    }
+    // cross-engine pin: rank-1 row of query 0 equals DuckDB's (the full
+    // 50-row hash equality is the driver's job; this catches codebook or
+    // tie-break drift locally)
+    val first = Similarity.annPq.fn(spark, sfDir)
+      .filter(col("query_id") === 0 && col("rank") === 1).head()
+    assert(first.getLong(2) == 12L, s"rank-1 neighbor drifted: ${first.getLong(2)}")
+    assert(first.getDouble(3) == 0.42775442385451073,
+      s"rank-1 score drifted: ${first.getDouble(3)}")
+  }
+
   test("cosine accepts double arrays and matches the HOF formulation bit-exactly") {
     import spark.implicits._
     val df = Seq((Array(0.6, 0.8, 0.1), Array(0.3, 0.9, 0.7)))
