@@ -78,6 +78,11 @@ object IcebergExport {
     require(versions.nonEmpty, s"no such table: $ns.$t")
     val schema = catalog.read(ns, t).schema
     val (schemaNode, lastColumnId, nameMapping) = icebergSchema(schema)
+    val fieldIdOf: Map[String, Int] = {
+      import scala.jdk.CollectionConverters._
+      schemaNode.get("fields").elements().asScala
+        .map(f => f.get("name").asText() -> f.get("id").asInt()).toMap
+    }
 
     // ---- manifests: one per unique commit-dir entry, shared by snapshots
     val entriesByV = versions.map(v => v -> catalog.entriesOf(ns, t, v)).toMap
@@ -91,16 +96,38 @@ object IcebergExport {
         rel -> rewritePositionDeletes(spark, fs, tableDir, location, rel)
       }.toMap
 
+    // HIVE-PARTITIONED commits keep their partition-column VALUES in dir
+    // names, not in the parquet files — Iceberg's mechanism for exactly
+    // this is an identity partition spec whose values live in the
+    // manifests' per-file partition struct (readers reconstruct the
+    // columns from there, never from paths). Z-order's synthetic
+    // `_zbucket=` path component is NOT a logical column: the manifest
+    // entry itself sits below it, so the relative walk never sees it and
+    // nothing leaks into the spec.
+    val partitionCols = scala.collection.mutable.LinkedHashSet[String]()
+    val filesByEntry: Map[String, Seq[(Path, Seq[(String, String)])]] =
+      firstSeen.keys.filterNot(_.startsWith("dv/")).map { rel =>
+        val files = parquetFilesUnder(fs, new Path(tableDir, rel)).map { p =>
+          val pv = partitionValuesOf(new Path(tableDir, rel), p)
+          pv.foreach { case (k, _) => partitionCols += k }
+          (p, pv)
+        }
+        rel -> files
+      }.toMap
+
     val manifestByEntry = scala.collection.mutable.LinkedHashMap[String, ObjectNode]()
     for ((rel, seenV) <- firstSeen) {
       val isDelete = rel.startsWith("dv/")
-      val files: Seq[(Path, Long, Long)] = // (path, bytes, records)
-        if (isDelete) deleteFilesByEntry(rel).map(p => fileEntry(fs, conf, p))
-        else parquetFilesUnder(fs, new Path(tableDir, rel))
-          .map(p => fileEntry(fs, conf, p))
+      val files: Seq[(Path, Long, Long, Seq[(String, String)])] =
+        if (isDelete) deleteFilesByEntry(rel).map { p =>
+          val (_, bytes, records) = fileEntry(fs, conf, p); (p, bytes, records, Nil)
+        }
+        else filesByEntry(rel).map { case (p, pv) =>
+          val (_, bytes, records) = fileEntry(fs, conf, p); (p, bytes, records, pv)
+        }
       val m = mapper.createObjectNode()
       val entryArr = m.putArray("entries")
-      files.foreach { case (p, bytes, records) =>
+      files.foreach { case (p, bytes, records, pv) =>
         val e = entryArr.addObject()
         e.put("status", 1) // ADDED in the snapshot that minted the dir
         e.put("snapshot_id", seenV.toLong)
@@ -109,7 +136,17 @@ object IcebergExport {
         df.put("content", if (isDelete) 1 else 0) // 0=DATA, 1=POSITION_DELETES
         df.put("file_path", fs.makeQualified(p).toString)
         df.put("file_format", "PARQUET")
-        df.putObject("partition") // unpartitioned spec-0: empty struct
+        val part = df.putObject("partition")
+        if (!isDelete && partitionCols.nonEmpty) {
+          val pvMap = pv.toMap
+          partitionCols.foreach { k =>
+            pvMap.get(k) match {
+              case None | Some("__HIVE_DEFAULT_PARTITION__") => part.putNull(k)
+              case Some(v) => putTyped(part, k, v,
+                schema.fields.find(_.name == k).map(_.dataType))
+            }
+          }
+        }
         df.put("record_count", records)
         df.put("file_size_in_bytes", bytes)
       }
@@ -196,10 +233,18 @@ object IcebergExport {
       val a = mapper.createArrayNode()
       val spec = a.addObject()
       spec.put("spec-id", 0)
-      spec.putArray("fields") // unpartitioned
+      val fields = spec.putArray("fields")
+      partitionCols.zipWithIndex.foreach { case (k, i) =>
+        val f = fields.addObject()
+        f.put("name", k)
+        f.put("transform", "identity")
+        f.put("source-id", fieldIdOf.getOrElse(k,
+          sys.error(s"partition column $k missing from schema")))
+        f.put("field-id", 1000 + i)
+      }
       a
     })
-    meta.put("last-partition-id", 999) // spec: 1000-1 when no partition fields
+    meta.put("last-partition-id", 999 + partitionCols.size) // 999 when unpartitioned
     meta.put("default-sort-order-id", 0)
     meta.set[ObjectNode]("sort-orders", {
       val a = mapper.createArrayNode()
@@ -258,6 +303,40 @@ object IcebergExport {
   private def manifestMtime(fs: FileSystem, tableDir: Path, v: Int): Long = {
     val p = new Path(new Path(tableDir, "manifests"), f"v$v%05d.txt")
     if (fs.exists(p)) fs.getFileStatus(p).getModificationTime else 0L
+  }
+
+  /** Hive-style `k=v` components of `file`'s path BELOW the entry dir,
+    * URL-decoded (Spark escapes partition values on write). Empty for a
+    * flat commit.
+    */
+  private def partitionValuesOf(entryDir: Path, file: Path): Seq[(String, String)] = {
+    val prefix = entryDir.toUri.getPath.stripSuffix("/") + "/"
+    val relPath = file.toUri.getPath
+    if (!relPath.startsWith(prefix)) Nil
+    else relPath.stripPrefix(prefix).split("/").dropRight(1).toSeq
+      .flatMap { comp =>
+        val i = comp.indexOf('=')
+        if (i <= 0) None
+        else Some(java.net.URLDecoder.decode(comp.substring(0, i), "UTF-8") ->
+          java.net.URLDecoder.decode(comp.substring(i + 1), "UTF-8"))
+      }
+  }
+
+  /** Partition value in the spec's JSON single-value serialization:
+    * numbers for integral/floating schema types, booleans as booleans,
+    * everything else (strings, dates, timestamps, decimals) as the string
+    * Spark rendered into the dir name — which for dates/timestamps is the
+    * ISO form the spec's string forms use.
+    */
+  private def putTyped(node: ObjectNode, k: String, v: String,
+      dt: Option[DataType]): Unit = dt match {
+    case Some(ByteType | ShortType | IntegerType | LongType) =>
+      try { node.put(k, v.toLong); () } catch { case _: NumberFormatException => node.put(k, v); () }
+    case Some(FloatType | DoubleType) =>
+      try { node.put(k, v.toDouble); () } catch { case _: NumberFormatException => node.put(k, v); () }
+    case Some(BooleanType) =>
+      if (v == "true" || v == "false") { node.put(k, v.toBoolean); () } else { node.put(k, v); () }
+    case _ => node.put(k, v); ()
   }
 
   private def parquetFilesUnder(fs: FileSystem, dir: Path): Seq[Path] = {

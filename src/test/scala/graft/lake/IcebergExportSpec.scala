@@ -191,6 +191,64 @@ class IcebergExportSpec extends SparkSpec {
     assert(cat.versions("ice", "g") == Seq(3))
   }
 
+  test("hive-partitioned table exports an identity partition spec with per-file values") {
+    val cat = freshCatalog()
+    import spark.implicits._
+    cat.write("ice", "p",
+      Seq((1, "us", 10.0), (2, "us", 20.0), (3, "de", 30.0), (4, "fr", 40.0))
+        .toDF("id", "country", "x"),
+      partitionBy = Seq("country"))
+    val exp = IcebergExport.export(spark, cat, "ice", "p")
+    val m = readJson(exp.metadataFile)
+    // identity spec over the partition column, field-ids from 1000
+    val spec = m.get("partition-specs").get(0)
+    assert(spec.get("fields").size() == 1)
+    val pf = spec.get("fields").get(0)
+    assert(pf.get("name").asText() == "country")
+    assert(pf.get("transform").asText() == "identity")
+    assert(pf.get("field-id").asInt() == 1000)
+    assert(m.get("last-partition-id").asInt() == 1000)
+    // source-id points at the schema's country field
+    val schemaFields = m.get("schemas").get(0).get("fields")
+    val countryId = (0 until schemaFields.size()).map(schemaFields.get)
+      .find(_.get("name").asText() == "country").get.get("id").asInt()
+    assert(pf.get("source-id").asInt() == countryId)
+    // every data file carries its partition value; values cover the data
+    val list = readJson(m.get("snapshots").get(0).get("manifest-list").asText())
+    val vals = (0 until list.size()).flatMap { j =>
+      val mf = readJson(list.get(j).get("manifest_path").asText())
+      (0 until mf.get("entries").size()).map(k =>
+        mf.get("entries").get(k).get("data_file").get("partition")
+          .get("country").asText())
+    }
+    assert(vals.toSet == Set("us", "de", "fr"), s"got $vals")
+  }
+
+  test("z-ordered table exports cleanly: no synthetic _zbucket column or partition field") {
+    val cat = freshCatalog()
+    import spark.implicits._
+    cat.writeClustered("ice", "z",
+      (1 to 500).map(i => (i, i % 20, i * 1.0)).toDF("id", "grp", "x"),
+      Seq("id", "grp"), commits = 4)
+    val exp = IcebergExport.export(spark, cat, "ice", "z")
+    val m = readJson(exp.metadataFile)
+    assert(m.get("partition-specs").get(0).get("fields").size() == 0,
+      "_zbucket must not surface as a partition field")
+    val names = {
+      val fs2 = m.get("schemas").get(0).get("fields")
+      (0 until fs2.size()).map(k => fs2.get(k).get("name").asText()).toSet
+    }
+    assert(names == Set("id", "grp", "x"), s"schema leaked synthetic cols: $names")
+    // all four z-bucket entries' files resolve and record counts sum to 500
+    val list = readJson(m.get("snapshots").get(0).get("manifest-list").asText())
+    val total = (0 until list.size()).map { j =>
+      val mf = readJson(list.get(j).get("manifest_path").asText())
+      (0 until mf.get("entries").size()).map(k =>
+        mf.get("entries").get(k).get("data_file").get("record_count").asLong()).sum
+    }.sum
+    assert(total == 500L, s"record counts sum to $total")
+  }
+
   test("re-export after new commits chains metadata-log and bumps version-hint") {
     val (cat, _) = buildTable()
     import spark.implicits._
