@@ -14,6 +14,7 @@ object SparkEntry {
       operators.RelationalAnalytics.all ++
       operators.IngestLake.all ++
       operators.Dedup.all ++ operators.TextAnalysis.all ++ operators.Curation.all ++
+      operators.BpeTokenizer.all ++
       operators.Similarity.all ++
       operators.Multimodal.all ++ operators.TopK.all ++
       streaming.StreamingQueries.all
