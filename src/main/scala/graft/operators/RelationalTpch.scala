@@ -236,7 +236,125 @@ object RelationalTpch {
     GROUP BY substring(c_name, 10, 1) ORDER BY name_digit""")
   )
 
+  /** TPC-H Q7 shape: shipping volume between nation pairs by year — the
+    * two-role dimension pattern (nation joined TWICE under different
+    * aliases, supplier side and customer side) with a symmetric pair
+    * filter. Both nation joins broadcast (25 rows); the fact side
+    * shuffles only for the orders⋈lineitem join.
+    */
+  val q7VolumeShipping: Q = Q(
+    "q7_volume_shipping",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val n1 = t.nation.select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val n2 = t.nation.select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+      t.lineitem
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .join(t.supplier, col("l_suppkey") === col("s_suppkey"))
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+        .filter(
+          (col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_7") ||
+            (col("supp_nation") === "NATION_7" && col("cust_nation") === "NATION_3"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(sum(discPrice).cast(DoubleType).as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    },
+    Some(s"""SELECT supp_nation, cust_nation, l_year,
+      CAST(SUM(CAST(l_extendedprice AS $D) * (1 - CAST(l_discount AS $D))) AS DOUBLE) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        EXTRACT(year FROM l_shipdate) AS l_year, l_extendedprice, l_discount
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+         OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')) v
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year""")
+  )
+
+  /** TPC-H Q13 shape: distribution of customers by order count — LEFT
+    * OUTER join (customers with no orders must count at 0) followed by a
+    * two-level aggregation. Both aggs partial; the outer join shuffles on
+    * the customer key once.
+    */
+  val q13OrderDistribution: Q = Q(
+    "q13_order_distribution",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.customer
+        .join(t.orders.filter(col("o_orderpriority") =!= "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(desc("custdist"), desc("c_count"))
+    },
+    Some("""SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey) c_orders
+    GROUP BY c_count ORDER BY custdist DESC, c_count DESC""")
+  )
+
+  /** TPC-H Q21 shape (adapted to the trimmed schema: `l_returnflag = 'R'`
+    * plays the "failed delivery" role the full schema gives to
+    * receipt-past-commit dates): suppliers who were the ONLY supplier
+    * with returned items on a multi-supplier order — the distinctive
+    * EXISTS (another supplier on the order) + NOT EXISTS (another
+    * supplier ALSO returned) double self-correlation, planned as one
+    * semi- and one anti-join against the same fact table.
+    */
+  val q21WaitingSuppliers: Q = Q(
+    "q21_waiting_suppliers",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val l1 = t.lineitem.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val others = t.lineitem.select(
+        col("l_orderkey").as("o2_orderkey"), col("l_suppkey").as("o2_suppkey"))
+      val othersReturned = t.lineitem.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("r2_orderkey"), col("l_suppkey").as("r2_suppkey"))
+      l1
+        .join(t.orders.filter(col("o_orderstatus") === "F"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(others,
+          col("l_orderkey") === col("o2_orderkey") &&
+            col("l_suppkey") =!= col("o2_suppkey"), "left_semi")
+        .join(othersReturned,
+          col("l_orderkey") === col("r2_orderkey") &&
+            col("l_suppkey") =!= col("r2_suppkey"), "left_anti")
+        .join(t.supplier, col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("s_name"), col("n_name").as("nation"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(desc("numwait"), asc("s_name"))
+        .limit(20)
+    },
+    Some("""SELECT s_name, n_name AS nation, COUNT(*) AS numwait
+    FROM lineitem l1
+    JOIN orders ON l1.l_orderkey = o_orderkey AND o_orderstatus = 'F'
+    JOIN supplier ON l1.l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_returnflag = 'R')
+    GROUP BY s_name, n_name ORDER BY numwait DESC, s_name LIMIT 20""")
+  )
+
   val all: Seq[Q] = Seq(q6ForecastRevenue, q10ReturnedItems, q12PriorityClasses,
     q14PromoRevenue, q17SmallQtyRevenue, q18LargeOrders, q19DisjunctiveBands,
-    q22IdleCustomers)
+    q22IdleCustomers, q7VolumeShipping, q13OrderDistribution, q21WaitingSuppliers)
 }
