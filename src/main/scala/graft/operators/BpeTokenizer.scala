@@ -137,6 +137,28 @@ object BpeTokenizer {
     train(wordCounts, numMerges).zipWithIndex.toMap
   }
 
+  /** Persist a trained model as an ordinary lake table of
+    * (rank, left, right) rows — the merge list is a DATA artifact like
+    * the IVF centroids: versioned, time-travelable, taggable, and loadable
+    * by a cold session with no re-training (the amortization a 100 TB
+    * corpus demands: train once on the bounded sample, encode everywhere,
+    * forever).
+    */
+  def saveModel(catalog: graft.lake.LakeCatalog, ns: String, table: String,
+      ranks: Map[Merge, Int]): Int = {
+    val s = org.apache.spark.sql.SparkSession.active
+    import s.implicits._
+    catalog.write(ns, table,
+      ranks.toSeq.map { case ((a, b), r) => (r, a, b) }
+        .sortBy(_._1).toDF("rank", "left", "right"))
+  }
+
+  /** Cold-start: the stored merge table, back as a ranks map. */
+  def loadModel(catalog: graft.lake.LakeCatalog, ns: String,
+      table: String): Map[Merge, Int] =
+    catalog.read(ns, table).select("rank", "left", "right").collect()
+      .map(r => (r.getString(1), r.getString(2)) -> r.getInt(0)).toMap
+
   /** Distributed encode: (id, tokens, n_tokens, detok) per document. The
     * ranks map rides the closure (a few KB — numMerges entries).
     */

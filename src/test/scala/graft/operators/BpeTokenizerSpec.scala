@@ -49,6 +49,18 @@ class BpeTokenizerSpec extends SparkSpec {
       "unseen unicode must round-trip through character fallback")
   }
 
+  test("model persists to the lake; a cold load encodes identically") {
+    val cat = graft.lake.LakeCatalog(spark,
+      java.nio.file.Files.createTempDirectory("graft_bpe").toString)
+    val docs = graft.Tables(spark, sfDir).documents
+    val ranks = trainOnCorpus(docs, "doc_id", "text", numMerges = 80, sampleDocs = 40)
+    saveModel(cat, "models", "bpe", ranks)
+    val loaded = loadModel(cat, "models", "bpe")
+    assert(loaded == ranks, "round-tripped model must be identical")
+    val text = "the quick brown fox jumps over the lazy dog"
+    assert(encode(text, loaded) == encode(text, ranks))
+  }
+
   test("distributed encode matches local encode and never exceeds chars+1 per word") {
     import spark.implicits._
     val docs = graft.Tables(spark, sfDir).documents
