@@ -216,5 +216,75 @@ object StreamingQueries {
     FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id""")
   )
 
-  val all: Seq[Q] = Seq(streamNeardupTwin, streamBucketsTwin, streamSessionsTwin)
+  /** Fourth stream-vs-batch equivalence: the STREAM-STREAM INTERVAL JOIN
+    * (E5) under the DuckDB oracle. The events table splits into a click
+    * stream and a view stream, both replayed in timestamp order through
+    * `correlate` (each click joins the same user's views from the
+    * preceding 60 minutes; watermarks on BOTH sides bound the buffered
+    * state), and the emitted pairs must hash-match the same interval
+    * join DuckDB computes over the table at rest. Pairs whose two sides
+    * arrive in DIFFERENT micro-batches prove the cross-batch state
+    * buffering; inner-join results emit on match, so no sentinel
+    * watermark push is needed. Comparison is at micros precision on
+    * both engines (the replay truncates nanos exactly like the other
+    * twins).
+    */
+  val streamJoinTwin: Q = Q(
+    "stream_join_twin",
+    (s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = Tables(s, dir).events
+        .filter(col("event_type").isin("click", "view"))
+        .select(col("ts"), col("user_id"), col("event_type"), col("event_id"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+        .sortBy(_._1)
+      def toEvent(nanos: Long, uid: Long, et: String, eid: Long): EventStreams.Event = {
+        val ts = new java.sql.Timestamp(nanos / 1000000L)
+        ts.setNanos(((nanos % 1000000000L) / 1000L * 1000L).toInt)
+        EventStreams.Event(eid, ts, uid, et, 0.0)
+      }
+      val clicksIn = MemoryStream[EventStreams.Event]
+      val viewsIn = MemoryStream[EventStreams.Event]
+      val sink = s"stream_join_twin_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val query = EventStreams.correlate(
+        clicksIn.toDF(), viewsIn.toDF(), withinMinutes = 60)
+        .writeStream.format("memory").queryName(sink).outputMode("append").start()
+      try {
+        val halves = rows.splitAt(rows.length / 2)
+        for (half <- Seq(halves._1, halves._2)) {
+          clicksIn.addData(half.filter(_._3 == "click")
+            .map { case (n, u, et, e) => toEvent(n, u, et, e) }.toIndexedSeq)
+          viewsIn.addData(half.filter(_._3 == "view")
+            .map { case (n, u, et, e) => toEvent(n, u, et, e) }.toIndexedSeq)
+          query.processAllAvailable()
+        }
+        s.table(sink)
+          .select(col("user_id"), col("click_id"), col("view_id"),
+            unix_micros(col("click_ts")).as("click_us"),
+            unix_micros(col("view_ts")).as("view_us"))
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+          .toIndexedSeq
+          .toDF("user_id", "click_id", "view_id", "click_us", "view_us")
+          .orderBy("user_id", "click_id", "view_id")
+      } finally {
+        query.stop()
+        s.catalog.dropTempView(sink)
+        ()
+      }
+    },
+    Some("""SELECT c.user_id, c.event_id AS click_id, v.event_id AS view_id,
+      epoch_us(c.ts) AS click_us, epoch_us(v.ts) AS view_us
+    FROM events c JOIN events v
+      ON c.user_id = v.user_id
+     AND c.event_type = 'click' AND v.event_type = 'view'
+     AND epoch_us(c.ts) >= epoch_us(v.ts)
+     AND epoch_us(c.ts) <= epoch_us(v.ts) + 3600000000
+    ORDER BY c.user_id, click_id, view_id""")
+  )
+
+  val all: Seq[Q] = Seq(streamNeardupTwin, streamBucketsTwin, streamSessionsTwin,
+    streamJoinTwin)
 }

@@ -184,6 +184,34 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("q21: the lineitem self-correlations reuse one exchange (no third scan shuffle)") {
+    // the EXISTS/NOT-EXISTS pair both shuffle lineitem on l_orderkey —
+    // Spark must plan a ReusedExchange for the second, or the self-join
+    // shape pays the fact-table shuffle twice at 100 TB
+    val p = plan(operators.RelationalTpch.q21WaitingSuppliers)
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage") ||
+      "Exchange hashpartitioning\\(l_orderkey".r.findAllIn(p).length <= 2,
+      s"lineitem self-joins must share the orderkey exchange:\n$p")
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"), p)
+  }
+
+  test("q7: both nation roles broadcast; q13 left join preserves zero-order customers in plan") {
+    val p7 = plan(operators.RelationalTpch.q7VolumeShipping)
+    assert("BroadcastHashJoin".r.findAllIn(p7).length >= 2, p7)
+    val p13 = plan(operators.RelationalTpch.q13OrderDistribution)
+    assert(p13.contains("LeftOuter"), p13)
+    assert(p13.contains("partial_count"), s"both aggregation levels must partial-agg:\n$p13")
+  }
+
+  test("text_bpe_roundtrip plans one documents scan and no shuffle before the encode") {
+    val p = plan(operators.BpeTokenizer.textBpeRoundtrip)
+    assert("FileScan".r.findAllIn(p).length == 1, p)
+    // mapPartitions encode is a narrow map: the only exchange allowed is
+    // the final orderBy's range partitioning
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 1, s"encode path must not shuffle:\n$p")
+  }
+
   test("text_rarity: vocabulary join is broadcast (map-side OOV scoring)") {
     val p = plan(operators.TextAnalysis.textRarity)
     assert(p.contains("BroadcastHashJoin"),

@@ -307,6 +307,26 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed.sameElements(batch))
   }
 
+  test("stream_join_twin == batch interval join on sf0.001 (cross-batch pairs included)") {
+    val streamed = StreamingQueries.streamJoinTwin.fn(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val ev = graft.Tables(spark, sfDir).events
+      .select(col("user_id"), col("event_id"), expr("ts DIV 1000").as("us"), col("event_type"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("us").as("click_us"))
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_uid"), col("event_id").as("view_id"), col("us").as("view_us"))
+    val batch = c.join(v, col("user_id") === col("v_uid") &&
+        col("click_us") >= col("view_us") &&
+        col("click_us") <= col("view_us") + 3600000000L)
+      .select("user_id", "click_id", "view_id", "click_us", "view_us")
+      .orderBy("user_id", "click_id", "view_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(batch.nonEmpty, "test corpus must produce at least one pair")
+    assert(streamed.sameElements(batch),
+      s"streamed=${streamed.length} batch=${batch.length}")
+  }
+
   test("E7: near-dups arriving in the SAME micro-batch pair immediately") {
     // regression guard for the round-4 twin investigation: within one
     // bucket invocation, each doc must see same-batch predecessors (and
