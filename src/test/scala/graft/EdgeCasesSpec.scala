@@ -92,6 +92,63 @@ class EdgeCasesSpec extends SparkSpec {
     assert(rows == Seq(0, 1, 2))
   }
 
+  test("BPE degenerate inputs: empty corpus, single repeated char, marker-free") {
+    import graft.operators.BpeTokenizer._
+    assert(train(Nil, 10).isEmpty)
+    assert(train(Seq(("", 5L)), 10).isEmpty, "empty words contribute nothing")
+    // single repeated char: merges stack up (a,a) -> (aa,aa) etc., encode stays exact
+    val ranks = train(Seq(("aaaaaaaa", 10L)), 20).zipWithIndex.toMap
+    assert(decode(encodeWord("aaaaaaaa", ranks)) == "aaaaaaaa")
+    assert(decode(encodeWord("aaa", ranks)) == "aaa")
+    // no learned merges at all -> pure character fallback still round-trips
+    assert(decode(encode("hi there", Map.empty)) == "hi there")
+  }
+
+  test("DOCX reader on an empty directory and a zip with no document.xml") {
+    val empty = Files.createTempDirectory("graft_docx_empty").toString
+    assert(graft.sources.DocxReader.readDocx(spark, empty).count() == 0)
+    // a zip that is valid but not a docx isolates as corrupt
+    val zipOnly = {
+      val out = new java.io.ByteArrayOutputStream()
+      val z = new java.util.zip.ZipOutputStream(out)
+      z.putNextEntry(new java.util.zip.ZipEntry("other.txt"))
+      z.write("x".getBytes("UTF-8")); z.closeEntry(); z.close()
+      out.toByteArray
+    }
+    val dir = Files.createTempDirectory("graft_docx_nz")
+    Files.write(dir.resolve("a.docx"), zipOnly)
+    val rows = graft.sources.DocxReader.readDocx(spark, dir.toString).collect()
+    assert(rows.length == 1 && rows(0).getInt(1) == -1)
+  }
+
+  test("Iceberg export of a single-commit empty-ish table and a tagged re-export") {
+    val cat = LakeCatalog(spark, Files.createTempDirectory("graft_ice_edge").toString)
+    cat.write("e", "one", Seq((1, "x")).toDF("id", "v"))
+    val exp1 = graft.lake.IcebergExport.export(spark, cat, "e", "one")
+    assert(exp1.metadataFile.endsWith("v1.metadata.json"))
+    // delete EVERYTHING (empty but schema-keeping table), re-export
+    cat.delete("e", "one", lit(true))
+    val exp2 = graft.lake.IcebergExport.export(spark, cat, "e", "one")
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(new java.io.File(new java.net.URI(exp2.metadataFile).getPath))
+    assert(m.get("snapshots").size() == cat.versions("e", "one").length)
+    assert(m.get("current-snapshot-id").asLong() == cat.versions("e", "one").last.toLong)
+  }
+
+  test("PQ on a corpus smaller than the codebook reconstructs every vector exactly") {
+    import graft.operators.Similarity
+    val emb = Seq(
+      (1L, Array.fill(8)(0.5f)), (2L, Array.fill(8)(1.0f)), (3L, Array.fill(8)(-1.0f))
+    ).toDF("vec_id", "embedding")
+    // 3 vectors << 256: every vector IS a codebook member -> exact recon
+    val rec = Similarity.pqRecon(emb, "vec_id", "embedding", "vec_id")
+      .join(emb, "vec_id").collect()
+    rec.foreach { r =>
+      assert(r.getSeq[Float](1) == r.getSeq[Float](2),
+        s"vec ${r.getLong(0)} must reconstruct exactly")
+    }
+  }
+
   test("deterministic sample is identical across repeated plans") {
     val a = graft.operators.RelationalAnalytics.qDetSample.fn(spark, sfDir).collect()
     val b = graft.operators.RelationalAnalytics.qDetSample.fn(spark, sfDir).collect()
