@@ -248,9 +248,19 @@ object StreamingQueries {
       val clicksIn = MemoryStream[EventStreams.Event]
       val viewsIn = MemoryStream[EventStreams.Event]
       val sink = s"stream_join_twin_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      val query = EventStreams.correlate(
-        clicksIn.toDF(), viewsIn.toDF(), withinMinutes = 60)
-        .writeStream.format("memory").queryName(sink).outputMode("append").start()
+      // a stream-stream join runs FOUR state stores per shuffle partition,
+      // each committed per micro-batch — at the replay's data volume the
+      // store commits dominate wall time, so the join runs on fewer
+      // partitions (correctness is partition-count-independent; the
+      // session conf is restored after the query starts, which pins the
+      // stream's own partitioning at start time)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val query =
+        try EventStreams.correlate(
+          clicksIn.toDF(), viewsIn.toDF(), withinMinutes = 60)
+          .writeStream.format("memory").queryName(sink).outputMode("append").start()
+        finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       try {
         val halves = rows.splitAt(rows.length / 2)
         for (half <- Seq(halves._1, halves._2)) {
