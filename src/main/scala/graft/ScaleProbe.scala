@@ -179,6 +179,19 @@ object ScaleProbe {
         f"remaining=$remaining%d dvs=${entries.count(_.startsWith("dv/"))}%d " +
         f"base_read=$tBase%.1fs delete=$tDel%.1fs read=$tRead%.1fs")
     }
+    // PQ-encode probe (round 6): the product-quantization assignment is a
+    // broadcast join + map-side-combined argmin — cost must track corpus
+    // size (vectors x subspaces x codebook stays partial-agg'd in place),
+    // never corpus x codebook on the wire.
+    for (mult <- Seq(1, 3, 10)) {
+      val loaded = spark.read.parquet(s"/tmp/graft_scale_emb_${mult}x")
+      val n = loaded.count()
+      val t0 = System.nanoTime()
+      val out = operators.Similarity.pqRecon(loaded, "vec_id", "embedding", "id").count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] pq-encode ${mult}x: vecs=$n%d recon=$out%d time=$dt%.1fs")
+    }
+
     // AQE skew-join probe (round 6): SURVEY §4 leans on AQE for fact-fact
     // skew, so MEASURE it — a planted-skew join (half the left rows pile
     // onto ONE key) must (a) show AQE splitting the skewed partition in
