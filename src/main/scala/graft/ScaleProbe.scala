@@ -16,6 +16,10 @@ object ScaleProbe {
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    // optional trailing section names (minhash ann text mega-bucket rank
+    // merge mor pq skew stream) restrict the run; empty = all
+    val sections = args.drop(1).toSet
+    def on(name: String): Boolean = sections.isEmpty || sections.contains(name)
     val spark = GraftSession.getOrCreate("graft-scale-probe")
     import spark.implicits._
 
@@ -30,7 +34,7 @@ object ScaleProbe {
            else concat(col("text"), lit(s" variant token $m"))).as("text"))
       }.reduce(_ unionByName _)
 
-    for (mult <- Seq(1, 3, 10)) {
+    if (on("minhash")) for (mult <- Seq(1, 3, 10)) {
       val corpus = multiplied(mult)
       val path = s"/tmp/graft_scale_${mult}x"
       corpus.write.mode(SaveMode.Overwrite).parquet(path)
@@ -42,7 +46,7 @@ object ScaleProbe {
       println(f"[scale] minhash ${mult}x: docs=$n%d pairs=$pairs%d time=$dt%.1fs")
     }
 
-    for (mult <- Seq(1, 3, 10)) {
+    if (on("ann")) for (mult <- Seq(1, 3, 10)) {
       val vecs = (0 until mult).map { m =>
         emb.select((col("vec_id") + lit(m.toLong * 10000000L)).as("vec_id"), col("embedding"))
       }.reduce(_ unionByName _)
@@ -64,7 +68,7 @@ object ScaleProbe {
     // text-pipeline probe: tokenize -> bigram explode -> count (the shape of
     // text_ngrams / text_term_docfreq / text_tfidf) — one narrow shuffle;
     // must stay linear in documents.
-    for (mult <- Seq(1, 3, 10)) {
+    if (on("text")) for (mult <- Seq(1, 3, 10)) {
       val loaded = spark.read.parquet(s"/tmp/graft_scale_${mult}x")
       val n = loaded.count()
       val t0 = System.nanoTime()
@@ -81,7 +85,7 @@ object ScaleProbe {
     // the adversarial spam shape. The k-bounded min-k aggregate must keep
     // pair output and memory constant while input grows 100x; time should
     // track the scan, never the quadratic bucket size.
-    for (n <- Seq(10000, 100000, 1000000)) {
+    if (on("mega-bucket")) for (n <- Seq(10000, 100000, 1000000)) {
       val banded = spark.range(n.toLong).select(col("id"),
         array(struct(lit(0).as("band"), lit(42L).as("bh"))).as("bands"))
       val t0 = System.nanoTime()
@@ -93,7 +97,7 @@ object ScaleProbe {
     // distributed global-rank probe (round 3): the de-skewed
     // percent_rank/ntile shape over a 3-value key — time must scale with
     // rows/partitions, not with the size of the largest key group.
-    for (mult <- Seq(1, 3, 10)) {
+    if (on("rank")) for (mult <- Seq(1, 3, 10)) {
       val loaded = spark.read.parquet(s"/tmp/graft_scale_${mult}x")
         .select(col("doc_id"), (col("doc_id") % 3).cast("string").as("grp"),
           length(col("text")).as("x"))
@@ -126,7 +130,7 @@ object ScaleProbe {
     // commit. Time (and the replaced-entry count) must stay ~flat while
     // the table grows 16x — the whole point of the stats-pruned rewrite.
     val rowsPerCommit = 100000L
-    for (k <- Seq(4, 16, 64)) {
+    if (on("merge")) for (k <- Seq(4, 16, 64)) {
       val root = s"/tmp/graft_scale_merge_$k"
       org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
         .delete(new org.apache.hadoop.fs.Path(root), true)
@@ -155,7 +159,7 @@ object ScaleProbe {
     // the predicate scan + a KB-sized sidecar, with ZERO data dirs
     // rewritten at any table size — and the vectored READ's broadcast
     // anti-join must stay ~flat too. Same 4/16/64-commit tables.
-    for (k <- Seq(4, 16, 64)) {
+    if (on("mor")) for (k <- Seq(4, 16, 64)) {
       val root = s"/tmp/graft_scale_mor_$k"
       org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
         .delete(new org.apache.hadoop.fs.Path(root), true)
@@ -183,7 +187,7 @@ object ScaleProbe {
     // broadcast join + map-side-combined argmin — cost must track corpus
     // size (vectors x subspaces x codebook stays partial-agg'd in place),
     // never corpus x codebook on the wire.
-    for (mult <- Seq(1, 3, 10)) {
+    if (on("pq")) for (mult <- Seq(1, 3, 10)) {
       val loaded = spark.read.parquet(s"/tmp/graft_scale_emb_${mult}x")
       val n = loaded.count()
       val t0 = System.nanoTime()
@@ -201,6 +205,7 @@ object ScaleProbe {
     // cluster; broadcast is disabled so the join actually sort-merges (at
     // this row count the planner would otherwise broadcast the small side
     // and hide the skew path entirely).
+    if (on("skew")) {
     val prevConf = Seq(
       "spark.sql.autoBroadcastJoinThreshold",
       "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
@@ -233,6 +238,29 @@ object ScaleProbe {
     } finally prevConf.foreach {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None) => spark.conf.unset(k)
+    }
+    }
+
+    // stream-replay probe (round 7): the file-source twin harness itself
+    // (partition-parallel parquet drops -> file source -> stateful agg ->
+    // parquet sink readback) must cost linear in replayed events; a
+    // super-linear step here means the replay started moving data through
+    // the driver again or the sink stopped scaling.
+    if (on("stream")) for (mult <- Seq(1, 3, 10)) {
+      val n = 60000L * mult
+      val ev = spark.range(n).select(
+        col("id").as("event_id"),
+        timestamp_micros(lit(1700000000000000L) + col("id") * 500000L).as("ts"),
+        (col("id") % 997L).as("user_id"),
+        when(col("id") % 3 === 0, "click").otherwise("view").as("event_type"),
+        (col("id") % 100L).cast("double").as("value"))
+      val path = s"/tmp/graft_scale_stream_${mult}x"
+      ev.write.mode(SaveMode.Overwrite).parquet(path)
+      val loaded = spark.read.parquet(path)
+      val t0 = System.nanoTime()
+      val buckets = streaming.StreamingQueries.replayProbe(spark, loaded)
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] stream-replay ${mult}x: events=$n%d buckets=$buckets%d time=$dt%.1fs")
     }
     spark.stop()
   }

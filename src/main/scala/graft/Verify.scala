@@ -7,14 +7,19 @@ import java.nio.file.{Files, Paths}
   */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    // optional trailing names: dump only that subset (dev loop; the driver
+    // always runs the full surface)
+    val only = args.drop(2).toSet
     val spark = GraftSession.getOrCreate("graft-verify")
     new java.io.File(outDir).mkdirs()
     // run in family order and release memoized state at family boundaries,
     // exactly like Bench — a 91-query session should not accumulate every
     // family's pinned storage (see GraftSession.releaseCaches).
     var family: String = null
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(kv => only.isEmpty || only.contains(kv._1))
+      .foreach { case (name, fn) =>
       val f = GraftSession.familyOf(name)
       if (family != null && f != family) GraftSession.releaseCaches(spark)
       family = f

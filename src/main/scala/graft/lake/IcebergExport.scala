@@ -444,7 +444,11 @@ object IcebergExport {
         n.put("value-required", !m.valueContainsNull)
         Right(n)
       case s: StructType => Right(structJson(s))
-      case other => Left(s"string") // lossy fallback, documented: $other
+      case other =>
+        // fail fast (consistent with the missing-partition-column check):
+        // a silently-wrong exported type would make the metadata claim a
+        // string over a parquet column whose physical type disagrees.
+        sys.error(s"IcebergExport: unsupported Spark type $other — no Iceberg mapping")
     }
 
     def putType(parent: ObjectNode, field: String, dt: DataType): Unit =
@@ -467,17 +471,50 @@ object IcebergExport {
       n
     }
 
-    // name mapping lists the TOP-LEVEL ids structJson just assigned
+    // name mapping mirrors structJson's COMPLETE id assignment — nested
+    // struct/list/map member ids get recursive entries (the spec's nested
+    // `fields` key), so an adopting engine can resolve nested projections
+    // over graft's field-id-free parquet files, not just top-level columns.
+    // List members map under the spec name "element"; maps under "key" /
+    // "value".
+    import com.fasterxml.jackson.databind.JsonNode
+    def mappingForType(t: JsonNode, out: ArrayNode): Unit =
+      if (t.isObject) t.get("type").asText() match {
+        case "struct" =>
+          val it = t.get("fields").elements()
+          while (it.hasNext) {
+            val f = it.next()
+            val m = out.addObject()
+            m.put("field-id", f.get("id").asLong())
+            m.putArray("names").add(f.get("name").asText())
+            addNested(f.get("type"), m)
+          }
+        case "list" =>
+          val m = out.addObject()
+          m.put("field-id", t.get("element-id").asLong())
+          m.putArray("names").add("element")
+          addNested(t.get("element"), m)
+        case "map" =>
+          val mk = out.addObject()
+          mk.put("field-id", t.get("key-id").asLong())
+          mk.putArray("names").add("key")
+          addNested(t.get("key"), mk)
+          val mv = out.addObject()
+          mv.put("field-id", t.get("value-id").asLong())
+          mv.putArray("names").add("value")
+          addNested(t.get("value"), mv)
+      }
+    def addNested(t: JsonNode, entry: ObjectNode): Unit =
+      if (t.isObject) {
+        val nested = mapper.createArrayNode()
+        mappingForType(t, nested)
+        if (nested.size() > 0) entry.set[ObjectNode]("fields", nested)
+        ()
+      }
     val root = structJson(schema)
     root.put("schema-id", 0)
     val mappingArr = mapper.createArrayNode()
-    val fieldsIt = root.get("fields").elements()
-    while (fieldsIt.hasNext) {
-      val f = fieldsIt.next()
-      val m = mappingArr.addObject()
-      m.put("field-id", f.get("id").asLong())
-      m.putArray("names").add(f.get("name").asText())
-    }
+    mappingForType(root, mappingArr)
     (root, nextId, mappingArr)
   }
 }

@@ -131,7 +131,7 @@ final class LakeCatalog(
     backend.list(manifestDir(ns, t))
       .filter(_.matches("v\\d+\\.txt")).map(_.drop(1).dropRight(4).toInt).sorted
 
-  private def manifestEntries(ns: String, t: String, version: Int): Seq[String] =
+  private[lake] def manifestEntries(ns: String, t: String, version: Int): Seq[String] =
     new String(backend.readBytes(manifestFile(ns, t, version)), StandardCharsets.UTF_8)
       .split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
 

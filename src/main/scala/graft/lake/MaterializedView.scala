@@ -45,28 +45,46 @@ final class MaterializedView(catalog: LakeCatalog) {
 
   private val MetaName = "mv"
 
-  /** The refresh cursor is persisted per MV VERSION (`mvseen-v<N>` sidecar,
-    * written BEFORE the CAS'd data commit that creates version N) and is
-    * only honored when version N actually committed. A crash between the
-    * sidecar write and the commit leaves an orphaned sidecar no reader
-    * ever resolves; a crash between a committed delta and a (hypothetical)
-    * post-commit cursor update — the window the old design had, which
-    * silently double-counted the delta on the next refresh — cannot occur,
-    * because by commit time the cursor is already durable. Effectively the
-    * cursor travels inside the commit, the Delta/Iceberg shape, built from
-    * the two primitives this catalog has (CAS'd manifests + idempotent
-    * sidecar puts).
+  /** The refresh cursor is keyed by the COMMIT DATA DIR it was merged
+    * into (`mvseen-d<uuid>` sidecar, written between staging the dir and
+    * the CAS that publishes it) and is only honored when a committed
+    * manifest actually references that dir. Because the key is the staged
+    * dir's unguessable UUID, no two refreshes ever touch the same sidecar
+    * — the manifest CAS alone decides which cursor is live:
+    *
+    *   - crash between sidecar put and publish → the dir is never
+    *     committed, the sidecar is an orphan no reader resolves;
+    *   - a LOSING concurrent refresh (the round-6 design's residual race:
+    *     its unconditional put could overwrite the winner's same-version
+    *     cursor with a newer baseV, silently skipping the winner's
+    *     unmerged delta on the next refresh) writes only its own dir's
+    *     key, which the winner's committed manifest does not reference —
+    *     the loser cannot poison the winner's cursor, no restore needed;
+    *   - a committed version always carries the exact baseV its merge
+    *     read, because sidecar and data travel under the same uuid.
+    *
+    * `mvseen-v<N>` version-keyed sidecars from the previous design are
+    * still read as a fallback for tables written before this scheme.
     */
-  private def seenMetaName(mvVersion: Int): String = s"mvseen-v$mvVersion"
+  private def legacySeenMetaName(mvVersion: Int): String = s"mvseen-v$mvVersion"
+
+  private def seenMetaForRel(rel: String): String =
+    s"mvseen-d${rel.stripPrefix("data/")}"
 
   /** The cursor of the LATEST committed MV version: the newest committed
-    * version carrying a cursor sidecar, falling back to the create-time
-    * cursor in the spec for MVs created before (or without) versioned
-    * cursors.
+    * version whose manifest references a dir carrying a cursor sidecar
+    * (legacy version-keyed sidecars honored next), falling back to the
+    * create-time cursor in the spec.
     */
   private def currentSeen(mvNs: String, mvT: String, spec: Spec): Int =
     catalog.versions(mvNs, mvT).reverse.iterator
-      .flatMap(v => catalog.getTableMeta(mvNs, mvT, seenMetaName(v)))
+      .flatMap { v =>
+        catalog.manifestEntries(mvNs, mvT, v).iterator
+          .filter(_.startsWith("data/"))
+          .flatMap(rel => catalog.getTableMeta(mvNs, mvT, seenMetaForRel(rel)))
+          .nextOption()
+          .orElse(catalog.getTableMeta(mvNs, mvT, legacySeenMetaName(v)))
+      }
       .map(_.trim.toInt).nextOption().getOrElse(spec.seenVersion)
 
   // the sidecar format mirrors the stats sidecar: tab-separated lines,
@@ -178,20 +196,19 @@ final class MaterializedView(catalog: LakeCatalog) {
     val (baseV, _) = catalog.latestEntries(spec.baseNs, spec.baseT)
     if (baseV == seen)
       return catalog.versions(mvNs, mvT).last
-    val (mvV, _) = catalog.latestEntries(mvNs, mvT)
-    // stage the cursor for the version this CAS'd write will create
-    // (mvV+1) BEFORE committing — see seenMetaName's crash analysis. A
-    // refresh that loses the CAS restores whatever cursor the winner had
-    // staged for that version, so the losing put cannot poison the
-    // winner's committed snapshot (residual: losing AND crashing between
-    // put and restore — strictly narrower than the old unconditional
-    // crash window, and always preceded by a loud conflict).
+    val (mvV, mvEntries) = catalog.latestEntries(mvNs, mvT)
+    // stage the data dir first, key the cursor by ITS uuid, then CAS the
+    // manifest — see the race analysis on seenMetaForRel. The CAS is
+    // pinned to mvV (the version the merge READ), not the stage-time
+    // latest, so a commit sneaking in between the read and the stage
+    // still conflicts loudly. A lost CAS leaves an unreferenced stage:
+    // abort reclaims the dir, and the orphan sidecar resolves to nothing.
     def cursorThenWrite(df: DataFrame): Int = {
-      val prior = catalog.getTableMeta(mvNs, mvT, seenMetaName(mvV + 1))
-      catalog.putTableMeta(mvNs, mvT, seenMetaName(mvV + 1), baseV.toString)
-      try catalog.write(mvNs, mvT, df, SaveMode.Overwrite, expectedVersion = Some(mvV))
+      val staged = catalog.stageWrite(mvNs, mvT, df, SaveMode.Overwrite)
+      catalog.putTableMeta(mvNs, mvT, seenMetaForRel(staged.rel), baseV.toString)
+      try catalog.publishStaged(staged.copy(baseVersion = mvV))
       catch { case e: CommitConflictException =>
-        prior.foreach(p => catalog.putTableMeta(mvNs, mvT, seenMetaName(mvV + 1), p))
+        catalog.abortStaged(staged)
         throw e
       }
     }
@@ -199,9 +216,17 @@ final class MaterializedView(catalog: LakeCatalog) {
       case Some(added) =>
         if (added.isEmpty) {
           // base moved but added no data (metadata-only commits): advance
-          // the cursor alone; no new MV version is needed and the stale
-          // sidecar for mvV is simply overwritten in place
-          catalog.putTableMeta(mvNs, mvT, seenMetaName(mvV), baseV.toString)
+          // the cursor alone — overwrite the CURRENT committed dir's
+          // sidecar in place (safe: a metadata-only advance is a verified
+          // "this window appended nothing" claim, so concurrent advances
+          // may land in either order; a concurrent DATA refresh commits a
+          // new version whose fresh dir-keyed cursor shadows this one)
+          mvEntries.find(_.startsWith("data/")) match {
+            case Some(rel) =>
+              catalog.putTableMeta(mvNs, mvT, seenMetaForRel(rel), baseV.toString)
+            case None =>
+              catalog.putTableMeta(mvNs, mvT, legacySeenMetaName(mvV), baseV.toString)
+          }
           mvV
         } else cursorThenWrite(merge(catalog.read(mvNs, mvT, Some(mvV)),
           aggregate(catalog.readDirs(spec.baseNs, spec.baseT, added), spec), spec))

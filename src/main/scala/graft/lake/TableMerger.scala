@@ -144,12 +144,20 @@ final class TableMerger(
     val sourceRows = delta.count()
     // with an ordering column: ONE winner per key by (orderCol desc,
     // delete-beats-upsert on ties), then split; the window shares the
-    // key's hash partitioning with the downstream anti-join
+    // key's hash partitioning with the downstream anti-join. Exact
+    // (key, orderCol, op) ties — two upserts carrying the same LSN —
+    // resolve by the remaining orderable columns (dedupeOnKey's
+    // ordering), so the surviving row never depends on partitioning.
     val resolved = orderCol match {
       case Some(oc) =>
         import org.apache.spark.sql.expressions.Window
+        val trailing = delta.schema.fields
+          .filter(f => f.name != k && f.name != oc && f.name != opCol &&
+            org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(f.dataType))
+          .map(f => col(f.name).desc_nulls_last)
         val w = Window.partitionBy(col(k))
-          .orderBy(col(oc).desc_nulls_last, col(opCol).asc) // "delete" < "upsert"
+          .orderBy(col(oc).desc_nulls_last +: col(opCol).asc +: // "delete" < "upsert"
+            trailing.toSeq: _*)
         delta.withColumn("__graft_rn",
           org.apache.spark.sql.functions.row_number().over(w))
           .filter(col("__graft_rn") === 1).drop("__graft_rn")

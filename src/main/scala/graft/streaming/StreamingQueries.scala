@@ -1,128 +1,192 @@
 package graft.streaming
 
 import graft.{Q, Tables}
-import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
-/** Driver-checked STREAMING query (SURVEY §2 E7 twin): the batch-vs-stream
-  * equivalence itself, under the DuckDB oracle.
+/** Driver-checked STREAMING queries (SURVEY §2 E8/E10/E12/E13): batch-vs-
+  * stream equivalence twins under the DuckDB oracle.
   *
-  * The corpus (documents + planted mutants — the exact input of
-  * `dedup_minhash`) is replayed through the E7 streaming near-dup operator
-  * as a two-micro-batch stream, and the emitted candidate pairs are
-  * returned as an ordinary frame. The oracle is the SAME generated SQL
-  * that checks the batch pipeline — so a hash match proves the streaming
-  * path (stateful LSH buckets, cross-batch memory, per-arrival scoring)
-  * reproduces the batch MinHash pairs bit-for-bit, est_jaccard included.
+  * Replay harness (round 7): the corpus is replayed through the streaming
+  * operators via a FILE SOURCE — each micro-batch is a partition-parallel
+  * parquet drop into the source directory, and results land in a parquet
+  * sink read back as an ordinary distributed frame. NO scale-proportional
+  * data ever moves through the driver: the only collects are single-row
+  * aggregates (a split threshold, a max timestamp). This is the shape a
+  * production replay takes on a real cluster — data at rest becomes a
+  * stream by landing files, not by addData from the driver.
   *
-  * Replay order is doc_id-ascending (ties impossible), which makes the
-  * stream's first-k bucket occupancy equal the batch path's min-k bucket
-  * cap — the two caps provably coincide when arrival order is id order.
+  * Batch membership is decided by a data-derived event-time threshold
+  * (everything below the midpoint is micro-batch 1), which preserves the
+  * property the twins rely on: batch 2's minimum event time is at or above
+  * batch 1's maximum, so no replayed row ever arrives below the watermark.
+  * WITHIN a micro-batch every stateful operator sorts its group input
+  * deterministically (see EventStreams), so partition arrival order — the
+  * one thing a parallel file drop does not control — cannot affect the
+  * output.
   */
 object StreamingQueries {
 
+  // ----- file-source replay harness ---------------------------------------
+
+  private def rmrf(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(p)) {
+      val walk = java.nio.file.Files.walk(p)
+      try walk.iterator().asScala.toSeq.reverse
+        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+      finally walk.close()
+    }
+  }
+
+  /** Replay `rounds` of per-source parquet drops through a streaming
+    * transform built over file sources. `sources` gives, per stream input,
+    * its read schema and the ordered frames to land (one frame = one
+    * micro-batch-sized drop; round k lands every source's k-th frame, then
+    * the query drains). Append-mode results go through a parquet sink;
+    * complete-mode results through a foreachBatch overwrite (the lake-sink
+    * shape for a fully-refreshed aggregate). The returned frame is
+    * localCheckpoint'ed so the temp dirs can be reclaimed immediately.
+    */
+  private def fileReplay(
+      s: SparkSession,
+      sources: Seq[(StructType, Seq[DataFrame])],
+      transform: Seq[DataFrame] => DataFrame,
+      complete: Boolean = false): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_twin_")
+    val srcDirs = sources.indices.map(i => root.resolve(s"src$i").toString)
+    val outDir = root.resolve("out").toString
+    val cpDir = root.resolve("cp").toString
+    val rounds = sources.map(_._2.length).max
+
+    def land(round: Int): Unit =
+      for (((_, frames), d) <- sources.zip(srcDirs); if round < frames.length)
+        frames(round).write.mode("append").parquet(d)
+
+    land(0) // present before the query starts = the first micro-batch
+    val streams = sources.zip(srcDirs).map { case ((schema, _), d) =>
+      s.readStream.schema(schema).parquet(d)
+    }
+    val sinkBase = transform(streams).writeStream.option("checkpointLocation", cpDir)
+    val query =
+      if (complete)
+        sinkBase.outputMode("complete").foreachBatch {
+          (b: Dataset[Row], _: Long) => b.write.mode("overwrite").parquet(outDir); ()
+        }.start()
+      else sinkBase.outputMode("append").format("parquet").option("path", outDir).start()
+    try {
+      query.processAllAvailable()
+      for (r <- 1 until rounds) { land(r); query.processAllAvailable() }
+    } finally query.stop()
+    val result = s.read.parquet(outDir).localCheckpoint(true)
+    rmrf(root)
+    result
+  }
+
+  /** single-row aggregate: midpoint of a long column's range — the
+    * replay's batch-membership threshold (bounded, never data-sized) */
+  private def midpoint(df: DataFrame, c: String): Long = {
+    val r = df.agg(min(col(c)).as("lo"), max(col(c)).as("hi")).head()
+    r.getLong(0) / 2 + r.getLong(1) / 2
+  }
+
+  /** ScaleProbe canary: a two-micro-batch file-source replay of an events
+    * frame (`event_id, ts, user_id, event_type, value`) through the E1
+    * windowed aggregate — times the twin HARNESS itself, which must stay
+    * linear in replayed rows (partition-parallel drops, no driver data).
+    * Returns the aggregate's row count.
+    */
+  private[graft] def replayProbe(s: SparkSession, events: DataFrame): Long = {
+    val feed = events.select(unix_micros(col("ts")).as("ts_us"), col("ts"),
+      col("event_type"), col("value"))
+    val mid = midpoint(feed, "ts_us")
+    def half(p: org.apache.spark.sql.Column): DataFrame =
+      feed.filter(p).select("ts", "event_type", "value")
+    val schema = StructType(Seq(
+      StructField("ts", TimestampType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    fileReplay(
+      s,
+      Seq(schema -> Seq(half(col("ts_us") <= mid), half(col("ts_us") > mid))),
+      srcs => EventStreams.hourlyAggregates(srcs.head),
+      complete = true).count()
+  }
+
+  // ----- the four twins ----------------------------------------------------
+
+  /** E8 twin: the dedup corpus replayed through the E7 streaming near-dup
+    * operator as two micro-batches; emitted candidate pairs must hash-match
+    * the batch MinHash pipeline's DuckDB oracle, est_jaccard included.
+    * Batch 1 carries the low half of the doc_id range stamped at `base`,
+    * batch 2 the high half a minute later — so global arrival order is
+    * doc_id order (the within-batch group sort is (ts, doc_id) and all ts
+    * tie inside a batch), which makes the stream's first-k bucket occupancy
+    * provably equal the batch path's min-k bucket cap.
+    */
   val streamNeardupTwin: Q = Q(
     "stream_neardup_twin",
     (s, dir) => {
       import s.implicits._
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      // the replay source: bounded, collected once (the stream side must be
-      // fed from the driver; pair output is bounded by the batch twin's)
       val corpus = graft.operators.Dedup
         .withPlantedDups(Tables(s, dir).documents)
         .select("doc_id", "text")
-        .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
-      val input = MemoryStream[EventStreams.DocIn]
-      val sink = s"stream_neardup_twin_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      val query = EventStreams.nearDupCandidates(input.toDS(), threshold = 0.5)
-        .writeStream.format("memory").queryName(sink).outputMode("append").start()
-      try {
-        // two micro-batches: cross-batch pairs exercise the bucket state.
-        // Timestamps must sit ABOVE epoch 0 — Spark's global watermark
-        // starts at 0 and the stateful operator drops rows at/below it as
-        // late, so an epoch-0 replay would silently discard every doc.
-        val base = 1700000000000L
-        val (first, second) = corpus.splitAt(corpus.length / 2)
-        input.addData(first.map { case (id, t) =>
-          EventStreams.DocIn(id, new java.sql.Timestamp(base), t) }.toIndexedSeq)
-        query.processAllAvailable()
-        input.addData(second.map { case (id, t) =>
-          EventStreams.DocIn(id, new java.sql.Timestamp(base + 60000L), t) }.toIndexedSeq)
-        query.processAllAvailable()
-        // a pair colliding in several bands emits once per band: distinct
-        s.table(sink)
-          .select(col("a"), col("b"), col("est_jaccard"))
-          .distinct()
-          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-          .toIndexedSeq
-          .toDF("a", "b", "est_jaccard")
-          .orderBy("a", "b")
-      } finally {
-        query.stop()
-        s.catalog.dropTempView(sink)
-        ()
-      }
+      val mid = midpoint(corpus, "doc_id")
+      // Timestamps must sit ABOVE epoch 0 — Spark's global watermark starts
+      // at 0 and the stateful operator drops rows at/below it as late.
+      val base = 1700000000000L
+      def stamped(half: DataFrame, tsMs: Long): DataFrame =
+        half.select(col("doc_id"), timestamp_millis(lit(tsMs)).as("ts"), col("text"))
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("ts", TimestampType),
+        StructField("text", StringType)))
+      val out = fileReplay(
+        s,
+        Seq(schema -> Seq(
+          stamped(corpus.filter(col("doc_id") <= mid), base),
+          stamped(corpus.filter(col("doc_id") > mid), base + 60000L))),
+        srcs => EventStreams.nearDupCandidates(srcs.head.as[EventStreams.DocIn],
+          threshold = 0.5).toDF())
+      // a pair colliding in several bands emits once per band: distinct
+      out.select(col("a"), col("b"), col("est_jaccard"))
+        .distinct()
+        .orderBy("a", "b")
     },
     // the batch pipeline's generated oracle, verbatim — stream == batch
     Some(graft.Q.oracleResource("dedup_minhash"))
   )
 
-  /** Second stream-vs-batch equivalence, this time for the WINDOWED
-    * AGGREGATION operator (E1): the whole events table is replayed
-    * through `hourlyAggregates` as a two-micro-batch stream in complete
-    * output mode, and the final aggregation state must hash-match the
-    * same per-hour totals DuckDB computes over the table at rest. This
-    * pins the streaming agg's window assignment, decimal sum and
-    * cross-batch state merge — count and sum partials from batch 1 must
-    * combine exactly with batch 2's — under the external oracle, not
-    * just a Spark-vs-Spark spec. (countDistinct is not available to
-    * streaming aggs, so the twin checks the count/sum columns.)
-    *
-    * The driver-fed replay collects the bounded events table once — the
-    * cost of making a stream from data at rest, not a pattern for
-    * production sources.
+  /** E10 twin: the whole events table replayed through `hourlyAggregates`
+    * (E1) as two micro-batches in complete output mode; the final
+    * aggregation state must hash-match the per-hour totals DuckDB computes
+    * over the table at rest. Pins window assignment, decimal sum and the
+    * cross-batch state merge — count/sum partials from batch 1 combine
+    * exactly with batch 2's. (countDistinct is not available to streaming
+    * aggs, so the twin checks the count/sum columns.)
     */
   val streamBucketsTwin: Q = Q(
     "stream_buckets_twin",
     (s, dir) => {
-      import s.implicits._
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      // events.ts is a nanos long (TESTDATA): micros → Timestamp keeps
+      // events.ts is a nanos long (TESTDATA); micros truncation keeps
       // hour-bucket assignment exact (truncation cannot cross an hour)
-      val rows = Tables(s, dir).events
-        .select(col("ts"), col("user_id"), col("event_type"), col("value"))
-        .collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
-        .sortBy(_._1)
-      val input = MemoryStream[EventStreams.Event]
-      val sink = s"stream_buckets_twin_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      val query = EventStreams.hourlyAggregates(input.toDF())
-        .writeStream.format("memory").queryName(sink).outputMode("complete").start()
-      try {
-        val (first, second) = rows.splitAt(rows.length / 2)
-        def toEvents(part: Array[(Long, Long, String, Double)], off: Long) =
-          part.zipWithIndex.map { case ((nanos, uid, et, v), i) =>
-            val ts = new java.sql.Timestamp(nanos / 1000000L)
-            ts.setNanos(((nanos % 1000000000L) / 1000L * 1000L).toInt)
-            EventStreams.Event(off + i, ts, uid, et, v)
-          }.toIndexedSeq
-        input.addData(toEvents(first, 0L))
-        query.processAllAvailable()
-        input.addData(toEvents(second, first.length.toLong))
-        query.processAllAvailable()
-        val out = s.table(sink)
-          .select(col("window.start").cast("long").as("bucket_s"),
-            col("event_type"), col("n_events"), col("total_value"))
-          .collect()
-          .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
-          .toIndexedSeq
-        out.toDF("bucket_s", "event_type", "n_events", "total_value")
-          .orderBy("bucket_s", "event_type")
-      } finally {
-        query.stop()
-        s.catalog.dropTempView(sink)
-        ()
-      }
+      val feed = Tables(s, dir).events
+        .select(col("ts").as("ts_ns"),
+          timestamp_micros(expr("ts DIV 1000")).as("ts"),
+          col("event_type"), col("value"))
+      val mid = midpoint(feed, "ts_ns")
+      def half(p: org.apache.spark.sql.Column): DataFrame =
+        feed.filter(p).select("ts", "event_type", "value")
+      val schema = StructType(Seq(
+        StructField("ts", TimestampType), StructField("event_type", StringType),
+        StructField("value", DoubleType)))
+      val out = fileReplay(
+        s,
+        Seq(schema -> Seq(half(col("ts_ns") <= mid), half(col("ts_ns") > mid))),
+        srcs => EventStreams.hourlyAggregates(srcs.head),
+        complete = true)
+      out.select(col("window.start").cast("long").as("bucket_s"),
+          col("event_type"), col("n_events"), col("total_value"))
+        .orderBy("bucket_s", "event_type")
     },
     Some("""SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket_s,
       event_type,
@@ -131,75 +195,49 @@ object StreamingQueries {
     FROM events GROUP BY 1, 2 ORDER BY 1, 2""")
   )
 
-  /** Third stream-vs-batch equivalence: the STATEFUL SESSIONIZER (E2)
-    * under the DuckDB oracle. The whole events table is replayed through
-    * `sessionize` (flatMapGroupsWithState, event-time timeout) in
-    * timestamp order, and the emitted sessions must hash-match the
-    * gaps-and-islands SQL the oracle computes over the table at rest —
-    * the same boundary arithmetic as q_sessionize (micros precision,
-    * 30-minute gap), now proven for the cross-batch state path: sessions
-    * spanning the replay split, session-id continuity through tombstones,
-    * and timeout-driven emission.
+  /** E12 twin: the STATEFUL SESSIONIZER (E2) under the DuckDB oracle. The
+    * events table is replayed through `sessionize` (flatMapGroupsWithState,
+    * event-time timeout) as two event-time-ordered micro-batches, and the
+    * emitted sessions must hash-match the gaps-and-islands SQL over the
+    * table at rest — micros precision, 30-minute gap, now proven for the
+    * cross-batch state path: sessions spanning the replay split, session-id
+    * continuity through tombstones, and timeout-driven emission.
     *
     * The final open session per user only leaves the operator when the
-    * WATERMARK passes its gap horizon, which in a replay means feeding
-    * two sentinel batches whose far-future timestamps push the watermark
-    * past every real event (the first sentinel batch advances the
-    * watermark; timeouts FIRE while processing the second). The sentinel
-    * user (-1) is excluded from the result.
+    * WATERMARK passes its gap horizon, so two sentinel micro-batches with
+    * far-future timestamps push the watermark past every real event (the
+    * first advances the watermark; timeouts FIRE while processing the
+    * second). The sentinel user (-1) is excluded from the result.
     */
   val streamSessionsTwin: Q = Q(
     "stream_sessions_twin",
     (s, dir) => {
       import s.implicits._
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      // replay in the oracle's per-user order key (micros, event_id):
-      // batches split a globally sorted feed, so no event arrives below
-      // the watermark and cross-batch per-user order is preserved
-      val rows = Tables(s, dir).events
-        .select(col("ts"), col("user_id"), col("event_id"))
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-        .sortBy(t => (t._1 / 1000L, t._3))
-      def toEvent(nanos: Long, uid: Long, eid: Long): EventStreams.Event = {
-        // micros-truncated timestamp: the boundary precision both engines use
-        val ts = new java.sql.Timestamp(nanos / 1000000L)
-        ts.setNanos(((nanos % 1000000000L) / 1000L * 1000L).toInt)
-        EventStreams.Event(eid, ts, uid, "replay", 0.0)
-      }
-      val input = MemoryStream[EventStreams.Event]
-      val sink = s"stream_sessions_twin_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      val query = EventStreams.sessionize(input.toDS())
-        .writeStream.format("memory").queryName(sink).outputMode("append").start()
-      try {
-        val (first, second) = rows.splitAt(rows.length / 2)
-        input.addData(first.map { case (n, u, e) => toEvent(n, u, e) }.toIndexedSeq)
-        query.processAllAvailable()
-        input.addData(second.map { case (n, u, e) => toEvent(n, u, e) }.toIndexedSeq)
-        query.processAllAvailable()
-        // sentinel batches: push the watermark past max(ts) + 10x gap so
-        // every real session's event-time timeout fires and emits
-        val maxNanos = rows.iterator.map(_._1).max
-        val gapMs = 30L * 60L * 1000L
-        for (k <- 1 to 2) {
-          input.addData(EventStreams.Event(-k.toLong,
-            new java.sql.Timestamp(maxNanos / 1000000L + (100L * k) * gapMs),
-            -1L, "sentinel", 0.0))
-          query.processAllAvailable()
-        }
-        s.table(sink)
-          .filter(col("user_id") >= 0)
-          .select(col("user_id"), col("session_id"), col("n_events"),
-            col("start_us"), col("end_us"))
-          .collect()
-          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
-          .toIndexedSeq
-          .toDF("user_id", "session_id", "n_events", "start_us", "end_us")
-          .orderBy("user_id", "session_id")
-      } finally {
-        query.stop()
-        s.catalog.dropTempView(sink)
-        ()
-      }
+      val feed = Tables(s, dir).events
+        .select(col("ts").as("ts_ns"), col("event_id"),
+          timestamp_micros(expr("ts DIV 1000")).as("ts"), col("user_id"),
+          lit("replay").as("event_type"), lit(0.0).as("value"))
+      val mid = midpoint(feed, "ts_ns")
+      val maxNanos = feed.agg(max(col("ts_ns"))).head().getLong(0)
+      val gapMs = 30L * 60L * 1000L
+      def half(p: org.apache.spark.sql.Column): DataFrame =
+        feed.filter(p).select("event_id", "ts", "user_id", "event_type", "value")
+      def sentinel(k: Int): DataFrame =
+        Seq((-k.toLong, new java.sql.Timestamp(maxNanos / 1000000L + (100L * k) * gapMs),
+          -1L, "sentinel", 0.0))
+          .toDF("event_id", "ts", "user_id", "event_type", "value")
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", TimestampType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType)))
+      val out = fileReplay(
+        s,
+        Seq(schema -> Seq(half(col("ts_ns") <= mid), half(col("ts_ns") > mid),
+          sentinel(1), sentinel(2))),
+        srcs => EventStreams.sessionize(srcs.head.as[EventStreams.Event]).toDF())
+      out.filter(col("user_id") >= 0)
+        .select("user_id", "session_id", "n_events", "start_us", "end_us")
+        .orderBy("user_id", "session_id")
     },
     Some("""WITH marked AS (
       SELECT user_id, event_id, epoch_us(ts) AS ts_us,
@@ -216,38 +254,32 @@ object StreamingQueries {
     FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id""")
   )
 
-  /** Fourth stream-vs-batch equivalence: the STREAM-STREAM INTERVAL JOIN
-    * (E5) under the DuckDB oracle. The events table splits into a click
-    * stream and a view stream, both replayed in timestamp order through
-    * `correlate` (each click joins the same user's views from the
+  /** E13 twin: the STREAM-STREAM INTERVAL JOIN (E5) under the DuckDB
+    * oracle. The events table splits into a click stream and a view stream
+    * (two independent file sources), both replayed in event-time order
+    * through `correlate` (each click joins the same user's views from the
     * preceding 60 minutes; watermarks on BOTH sides bound the buffered
-    * state), and the emitted pairs must hash-match the same interval
-    * join DuckDB computes over the table at rest. Pairs whose two sides
-    * arrive in DIFFERENT micro-batches prove the cross-batch state
-    * buffering; inner-join results emit on match, so no sentinel
-    * watermark push is needed. Comparison is at micros precision on
-    * both engines (the replay truncates nanos exactly like the other
-    * twins).
+    * state), and the emitted pairs must hash-match the interval join DuckDB
+    * computes over the table at rest. Pairs whose two sides arrive in
+    * DIFFERENT micro-batches prove the cross-batch state buffering;
+    * inner-join results emit on match, so no sentinel watermark push is
+    * needed.
     */
   val streamJoinTwin: Q = Q(
     "stream_join_twin",
     (s, dir) => {
-      import s.implicits._
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      val rows = Tables(s, dir).events
+      val feed = Tables(s, dir).events
         .filter(col("event_type").isin("click", "view"))
-        .select(col("ts"), col("user_id"), col("event_type"), col("event_id"))
-        .collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
-        .sortBy(_._1)
-      def toEvent(nanos: Long, uid: Long, et: String, eid: Long): EventStreams.Event = {
-        val ts = new java.sql.Timestamp(nanos / 1000000L)
-        ts.setNanos(((nanos % 1000000000L) / 1000L * 1000L).toInt)
-        EventStreams.Event(eid, ts, uid, et, 0.0)
-      }
-      val clicksIn = MemoryStream[EventStreams.Event]
-      val viewsIn = MemoryStream[EventStreams.Event]
-      val sink = s"stream_join_twin_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+        .select(col("ts").as("ts_ns"), col("event_id"),
+          timestamp_micros(expr("ts DIV 1000")).as("ts"), col("user_id"),
+          col("event_type"))
+      val mid = midpoint(feed, "ts_ns")
+      def slice(et: String, p: org.apache.spark.sql.Column): DataFrame =
+        feed.filter(col("event_type") === et && p)
+          .select("event_id", "ts", "user_id")
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", TimestampType),
+        StructField("user_id", LongType)))
       // a stream-stream join runs FOUR state stores per shuffle partition,
       // each committed per micro-batch — at the replay's data volume the
       // store commits dominate wall time, so the join runs on fewer
@@ -256,34 +288,20 @@ object StreamingQueries {
       // stream's own partitioning at start time)
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "8")
-      val query =
-        try EventStreams.correlate(
-          clicksIn.toDF(), viewsIn.toDF(), withinMinutes = 60)
-          .writeStream.format("memory").queryName(sink).outputMode("append").start()
+      val out =
+        try fileReplay(
+          s,
+          Seq(
+            schema -> Seq(slice("click", col("ts_ns") <= mid),
+              slice("click", col("ts_ns") > mid)),
+            schema -> Seq(slice("view", col("ts_ns") <= mid),
+              slice("view", col("ts_ns") > mid))),
+          srcs => EventStreams.correlate(srcs(0), srcs(1), withinMinutes = 60))
         finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      try {
-        val halves = rows.splitAt(rows.length / 2)
-        for (half <- Seq(halves._1, halves._2)) {
-          clicksIn.addData(half.filter(_._3 == "click")
-            .map { case (n, u, et, e) => toEvent(n, u, et, e) }.toIndexedSeq)
-          viewsIn.addData(half.filter(_._3 == "view")
-            .map { case (n, u, et, e) => toEvent(n, u, et, e) }.toIndexedSeq)
-          query.processAllAvailable()
-        }
-        s.table(sink)
-          .select(col("user_id"), col("click_id"), col("view_id"),
-            unix_micros(col("click_ts")).as("click_us"),
-            unix_micros(col("view_ts")).as("view_us"))
-          .collect()
-          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
-          .toIndexedSeq
-          .toDF("user_id", "click_id", "view_id", "click_us", "view_us")
-          .orderBy("user_id", "click_id", "view_id")
-      } finally {
-        query.stop()
-        s.catalog.dropTempView(sink)
-        ()
-      }
+      out.select(col("user_id"), col("click_id"), col("view_id"),
+          unix_micros(col("click_ts")).as("click_us"),
+          unix_micros(col("view_ts")).as("view_us"))
+        .orderBy("user_id", "click_id", "view_id")
     },
     Some("""SELECT c.user_id, c.event_id AS click_id, v.event_id AS view_id,
       epoch_us(c.ts) AS click_us, epoch_us(v.ts) AS view_us

@@ -269,4 +269,63 @@ class IcebergExportSpec extends SparkSpec {
     val m1 = readJson(m2.get("metadata-log").get(0).get("metadata-file").asText())
     assert(m1.get("table-uuid") == m2.get("table-uuid"))
   }
+
+  test("name mapping recursively mirrors nested struct/list/map field ids") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("addr", StructType(Seq(
+        StructField("city", StringType),
+        StructField("geo", StructType(Seq(
+          StructField("lat", DoubleType), StructField("lon", DoubleType))))))),
+      StructField("tags", ArrayType(StringType)),
+      StructField("attrs", MapType(StringType, IntegerType))))
+    val (schemaJson, lastId, mapping) = IcebergExport.icebergSchema(schema)
+
+    // collect id->mapping-entry pairs recursively from the mapping
+    val fromMapping = scala.collection.mutable.Map[Long, String]()
+    def walkM(arr: JsonNode): Unit =
+      for (i <- 0 until arr.size()) {
+        val e = arr.get(i)
+        fromMapping += e.get("field-id").asLong() -> e.get("names").get(0).asText()
+        if (e.has("fields")) walkM(e.get("fields"))
+      }
+    walkM(mapping)
+
+    // collect id->name pairs recursively from the schema JSON
+    val fromSchema = scala.collection.mutable.Map[Long, String]()
+    def walkT(t: JsonNode): Unit =
+      if (t.isObject) t.get("type").asText() match {
+        case "struct" =>
+          val fs = t.get("fields")
+          for (i <- 0 until fs.size()) {
+            val f = fs.get(i)
+            fromSchema += f.get("id").asLong() -> f.get("name").asText()
+            walkT(f.get("type"))
+          }
+        case "list" =>
+          fromSchema += t.get("element-id").asLong() -> "element"
+          walkT(t.get("element"))
+        case "map" =>
+          fromSchema += t.get("key-id").asLong() -> "key"
+          walkT(t.get("key"))
+          fromSchema += t.get("value-id").asLong() -> "value"
+          walkT(t.get("value"))
+      }
+    walkT(schemaJson)
+
+    // every assigned id (1..lastId) must appear in BOTH, with equal names —
+    // an adopting engine can resolve nested projections over field-id-free
+    // parquet via the mapping alone
+    assert(fromSchema.keySet == (1 to lastId).map(_.toLong).toSet)
+    assert(fromMapping == fromSchema,
+      s"mapping=$fromMapping schema=$fromSchema")
+  }
+
+  test("unsupported Spark types fail the export loudly instead of lying") {
+    import org.apache.spark.sql.types._
+    val bad = StructType(Seq(StructField("x", CalendarIntervalType)))
+    val e = intercept[RuntimeException](IcebergExport.icebergSchema(bad))
+    assert(e.getMessage.contains("unsupported Spark type"))
+  }
 }

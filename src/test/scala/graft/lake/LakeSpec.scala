@@ -436,6 +436,25 @@ class LakeSpec extends SparkSpec {
     assert(back(1) == "a" && back.size == 8, s"got $back")
   }
 
+  test("CDC apply with orderCol: equal-LSN upsert ties resolve by remaining columns") {
+    // two upserts for one key at the SAME orderCol value — the winner must
+    // be decided by the trailing orderable columns (desc_nulls_last, the
+    // dedupeOnKey ordering), never by partition arrival order
+    val cat = freshCatalog()
+    val merger = new TableMerger(cat)
+    import spark.implicits._
+    cat.write("ns", "cdct", Seq((1, "a")).toDF("id", "v"))
+    for (shuffled <- Seq(
+      Seq((7, "alpha", "upsert", 5L), (7, "zeta", "upsert", 5L)),
+      Seq((7, "zeta", "upsert", 5L), (7, "alpha", "upsert", 5L)))) {
+      merger.applyCdc(shuffled.toDF("id", "v", "_op", "ts").repartition(4),
+        "ns", "cdct", orderCol = Some("ts"))
+      val back = cat.read("ns", "cdct").collect()
+        .map(x => (x.getInt(0), x.getString(1))).toMap
+      assert(back(7) == "zeta", s"tie must resolve to the desc-max row, got ${back(7)}")
+    }
+  }
+
   test("CDC apply: a delete-only first delta must NOT create an empty table") {
     val cat = freshCatalog()
     val merger = new TableMerger(cat)

@@ -120,9 +120,41 @@ class MaterializedViewSpec extends SparkSpec {
     assert(cat.versions("ns", "view").last == v)
     assert(viewRows(cat)("a") == ((3L, BigDecimal("15.00"), 1L, 9L)),
       "re-refresh must not double-count the already-merged delta")
-    // and the cursor sidecar for the committed version matches the base
-    assert(cat.getTableMeta("ns", "view", s"mvseen-v$v").map(_.trim.toInt)
-      .contains(cat.versions("ns", "base").last))
+    // and the committed version's DATA DIR carries the cursor sidecar
+    // matching the base (the dir-keyed scheme: cursor and data share a
+    // uuid, so the manifest CAS decides which cursor is live)
+    val rel = cat.latestEntries("ns", "view")._2.find(_.startsWith("data/")).get
+    assert(cat.getTableMeta("ns", "view", s"mvseen-d${rel.stripPrefix("data/")}")
+      .map(_.trim.toInt).contains(cat.versions("ns", "base").last))
+  }
+
+  test("losing refresh cannot poison the winner's committed cursor") {
+    // replay of the round-6 advice race: winner merges delta A and commits;
+    // a loser that had read a NEWER base version stages its own cursor and
+    // loses the CAS. Under version-keyed sidecars the loser's put would
+    // overwrite the winner's cursor with the newer baseV and delta B would
+    // silently never merge; under dir-keyed sidecars the loser only ever
+    // writes its own (uncommitted) dir's key.
+    val cat = freshCatalog()
+    seed(cat)
+    val mv = mkView(cat)
+    import spark.implicits._
+    cat.write("ns", "base", Seq(("a", 9L, 0.25)).toDF("k", "seq", "amt"), SaveMode.Append)
+    mv.refresh("ns", "view") // the winner: merges delta A (base v2)
+    // delta B lands; the loser had read base v3 and staged against the
+    // same view version the winner took — emulate the loser's surviving
+    // side effect: a cursor sidecar for a dir no manifest references
+    cat.write("ns", "base", Seq(("c", 4L, 1.00)).toDF("k", "seq", "amt"), SaveMode.Append)
+    cat.putTableMeta("ns", "view",
+      s"mvseen-d${java.util.UUID.randomUUID().toString}",
+      cat.versions("ns", "base").last.toString)
+    // the next refresh must still see cursor=2 and merge delta B
+    mv.refresh("ns", "view")
+    assert(viewRows(cat) == Map(
+      "a" -> ((3L, BigDecimal("15.00"), 1L, 9L)),
+      "b" -> ((1L, BigDecimal("7.00"), 3L, 3L)),
+      "c" -> ((1L, BigDecimal("1.00"), 4L, 4L))),
+      "the loser's orphan cursor must not suppress delta B")
   }
 
   test("readAppended is metadata-scoped for append windows, changelog fallback otherwise") {
