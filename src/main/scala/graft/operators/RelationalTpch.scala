@@ -354,7 +354,246 @@ object RelationalTpch {
     GROUP BY s_name, n_name ORDER BY numwait DESC, s_name LIMIT 20""")
   )
 
+  /** TPC-H Q2 shape (adapted: lineitem prices play the part-supplier cost
+    * role the full schema gives partsupp): for banded parts, the
+    * minimum-cost supplier offer within a region. The correlated
+    * scalar-min subquery is decorrelated into ONE window over the offer's
+    * natural key (l_partkey) — one shuffle, no per-row re-scan, no
+    * self-join of the fact.
+    */
+  val q2MinCostSupplier: Q = Q(
+    "q2_mincost_supplier",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val euro = t.supplier
+        .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t.region.filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+      val offers = t.lineitem
+        .join(euro, col("l_suppkey") === col("s_suppkey"))
+        .groupBy("l_partkey", "s_suppkey", "s_name", "s_acctbal", "n_name")
+        .agg(min(m(col("l_extendedprice"))).as("cost"))
+      offers
+        .withColumn("min_cost", min(col("cost")).over(Window.partitionBy("l_partkey")))
+        .filter(col("cost") === col("min_cost"))
+        .join(t.part.filter(col("p_size").between(10, 20) && col("p_type") === "STANDARD"),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"), col("p_partkey"),
+          col("p_type"), col("cost").cast(DoubleType).as("cost"))
+        .orderBy(desc("s_acctbal"), asc("s_name"), asc("p_partkey"))
+        .limit(100)
+    },
+    Some(s"""SELECT s_acctbal, s_name, n_name, p_partkey, p_type, CAST(cost AS DOUBLE) AS cost
+    FROM (
+      SELECT *, MIN(cost) OVER (PARTITION BY l_partkey) AS min_cost
+      FROM (
+        SELECT l_partkey, s_suppkey, s_name, s_acctbal, n_name,
+          MIN(CAST(l_extendedprice AS $D)) AS cost
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+        GROUP BY l_partkey, s_suppkey, s_name, s_acctbal, n_name) o) x
+    JOIN part ON l_partkey = p_partkey AND p_size BETWEEN 10 AND 20 AND p_type = 'STANDARD'
+    WHERE cost = min_cost
+    ORDER BY s_acctbal DESC, s_name, p_partkey LIMIT 100""")
+  )
+
+  /** TPC-H Q4 shape (adapted: `l_returnflag = 'R'` plays the
+    * late-delivery role): order-priority counts for orders with at least
+    * one returned item — EXISTS planned as a LEFT SEMI join, aggregated
+    * after the semi so each order counts once regardless of line count.
+    */
+  val q4OrderPriority: Q = Q(
+    "q4_order_priority",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.orders
+        .filter(col("o_orderdate") >= lit("1997-07-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-10-01").cast("timestamp"))
+        .join(t.lineitem.filter(col("l_returnflag") === "R"),
+          col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-07-01' AND o_orderdate < TIMESTAMP '1997-10-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+    GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+  )
+
+  /** TPC-H Q8 shape: national market share — the fraction of a region's
+    * PROMO-part import volume supplied by one nation, per year. The
+    * two-level ratio is two exact decimal sums under one grouping with a
+    * single IEEE division at the surface (the q14 discipline), and nation
+    * appears in BOTH roles (customer region membership, supplier
+    * nationality) — broadcast on both, fact shuffles only for its joins.
+    */
+  val q8MarketShare: Q = Q(
+    "q8_market_share",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val custNations = t.nation
+        .join(broadcast(t.region.filter(col("r_name") === "AMERICA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("c_nk"))
+      val suppNations = t.nation
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      t.lineitem
+        .join(t.part.filter(col("p_type") === "PROMO"),
+          col("l_partkey") === col("p_partkey"))
+        .join(t.orders
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(custNations), col("c_nationkey") === col("c_nk"))
+        .join(t.supplier, col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(suppNations), col("s_nationkey") === col("s_nk"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg((sum(when(col("supp_nation") === "NATION_3", discPrice)
+          .otherwise(m(lit(0)))).cast(DoubleType) /
+          sum(discPrice).cast(DoubleType)).as("mkt_share"))
+        .orderBy("o_year")
+    },
+    Some(s"""SELECT o_year,
+      CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE CAST(0 AS $D) END) AS DOUBLE)
+        / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+    FROM (
+      SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+        CAST(l_extendedprice AS $D) * (1 - CAST(l_discount AS $D)) AS volume,
+        n1.n_name AS supp_nation
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      JOIN region ON n2.n_regionkey = r_regionkey AND r_name = 'AMERICA'
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01') v
+    GROUP BY o_year ORDER BY o_year""")
+  )
+
+  /** TPC-H Q9 shape (adapted: 10% of p_retailprice per unit plays the
+    * ps_supplycost role): product-line profit by supplier nation and
+    * year — a multi-fact star join with an EXPRESSION group-by (year of
+    * the order date) and a derived profit measure, decimal-exact
+    * throughout (no division anywhere).
+    */
+  val q9ProductProfit: Q = Q(
+    "q9_product_profit",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      t.lineitem
+        .join(t.part.filter(col("p_name").startsWith("red")),
+          col("l_partkey") === col("p_partkey"))
+        .join(t.supplier, col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(sum(discPrice - m(col("p_retailprice")) * m(col("l_quantity")) * m(lit(0.1)))
+          .cast(DoubleType).as("sum_profit"))
+        .orderBy(asc("nation"), desc("o_year"))
+    },
+    Some(s"""SELECT n_name AS nation, EXTRACT(year FROM o_orderdate) AS o_year,
+      CAST(SUM(CAST(l_extendedprice AS $D) * (1 - CAST(l_discount AS $D))
+        - CAST(p_retailprice AS $D) * CAST(l_quantity AS $D) * CAST(0.1 AS $D)) AS DOUBLE) AS sum_profit
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey AND p_name LIKE 'red%'
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY n_name, EXTRACT(year FROM o_orderdate)
+    ORDER BY nation, o_year DESC""")
+  )
+
+  /** TPC-H Q15 shape: the top-revenue supplier view — per-supplier quarter
+    * revenue compared against its own maximum. The scalar max is ONE
+    * single-row aggregate broadcast into an exact decimal equality (never
+    * a global window, which would single-partition the whole view).
+    */
+  val q15TopSupplier: Q = Q(
+    "q15_top_supplier",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val rev = t.lineitem
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+        .groupBy("l_suppkey")
+        .agg(sum(discPrice).as("total_rev"))
+      val mx = rev.agg(max(col("total_rev")).as("max_rev"))
+      rev.crossJoin(broadcast(mx))
+        .filter(col("total_rev") === col("max_rev"))
+        .join(t.supplier, col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("total_rev").cast(DoubleType).as("total_revenue"))
+        .orderBy("s_suppkey")
+    },
+    Some(s"""WITH rev AS (
+      SELECT l_suppkey, SUM(CAST(l_extendedprice AS $D) * (1 - CAST(l_discount AS $D))) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+    FROM rev JOIN supplier ON l_suppkey = s_suppkey
+    WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+    ORDER BY s_suppkey""")
+  )
+
+  /** TPC-H Q20 shape (adapted: shipped quantity plays the availqty role):
+    * suppliers in a region who moved real volume of red parts this year —
+    * the NESTED SEMI-JOIN CHAIN: part-name filter semi-joins into the
+    * fact aggregate, whose qualifying suppliers semi-join into supplier,
+    * intersected with the region dimension. Every step is a semi join or
+    * a bounded broadcast; no fact row ever widens.
+    */
+  val q20VolumeSuppliers: Q = Q(
+    "q20_volume_suppliers",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val redParts = t.part.filter(col("p_name").startsWith("red"))
+        .select("p_partkey")
+      val qualifying = t.lineitem
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .join(redParts, col("l_partkey") === col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(sum(m(col("l_quantity"))).as("qty"))
+        .filter(col("qty") > m(lit(40)))
+        .select("l_suppkey")
+      val asiaNations = t.nation
+        .join(broadcast(t.region.filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      t.supplier
+        .join(qualifying, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"), col("n_name").as("nation"))
+        .orderBy("s_name")
+    },
+    Some(s"""SELECT s_suppkey, s_name, n_name AS nation
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'
+    WHERE EXISTS (SELECT 1 FROM (
+        SELECT l_suppkey, SUM(CAST(l_quantity AS $D)) AS qty
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+          AND EXISTS (SELECT 1 FROM part
+            WHERE p_partkey = l_partkey AND p_name LIKE 'red%')
+        GROUP BY l_suppkey, l_partkey) q
+      WHERE q.l_suppkey = s_suppkey AND q.qty > CAST(40 AS $D))
+    ORDER BY s_name""")
+  )
+
   val all: Seq[Q] = Seq(q6ForecastRevenue, q10ReturnedItems, q12PriorityClasses,
     q14PromoRevenue, q17SmallQtyRevenue, q18LargeOrders, q19DisjunctiveBands,
-    q22IdleCustomers, q7VolumeShipping, q13OrderDistribution, q21WaitingSuppliers)
+    q22IdleCustomers, q7VolumeShipping, q13OrderDistribution, q21WaitingSuppliers,
+    q2MinCostSupplier, q4OrderPriority, q8MarketShare, q9ProductProfit,
+    q15TopSupplier, q20VolumeSuppliers)
 }

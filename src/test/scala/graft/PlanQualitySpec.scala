@@ -219,4 +219,49 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"),
       s"top-V vocab should plan as a bounded top-k, not a global sort:\n$p")
   }
+
+  test("q2: the scalar-min decorrelates to ONE window over l_partkey, no fact self-join") {
+    val p = plan(operators.RelationalTpch.q2MinCostSupplier)
+    assert("Window".r.findAllIn(p).length == 1,
+      s"min-cost must be a single window, not a re-scan join:\n$p")
+    // 5 tables (lineitem supplier nation region part), each scanned once
+    assert("FileScan parquet".r.findAllIn(p).count(_ => true) <= 5 &&
+      !p.contains("CartesianProduct"),
+      s"each table scans once:\n$p")
+  }
+
+  test("q4: EXISTS plans as a LEFT SEMI join with the agg after it") {
+    val p = plan(operators.RelationalTpch.q4OrderPriority)
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("partial_count"), s"priority agg must partial-agg:\n$p")
+  }
+
+  test("q8: both nation roles + region broadcast; single grouped ratio agg") {
+    val p = plan(operators.RelationalTpch.q8MarketShare)
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p)
+    // numerator and denominator ride ONE aggregation — two sums under one
+    // group-by, never two scans of the joined fact
+    assert("partial_sum".r.findAllIn(p).length >= 2, p)
+    assert("FileScan parquet [^\\n]*lineitem".r.findAllIn(p).length == 1,
+      s"lineitem scans once for both sums:\n$p")
+  }
+
+  test("q15: the scalar max broadcasts as one row — no global window, no second fact scan") {
+    val p = plan(operators.RelationalTpch.q15TopSupplier)
+    assert(!p.contains("Window"),
+      s"a global-max window would single-partition the view:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"the 1-row max must broadcast:\n$p")
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage") ||
+      "FileScan parquet [^\\n]*lineitem".r.findAllIn(p).length <= 2,
+      s"rev is computed once and reused for its own max:\n$p")
+  }
+
+  test("q20: the nested qualification chain plans as semi joins end to end") {
+    val p = plan(operators.RelationalTpch.q20VolumeSuppliers)
+    assert("LeftSemi".r.findAllIn(p).length >= 2,
+      s"part filter and supplier qualification must both be semi joins:\n$p")
+    assert(p.contains("partial_sum"),
+      s"the qty aggregate must map-side combine:\n$p")
+  }
 }
