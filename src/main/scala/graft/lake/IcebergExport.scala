@@ -26,13 +26,14 @@ import org.apache.spark.sql.types._
   *    (the spec's mechanism for adopting parquet files that carry no
   *    field-id metadata — exactly what graft's data files are).
   *  - `version-hint.text` — the HadoopCatalog current-version pointer.
-  *  - `snap-<id>.manifest-list.json` + `m-<n>.json` manifests — one
+  *  - `snap-<id>.manifest-list.avro` + `m-<n>.avro` manifests — one
   *    manifest per graft commit dir, REUSED across the snapshots that
   *    reference it (Iceberg's manifest-reuse economics: an append writes
-  *    one manifest + one list, never rewrites history). Manifest lists
-  *    and manifests are spec-shaped but serialized as JSON — Avro
-  *    manifests are declared out of scope (no Avro writer ships here);
-  *    every field name and value follows the Avro schemas of the spec.
+  *    one manifest + one list, never rewrites history). Both are REAL
+  *    Avro object container files (r7, via [[IcebergAvro]]): the spec's
+  *    record schemas with their reserved field-ids, plus the key-value
+  *    metadata real readers expect — binary-compatible with an adopting
+  *    engine, not just spec-auditable JSON.
   *  - merge-on-read deletion vectors are exported as REAL v2 position
   *    deletes: each `dv/` sidecar is rewritten to the spec's delete-file
   *    shape — columns `file_path` (field id 2147483546) / `pos` (field id
@@ -115,7 +116,15 @@ object IcebergExport {
         rel -> files
       }.toMap
 
-    val manifestByEntry = scala.collection.mutable.LinkedHashMap[String, ObjectNode]()
+    // Avro serialization layer for this table's partition shape; the
+    // partition-spec fields JSON rides in each manifest's file metadata
+    val avro = new IcebergAvro(partitionCols.toSeq.map(k =>
+      k -> schema.fields.find(_.name == k).map(_.dataType).getOrElse(StringType)))
+    val partitionSpecFields = partitionSpecFieldsNode(partitionCols.toSeq, fieldIdOf)
+    val schemaJsonStr = mapper.writeValueAsString(schemaNode)
+
+    val manifestByEntry =
+      scala.collection.mutable.LinkedHashMap[String, (Seq[org.apache.avro.generic.GenericRecord], Boolean, Long)]()
     for ((rel, seenV) <- firstSeen) {
       val isDelete = rel.startsWith("dv/")
       val files: Seq[(Path, Long, Long, Seq[(String, String)])] =
@@ -125,45 +134,36 @@ object IcebergExport {
         else filesByEntry(rel).map { case (p, pv) =>
           val (_, bytes, records) = fileEntry(fs, conf, p); (p, bytes, records, pv)
         }
-      val m = mapper.createObjectNode()
-      val entryArr = m.putArray("entries")
-      files.foreach { case (p, bytes, records, pv) =>
-        val e = entryArr.addObject()
-        e.put("status", 1) // ADDED in the snapshot that minted the dir
-        e.put("snapshot_id", seenV.toLong)
-        e.put("sequence_number", seenV.toLong)
-        val df = e.putObject("data_file")
-        df.put("content", if (isDelete) 1 else 0) // 0=DATA, 1=POSITION_DELETES
-        df.put("file_path", fs.makeQualified(p).toString)
-        df.put("file_format", "PARQUET")
-        val part = df.putObject("partition")
-        if (!isDelete && partitionCols.nonEmpty) {
-          val pvMap = pv.toMap
-          partitionCols.foreach { k =>
-            pvMap.get(k) match {
-              case None | Some("__HIVE_DEFAULT_PARTITION__") => part.putNull(k)
-              case Some(v) => putTyped(part, k, v,
-                schema.fields.find(_.name == k).map(_.dataType))
-            }
+      val entries = files.map { case (p, bytes, records, pv) =>
+        val pvMap = pv.toMap
+        val partVals: Seq[(String, Option[String])] =
+          if (isDelete || partitionCols.isEmpty) partitionCols.toSeq.map(_ -> None)
+          else partitionCols.toSeq.map { k =>
+            k -> (pvMap.get(k) match {
+              case None | Some("__HIVE_DEFAULT_PARTITION__") => None
+              case some => some
+            })
           }
-        }
-        df.put("record_count", records)
-        df.put("file_size_in_bytes", bytes)
+        avro.entryRecord(
+          status = 1, // ADDED in the snapshot that minted the dir
+          snapshotId = seenV.toLong, sequenceNumber = seenV.toLong,
+          content = if (isDelete) 1 else 0, // 0=DATA, 1=POSITION_DELETES
+          filePath = fs.makeQualified(p).toString,
+          recordCount = records, fileSize = bytes, partitionValues = partVals)
       }
-      m.put("content", if (isDelete) 1 else 0)
-      m.put("added_files_count", files.size)
-      m.put("added_rows_count", files.map(_._3).sum)
-      manifestByEntry(rel) = m
+      manifestByEntry(rel) = (entries, isDelete, files.map(_._3).sum)
     }
-    // write each manifest once; remember its path + length + row totals
+    // write each manifest once (a real Avro object container file);
+    // remember its path + length + row totals
     val manifestMeta = manifestByEntry.zipWithIndex.map {
-      case ((rel, node), i) =>
-        val p = new Path(metaDir, f"m-$i%05d.json")
-        val bytes = mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(node)
+      case ((rel, (entries, isDelete, nRows)), i) =>
+        val p = new Path(metaDir, f"m-$i%05d.avro")
+        val bytes = avro.manifestBytes(entries, schemaJsonStr,
+          mapper.writeValueAsString(partitionSpecFields),
+          if (isDelete) "deletes" else "data")
         writeFile(fs, p, bytes)
         rel -> (fs.makeQualified(p).toString, bytes.length.toLong,
-          node.get("added_files_count").asInt(),
-          node.get("added_rows_count").asLong())
+          entries.size, nRows)
     }.toMap
 
     // ---- one manifest LIST + snapshot per graft version
@@ -172,29 +172,24 @@ object IcebergExport {
     var lastTs = 0L
     for (v <- versions) {
       val entries = entriesByV(v)
-      val listNode = mapper.createArrayNode()
-      entries.foreach { rel =>
+      val listRecords = entries.map { rel =>
         val (mPath, mLen, nFiles, nRows) = manifestMeta(rel)
         val isDelete = rel.startsWith("dv/")
-        val li = listNode.addObject()
-        li.put("manifest_path", mPath)
-        li.put("manifest_length", mLen)
-        li.put("partition_spec_id", 0)
-        li.put("content", if (isDelete) 1 else 0)
-        li.put("sequence_number", firstSeen(rel).toLong)
-        li.put("min_sequence_number", firstSeen(rel).toLong)
-        li.put("added_snapshot_id", firstSeen(rel).toLong)
         val added = firstSeen(rel) == v
-        li.put("added_files_count", if (added) nFiles else 0)
-        li.put("existing_files_count", if (added) 0 else nFiles)
-        li.put("deleted_files_count", 0)
-        li.put("added_rows_count", if (added) nRows else 0L)
-        li.put("existing_rows_count", if (added) 0L else nRows)
-        li.put("deleted_rows_count", 0L)
+        avro.manifestFileRecord(
+          manifestPath = mPath, manifestLength = mLen,
+          content = if (isDelete) 1 else 0,
+          sequenceNumber = firstSeen(rel).toLong,
+          minSequenceNumber = firstSeen(rel).toLong,
+          addedSnapshotId = firstSeen(rel).toLong,
+          addedFiles = if (added) nFiles else 0,
+          existingFiles = if (added) 0 else nFiles,
+          addedRows = if (added) nRows else 0L,
+          existingRows = if (added) 0L else nRows)
       }
-      val listPath = new Path(metaDir, s"snap-$v.manifest-list.json")
-      writeFile(fs, listPath,
-        mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(listNode))
+      val listPath = new Path(metaDir, s"snap-$v.manifest-list.avro")
+      writeFile(fs, listPath, avro.manifestListBytes(listRecords, v.toLong,
+        if (v > versions.head) Some((v - 1).toLong) else None, v.toLong))
 
       val ts = manifestMtime(fs, tableDir, v)
       lastTs = math.max(lastTs, ts)
@@ -233,15 +228,8 @@ object IcebergExport {
       val a = mapper.createArrayNode()
       val spec = a.addObject()
       spec.put("spec-id", 0)
-      val fields = spec.putArray("fields")
-      partitionCols.zipWithIndex.foreach { case (k, i) =>
-        val f = fields.addObject()
-        f.put("name", k)
-        f.put("transform", "identity")
-        f.put("source-id", fieldIdOf.getOrElse(k,
-          sys.error(s"partition column $k missing from schema")))
-        f.put("field-id", 1000 + i)
-      }
+      spec.set[ArrayNode]("fields",
+        partitionSpecFieldsNode(partitionCols.toSeq, fieldIdOf))
       a
     })
     meta.put("last-partition-id", 999 + partitionCols.size) // 999 when unpartitioned
@@ -288,6 +276,24 @@ object IcebergExport {
     Export(fs.makeQualified(metaDir).toString, fs.makeQualified(metaFile).toString)
   }
 
+  /** the spec's partition-spec `fields` array (identity transforms over
+    * hive partition columns) — shared between the TableMetadata document
+    * and each Avro manifest's `partition-spec` metadata key
+    */
+  private def partitionSpecFieldsNode(partitionCols: Seq[String],
+      fieldIdOf: Map[String, Int]): ArrayNode = {
+    val fields = mapper.createArrayNode()
+    partitionCols.zipWithIndex.foreach { case (k, i) =>
+      val f = fields.addObject()
+      f.put("name", k)
+      f.put("transform", "identity")
+      f.put("source-id", fieldIdOf.getOrElse(k,
+        sys.error(s"partition column $k missing from schema")))
+      f.put("field-id", 1000 + i)
+    }
+    fields
+  }
+
   private def versionOfMeta(p: Path): Int =
     p.getName.stripPrefix("v").stripSuffix(".metadata.json").toInt
 
@@ -320,23 +326,6 @@ object IcebergExport {
         else Some(java.net.URLDecoder.decode(comp.substring(0, i), "UTF-8") ->
           java.net.URLDecoder.decode(comp.substring(i + 1), "UTF-8"))
       }
-  }
-
-  /** Partition value in the spec's JSON single-value serialization:
-    * numbers for integral/floating schema types, booleans as booleans,
-    * everything else (strings, dates, timestamps, decimals) as the string
-    * Spark rendered into the dir name — which for dates/timestamps is the
-    * ISO form the spec's string forms use.
-    */
-  private def putTyped(node: ObjectNode, k: String, v: String,
-      dt: Option[DataType]): Unit = dt match {
-    case Some(ByteType | ShortType | IntegerType | LongType) =>
-      try { node.put(k, v.toLong); () } catch { case _: NumberFormatException => node.put(k, v); () }
-    case Some(FloatType | DoubleType) =>
-      try { node.put(k, v.toDouble); () } catch { case _: NumberFormatException => node.put(k, v); () }
-    case Some(BooleanType) =>
-      if (v == "true" || v == "false") { node.put(k, v.toBoolean); () } else { node.put(k, v); () }
-    case _ => node.put(k, v); ()
   }
 
   private def parquetFilesUnder(fs: FileSystem, dir: Path): Seq[Path] = {

@@ -702,23 +702,28 @@ object IngestLake {
         SaveMode.Append)
       cat.deleteMoR("ice", "orders", col("o_orderkey") % 7 === 0)
       val exp = graft.lake.IcebergExport.export(s, cat, "ice", "orders")
-      // ---- read back STRICTLY from the exported Iceberg metadata
+      // ---- read back STRICTLY from the exported Iceberg metadata: the
+      // JSON TableMetadata via Jackson, the manifest lists + manifests as
+      // the Avro object container files they really are
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
       def json(p: String) =
         mapper.readTree(new java.io.File(new java.net.URI(p).getPath))
+      val hconf = s.sessionState.newHadoopConf()
+      def avro(p: String) = {
+        val path = new org.apache.hadoop.fs.Path(new java.net.URI(p))
+        graft.lake.IcebergAvro.readContainer(path.getFileSystem(hconf), path)._1
+      }
       val meta = json(exp.metadataFile)
       val snaps = meta.get("snapshots")
       val cur = (0 until snaps.size()).map(snaps.get)
         .find(_.get("snapshot-id").asLong() ==
           meta.get("current-snapshot-id").asLong())
         .getOrElse(sys.error("current snapshot missing from exported metadata"))
-      val list = json(cur.get("manifest-list").asText())
-      val (dataFiles, deleteFiles) = (0 until list.size()).map(list.get)
+      import graft.lake.IcebergAvro.{int => aInt, rec => aRec, str => aStr}
+      val (dataFiles, deleteFiles) = avro(cur.get("manifest-list").asText())
         .flatMap { mf =>
-          val manifest = json(mf.get("manifest_path").asText())
-          (0 until manifest.get("entries").size())
-            .map(k => manifest.get("entries").get(k).get("data_file"))
-            .map(df => (df.get("file_path").asText(), df.get("content").asInt()))
+          avro(aStr(mf, "manifest_path")).map(aRec(_, "data_file"))
+            .map(df => (aStr(df, "file_path"), aInt(df, "content")))
         }.partition(_._2 == 0)
       // normalize both sides to table-relative keys (URI-scheme-agnostic,
       // same rationale as LakeCatalog.fileKeyExpr)

@@ -23,6 +23,18 @@ class IcebergExportSpec extends SparkSpec {
   private def localFile(path: String): java.io.File =
     new java.io.File(new java.net.URI(path).getPath)
 
+  import org.apache.avro.generic.GenericRecord
+  import IcebergAvro.{int => aInt, long => aLong, rec => aRec, str => aStr}
+
+  /** read an exported Avro container (manifest list or manifest) */
+  private def readAvro(path: String): (Seq[GenericRecord], Map[String, String]) = {
+    val p = new org.apache.hadoop.fs.Path(new java.net.URI(path))
+    IcebergAvro.readContainer(p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+  }
+
+  private def manifestsOf(listPath: String): Seq[(GenericRecord, Seq[GenericRecord])] =
+    readAvro(listPath)._1.map(mf => mf -> readAvro(aStr(mf, "manifest_path"))._1)
+
   private def freshCatalog(): LakeCatalog =
     LakeCatalog(spark, Files.createTempDirectory("graft_ice").toString)
 
@@ -86,23 +98,18 @@ class IcebergExportSpec extends SparkSpec {
     for (i <- 0 until snaps.size()) {
       val sn = snaps.get(i)
       val v = sn.get("snapshot-id").asLong().toInt
-      val list = readJson(sn.get("manifest-list").asText())
       // every manifest exists; data-file union == the version's parquet set
       val fromMeta = scala.collection.mutable.Set[String]()
       var deleteRows = 0L
-      for (j <- 0 until list.size()) {
-        val mf = list.get(j)
-        val manifest = readJson(mf.get("manifest_path").asText())
-        assert(localFile(mf.get("manifest_path").asText()).length() ==
-          mf.get("manifest_length").asLong())
-        val entries = manifest.get("entries")
-        for (k <- 0 until entries.size()) {
-          val df = entries.get(k).get("data_file")
-          assert(localFile(df.get("file_path").asText()).exists(),
-            s"missing file ${df.get("file_path").asText()}")
-          if (df.get("content").asInt() == 0)
-            fromMeta += df.get("file_path").asText()
-          else deleteRows += df.get("record_count").asLong()
+      for ((mf, entries) <- manifestsOf(sn.get("manifest-list").asText())) {
+        assert(localFile(aStr(mf, "manifest_path")).length() ==
+          aLong(mf, "manifest_length"))
+        for (e <- entries) {
+          val df = aRec(e, "data_file")
+          assert(localFile(aStr(df, "file_path")).exists(),
+            s"missing file ${aStr(df, "file_path")}")
+          if (aInt(df, "content") == 0) fromMeta += aStr(df, "file_path")
+          else deleteRows += aLong(df, "record_count")
         }
       }
       // ground truth: the graft manifest's data dirs at this version
@@ -125,13 +132,9 @@ class IcebergExportSpec extends SparkSpec {
     val (cat, metaFile) = buildTable()
     val m = readJson(metaFile)
     val current = m.get("snapshots").get(m.get("snapshots").size() - 1)
-    val list = readJson(current.get("manifest-list").asText())
-    val deletePaths = (0 until list.size()).flatMap { j =>
-      val manifest = readJson(list.get(j).get("manifest_path").asText())
-      (0 until manifest.get("entries").size()).map(manifest.get("entries").get)
-        .filter(_.get("data_file").get("content").asInt() == 1)
-        .map(_.get("data_file").get("file_path").asText())
-    }
+    val manifests = manifestsOf(current.get("manifest-list").asText())
+    val deletePaths = manifests.flatMap(_._2).map(aRec(_, "data_file"))
+      .filter(aInt(_, "content") == 1).map(aStr(_, "file_path"))
     assert(deletePaths.nonEmpty, "MoR delete must surface as a delete manifest entry")
     val del = spark.read.parquet(deletePaths.map(p => localFile(p).getPath): _*)
     assert(del.columns.toSeq == Seq("file_path", "pos"))
@@ -151,12 +154,8 @@ class IcebergExportSpec extends SparkSpec {
       assert(idOf("pos") == IcebergExport.PosFieldId.toInt)
     } finally reader.close()
     // every referenced data file exists among the snapshot's data files
-    val dataFiles = (0 until list.size()).flatMap { j =>
-      val manifest = readJson(list.get(j).get("manifest_path").asText())
-      (0 until manifest.get("entries").size()).map(manifest.get("entries").get)
-        .filter(_.get("data_file").get("content").asInt() == 0)
-        .map(_.get("data_file").get("file_path").asText())
-    }.toSet
+    val dataFiles = manifests.flatMap(_._2).map(aRec(_, "data_file"))
+      .filter(aInt(_, "content") == 0).map(aStr(_, "file_path")).toSet
     rows.foreach { case (fp, _) => assert(dataFiles.contains(fp), s"dangling delete ref $fp") }
   }
 
@@ -214,13 +213,9 @@ class IcebergExportSpec extends SparkSpec {
       .find(_.get("name").asText() == "country").get.get("id").asInt()
     assert(pf.get("source-id").asInt() == countryId)
     // every data file carries its partition value; values cover the data
-    val list = readJson(m.get("snapshots").get(0).get("manifest-list").asText())
-    val vals = (0 until list.size()).flatMap { j =>
-      val mf = readJson(list.get(j).get("manifest_path").asText())
-      (0 until mf.get("entries").size()).map(k =>
-        mf.get("entries").get(k).get("data_file").get("partition")
-          .get("country").asText())
-    }
+    val vals = manifestsOf(m.get("snapshots").get(0).get("manifest-list").asText())
+      .flatMap(_._2).map(e => String.valueOf(
+        aRec(aRec(e, "data_file"), "partition").get("country")))
     assert(vals.toSet == Set("us", "de", "fr"), s"got $vals")
   }
 
@@ -240,12 +235,8 @@ class IcebergExportSpec extends SparkSpec {
     }
     assert(names == Set("id", "grp", "x"), s"schema leaked synthetic cols: $names")
     // all four z-bucket entries' files resolve and record counts sum to 500
-    val list = readJson(m.get("snapshots").get(0).get("manifest-list").asText())
-    val total = (0 until list.size()).map { j =>
-      val mf = readJson(list.get(j).get("manifest_path").asText())
-      (0 until mf.get("entries").size()).map(k =>
-        mf.get("entries").get(k).get("data_file").get("record_count").asLong()).sum
-    }.sum
+    val total = manifestsOf(m.get("snapshots").get(0).get("manifest-list").asText())
+      .flatMap(_._2).map(e => aLong(aRec(e, "data_file"), "record_count")).sum
     assert(total == 500L, s"record counts sum to $total")
   }
 
@@ -327,5 +318,46 @@ class IcebergExportSpec extends SparkSpec {
     val bad = StructType(Seq(StructField("x", CalendarIntervalType)))
     val e = intercept[RuntimeException](IcebergExport.icebergSchema(bad))
     assert(e.getMessage.contains("unsupported Spark type"))
+  }
+
+  test("manifests are real Avro containers: spec field-ids, reader metadata, list totals") {
+    val (cat, metaFile) = buildTable()
+    val m = readJson(metaFile)
+    val listPath = m.get("snapshots").get(m.get("snapshots").size() - 1)
+      .get("manifest-list").asText()
+    assert(listPath.endsWith(".avro"))
+    val (files, listMeta) = readAvro(listPath)
+    // container metadata a real reader keys on
+    assert(listMeta("format-version") == "2")
+    assert(listMeta("snapshot-id").toLong ==
+      m.get("current-snapshot-id").asLong())
+    // the Avro schema itself carries the spec's reserved field-ids — what
+    // an adopting engine binds to, independent of field names
+    val listSchema = files.head.getSchema
+    assert(listSchema.getField("manifest_path").getObjectProp("field-id")
+      .asInstanceOf[Number].intValue() == 500)
+    assert(listSchema.getField("added_snapshot_id").getObjectProp("field-id")
+      .asInstanceOf[Number].intValue() == 503)
+    // per-manifest: entry schema ids + metadata; counts agree with content
+    for (mf <- files) {
+      val (entries, mMeta) = readAvro(aStr(mf, "manifest_path"))
+      assert(mMeta("format-version") == "2")
+      assert(Set("data", "deletes")(mMeta("content")))
+      assert(mMeta.contains("schema") && mMeta.contains("partition-spec"))
+      val es = entries.head.getSchema
+      assert(es.getField("status").getObjectProp("field-id")
+        .asInstanceOf[Number].intValue() == 0)
+      assert(es.getField("data_file").getObjectProp("field-id")
+        .asInstanceOf[Number].intValue() == 2)
+      val dfs = es.getField("data_file").schema()
+      assert(dfs.getField("file_path").getObjectProp("field-id")
+        .asInstanceOf[Number].intValue() == 100)
+      assert(dfs.getField("record_count").getObjectProp("field-id")
+        .asInstanceOf[Number].intValue() == 103)
+      // list-entry row accounting matches the manifest's actual entries
+      val rows = entries.map(e => aLong(aRec(e, "data_file"), "record_count")).sum
+      assert(aLong(mf, "added_rows_count") + aLong(mf, "existing_rows_count") == rows,
+        s"list counts disagree with manifest for ${aStr(mf, "manifest_path")}")
+    }
   }
 }
