@@ -680,6 +680,49 @@ object IngestLake {
     Some("SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey")
   )
 
+  /** JDBC ingestion end-to-end under the oracle (reference: main.py:18
+    * ships the MySQL connector jar for its OLTP feed; re-expressed
+    * against the embedded Derby engine this environment ships): the
+    * nation dimension is loaded into a relational database through plain
+    * JDBC, then ingested back with MFR.readJdbc as a PARTITIONED read
+    * (4 range-predicated parallel queries on n_nationkey — the scale
+    * shape; a bare JDBC read is one connection no matter the cluster)
+    * and must hash-match the parquet table it came from. The JDBC load
+    * itself is driver-side but bounded: nation is a fixed-size dimension
+    * (25 rows), the same class of bounded seed every ingest_* roundtrip
+    * writes.
+    */
+  val ingestJdbcRoundtrip: Q = Q(
+    "ingest_jdbc",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val rows = t.nation.select("n_nationkey", "n_name", "n_regionkey")
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2)))
+      val db = s"memory:graft_jdbc_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val url = s"jdbc:derby:$db;create=true"
+      val conn = java.sql.DriverManager.getConnection(url)
+      try {
+        conn.createStatement().execute(
+          "CREATE TABLE nation (n_nationkey INT PRIMARY KEY, n_name VARCHAR(64), n_regionkey INT)")
+        val ps = conn.prepareStatement("INSERT INTO nation VALUES (?, ?, ?)")
+        rows.foreach { case (k, n, r) =>
+          ps.setInt(1, k); ps.setString(2, n); ps.setInt(3, r)
+          ps.addBatch()
+        }
+        ps.executeBatch()
+      } finally conn.close()
+      MFR.readJdbc(s, s"jdbc:derby:$db", "nation",
+          partitionColumn = Some("n_nationkey"), lowerBound = Some(0L),
+          upperBound = Some(rows.map(_._1).max.toLong + 1), numPartitions = 4)
+        // Derby folds unquoted identifiers to upper case; restore the
+        // lake's lower-case column contract
+        .select(col("n_nationkey").as("n_nationkey"),
+          col("n_name").as("n_name"), col("n_regionkey").as("n_regionkey"))
+        .orderBy("n_nationkey")
+    },
+    Some("SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey")
+  )
+
   /** Iceberg v2 metadata export end-to-end under the oracle (reference:
     * utils/spark_write_iceberg.py's format-v2 tables, re-expressed as a
     * jar-less spec exporter): build a two-commit table, vector-delete a
@@ -754,5 +797,6 @@ object IngestLake {
     lakeCtas, lakeMergeUpsert, lakeChangelog, lakeDataProfile,
     lakeScd2, lakeDelete, lakeIncrementalRead, lakeConstraints, lakeDataSkipping,
     lakeZorder, lakeMaintenance, lakePointLookup, lakeMvRefresh, lakeWap,
-    lakeDeleteMor, lakeCdcApply, lakeIcebergExport, ingestDocxReal)
+    lakeDeleteMor, lakeCdcApply, lakeIcebergExport, ingestDocxReal,
+    ingestJdbcRoundtrip)
 }
