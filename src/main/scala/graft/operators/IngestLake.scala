@@ -680,6 +680,92 @@ object IngestLake {
     Some("SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey")
   )
 
+  /** B8 under the oracle: SNAPSHOT TIME TRAVEL — three commits land
+    * disjoint thirds of orders; reading @v2 must return exactly the first
+    * two thirds (DuckDB reconstructs the same subset from the base
+    * table). A time-travel read that leaked later commits, or pinned the
+    * wrong manifest, hash-mismatches.
+    */
+  val lakeTimeTravel: Q = Q(
+    "lake_time_travel",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val cat = LakeCatalog(s, scratch("timetravel"))
+      val orders = t.orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
+      cat.write("tt", "orders", orders.filter(col("o_orderkey") % 3 === 0))
+      cat.write("tt", "orders", orders.filter(col("o_orderkey") % 3 === 1), SaveMode.Append)
+      cat.write("tt", "orders", orders.filter(col("o_orderkey") % 3 === 2), SaveMode.Append)
+      cat.read("tt", "orders", Some(2))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_price"))
+        .orderBy("o_orderstatus")
+    },
+    Some(s"""SELECT o_orderstatus, COUNT(*) AS n_orders,
+      CAST(SUM(CAST(o_totalprice AS $D)) AS DOUBLE) AS total_price
+    FROM orders WHERE o_orderkey % 3 <> 2
+    GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+  )
+
+  /** B17 under the oracle: SNAPSHOT EXPIRY + VACUUM — after expiring to
+    * the last two of three snapshots and vacuuming unreferenced data, the
+    * surviving version count is surfaced as a column (a broken retention
+    * keeps 3 or drops live history → hash mismatch) and the LATEST read
+    * must still equal the full table (vacuum must never touch data the
+    * kept snapshots reference).
+    */
+  val lakeExpiry: Q = Q(
+    "lake_expiry",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val cat = LakeCatalog(s, scratch("expiry"))
+      val orders = t.orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
+      cat.write("ex", "orders", orders.filter(col("o_orderkey") % 3 === 0))
+      cat.write("ex", "orders", orders.filter(col("o_orderkey") % 3 === 1), SaveMode.Append)
+      cat.write("ex", "orders", orders.filter(col("o_orderkey") % 3 === 2), SaveMode.Append)
+      // expiry deletes the dropped snapshots' unreferenced data dirs in
+      // the same pass (the vacuum); orphaned stages have their own
+      // grace-period reclaim (vacuumOrphans, spec-covered)
+      cat.expireSnapshots("ex", "orders", keepLast = 2)
+      cat.read("ex", "orders")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_price"))
+        .withColumn("versions_kept", lit(cat.versions("ex", "orders").length))
+        .select("o_orderstatus", "versions_kept", "n_orders", "total_price")
+        .orderBy("o_orderstatus")
+    },
+    Some(s"""SELECT o_orderstatus, 2 AS versions_kept, COUNT(*) AS n_orders,
+      CAST(SUM(CAST(o_totalprice AS $D)) AS DOUBLE) AS total_price
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+  )
+
+  /** B32 under the oracle: SNAPSHOT TAGS — v1 is tagged, later commits
+    * land, expiry keeps only the last snapshot; the tagged v1 must
+    * survive with its exact content readable by name (DuckDB reconstructs
+    * v1's subset from the base table). A tag that expiry dropped, or that
+    * resolves to the wrong snapshot, hash-mismatches.
+    */
+  val lakeTags: Q = Q(
+    "lake_tags",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val cat = LakeCatalog(s, scratch("tags"))
+      val orders = t.orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
+      cat.write("tg", "orders", orders.filter(col("o_orderkey") % 3 === 0))
+      cat.createTag("tg", "orders", "train-run-1")
+      cat.write("tg", "orders", orders.filter(col("o_orderkey") % 3 === 1), SaveMode.Append)
+      cat.write("tg", "orders", orders.filter(col("o_orderkey") % 3 === 2), SaveMode.Append)
+      cat.expireSnapshots("tg", "orders", keepLast = 1)
+      cat.readTag("tg", "orders", "train-run-1")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_price"))
+        .orderBy("o_orderstatus")
+    },
+    Some(s"""SELECT o_orderstatus, COUNT(*) AS n_orders,
+      CAST(SUM(CAST(o_totalprice AS $D)) AS DOUBLE) AS total_price
+    FROM orders WHERE o_orderkey % 3 = 0
+    GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+  )
+
   /** JDBC ingestion end-to-end under the oracle (reference: main.py:18
     * ships the MySQL connector jar for its OLTP feed; re-expressed
     * against the embedded Derby engine this environment ships): the
@@ -798,5 +884,5 @@ object IngestLake {
     lakeScd2, lakeDelete, lakeIncrementalRead, lakeConstraints, lakeDataSkipping,
     lakeZorder, lakeMaintenance, lakePointLookup, lakeMvRefresh, lakeWap,
     lakeDeleteMor, lakeCdcApply, lakeIcebergExport, ingestDocxReal,
-    ingestJdbcRoundtrip)
+    ingestJdbcRoundtrip, lakeTimeTravel, lakeExpiry, lakeTags)
 }

@@ -40,14 +40,37 @@ object StreamingQueries {
     }
   }
 
-  /** Replay `rounds` of per-source parquet drops through a streaming
-    * transform built over file sources. `sources` gives, per stream input,
-    * its read schema and the ordered frames to land (one frame = one
-    * micro-batch-sized drop; round k lands every source's k-th frame, then
-    * the query drains). Append-mode results go through a parquet sink;
-    * complete-mode results through a foreachBatch overwrite (the lake-sink
-    * shape for a fully-refreshed aggregate). The returned frame is
-    * localCheckpoint'ed so the temp dirs can be reclaimed immediately.
+  /** Land `rounds` of per-source parquet drops through a running query:
+    * round k lands every source's k-th frame (a partition-parallel write),
+    * then the query drains — one drop = one micro-batch. `start` receives
+    * the file-source streams and must return the started query.
+    */
+  private def replay(
+      s: SparkSession,
+      root: java.nio.file.Path,
+      sources: Seq[(StructType, Seq[DataFrame])],
+      start: Seq[DataFrame] => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    val srcDirs = sources.indices.map(i => root.resolve(s"src$i").toString)
+    val rounds = sources.map(_._2.length).max
+    def land(round: Int): Unit =
+      for (((_, frames), d) <- sources.zip(srcDirs); if round < frames.length)
+        frames(round).write.mode("append").parquet(d)
+    land(0) // present before the query starts = the first micro-batch
+    val streams = sources.zip(srcDirs).map { case ((schema, _), d) =>
+      s.readStream.schema(schema).parquet(d)
+    }
+    val query = start(streams)
+    try {
+      query.processAllAvailable()
+      for (r <- 1 until rounds) { land(r); query.processAllAvailable() }
+    } finally query.stop()
+  }
+
+  /** Replay through a streaming TRANSFORM and collect its results from a
+    * parquet sink (append mode) or a foreachBatch overwrite (complete
+    * mode — the lake-sink shape for a fully-refreshed aggregate). The
+    * returned frame is localCheckpoint'ed so the temp dirs can be
+    * reclaimed immediately.
     */
   private def fileReplay(
       s: SparkSession,
@@ -55,30 +78,16 @@ object StreamingQueries {
       transform: Seq[DataFrame] => DataFrame,
       complete: Boolean = false): DataFrame = {
     val root = java.nio.file.Files.createTempDirectory("graft_twin_")
-    val srcDirs = sources.indices.map(i => root.resolve(s"src$i").toString)
     val outDir = root.resolve("out").toString
     val cpDir = root.resolve("cp").toString
-    val rounds = sources.map(_._2.length).max
-
-    def land(round: Int): Unit =
-      for (((_, frames), d) <- sources.zip(srcDirs); if round < frames.length)
-        frames(round).write.mode("append").parquet(d)
-
-    land(0) // present before the query starts = the first micro-batch
-    val streams = sources.zip(srcDirs).map { case ((schema, _), d) =>
-      s.readStream.schema(schema).parquet(d)
-    }
-    val sinkBase = transform(streams).writeStream.option("checkpointLocation", cpDir)
-    val query =
+    replay(s, root, sources, { streams =>
+      val sinkBase = transform(streams).writeStream.option("checkpointLocation", cpDir)
       if (complete)
         sinkBase.outputMode("complete").foreachBatch {
           (b: Dataset[Row], _: Long) => b.write.mode("overwrite").parquet(outDir); ()
         }.start()
       else sinkBase.outputMode("append").format("parquet").option("path", outDir).start()
-    try {
-      query.processAllAvailable()
-      for (r <- 1 until rounds) { land(r); query.processAllAvailable() }
-    } finally query.stop()
+    })
     val result = s.read.parquet(outDir).localCheckpoint(true)
     rmrf(root)
     result
@@ -313,6 +322,135 @@ object StreamingQueries {
     ORDER BY c.user_id, click_id, view_id""")
   )
 
+  // ----- production sink paths under the oracle (E4/E9/E11 end-to-end) ----
+
+  private val eventSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", TimestampType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType)))
+
+  /** E4 end-to-end: the full events table streamed file-source → lake
+    * sink (one atomic catalog commit per micro-batch) and aggregated
+    * FROM THE LAKE TABLE against the at-rest oracle. This is the bench's
+    * production-ingestion throughput path — the reference's headline
+    * number is exactly this shape (rows ingested end-to-end per second),
+    * so regressions in the foreachBatch → LakeCatalog.write path are
+    * caught the way batch ones are.
+    */
+  val streamLakeSink: Q = Q(
+    "stream_lake_sink",
+    (s, dir) => {
+      val feed = Tables(s, dir).events
+        .select(col("ts").as("ts_ns"), col("event_id"),
+          timestamp_micros(expr("ts DIV 1000")).as("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      val mid = midpoint(feed, "ts_ns")
+      def half(p: org.apache.spark.sql.Column): DataFrame =
+        feed.filter(p).select("event_id", "ts", "user_id", "event_type", "value")
+      val root = java.nio.file.Files.createTempDirectory("graft_sink_")
+      val cat = graft.lake.LakeCatalog(s, root.resolve("lake").toString)
+      replay(s, root,
+        Seq(eventSchema -> Seq(half(col("ts_ns") <= mid), half(col("ts_ns") > mid))),
+        srcs => EventStreams.streamIntoLake(srcs.head, cat, "st", "events",
+          root.resolve("cp").toString))
+      val out = cat.read("st", "events")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"), graft.Num.dsum(col("value")).as("total_value"))
+        .orderBy("event_type")
+        .localCheckpoint(true)
+      rmrf(root)
+      out
+    },
+    Some("""SELECT event_type, COUNT(*) AS n_events,
+      CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY event_type ORDER BY event_type""")
+  )
+
+  /** E9 end-to-end: streaming CDC UPSERT sink — micro-batch 1 lands every
+    * event, micro-batch 2 re-sends corrections for 1-in-10 keys (+1000),
+    * and the LAKE TABLE must converge to one row per key with the latest
+    * value: the oracle counts each event once with corrections applied,
+    * so a sink that appended instead of merging (or merged the wrong
+    * rows) hash-mismatches.
+    */
+  val streamUpsertSink: Q = Q(
+    "stream_upsert_sink",
+    (s, dir) => {
+      val base = Tables(s, dir).events
+        .select(col("event_id"), col("event_type"), col("value"))
+      val corrections = base.filter(col("event_id") % 10 === 0)
+        .select(col("event_id"), col("event_type"),
+          (graft.Num.m(col("value")) + 1000).cast("double").as("value"))
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType)))
+      val root = java.nio.file.Files.createTempDirectory("graft_sink_")
+      val cat = graft.lake.LakeCatalog(s, root.resolve("lake").toString)
+      replay(s, root, Seq(schema -> Seq(base, corrections)),
+        srcs => EventStreams.streamUpsertIntoLake(srcs.head, cat, "st", "events",
+          "event_id", root.resolve("cp").toString))
+      val out = cat.read("st", "events")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"), graft.Num.dsum(col("value")).as("total_value"))
+        .orderBy("event_type")
+        .localCheckpoint(true)
+      rmrf(root)
+      out
+    },
+    Some("""SELECT event_type, COUNT(*) AS n_events,
+      CAST(SUM(CASE WHEN event_id % 10 = 0
+        THEN CAST(value AS DECIMAL(12,2)) + 1000
+        ELSE CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS total_value
+    FROM events GROUP BY event_type ORDER BY event_type""")
+  )
+
+  /** E11 end-to-end: streaming CDC APPLY sink (the full Debezium shape) —
+    * micro-batch 1 upserts every event; micro-batch 2 carries delete
+    * tombstones for 1-in-7 keys AND corrections for 1-in-10 (disjoint:
+    * corrected keys exclude deleted ones), resolved by the feed's `ord`
+    * LSN column in ONE file-scoped pass per batch. The lake table must
+    * equal the source minus tombstones with corrections applied.
+    */
+  val streamCdcSink: Q = Q(
+    "stream_cdc_sink",
+    (s, dir) => {
+      val base = Tables(s, dir).events
+        .select(col("event_id"), col("event_type"), col("value"))
+      val upserts1 = base.select(col("event_id"), col("event_type"), col("value"),
+        lit("upsert").as("_op"), lit(1L).as("ord"))
+      val batch2 = base.filter(col("event_id") % 7 === 0)
+        .select(col("event_id"), col("event_type"), col("value"),
+          lit("delete").as("_op"), lit(2L).as("ord"))
+        .unionByName(base
+          .filter(col("event_id") % 10 === 0 && col("event_id") % 7 =!= 0)
+          .select(col("event_id"), col("event_type"),
+            (graft.Num.m(col("value")) + 1000).cast("double").as("value"),
+            lit("upsert").as("_op"), lit(2L).as("ord")))
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("_op", StringType),
+        StructField("ord", LongType)))
+      val root = java.nio.file.Files.createTempDirectory("graft_sink_")
+      val cat = graft.lake.LakeCatalog(s, root.resolve("lake").toString)
+      replay(s, root, Seq(schema -> Seq(upserts1, batch2)),
+        srcs => EventStreams.streamCdcApplyIntoLake(srcs.head, cat, "st", "events",
+          "event_id", root.resolve("cp").toString, orderCol = Some("ord")))
+      val out = cat.read("st", "events")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"), graft.Num.dsum(col("value")).as("total_value"))
+        .orderBy("event_type")
+        .localCheckpoint(true)
+      rmrf(root)
+      out
+    },
+    Some("""SELECT event_type, COUNT(*) AS n_events,
+      CAST(SUM(CASE WHEN event_id % 10 = 0
+        THEN CAST(value AS DECIMAL(12,2)) + 1000
+        ELSE CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS total_value
+    FROM events WHERE event_id % 7 <> 0
+    GROUP BY event_type ORDER BY event_type""")
+  )
+
   val all: Seq[Q] = Seq(streamNeardupTwin, streamBucketsTwin, streamSessionsTwin,
-    streamJoinTwin)
+    streamJoinTwin, streamLakeSink, streamUpsertSink, streamCdcSink)
 }
