@@ -528,10 +528,22 @@ final class LakeCatalog(
     val rel = s"dv/${java.util.UUID.randomUUID().toString}"
     val out = new Path(tPath(ns, t), rel)
     marked.write.mode(SaveMode.Overwrite).parquet(out.toString)
-    if (writeStats(ns, t, rel) == 0L) {
-      deleteRec(out)
-      commit(ns, t, entries, Some(base))
-    } else commit(ns, t, entries :+ rel, Some(base))
+    val v =
+      if (writeStats(ns, t, rel) == 0L) {
+        deleteRec(out)
+        commit(ns, t, entries, Some(base))
+      } else commit(ns, t, entries :+ rel, Some(base))
+    // AUTO-MATERIALIZE VALVE (opt-in): once the snapshot's accumulated
+    // vectors pass the broadcast ceiling, every subsequent read pays a
+    // shuffled anti-join — at 100 TB that maintenance decision should be
+    // surfaced by the engine, not remembered by an operator. The check is
+    // metadata-only (sidecar row counts); the fold is the same
+    // file-scoped materializeDeletes an operator would run by hand.
+    val auto = spark.conf.getOption("graft.lake.dv.autoMaterialize")
+      .exists(_.toBoolean)
+    if (auto && dvRowCount(ns, t, dvRels(latestEntries(ns, t)._2)) > dvBroadcastMaxRows)
+      materializeDeletes(ns, t)
+    else v
   }
 
   /** Fold the current snapshot's deletion vectors into the data,

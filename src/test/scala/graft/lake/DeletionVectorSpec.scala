@@ -183,6 +183,46 @@ class DeletionVectorSpec extends SparkSpec {
     }
   }
 
+  test("auto-materialize valve: vectors past the ceiling fold themselves, restoring broadcast reads") {
+    val cat = freshCatalog()
+    import spark.implicits._
+    cat.write("ns", "t", (1 to 500).map(i => (i, i * 2)).toDF("id", "x"))
+    cat.write("ns", "t", (501 to 1000).map(i => (i, i * 2)).toDF("id", "x"),
+      SaveMode.Append)
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("graft.lake.dv.broadcastMaxRows", "100")
+    try {
+      // below the ceiling, opt-in set: delete stays a cheap vector commit
+      spark.conf.set("graft.lake.dv.autoMaterialize", "true")
+      cat.deleteMoR("ns", "t", col("id") <= 50)
+      assert(cat.latestEntries("ns", "t")._2.exists(_.startsWith("dv/")),
+        "under-ceiling deletes must stay merge-on-read")
+      // past the ceiling: the valve folds ALL vectors in the same call
+      cat.deleteMoR("ns", "t", col("id") <= 200)
+      val (_, entries) = cat.latestEntries("ns", "t")
+      assert(!entries.exists(_.startsWith("dv/")),
+        s"valve must fold vectors past the ceiling, entries=$entries")
+      assert(cat.read("ns", "t").count() == 800)
+      // the fold restores the vector-free scan: no anti-join in the plan
+      // at all (strictly better than re-earning the broadcast hint)
+      val p = cat.read("ns", "t").queryExecution.executedPlan.toString
+      assert(!p.contains("LeftAnti"), s"post-fold reads must scan plain:\n$p")
+      // only the marked commit was rewritten: the second commit's files
+      // survive with their manifest entry (500 untouched high rows)
+      assert(cat.read("ns", "t").filter(col("id") > 500).count() == 500)
+      // opt-out default: same shape WITHOUT the conf keeps vectors
+      spark.conf.unset("graft.lake.dv.autoMaterialize")
+      cat.deleteMoR("ns", "t", col("id") <= 400)
+      assert(cat.latestEntries("ns", "t")._2.exists(_.startsWith("dv/")),
+        "without the opt-in conf the valve must stay closed")
+    } finally {
+      spark.conf.unset("graft.lake.dv.autoMaterialize")
+      spark.conf.unset("graft.lake.dv.broadcastMaxRows")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+    }
+  }
+
   test("expiry reclaims vector dirs with their snapshots; orphan vacuum covers dv/") {
     val cat = freshCatalog()
     import spark.implicits._
