@@ -183,15 +183,19 @@ object ScaleProbe {
         f"remaining=$remaining%d dvs=${entries.count(_.startsWith("dv/"))}%d " +
         f"base_read=$tBase%.1fs delete=$tDel%.1fs read=$tRead%.1fs")
     }
-    // PQ-encode probe (round 6): the product-quantization assignment is a
-    // broadcast join + map-side-combined argmin — cost must track corpus
-    // size (vectors x subspaces x codebook stays partial-agg'd in place),
-    // never corpus x codebook on the wire.
+    // PQ-encode probe (round 6, retooled round 7): the product-quantization
+    // assignment is a codebook-bound codegen expression — cost must track
+    // corpus size linearly with zero shuffle. Forces the recon column
+    // through an aggregate (a bare count() would let Catalyst PRUNE the
+    // encode projection and time an empty scan — the exact mismeasurement
+    // that hid the old explode-path SortAggregate blowup).
     if (on("pq")) for (mult <- Seq(1, 3, 10)) {
       val loaded = spark.read.parquet(s"/tmp/graft_scale_emb_${mult}x")
       val n = loaded.count()
       val t0 = System.nanoTime()
-      val out = operators.Similarity.pqRecon(loaded, "vec_id", "embedding", "id").count()
+      val out = operators.Similarity.pqRecon(loaded, "vec_id", "embedding", "id")
+        .agg(count(when(element_at(col("recon"), 1) > -2e9f, 1)))
+        .head().getLong(0)
       val dt = (System.nanoTime() - t0) / 1e9
       println(f"[scale] pq-encode ${mult}x: vecs=$n%d recon=$out%d time=$dt%.1fs")
     }

@@ -1,9 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Cosine similarity of two numeric-vector columns in double precision —
@@ -102,6 +103,109 @@ case class L2Sq(left: Expression, right: Expression) extends BinaryExpression {
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): L2Sq =
     copy(left = newLeft, right = newRight)
+}
+
+/** Product-quantization encode + reconstruct in ONE tight loop: each of the
+  * vector's `dim/subDim` subvectors snaps to its nearest sample codeword
+  * (L2 in double, lowest code id on exact ties — `java.lang.Double.compare`,
+  * i.e. Spark's double ordering) and the winning codewords are concatenated
+  * back in subspace order.
+  *
+  * This replaces an explode(×M) → broadcast-join(×256 candidates) →
+  * min(struct) pipeline whose partial aggregate fell back to SortAggregate
+  * (struct buffers don't hash-aggregate), sorting corpus×256 codeword-
+  * carrying rows map-side — measured 18.7× at a 10× data step. Here the
+  * argmin never materializes candidates: O(256·dim) FLOPs per row, zero
+  * shuffle, embarrassingly parallel at any corpus size.
+  *
+  * The codebook rides the expression as bound driver-side state
+  * (256 × dim floats — a model artifact, same boundedness argument as a
+  * broadcast codebook) and reaches generated code via `addReferenceObj`.
+  * Degenerate inputs (null vector, dim mismatch, null element) yield null —
+  * the explode path's behavior on these was an artifact of struct-min
+  * ordering over null distances, which no real corpus hits.
+  */
+object PqReconstruct {
+  def compute(vec: ArrayData, vecIsDouble: Boolean,
+      samples: Array[Array[Float]], subDim: Int): ArrayData = {
+    val dim = samples(0).length
+    if (vec.numElements() != dim) return null
+    val m = dim / subDim
+    val recon = new Array[Float](dim)
+    var sub = 0
+    while (sub < m) {
+      val off = sub * subDim
+      var j = 0
+      while (j < subDim) {
+        if (vec.isNullAt(off + j)) return null
+        j += 1
+      }
+      var best = -1
+      var bestD = 0.0
+      var cid = 0
+      while (cid < samples.length) {
+        val cw = samples(cid)
+        var d = 0.0
+        j = 0
+        while (j < subDim) {
+          val x = if (vecIsDouble) vec.getDouble(off + j)
+                  else vec.getFloat(off + j).toDouble
+          val dx = x - cw(off + j).toDouble
+          d += dx * dx
+          j += 1
+        }
+        if (best < 0 || java.lang.Double.compare(d, bestD) < 0) {
+          best = cid; bestD = d
+        }
+        cid += 1
+      }
+      System.arraycopy(samples(best), off, recon, off, subDim)
+      sub += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(recon)
+  }
+}
+
+case class PqReconstruct(child: Expression, samples: Array[Array[Float]],
+    subDim: Int) extends UnaryExpression {
+
+  private def elemType(t: DataType): Option[DataType] = t match {
+    case ArrayType(FloatType, _) => Some(FloatType)
+    case ArrayType(DoubleType, _) => Some(DoubleType)
+    case _ => None
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (elemType(child.dataType).isEmpty)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: expected array<float|double>, got ${child.dataType}")
+    else if (samples.isEmpty || samples.head.isEmpty)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName: empty codebook")
+    else if (samples.head.length % subDim != 0)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: dim ${samples.head.length} not divisible by $subDim")
+    else TypeCheckResult.TypeCheckSuccess
+
+  private def vecIsDouble: Boolean = elemType(child.dataType).contains(DoubleType)
+
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_pq_recon"
+
+  override protected def nullSafeEval(v: Any): Any =
+    PqReconstruct.compute(v.asInstanceOf[ArrayData], vecIsDouble, samples, subDim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cb = ctx.addReferenceObj("pqSamples", samples, "float[][]")
+    nullSafeCodeGen(ctx, ev, v => s"""
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value}_r =
+        graft.functions.PqReconstruct$$.MODULE$$.compute($v, $vecIsDouble, $cb, $subDim);
+      if (${ev.value}_r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}_r; }""")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqReconstruct =
+    copy(child = newChild)
 }
 
 case class CosineSim(left: Expression, right: Expression)

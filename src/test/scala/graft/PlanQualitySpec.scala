@@ -147,6 +147,20 @@ class PlanQualitySpec extends SparkSpec {
     assert("BroadcastExchange".r.findAllIn(p).length >= 2, p) // bounds + queries
   }
 
+  test("ann_pq: encode is a shuffle-free projection — no SortAggregate, no Generate") {
+    val p = plan(operators.Similarity.annPq)
+    // the r6 explode→join→min(struct) encode planned SortAggregate (struct
+    // buffers don't hash-aggregate) over corpus×256 rows; the expression
+    // encode must keep both the explode (Generate) and any aggregate out
+    assert(!p.contains("SortAggregate"), p)
+    assert(!p.contains("Generate"), p)
+    assert(p.contains("graft_pq_recon"), p)
+    // only the top-k window shuffles: one hash exchange (rank) + the final
+    // ordering's range exchange — nothing from the encode side
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 1, s"encode added shuffles ($exchanges):\n$p")
+  }
+
   test("AQE splits a planted-skew sort-merge join (skew=true in the final plan)") {
     // the CI pin behind ScaleProbe's skew canary: §4's fact-fact skew
     // story depends on AQE actually detecting and splitting a hot key's

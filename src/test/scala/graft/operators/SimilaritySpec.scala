@@ -194,4 +194,28 @@ class SimilaritySpec extends SparkSpec {
       .head()
     assert(f.getDouble(0) == f.getDouble(1))
   }
+
+  test("PqReconstruct expression: lowest-id tie-break, degenerate inputs, double widening") {
+    import spark.implicits._
+    import org.apache.spark.sql.GraftBridge
+    // two IDENTICAL codewords (cid 0 and 1) + a far one: equidistant snap
+    // must pick cid 0's bytes (same values as cid 1, so assert via a third
+    // distinct-but-equidistant pair instead: +1 and -1 around the vector)
+    val samples = Array(
+      Array(1.0f, 1.0f), // cid 0: d = (0-1)^2*2 = 2 from origin
+      Array(-1.0f, -1.0f), // cid 1: d = 2 from origin — exact tie
+      Array(9.0f, 9.0f)) // cid 2: far
+    def recon(c: org.apache.spark.sql.Column) = GraftBridge.column(
+      graft.functions.PqReconstruct(GraftBridge.expression(spark, c), samples, 2))
+    val out = Seq(Seq(0.0f, 0.0f)).toDF("v").select(recon(col("v"))).head().getSeq[Float](0)
+    assert(out == Seq(1.0f, 1.0f), s"tie must break to lowest code id, got $out")
+    // dim mismatch and null vector → null
+    val degenerate = Seq((Some(Seq(0.1f, 0.2f, 0.3f)), Option.empty[Seq[Float]]))
+      .toDF("bad_dim", "null_vec")
+      .select(recon(col("bad_dim")).as("a"), recon(col("null_vec")).as("b")).head()
+    assert(degenerate.isNullAt(0) && degenerate.isNullAt(1))
+    // array<double> input widens per-element exactly like the float path
+    val d = Seq(Seq(0.9, 0.9)).toDF("v").select(recon(col("v"))).head().getSeq[Float](0)
+    assert(d == Seq(1.0f, 1.0f))
+  }
 }
