@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType}
 
 /** Cosine similarity of two numeric-vector columns in double precision —
   * the scoring hot loop of every ANN / embedding-dedup operator. Native
@@ -205,6 +205,83 @@ case class PqReconstruct(child: Expression, samples: Array[Array[Float]],
   }
 
   override protected def withNewChildInternal(newChild: Expression): PqReconstruct =
+    copy(child = newChild)
+}
+
+/** Nearest-centroid assignment in ONE tight loop: the vector's L2-closest
+  * centroid id (double accumulation, lowest centroid id on exact ties —
+  * `java.lang.Double.compare`, the PqReconstruct discipline). The centroid
+  * set rides the expression as bound driver-side state (K × dim floats, a
+  * bounded model artifact reaching generated code via `addReferenceObj`),
+  * so cluster assignment is a pure per-row projection: O(K·dim) FLOPs,
+  * zero shuffle, no candidate materialization — the same reason PQ encode
+  * moved off explode→join→min(struct) (SortAggregate, superlinear).
+  * Degenerate inputs (null vector, dim mismatch, null element) yield null.
+  */
+object NearestCentroid {
+  def compute(vec: ArrayData, vecIsDouble: Boolean,
+      centroids: Array[Array[Float]]): java.lang.Integer = {
+    val dim = centroids(0).length
+    if (vec.numElements() != dim) return null
+    var best = -1
+    var bestD = 0.0
+    var cid = 0
+    while (cid < centroids.length) {
+      val c = centroids(cid)
+      var d = 0.0
+      var j = 0
+      while (j < dim) {
+        if (vec.isNullAt(j)) return null
+        val x = if (vecIsDouble) vec.getDouble(j) else vec.getFloat(j).toDouble
+        val dx = x - c(j).toDouble
+        d += dx * dx
+        j += 1
+      }
+      if (best < 0 || java.lang.Double.compare(d, bestD) < 0) {
+        best = cid; bestD = d
+      }
+      cid += 1
+    }
+    java.lang.Integer.valueOf(best)
+  }
+}
+
+case class NearestCentroid(child: Expression, centroids: Array[Array[Float]])
+    extends UnaryExpression {
+
+  private def elemType(t: DataType): Option[DataType] = t match {
+    case ArrayType(FloatType, _) => Some(FloatType)
+    case ArrayType(DoubleType, _) => Some(DoubleType)
+    case _ => None
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (elemType(child.dataType).isEmpty)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: expected array<float|double>, got ${child.dataType}")
+    else if (centroids.isEmpty || centroids.head.isEmpty)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName: empty centroid set")
+    else TypeCheckResult.TypeCheckSuccess
+
+  private def vecIsDouble: Boolean = elemType(child.dataType).contains(DoubleType)
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_nearest_centroid"
+
+  override protected def nullSafeEval(v: Any): Any =
+    NearestCentroid.compute(v.asInstanceOf[ArrayData], vecIsDouble, centroids)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cs = ctx.addReferenceObj("centroids", centroids, "float[][]")
+    nullSafeCodeGen(ctx, ev, v => s"""
+      java.lang.Integer ${ev.value}_r =
+        graft.functions.NearestCentroid$$.MODULE$$.compute($v, $vecIsDouble, $cs);
+      if (${ev.value}_r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}_r.intValue(); }""")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroid =
     copy(child = newChild)
 }
 

@@ -548,6 +548,107 @@ object Dedup {
     Some(graft.Q.oracleResource("dedup_levenshtein"))
   )
 
+  // ---- semantic dedup (SemDeDup) ----------------------------------------
+
+  val SemClusters = 16
+  val SemThreshold = 0.95
+
+  /** Deterministic cluster centroids for the semantic dedup: the first K
+    * corpus vectors in md5-of-id order (the cheap deterministic init, the
+    * PQ-codebook discipline) — a bounded K × dim model artifact, ONE
+    * driver collect capped by the limit.
+    */
+  def semCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int = SemClusters): Array[Array[Float]] = {
+    val sample = corpus
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .limit(k)
+      .select(col(vecCol)).collect().map(_.getSeq[Float](0).toArray)
+    require(sample.nonEmpty, "empty corpus")
+    sample
+  }
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * partition the embedding space into K clusters, then run the O(n²)
+    * cosine screen WITHIN each cluster only — never over the corpus.
+    * Output: every eliminated vector with a lower-id witness duplicate and
+    * its cluster. Adapted for engine determinism: centroids are the
+    * deterministic md5-ordered corpus sample (not KMeans, whose iteration
+    * is partitioning-dependent — the reason ann_ivf is rows-only), and the
+    * kept representative is the lowest id (the paper keeps a
+    * centroid-distance extremum; any fixed rule is valid SemDeDup).
+    *
+    * Scale shape: assignment is a pure codegen projection — the centroids
+    * are bound INTO graft_nearest_centroid (functions/NearestCentroid), so
+    * there is no explode, no join, no shuffle for the assign stage. The
+    * pair screen shuffles ONCE on cluster id. Per-cluster work is
+    * quadratic BY DESIGN (that is SemDeDup's trade); cluster size is the
+    * knob — production sizes K ≈ corpus/5k so clusters stay ~5k vectors,
+    * exactly how the paper runs at 100 TB-class corpora.
+    */
+  val dedupSemantic: Q = Q(
+    "dedup_semantic",
+    (s, dir) => {
+      val base = Tables(s, dir).embeddings
+      val planted = base.filter(col("vec_id") % 20 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      val corpus = base.select("vec_id", "embedding").unionByName(planted)
+      val cents = semCentroids(corpus, "vec_id", "embedding")
+      val assigned = corpus.select(col("vec_id"), col("embedding"),
+        org.apache.spark.sql.GraftBridge.column(graft.functions.NearestCentroid(
+          org.apache.spark.sql.GraftBridge.expression(s, col("embedding")),
+          cents)).cast("long").as("cluster"))
+      val lhs = assigned.select(col("cluster"), col("vec_id").as("a"), col("embedding").as("e_a"))
+      val rhs = assigned.select(col("cluster"), col("vec_id").as("b"), col("embedding").as("e_b"))
+      lhs.join(rhs, "cluster").filter(col("a") < col("b"))
+        .select(col("cluster"), col("a"), col("b"),
+          Similarity.cosine(col("e_a"), col("e_b")).as("cos"))
+        .filter(col("cos") >= SemThreshold)
+        .groupBy("b")
+        .agg(min(col("a")).as("dup_of"), min(col("cluster")).as("cluster"))
+        .select(col("b").as("vec_id"), col("dup_of"), col("cluster"))
+        .orderBy("vec_id")
+    },
+    // Bit-exact DuckDB twin of the full pipeline: md5-ordered centroid
+    // sample → L2 argmin assignment (same left-to-right double fold, same
+    // lowest-centroid-id tie-break) → within-cluster pairs → double cosine
+    // → keep-first. Same IEEE-reproducibility argument as ann_pq.
+    Some("""WITH corpus AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings WHERE vec_id % 20 = 0),
+    ordered AS (
+      SELECT vec_id, embedding,
+        row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid
+      FROM corpus),
+    cent AS (SELECT cid, embedding AS c_emb FROM ordered WHERE cid < 16),
+    dists AS (
+      SELECT c.vec_id, cent.cid,
+        list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(c.embedding)+1),
+          i -> (c.embedding[i]::DOUBLE - c_emb[i]::DOUBLE)
+             * (c.embedding[i]::DOUBLE - c_emb[i]::DOUBLE))), (x,y) -> x+y) AS d
+      FROM corpus c, cent),
+    assigned AS (
+      SELECT vec_id, cid AS cluster FROM (
+        SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM dists) r WHERE rn = 1),
+    pairs AS (
+      SELECT x.cluster, x.vec_id AS a, y.vec_id AS b
+      FROM assigned x JOIN assigned y USING (cluster) WHERE x.vec_id < y.vec_id),
+    scored AS (
+      SELECT cluster, a, b,
+        list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(ea.embedding)+1),
+          i -> ea.embedding[i]::DOUBLE * eb.embedding[i]::DOUBLE)), (x,y) -> x+y)
+        / (sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(ea.embedding)+1),
+            i -> ea.embedding[i]::DOUBLE * ea.embedding[i]::DOUBLE)), (x,y) -> x+y))
+         * sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(eb.embedding)+1),
+            i -> eb.embedding[i]::DOUBLE * eb.embedding[i]::DOUBLE)), (x,y) -> x+y))) AS cos
+      FROM pairs JOIN corpus ea ON a = ea.vec_id JOIN corpus eb ON b = eb.vec_id)
+    SELECT b AS vec_id, MIN(a) AS dup_of, MIN(cluster) AS cluster
+    FROM scored WHERE cos >= 0.95 GROUP BY b ORDER BY vec_id""")
+  )
+
   val all: Seq[Q] = Seq(dedupExact, dedupKeepFirst, dedupMinhash, dedupNgramJaccard,
-    dedupSimhash, dedupEmbedding, dedupClusters, dedupSurvivors, dedupLevenshtein)
+    dedupSimhash, dedupEmbedding, dedupClusters, dedupSurvivors, dedupLevenshtein,
+    dedupSemantic)
 }

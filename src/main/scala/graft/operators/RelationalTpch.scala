@@ -591,9 +591,84 @@ object RelationalTpch {
     ORDER BY s_name""")
   )
 
+  /** TPC-H Q11 shape (adapted: lineitem net revenue plays the
+    * `ps_supplycost * ps_availqty` stock-value role, and a bounded
+    * nation-key band plays GERMANY — a single nation holds no suppliers at
+    * the smallest SF): per-part stock value for one nation group, HAVING
+    * value above a multiple of the mean per-part share. The correlated
+    * scalar total is ONE single-row aggregate broadcast into the filter
+    * (the q15 discipline) — never a global window, which would
+    * single-partition the whole view. The threshold compare happens in
+    * IEEE doubles derived from exact decimal sums, identical on both
+    * engines; the mean compare is division-free (value·cnt > k·total).
+    */
+  val q11ImportantStock: Q = Q(
+    "q11_important_stock",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val natSupp = t.supplier
+        .join(broadcast(t.nation.filter(col("n_nationkey") < 8)),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey")
+      val vals = t.lineitem
+        .join(natSupp, col("l_suppkey") === col("s_suppkey"), "left_semi")
+        .groupBy("l_partkey")
+        .agg(sum(discPrice).as("value"))
+      val tot = vals.agg(sum(col("value")).as("total"), count(lit(1)).as("cnt"))
+      vals.crossJoin(broadcast(tot))
+        .filter(col("value").cast(DoubleType) * col("cnt") >
+          lit(1.5) * col("total").cast(DoubleType))
+        .select(col("l_partkey"), col("value").cast(DoubleType).as("value"))
+        .orderBy(desc("value"), asc("l_partkey"))
+    },
+    Some(s"""WITH vals AS (
+      SELECT l_partkey, SUM(CAST(l_extendedprice AS $D) * (1 - CAST(l_discount AS $D))) AS value
+      FROM lineitem
+      WHERE EXISTS (SELECT 1 FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        WHERE s_suppkey = l_suppkey AND n_nationkey < 8)
+      GROUP BY l_partkey),
+    tot AS (SELECT SUM(value) AS total, COUNT(*) AS cnt FROM vals)
+    SELECT l_partkey, CAST(value AS DOUBLE) AS value FROM vals, tot
+    WHERE CAST(value AS DOUBLE) * cnt > 1.5 * CAST(total AS DOUBLE)
+    ORDER BY value DESC, l_partkey""")
+  )
+
+  /** TPC-H Q16 shape (adapted: lineitem part-supplier pairs play partsupp;
+    * negative account balance plays the customer-complaints comment
+    * filter): supplier-relationship counts — distinct suppliers shipping
+    * each surviving (brand, type, size) combination, excluding one brand,
+    * one type, a size set, and bad-standing suppliers. The NOT IN plans as
+    * a LEFT ANTI join (keys are never null, so the semantics coincide);
+    * the bad-supplier set is a filtered dim the planner may broadcast,
+    * never hinted since supplier scales with SF. COUNT(DISTINCT) rides
+    * Spark's two-phase distinct aggregate — partial per partition, final
+    * on the group key, no global distinct shuffle of raw pairs.
+    */
+  val q16SupplierRelationship: Q = Q(
+    "q16_supplier_relationship",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val badSupp = t.supplier.filter(col("s_acctbal") < 0).select("s_suppkey")
+      t.part
+        .filter(col("p_brand") =!= "Brand#5" && col("p_type") =!= "PROMO" &&
+          col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+        .join(t.lineitem, col("p_partkey") === col("l_partkey"))
+        .join(badSupp, col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(desc("supplier_cnt"), asc("p_brand"), asc("p_type"), asc("p_size"))
+    },
+    Some("""SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO' AND p_size IN (1,4,9,16,25,36,49)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""")
+  )
+
   val all: Seq[Q] = Seq(q6ForecastRevenue, q10ReturnedItems, q12PriorityClasses,
     q14PromoRevenue, q17SmallQtyRevenue, q18LargeOrders, q19DisjunctiveBands,
     q22IdleCustomers, q7VolumeShipping, q13OrderDistribution, q21WaitingSuppliers,
     q2MinCostSupplier, q4OrderPriority, q8MarketShare, q9ProductProfit,
-    q15TopSupplier, q20VolumeSuppliers)
+    q15TopSupplier, q20VolumeSuppliers, q11ImportantStock, q16SupplierRelationship)
 }

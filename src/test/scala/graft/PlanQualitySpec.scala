@@ -278,4 +278,25 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("partial_sum"),
       s"the qty aggregate must map-side combine:\n$p")
   }
+
+  test("q11: the scalar total broadcasts as one row — no global window") {
+    val p = plan(operators.RelationalTpch.q11ImportantStock)
+    assert(!p.contains("Window"),
+      s"a global-total window would single-partition the view:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"the 1-row total must broadcast:\n$p")
+    assert(p.contains("LeftSemi"),
+      s"nation-band supplier qualification must be a semi join:\n$p")
+    assert(p.contains("partial_sum"),
+      s"per-part value must map-side combine:\n$p")
+  }
+
+  test("q16: NOT IN plans as anti join; distinct count is two-phase") {
+    val p = plan(operators.RelationalTpch.q16SupplierRelationship)
+    assert(p.contains("LeftAnti"),
+      s"bad-supplier exclusion must be a left-anti join:\n$p")
+    assert(p.contains("partial_count(distinct") || p.contains("count(distinct"),
+      s"distinct supplier count must use the two-phase distinct aggregate:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

@@ -160,4 +160,32 @@ class DedupSpec extends SparkSpec {
     assert(pairs.agg(max("b")).head().getString(0) == f"doc_${k - 1}%03d")
     assert(pairs.schema("a").dataType == org.apache.spark.sql.types.StringType)
   }
+
+  test("semantic dedup eliminates every planted copy with its source as witness") {
+    val out = Dedup.dedupSemantic.fn(spark, sfDir).cache()
+    val t = graft.Tables(spark, sfDir)
+    val nPlanted = t.embeddings.filter(col("vec_id") % 20 === 0).count()
+    // identical vectors assign to the same cluster deterministically, so
+    // every planted copy (id+1M) must be eliminated by some lower id; its
+    // witness is its source unless an even-lower near-dup exists
+    val planted = out.filter(col("vec_id") >= 1000000L)
+    assert(planted.count() == nPlanted,
+      s"expected all $nPlanted planted copies eliminated, got ${planted.count()}")
+    val withSource = planted.filter(col("dup_of") <= col("vec_id") - 1000000L).count()
+    assert(withSource == nPlanted, "witness must be at or below the planted source id")
+    assert(out.filter(col("cluster") < 0 || col("cluster") >= Dedup.SemClusters).count() == 0)
+  }
+
+  test("semantic dedup assignment is invariant under input partitioning") {
+    val base = graft.Tables(spark, sfDir).embeddings.limit(200)
+    val cents = Dedup.semCentroids(base, "vec_id", "embedding", 8)
+    def assign(df: org.apache.spark.sql.DataFrame) = df.select(col("vec_id"),
+      org.apache.spark.sql.GraftBridge.column(graft.functions.NearestCentroid(
+        org.apache.spark.sql.GraftBridge.expression(spark, col("embedding")),
+        cents)).as("cluster"))
+    val one = assign(base).collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val other = assign(base.repartition(13)).collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(one == other, "cluster assignment must not depend on partitioning")
+    assert(one.values.toSet.subsetOf((0 until 8).toSet))
+  }
 }
