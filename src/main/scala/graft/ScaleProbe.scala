@@ -17,7 +17,7 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     // optional trailing section names (minhash ann text mega-bucket rank
-    // merge mor pq skew stream) restrict the run; empty = all
+    // merge mor pq sem skew stream) restrict the run; empty = all
     val sections = args.drop(1).toSet
     def on(name: String): Boolean = sections.isEmpty || sections.contains(name)
     val spark = GraftSession.getOrCreate("graft-scale-probe")
@@ -243,6 +243,45 @@ object ScaleProbe {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None) => spark.conf.unset(k)
     }
+    }
+
+    // semantic-dedup probe (round 7): assignment is a centroid-bound
+    // codegen projection — must track corpus size linearly with zero
+    // shuffle (forced through an aggregate that reads the cluster column,
+    // the pq-probe lesson). The pair screen is per-cluster quadratic BY
+    // DESIGN; K is the knob — the same corpus under 4x the clusters must
+    // cut screen time ~quadratically-per-cluster, which is the scaling
+    // argument production relies on (K ~ corpus/5k).
+    if (on("sem")) {
+      for (mult <- Seq(1, 3, 10)) {
+        val loaded = spark.read.parquet(s"/tmp/graft_scale_emb_${mult}x")
+        val n = loaded.count()
+        val cents = operators.Dedup.semCentroids(loaded, "vec_id", "embedding", 16)
+        val t0 = System.nanoTime()
+        val assigned = loaded.select(
+          org.apache.spark.sql.GraftBridge.column(graft.functions.NearestCentroid(
+            org.apache.spark.sql.GraftBridge.expression(spark, col("embedding")),
+            cents)).as("cluster"))
+          .agg(countDistinct(col("cluster"))).head().getLong(0)
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"[scale] sem-assign ${mult}x: vecs=$n%d clusters=$assigned%d time=$dt%.1fs")
+      }
+      val loaded = spark.read.parquet("/tmp/graft_scale_emb_10x")
+      for (k <- Seq(16, 64)) {
+        val cents = operators.Dedup.semCentroids(loaded, "vec_id", "embedding", k)
+        val assigned = loaded.select(col("vec_id"), col("embedding"),
+          org.apache.spark.sql.GraftBridge.column(graft.functions.NearestCentroid(
+            org.apache.spark.sql.GraftBridge.expression(spark, col("embedding")),
+            cents)).as("cluster"))
+        val lhs = assigned.select(col("cluster"), col("vec_id").as("a"), col("embedding").as("e_a"))
+        val rhs = assigned.select(col("cluster"), col("vec_id").as("b"), col("embedding").as("e_b"))
+        val t0 = System.nanoTime()
+        val pairs = lhs.join(rhs, "cluster").filter(col("a") < col("b"))
+          .select(operators.Similarity.cosine(col("e_a"), col("e_b")).as("cos"))
+          .filter(col("cos") >= operators.Dedup.SemThreshold).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"[scale] sem-screen k=$k%d: pairs=$pairs%d time=$dt%.1fs")
+      }
     }
 
     // stream-replay probe (round 7): the file-source twin harness itself
