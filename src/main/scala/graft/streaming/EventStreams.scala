@@ -324,6 +324,90 @@ object EventStreams {
       }
   }
 
+  /** one incoming embedded vector on the stream; `cluster` is assigned by
+    * the stateless centroid projection (graft_nearest_centroid) before the
+    * stateful stage — in production the centroids live in a lake table and
+    * the expression runs in-stream, exactly like the batch path
+    */
+  case class VecIn(vec_id: Long, ts: java.sql.Timestamp, cluster: Int,
+      embedding: Seq[Float])
+
+  case class ClusterEntry(id: Long, emb: Seq[Float])
+  case class SemClusterState(entries: List[ClusterEntry])
+
+  /** an eliminated vector with its lowest-id witness duplicate */
+  case class SemDup(vec_id: Long, dup_of: Long, cluster: Long)
+
+  /** bit-identical to functions.CosineSim.compute (same accumulation order,
+    * same float→double widening) so stream == batch == oracle exactly */
+  private def cosSeq(a: Seq[Float], b: Seq[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    val n = a.length
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** E14: ONLINE SemDeDup — the streaming twin of the batch semantic dedup
+    * (operators.Dedup.dedupSemantic). Cluster assignment is the same
+    * stateless codegen projection as batch; the only stateful piece is the
+    * per-cluster seen-set: each arriving vector screens against the
+    * vectors already seen in its cluster and is emitted as eliminated
+    * (with its lowest-id witness) when any cosine clears the threshold.
+    * Eliminated vectors still join the seen-set — the batch semantics,
+    * where any lower id is a valid witness.
+    *
+    * State per cluster is the cluster's seen vector set — the same memory
+    * the batch screen holds per cluster, bounded by cluster sizing (K is
+    * the knob) and by the event-time TTL, which drops clusters quiet past
+    * the watermark horizon. When the replay arrives in id order (the twin
+    * does; a production backfill should), the emitted set is EXACTLY the
+    * batch output; under arbitrary arrival order the screen is
+    * best-effort-monotone: only lower-id entries count as witnesses, so a
+    * vector is never eliminated by a later id.
+    */
+  def semanticDedupStream(
+      vecs: Dataset[VecIn],
+      threshold: Double = graft.operators.Dedup.SemThreshold,
+      ttlMinutes: Int = 60): Dataset[SemDup] = {
+    import vecs.sparkSession.implicits._
+    val ttlMs = ttlMinutes * 60L * 1000L
+    vecs.toDF()
+      .withWatermark("ts", s"$ttlMinutes minutes")
+      .as[VecIn]
+      .groupByKey(_.cluster)
+      .flatMapGroupsWithState[SemClusterState, SemDup](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (cluster: Int, it: Iterator[VecIn], state: GroupState[SemClusterState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var entries = state.getOption.map(_.entries).getOrElse(Nil)
+            val out = Seq.newBuilder[SemDup]
+            // deterministic within-batch order, same tie-break as batch
+            val sorted = it.toSeq.sortBy(v => (v.ts.getTime, v.vec_id))
+            for (v <- sorted) {
+              val witnesses = entries.iterator
+                .filter(e => e.id < v.vec_id && cosSeq(e.emb, v.embedding) >= threshold)
+                .map(_.id)
+              if (witnesses.nonEmpty)
+                out += SemDup(v.vec_id, witnesses.min, cluster.toLong)
+              if (!entries.exists(_.id == v.vec_id))
+                entries = entries :+ ClusterEntry(v.vec_id, v.embedding)
+            }
+            state.update(SemClusterState(entries))
+            val batchMaxMs = sorted.map(_.ts.getTime).max
+            val wmMs =
+              try state.getCurrentWatermarkMs()
+              catch { case _: UnsupportedOperationException => 0L }
+            try state.setTimeoutTimestamp(math.max(batchMaxMs + ttlMs, wmMs + 1))
+            catch { case _: UnsupportedOperationException => () }
+            out.result().iterator
+          }
+      }
+  }
+
   /** events table (nanos-long ts) → typed stream-shaped dataset */
   def eventsAsTyped(spark: SparkSession, dir: String): Dataset[Event] = {
     import spark.implicits._

@@ -322,6 +322,51 @@ object StreamingQueries {
     ORDER BY c.user_id, click_id, view_id""")
   )
 
+  /** E14 twin: ONLINE SemDeDup under the DuckDB oracle. The embedding
+    * corpus (with the planted copies) is cluster-assigned by the SAME
+    * stateless centroid projection as batch, replayed in vec_id order as
+    * two micro-batches through `semanticDedupStream`, and the emitted
+    * eliminations must hash-match the batch dedup_semantic oracle —
+    * witness ids and cluster included. The midpoint split puts every
+    * planted copy (id ≥ 1M) in batch 2 while its source sits in batch 1,
+    * so every emission crosses the state boundary — the cross-batch
+    * seen-set is what this twin proves.
+    */
+  val streamSemanticTwin: Q = Q(
+    "stream_semantic_twin",
+    (s, dir) => {
+      import s.implicits._
+      val base = Tables(s, dir).embeddings
+      val planted = base.filter(col("vec_id") % 20 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      val corpus = base.select("vec_id", "embedding").unionByName(planted)
+      val cents = graft.operators.Dedup.semCentroids(corpus, "vec_id", "embedding")
+      val assigned = corpus.select(col("vec_id"),
+        org.apache.spark.sql.GraftBridge.column(graft.functions.NearestCentroid(
+          org.apache.spark.sql.GraftBridge.expression(s, col("embedding")),
+          cents)).as("cluster"),
+        col("embedding"))
+      val mid = midpoint(assigned, "vec_id")
+      val baseTs = 1700000000000L
+      def stamped(half: DataFrame, tsMs: Long): DataFrame =
+        half.select(col("vec_id"), timestamp_millis(lit(tsMs)).as("ts"),
+          col("cluster"), col("embedding"))
+      val schema = StructType(Seq(
+        StructField("vec_id", LongType), StructField("ts", TimestampType),
+        StructField("cluster", IntegerType),
+        StructField("embedding", ArrayType(FloatType))))
+      val out = fileReplay(
+        s,
+        Seq(schema -> Seq(
+          stamped(assigned.filter(col("vec_id") <= mid), baseTs),
+          stamped(assigned.filter(col("vec_id") > mid), baseTs + 60000L))),
+        srcs => EventStreams.semanticDedupStream(srcs.head.as[EventStreams.VecIn]).toDF())
+      out.select("vec_id", "dup_of", "cluster").orderBy("vec_id")
+    },
+    // the batch dedup_semantic oracle, verbatim — stream == batch
+    Some(graft.operators.Dedup.dedupSemantic.sql.get)
+  )
+
   // ----- production sink paths under the oracle (E4/E9/E11 end-to-end) ----
 
   private val eventSchema = StructType(Seq(
@@ -452,5 +497,6 @@ object StreamingQueries {
   )
 
   val all: Seq[Q] = Seq(streamNeardupTwin, streamBucketsTwin, streamSessionsTwin,
-    streamJoinTwin, streamLakeSink, streamUpsertSink, streamCdcSink)
+    streamJoinTwin, streamSemanticTwin, streamLakeSink, streamUpsertSink,
+    streamCdcSink)
 }
