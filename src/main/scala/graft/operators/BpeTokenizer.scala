@@ -153,7 +153,11 @@ object BpeTokenizer {
         .sortBy(_._1).toDF("rank", "left", "right"))
   }
 
-  /** Cold-start: the stored merge table, back as a ranks map. */
+  /** Cold-start: the stored merge table, back as a ranks map. The collect
+    * is BOUNDED by construction: the table holds exactly the trained merge
+    * list (≤ `numMerges` rows, written by [[saveModel]]) — a model
+    * artifact, never data-proportional.
+    */
   def loadModel(catalog: graft.lake.LakeCatalog, ns: String,
       table: String): Map[Merge, Int] =
     catalog.read(ns, table).select("rank", "left", "right").collect()

@@ -383,7 +383,9 @@ object EventStreams {
         (cluster: Int, it: Iterator[VecIn], state: GroupState[SemClusterState]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            var entries = state.getOption.map(_.entries).getOrElse(Nil)
+            val entries = scala.collection.mutable.ArrayBuffer
+              .from(state.getOption.map(_.entries).getOrElse(Nil))
+            val seen = scala.collection.mutable.Set.from(entries.iterator.map(_.id))
             val out = Seq.newBuilder[SemDup]
             // deterministic within-batch order, same tie-break as batch
             val sorted = it.toSeq.sortBy(v => (v.ts.getTime, v.vec_id))
@@ -393,10 +395,9 @@ object EventStreams {
                 .map(_.id)
               if (witnesses.nonEmpty)
                 out += SemDup(v.vec_id, witnesses.min, cluster.toLong)
-              if (!entries.exists(_.id == v.vec_id))
-                entries = entries :+ ClusterEntry(v.vec_id, v.embedding)
+              if (seen.add(v.vec_id)) entries += ClusterEntry(v.vec_id, v.embedding)
             }
-            state.update(SemClusterState(entries))
+            state.update(SemClusterState(entries.toList))
             val batchMaxMs = sorted.map(_.ts.getTime).max
             val wmMs =
               try state.getCurrentWatermarkMs()
