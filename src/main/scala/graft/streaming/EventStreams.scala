@@ -350,7 +350,7 @@ object EventStreams {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
-  /** E14: ONLINE SemDeDup — the streaming twin of the batch semantic dedup
+  /** E17: ONLINE SemDeDup — the streaming twin of the batch semantic dedup
     * (operators.Dedup.dedupSemantic). Cluster assignment is the same
     * stateless codegen projection as batch; the only stateful piece is the
     * per-cluster seen-set: each arriving vector screens against the

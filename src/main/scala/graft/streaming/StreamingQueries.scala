@@ -322,7 +322,7 @@ object StreamingQueries {
     ORDER BY c.user_id, click_id, view_id""")
   )
 
-  /** E14 twin: ONLINE SemDeDup under the DuckDB oracle. The embedding
+  /** E17 twin: ONLINE SemDeDup under the DuckDB oracle. The embedding
     * corpus (with the planted copies) is cluster-assigned by the SAME
     * stateless centroid projection as batch, replayed in vec_id order as
     * two micro-batches through `semanticDedupStream`, and the emitted

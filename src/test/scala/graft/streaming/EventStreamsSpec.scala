@@ -402,7 +402,7 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("E14: online SemDeDup eliminates across micro-batches; witnesses are lower ids only") {
+  test("E17: online SemDeDup eliminates across micro-batches; witnesses are lower ids only") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
     val e1 = Seq(1.0f, 0.0f, 0.0f)        // cluster 7's first member
@@ -410,28 +410,28 @@ class EventStreamsSpec extends SparkSpec {
     val far = Seq(0.0f, 1.0f, 0.0f)       // same cluster, cos = 0
     val input = MemoryStream[VecIn]
     val q = semanticDedupStream(input.toDS()).toDF()
-      .writeStream.format("memory").queryName("e14_out").outputMode("append").start()
+      .writeStream.format("memory").queryName("e17_out").outputMode("append").start()
     try {
       // batch 1: ids 10 and 20 (distinct directions — no elimination)
       input.addData(VecIn(10L, ts(0), 7, e1), VecIn(20L, ts(1), 7, far))
       q.processAllAvailable()
-      assert(spark.table("e14_out").count() == 0)
+      assert(spark.table("e17_out").count() == 0)
       // batch 2: id 30 duplicates id 10 from batch 1 — the cross-batch
       // seen-set must produce the elimination with the LOWEST witness
       input.addData(VecIn(30L, ts(2), 7, e1dup))
       q.processAllAvailable()
-      val out1 = spark.table("e14_out")
+      val out1 = spark.table("e17_out")
         .select("vec_id", "dup_of", "cluster").as[(Long, Long, Long)].collect()
       assert(out1.toSeq == Seq((30L, 10L, 7L)))
       // batch 3: id 5 duplicates id 10 but has a LOWER id — never
       // eliminated by a later arrival (the monotone-witness contract)
       input.addData(VecIn(5L, ts(3), 7, e1dup))
       q.processAllAvailable()
-      assert(spark.table("e14_out").count() == 1)
+      assert(spark.table("e17_out").count() == 1)
       // batch 4: id 40 now has three witnesses (5, 10, 30) — min wins
       input.addData(VecIn(40L, ts(4), 7, e1dup))
       q.processAllAvailable()
-      val out2 = spark.table("e14_out").filter(col("vec_id") === 40L)
+      val out2 = spark.table("e17_out").filter(col("vec_id") === 40L)
         .select("dup_of").as[Long].collect()
       assert(out2.toSeq == Seq(5L))
     } finally q.stop()
