@@ -291,6 +291,18 @@ class PlanQualitySpec extends SparkSpec {
       s"per-part value must map-side combine:\n$p")
   }
 
+  test("dedup_semantic: assignment is a pure projection; screen shuffles once on cluster") {
+    val p = plan(operators.Dedup.dedupSemantic)
+    assert(p.contains("graft_nearest_centroid"),
+      s"assignment must be the centroid-bound codegen expression:\n$p")
+    assert(!p.contains("Generate") && !p.contains("CartesianProduct"),
+      s"no explode / cross product anywhere in the pipeline:\n$p")
+    // exchanges: the cluster-key join (reused across both sides where
+    // possible) + the keep-first aggregation — never one per centroid
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 3, s"expected <=3 hash exchanges, got $exchanges:\n$p")
+  }
+
   test("q16: NOT IN plans as anti join; distinct count is two-phase") {
     val p = plan(operators.RelationalTpch.q16SupplierRelationship)
     assert(p.contains("LeftAnti"),
