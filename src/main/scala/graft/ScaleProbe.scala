@@ -34,11 +34,32 @@ object ScaleProbe {
            else concat(col("text"), lit(s" variant token $m"))).as("text"))
       }.reduce(_ unionByName _)
 
-    if (on("minhash")) for (mult <- Seq(1, 3, 10)) {
-      val corpus = multiplied(mult)
+    // Sections share the multiplied corpora through /tmp parquet drops.
+    // Each corpus is (re)materialized the FIRST time any section in THIS
+    // run needs it — so a subset run (`ScaleProbe dir sem`) is
+    // self-sufficient and never silently measures a stale file written by
+    // an earlier run against a different scale factor.
+    val materialized = scala.collection.mutable.Set.empty[String]
+    def docsCorpus(mult: Int): String = {
       val path = s"/tmp/graft_scale_${mult}x"
-      corpus.write.mode(SaveMode.Overwrite).parquet(path)
-      val loaded = spark.read.parquet(path)
+      if (materialized.add(path))
+        multiplied(mult).write.mode(SaveMode.Overwrite).parquet(path)
+      path
+    }
+    def embCorpus(mult: Int): String = {
+      val path = s"/tmp/graft_scale_emb_${mult}x"
+      if (materialized.add(path)) {
+        (0 until mult).map { m =>
+          emb.select((col("vec_id") + lit(m.toLong * 10000000L)).as("vec_id"),
+            col("embedding"))
+        }.reduce(_ unionByName _)
+          .write.mode(SaveMode.Overwrite).parquet(path)
+      }
+      path
+    }
+
+    if (on("minhash")) for (mult <- Seq(1, 3, 10)) {
+      val loaded = spark.read.parquet(docsCorpus(mult))
       val n = loaded.count()
       val t0 = System.nanoTime()
       val pairs = operators.Dedup.nearDuplicatePairs(loaded, "doc_id", "text").count()
@@ -47,12 +68,7 @@ object ScaleProbe {
     }
 
     if (on("ann")) for (mult <- Seq(1, 3, 10)) {
-      val vecs = (0 until mult).map { m =>
-        emb.select((col("vec_id") + lit(m.toLong * 10000000L)).as("vec_id"), col("embedding"))
-      }.reduce(_ unionByName _)
-      val path = s"/tmp/graft_scale_emb_${mult}x"
-      vecs.write.mode(SaveMode.Overwrite).parquet(path)
-      val loaded = spark.read.parquet(path)
+      val loaded = spark.read.parquet(embCorpus(mult))
       val n = loaded.count()
       val queries = loaded.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
@@ -69,7 +85,7 @@ object ScaleProbe {
     // text_ngrams / text_term_docfreq / text_tfidf) — one narrow shuffle;
     // must stay linear in documents.
     if (on("text")) for (mult <- Seq(1, 3, 10)) {
-      val loaded = spark.read.parquet(s"/tmp/graft_scale_${mult}x")
+      val loaded = spark.read.parquet(docsCorpus(mult))
       val n = loaded.count()
       val t0 = System.nanoTime()
       val top = loaded
@@ -98,7 +114,7 @@ object ScaleProbe {
     // percent_rank/ntile shape over a 3-value key — time must scale with
     // rows/partitions, not with the size of the largest key group.
     if (on("rank")) for (mult <- Seq(1, 3, 10)) {
-      val loaded = spark.read.parquet(s"/tmp/graft_scale_${mult}x")
+      val loaded = spark.read.parquet(docsCorpus(mult))
         .select(col("doc_id"), (col("doc_id") % 3).cast("string").as("grp"),
           length(col("text")).as("x"))
       val n = loaded.count()
@@ -190,7 +206,7 @@ object ScaleProbe {
     // encode projection and time an empty scan — the exact mismeasurement
     // that hid the old explode-path SortAggregate blowup).
     if (on("pq")) for (mult <- Seq(1, 3, 10)) {
-      val loaded = spark.read.parquet(s"/tmp/graft_scale_emb_${mult}x")
+      val loaded = spark.read.parquet(embCorpus(mult))
       val n = loaded.count()
       val t0 = System.nanoTime()
       val out = operators.Similarity.pqRecon(loaded, "vec_id", "embedding", "id")
@@ -254,7 +270,7 @@ object ScaleProbe {
     // argument production relies on (K ~ corpus/5k).
     if (on("sem")) {
       for (mult <- Seq(1, 3, 10)) {
-        val loaded = spark.read.parquet(s"/tmp/graft_scale_emb_${mult}x")
+        val loaded = spark.read.parquet(embCorpus(mult))
         val n = loaded.count()
         val cents = operators.Dedup.semCentroids(loaded, "vec_id", "embedding", 16)
         val t0 = System.nanoTime()
@@ -266,7 +282,7 @@ object ScaleProbe {
         val dt = (System.nanoTime() - t0) / 1e9
         println(f"[scale] sem-assign ${mult}x: vecs=$n%d clusters=$assigned%d time=$dt%.1fs")
       }
-      val loaded = spark.read.parquet("/tmp/graft_scale_emb_10x")
+      val loaded = spark.read.parquet(embCorpus(10))
       for (k <- Seq(16, 64)) {
         val cents = operators.Dedup.semCentroids(loaded, "vec_id", "embedding", k)
         val assigned = loaded.select(col("vec_id"), col("embedding"),

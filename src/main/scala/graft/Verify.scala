@@ -11,6 +11,10 @@ object Verify {
     // optional trailing names: dump only that subset (dev loop; the driver
     // always runs the full surface)
     val only = args.drop(2).toSet
+    val unknown = only -- SparkEntry.queries.keySet
+    require(unknown.isEmpty,
+      s"no such quer${if (unknown.size == 1) "y" else "ies"}: ${unknown.mkString(", ")} " +
+        "(a typo here would otherwise dump nothing and exit 0)")
     val spark = GraftSession.getOrCreate("graft-verify")
     new java.io.File(outDir).mkdirs()
     // run in family order and release memoized state at family boundaries,

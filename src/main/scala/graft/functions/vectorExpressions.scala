@@ -223,15 +223,21 @@ object NearestCentroid {
       centroids: Array[Array[Float]]): java.lang.Integer = {
     val dim = centroids(0).length
     if (vec.numElements() != dim) return null
+    // null scan hoisted out of the centroid loop (the PqReconstruct
+    // discipline): one pass, not K passes, in the per-row hot path
+    var j = 0
+    while (j < dim) {
+      if (vec.isNullAt(j)) return null
+      j += 1
+    }
     var best = -1
     var bestD = 0.0
     var cid = 0
     while (cid < centroids.length) {
       val c = centroids(cid)
       var d = 0.0
-      var j = 0
+      j = 0
       while (j < dim) {
-        if (vec.isNullAt(j)) return null
         val x = if (vecIsDouble) vec.getDouble(j) else vec.getFloat(j).toDouble
         val dx = x - c(j).toDouble
         d += dx * dx

@@ -138,17 +138,31 @@ final class IcebergAvro(partitionFields: Seq[(String, DataType)]) {
     e
   }
 
-  private def typedValue(v: String, dt: Option[DataType]): AnyRef = dt match {
-    case Some(ByteType | ShortType | IntegerType) =>
-      try Int.box(v.toInt) catch { case _: NumberFormatException => v }
-    case Some(LongType) =>
-      try Long.box(v.toLong) catch { case _: NumberFormatException => v }
-    case Some(FloatType) =>
-      try Float.box(v.toFloat) catch { case _: NumberFormatException => v }
-    case Some(DoubleType) =>
-      try Double.box(v.toDouble) catch { case _: NumberFormatException => v }
-    case Some(BooleanType) if v == "true" || v == "false" => Boolean.box(v.toBoolean)
-    case _ => v
+  /** A numeric/boolean partition field's Avro union has NO string branch,
+    * so an unparseable hive dir value must fail HERE with a clear message
+    * — letting the raw string through would crash later inside
+    * GenericDatumWriter as an opaque UnresolvedUnionException (and a
+    * silent string fallback would emit metadata a real reader rejects).
+    * String-typed partitions (dates/decimals/etc. riding their dir names)
+    * pass through unchanged — their field IS a string.
+    */
+  private def typedValue(v: String, dt: Option[DataType]): AnyRef = {
+    def bad(kind: String): Nothing = sys.error(
+      s"Iceberg export: partition dir value '$v' is not a valid $kind; " +
+        "the Avro partition field has no string fallback branch")
+    dt match {
+      case Some(ByteType | ShortType | IntegerType) =>
+        try Int.box(v.toInt) catch { case _: NumberFormatException => bad("int") }
+      case Some(LongType) =>
+        try Long.box(v.toLong) catch { case _: NumberFormatException => bad("long") }
+      case Some(FloatType) =>
+        try Float.box(v.toFloat) catch { case _: NumberFormatException => bad("float") }
+      case Some(DoubleType) =>
+        try Double.box(v.toDouble) catch { case _: NumberFormatException => bad("double") }
+      case Some(BooleanType) =>
+        if (v == "true" || v == "false") Boolean.box(v.toBoolean) else bad("boolean")
+      case _ => v
+    }
   }
 
   /** one manifest-list entry record */

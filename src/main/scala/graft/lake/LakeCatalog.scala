@@ -528,8 +528,9 @@ final class LakeCatalog(
     val rel = s"dv/${java.util.UUID.randomUUID().toString}"
     val out = new Path(tPath(ns, t), rel)
     marked.write.mode(SaveMode.Overwrite).parquet(out.toString)
+    val dvRows = writeStats(ns, t, rel)
     val v =
-      if (writeStats(ns, t, rel) == 0L) {
+      if (dvRows == 0L) {
         deleteRec(out)
         commit(ns, t, entries, Some(base))
       } else commit(ns, t, entries :+ rel, Some(base))
@@ -537,11 +538,13 @@ final class LakeCatalog(
     // vectors pass the broadcast ceiling, every subsequent read pays a
     // shuffled anti-join — at 100 TB that maintenance decision should be
     // surfaced by the engine, not remembered by an operator. The check is
-    // metadata-only (sidecar row counts); the fold is the same
-    // file-scoped materializeDeletes an operator would run by hand.
+    // metadata-only and LOCAL to what this call already holds: the new
+    // sidecar's count came back from writeStats and the prior dv set is
+    // in scope, so no manifest re-read happens on the hot delete path.
     val auto = spark.conf.getOption("graft.lake.dv.autoMaterialize")
       .exists(_.toBoolean)
-    if (auto && dvRowCount(ns, t, dvRels(latestEntries(ns, t)._2)) > dvBroadcastMaxRows)
+    if (auto && dvRows + (if (dvs.isEmpty) 0L else dvRowCount(ns, t, dvs)) >
+        dvBroadcastMaxRows)
       materializeDeletes(ns, t)
     else v
   }

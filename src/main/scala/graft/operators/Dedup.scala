@@ -554,19 +554,13 @@ object Dedup {
   val SemThreshold = 0.95
 
   /** Deterministic cluster centroids for the semantic dedup: the first K
-    * corpus vectors in md5-of-id order (the cheap deterministic init, the
-    * PQ-codebook discipline) — a bounded K × dim model artifact, ONE
-    * driver collect capped by the limit.
+    * corpus vectors in md5-of-id order — literally the same sampler as the
+    * PQ codebook ([[Similarity.sampledVectors]]), so the determinism
+    * contract the oracles reproduce lives in one place.
     */
   def semCentroids(corpus: DataFrame, idCol: String, vecCol: String,
-      k: Int = SemClusters): Array[Array[Float]] = {
-    val sample = corpus
-      .orderBy(md5(col(idCol).cast("string")), col(idCol))
-      .limit(k)
-      .select(col(vecCol)).collect().map(_.getSeq[Float](0).toArray)
-    require(sample.nonEmpty, "empty corpus")
-    sample
-  }
+      k: Int = SemClusters): Array[Array[Float]] =
+    Similarity.sampledVectors(corpus, idCol, vecCol, k)
 
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
     * partition the embedding space into K clusters, then run the O(n²)

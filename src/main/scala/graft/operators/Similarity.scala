@@ -400,12 +400,26 @@ object Similarity {
     * expression are built from. ONE driver collect, capped at
     * [[PqCodebookSize]] rows by the limit.
     */
-  def pqSamples(emb: DataFrame, idCol: String, vecCol: String): Array[Array[Float]] = {
-    val sample = emb
+  /** The deterministic bounded model sample every codebook/centroid path
+    * shares (PQ codebook, SemDeDup centroids): the first `k` corpus
+    * vectors in md5-of-id order, ties by id — ONE driver collect capped by
+    * the limit, a model artifact that is never data-proportional. Keeping
+    * this in one place keeps the determinism contract (ordering,
+    * tie-break, float collection) from silently diverging between the
+    * samplers the oracles reproduce.
+    */
+  def sampledVectors(df: DataFrame, idCol: String, vecCol: String,
+      k: Int): Array[Array[Float]] = {
+    val sample = df
       .orderBy(md5(col(idCol).cast("string")), col(idCol))
-      .limit(PqCodebookSize)
+      .limit(k)
       .select(col(vecCol)).collect().map(_.getSeq[Float](0).toArray)
     require(sample.nonEmpty, "empty corpus")
+    sample
+  }
+
+  def pqSamples(emb: DataFrame, idCol: String, vecCol: String): Array[Array[Float]] = {
+    val sample = sampledVectors(emb, idCol, vecCol, PqCodebookSize)
     require(sample.head.length % PqSubDim == 0,
       s"dim ${sample.head.length} not divisible by $PqSubDim")
     sample

@@ -40,10 +40,19 @@ object StreamingQueries {
     }
   }
 
-  /** Land `rounds` of per-source parquet drops through a running query:
-    * round k lands every source's k-th frame (a partition-parallel write),
-    * then the query drains — one drop = one micro-batch. `start` receives
-    * the file-source streams and must return the started query.
+  /** Land `rounds` of per-source parquet drops, one drop = one replay
+    * round. Each round runs stop-start: the round's files are FULLY
+    * committed while NO query is running, then the query starts against
+    * the shared checkpoint (offsets, operator state and watermark all
+    * restored), drains everything available, and stops. A drop is a
+    * multi-file partition-parallel write whose task files become visible
+    * one rename at a time — a query polling DURING the commit could take
+    * a partial subset as its own micro-batch and break the twins'
+    * arrival-order invariants, so the harness never overlaps landing with
+    * a live query. This is also the production replay shape: a
+    * data-at-rest backfill runs as discrete drain-everything batches, not
+    * a continuous poll racing the writer. `start` receives freshly-built
+    * file-source streams each round and must return the started query.
     */
   private def replay(
       s: SparkSession,
@@ -55,15 +64,15 @@ object StreamingQueries {
     def land(round: Int): Unit =
       for (((_, frames), d) <- sources.zip(srcDirs); if round < frames.length)
         frames(round).write.mode("append").parquet(d)
-    land(0) // present before the query starts = the first micro-batch
-    val streams = sources.zip(srcDirs).map { case ((schema, _), d) =>
-      s.readStream.schema(schema).parquet(d)
+    for (r <- 0 until rounds) {
+      land(r) // fully committed before any query can list the dir
+      val streams = sources.zip(srcDirs).map { case ((schema, _), d) =>
+        s.readStream.schema(schema).parquet(d)
+      }
+      val query = start(streams)
+      try query.processAllAvailable()
+      finally query.stop()
     }
-    val query = start(streams)
-    try {
-      query.processAllAvailable()
-      for (r <- 1 until rounds) { land(r); query.processAllAvailable() }
-    } finally query.stop()
   }
 
   /** Replay through a streaming TRANSFORM and collect its results from a
