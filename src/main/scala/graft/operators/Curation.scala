@@ -143,5 +143,59 @@ object Curation {
   // text-analysis family's
   private def wsTokens(c: Column): Column = TextAnalysis.wsTokens(c)
 
-  val all: Seq[Q] = Seq(textDecontaminate, textDomainCap, textMixResample)
+  /** SEMANTIC benchmark decontamination — the embedding-space complement
+    * of the 5-gram exact screen above (paraphrased eval contamination
+    * slips through token overlap; it does not slip past cosine
+    * similarity). A small benchmark embedding set broadcasts into a
+    * cosine-threshold join against the corpus; matching corpus members
+    * are dropped by left-anti. Planted contamination (exact copies of
+    * benchmark vectors) makes the op's effect provable at every SF.
+    *
+    * Scale shape: the benchmark side is eval-suite-sized by definition
+    * (thousands), so the screen is a broadcast nested-loop with the
+    * codegen'd cosine — the corpus is never shuffled and never
+    * self-joined; cost is O(corpus × benchmark) FLOPs, embarrassingly
+    * parallel. For benchmark sets past broadcast comfort, the LSH/IVF
+    * bucketing from the ANN family applies unchanged.
+    */
+  val textSemanticDecontam: Q = Q(
+    "text_semantic_decontam",
+    (s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      val bench = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("bench_id"), col("embedding").as("b_emb"))
+      // corpus: the non-benchmark vectors plus planted exact copies of the
+      // benchmark (the contamination the screen must provably remove)
+      val corpus = emb.filter(col("vec_id") >= 20)
+        .select("vec_id", "embedding")
+        .unionByName(emb.filter(col("vec_id") < 20)
+          .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+      val contaminated = corpus
+        .join(broadcast(bench),
+          Similarity.cosine(col("embedding"), col("b_emb")) >= 0.95)
+        .select("vec_id").distinct()
+      corpus.join(contaminated, Seq("vec_id"), "left_anti")
+        .select("vec_id")
+        .orderBy("vec_id")
+    },
+    Some("""WITH bench AS (
+      SELECT vec_id AS bench_id, embedding AS b_emb FROM embeddings WHERE vec_id < 20),
+    corpus AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 20
+      UNION ALL
+      SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings WHERE vec_id < 20),
+    bad AS (
+      SELECT DISTINCT vec_id FROM corpus, bench
+      WHERE list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(embedding)+1),
+          i -> embedding[i]::DOUBLE * b_emb[i]::DOUBLE)), (x,y) -> x+y)
+        / (sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(embedding)+1),
+            i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)), (x,y) -> x+y))
+         * sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(b_emb)+1),
+            i -> b_emb[i]::DOUBLE * b_emb[i]::DOUBLE)), (x,y) -> x+y))) >= 0.95)
+    SELECT vec_id FROM corpus WHERE vec_id NOT IN (SELECT vec_id FROM bad)
+    ORDER BY vec_id""")
+  )
+
+  val all: Seq[Q] = Seq(textDecontaminate, textDomainCap, textMixResample,
+    textSemanticDecontam)
 }

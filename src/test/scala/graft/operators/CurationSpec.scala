@@ -65,4 +65,19 @@ class CurationSpec extends SparkSpec {
         s"source $s below fair share must keep all ($kept of $n)")
     }
   }
+
+  test("semantic decontamination drops every planted benchmark copy, keeps the rest") {
+    import org.apache.spark.sql.functions._
+    val out = Curation.textSemanticDecontam.fn(spark, sfDir).cache()
+    // all 20 planted copies (id >= 1M) are exact benchmark matches → gone
+    assert(out.filter(col("vec_id") >= 1000000L).count() == 0,
+      "planted contamination must be removed")
+    // survivors are a subset of the non-benchmark corpus; the op can drop
+    // naturally-similar vectors too, but never more than a sliver
+    val corpusN = graft.Tables(spark, sfDir).embeddings
+      .filter(col("vec_id") >= 20).count()
+    val kept = out.count()
+    assert(kept <= corpusN && kept >= corpusN * 9 / 10,
+      s"kept $kept of $corpusN non-benchmark vectors")
+  }
 }
