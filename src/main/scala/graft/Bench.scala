@@ -16,6 +16,15 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // optional trailing args: bench only these queries (dev loop); unknown
+    // names fail loudly, mirroring Verify — a typo must not bench nothing
+    val unknown = args.filterNot(SparkEntry.queries.contains)
+    require(unknown.isEmpty,
+      s"unknown quer${if (unknown.length == 1) "y" else "ies"}: ${unknown.mkString(", ")} " +
+        s"(known: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")})")
+    val selected =
+      if (args.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.view.filterKeys(args.toSet).toMap
     val spark = GraftSession.getOrCreate("graft-bench")
     // Keep stdout clean around the one-line JSON contract.
     spark.sparkContext.setLogLevel("ERROR")
@@ -27,7 +36,7 @@ object Bench {
     // a broken query must surface as "err:<class>" in the JSON, never as a
     // plausible-looking fast timing.
     val results: Seq[(String, Either[String, Double])] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      selected.toSeq.sortBy(_._1).map { case (name, fn) =>
         val f = GraftSession.familyOf(name)
         if (family != null && f != family) GraftSession.releaseCaches(spark)
         family = f
@@ -41,7 +50,19 @@ object Bench {
     }.mkString("{", ",", "}")
     val errs = results.count(_._2.isLeft)
     val total = results.collect { case (_, Right(v)) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","errors":$errs,"queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","errors":$errs,"queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // The driver's BENCH_r{N}.json retains only a tail of the stdout line,
+    // which loses half the per-query timings; persist the COMPLETE sorted
+    // JSON to a file as well (full runs only — a subset run would overwrite
+    // the round's record with a partial one).
+    if (args.isEmpty) {
+      val out = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH-full-latest.json"))
+      java.nio.file.Files.write(out,
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
     spark.stop()
   }
 }

@@ -16,9 +16,16 @@ object ScaleProbe {
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    // optional trailing section names (minhash ann text mega-bucket rank
-    // merge mor pq sem skew stream) restrict the run; empty = all
+    // optional trailing section names restrict the run; empty = all.
+    // Unknown names fail loudly — a typo must not run zero sections and
+    // exit 0 (the same contract Verify enforces on query names).
+    val known = Set("minhash", "ann", "text", "mega-bucket", "rank", "merge",
+      "mor", "pq", "skew", "sem", "stream", "width")
     val sections = args.drop(1).toSet
+    val unknownSections = sections -- known
+    require(unknownSections.isEmpty,
+      s"unknown section(s): ${unknownSections.mkString(", ")} " +
+        s"(known: ${known.toSeq.sorted.mkString(", ")})")
     def on(name: String): Boolean = sections.isEmpty || sections.contains(name)
     val spark = GraftSession.getOrCreate("graft-scale-probe")
     import spark.implicits._
@@ -298,6 +305,35 @@ object ScaleProbe {
         val dt = (System.nanoTime() - t0) / 1e9
         println(f"[scale] sem-screen k=$k%d: pairs=$pairs%d time=$dt%.1fs")
       }
+    }
+
+    // wide-schema probe (round 8): the reference's one PUBLISHED benchmark
+    // is a 50K-row, 4,450-column CSV ingested in ~15 s single-node. Every
+    // per-column cost on the ingest path — CSV inference, header
+    // sanitization, the lake's footer-stats sidecars — must stay flat as
+    // width grows 1k -> 4.5k at constant rows (the timed span is ingest
+    // only, excluding test-data generation, to match the reference's
+    // measurement).
+    if (on("width")) for (cols <- Seq(1000, 2000, 4450)) {
+      val rows = 50000L
+      val csvDir = s"/tmp/graft_scale_wide_$cols"
+      spark.range(rows).select(
+        (0 until cols).map(j => ((col("id") + lit(j)) % 97).cast("int")
+          .as(f"Col $j%04d (wide)")): _*)
+        .write.mode(SaveMode.Overwrite).option("header", "true").csv(csvDir)
+      val root = s"/tmp/graft_scale_wide_lake_$cols"
+      org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(root), true)
+      val t0 = System.nanoTime()
+      val clean = sources.SchemaTools.sanitizeColumns(
+        sources.MultiFormatReader.readCsv(spark, csvDir)
+          .drop(sources.MultiFormatReader.CorruptCol))
+      val cat = lake.LakeCatalog(spark, root)
+      cat.write("wide", "t", clean)
+      val n = cat.read("wide", "t").count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] wide-ingest cols=$cols%d rows=$n%d time=$dt%.1fs " +
+        f"per_kcol=${dt * 1000 / cols}%.2fs")
     }
 
     // stream-replay probe (round 7): the file-source twin harness itself

@@ -41,6 +41,11 @@ import org.apache.spark.sql.types._
   *    support), absolute file paths, sorted by (file_path, pos) — and
   *    referenced from a content=1 delete manifest whose sequence number
   *    makes it apply to all earlier data, matching graft's dv semantics.
+  *    On a partitioned table the rewrite splits deletes into ONE FILE PER
+  *    PARTITION TUPLE of the referenced data files, and the delete
+  *    manifest entries carry those tuples — v2 readers index position
+  *    deletes by partition, so null tuples would silently never apply
+  *    (r8, ADVICE).
   *
   * Sequence numbers: a manifest's data files carry the graft version in
   * which their commit dir FIRST appeared (append reuse keeps it stable);
@@ -91,12 +96,6 @@ object IcebergExport {
     versions.foreach(v => entriesByV(v).foreach(e =>
       if (!firstSeen.contains(e)) firstSeen(e) = v))
 
-    // dv sidecars become spec-shaped position-delete files (one pass each)
-    val deleteFilesByEntry: Map[String, Seq[Path]] =
-      firstSeen.keys.filter(_.startsWith("dv/")).map { rel =>
-        rel -> rewritePositionDeletes(spark, fs, tableDir, location, rel)
-      }.toMap
-
     // HIVE-PARTITIONED commits keep their partition-column VALUES in dir
     // names, not in the parquet files — Iceberg's mechanism for exactly
     // this is an identity partition spec whose values live in the
@@ -116,6 +115,17 @@ object IcebergExport {
         rel -> files
       }.toMap
 
+    // dv sidecars become spec-shaped position-delete files, split per
+    // PARTITION TUPLE of the data files they reference (needs the
+    // partition columns, hence after the data-file walk): a v2 reader
+    // indexes position deletes by partition, so a delete file carrying a
+    // null tuple would never be applied to partitioned data files
+    val deleteFilesByEntry: Map[String, Seq[(Path, Seq[(String, String)])]] =
+      firstSeen.keys.filter(_.startsWith("dv/")).map { rel =>
+        rel -> rewritePositionDeletes(spark, fs, tableDir, location, rel,
+          partitionCols.toSeq)
+      }.toMap
+
     // Avro serialization layer for this table's partition shape; the
     // partition-spec fields JSON rides in each manifest's file metadata
     val avro = new IcebergAvro(partitionCols.toSeq.map(k =>
@@ -128,17 +138,14 @@ object IcebergExport {
     for ((rel, seenV) <- firstSeen) {
       val isDelete = rel.startsWith("dv/")
       val files: Seq[(Path, Long, Long, Seq[(String, String)])] =
-        if (isDelete) deleteFilesByEntry(rel).map { p =>
-          val (_, bytes, records) = fileEntry(fs, conf, p); (p, bytes, records, Nil)
-        }
-        else filesByEntry(rel).map { case (p, pv) =>
-          val (_, bytes, records) = fileEntry(fs, conf, p); (p, bytes, records, pv)
+        (if (isDelete) deleteFilesByEntry(rel) else filesByEntry(rel)).map {
+          case (p, pv) =>
+            val (_, bytes, records) = fileEntry(fs, conf, p); (p, bytes, records, pv)
         }
       val entries = files.map { case (p, bytes, records, pv) =>
         val pvMap = pv.toMap
         val partVals: Seq[(String, Option[String])] =
-          if (isDelete || partitionCols.isEmpty) partitionCols.toSeq.map(_ -> None)
-          else partitionCols.toSeq.map { k =>
+          partitionCols.toSeq.map { k =>
             k -> (pvMap.get(k) match {
               case None | Some("__HIVE_DEFAULT_PARTITION__") => None
               case some => some
@@ -373,26 +380,54 @@ object IcebergExport {
     * into spec-shaped position-delete parquet: absolute `file_path` with
     * reserved field id 2147483546, `pos` with 2147483545 (Spark's
     * parquet.field.id metadata lands them in the footers), sorted by
-    * (file_path, pos) as the spec requires. Returns the written files.
+    * (file_path, pos) as the spec requires. On a PARTITIONED table the
+    * deletes are split into one file per partition tuple of the data
+    * files they reference (tuple recovered from the referenced path's
+    * hive components) — a v2 reader indexes position deletes by
+    * partition, so per-tuple files are what makes MoR export adoptable
+    * for partitioned tables. Returns the written files with their
+    * partition values (raw hive-decoded strings; empty for
+    * unpartitioned).
     */
   private def rewritePositionDeletes(spark: SparkSession, fs: FileSystem,
-      tableDir: Path, location: String, dvRel: String): Seq[Path] = {
-    import org.apache.spark.sql.functions.{col, concat, lit}
+      tableDir: Path, location: String, dvRel: String,
+      partitionCols: Seq[String]): Seq[(Path, Seq[(String, String)])] = {
+    import org.apache.spark.sql.functions.{col, concat, lit, regexp_extract, url_decode, when}
+    require(!partitionCols.exists(Set("file_path", "pos")),
+      s"IcebergExport: partition column collides with a reserved " +
+        s"position-delete column name: ${partitionCols.mkString(", ")}")
     val outDir = new Path(new Path(tableDir, "metadata"),
       s"delete-${dvRel.stripPrefix("dv/")}")
     val filePathField = StructField("file_path", StringType, nullable = false,
       new MetadataBuilder().putLong("parquet.field.id", FilePathFieldId).build())
     val posField = StructField("pos", LongType, nullable = false,
       new MetadataBuilder().putLong("parquet.field.id", PosFieldId).build())
-    val src = spark.read.parquet(new Path(tableDir, dvRel).toString)
-      .select(
-        concat(lit(location + "/"), col("_dv_file")).as("file_path"),
-        col("_dv_pos").cast(LongType).as("pos"))
-      .coalesce(1)
-      .sortWithinPartitions("file_path", "pos") // ONE file, globally sorted
-    val withIds = spark.createDataFrame(src.rdd, StructType(Seq(filePathField, posField)))
-    withIds.write.mode("overwrite").parquet(outDir.toString)
-    parquetFilesUnder(fs, outDir)
+    val base = spark.read.parquet(new Path(tableDir, dvRel).toString)
+    val partExprs = partitionCols.map { k =>
+      val raw = regexp_extract(col("_dv_file"),
+        "(?:^|/)" + java.util.regex.Pattern.quote(k) + "=([^/]+)", 1)
+      // no component / hive null sentinel → null tuple slot (matches the
+      // data-file side's missing-partition handling)
+      when(raw === "" || raw === "__HIVE_DEFAULT_PARTITION__", lit(null))
+        .otherwise(url_decode(raw)).as(k)
+    }
+    val src = base.select(Seq(
+      concat(lit(location + "/"), col("_dv_file")).as("file_path"),
+      col("_dv_pos").cast(LongType).as("pos")) ++ partExprs: _*)
+    val shaped =
+      if (partitionCols.isEmpty) src.coalesce(1).sortWithinPartitions("file_path", "pos")
+      else src.repartition(partitionCols.map(col): _*)
+        // sort leads with the partition columns so the dynamic-partition
+        // writer's required ordering is already satisfied — no extra sort
+        // gets inserted that could break the (file_path, pos) order
+        .sortWithinPartitions((partitionCols ++ Seq("file_path", "pos")).map(col): _*)
+    val withIds = spark.createDataFrame(shaped.rdd,
+      StructType(Seq(filePathField, posField) ++
+        partitionCols.map(StructField(_, StringType))))
+    val writer = withIds.write.mode("overwrite")
+    (if (partitionCols.isEmpty) writer else writer.partitionBy(partitionCols: _*))
+      .parquet(outDir.toString)
+    parquetFilesUnder(fs, outDir).map(p => p -> partitionValuesOf(outDir, p))
   }
 
   /** Spark schema → (Iceberg schema JSON, last-column-id, name-mapping

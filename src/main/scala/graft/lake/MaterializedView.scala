@@ -75,11 +75,22 @@ final class MaterializedView(catalog: LakeCatalog) {
     * version whose manifest references a dir carrying a cursor sidecar
     * (legacy version-keyed sidecars honored next), falling back to the
     * create-time cursor in the spec.
+    *
+    * Hot path: for any table written by this code the LATEST version
+    * resolves — its refresh staged a cursor-keyed dir (or a metadata-only
+    * advance re-keyed the current dir) — so a refresh costs one manifest
+    * read plus one sidecar probe: entries are probed newest-FIRST
+    * (publishStaged appends the staged dir last), so the first probe is
+    * the hit. The per-version walk below the latest only runs for tables
+    * whose recent history was produced outside refresh (pre-scheme
+    * tables, or an MV compacted/rewritten by table maintenance, which
+    * drops the dir the cursor was keyed by) — there the deeper scan is
+    * the correctness fallback, not the steady-state cost.
     */
   private def currentSeen(mvNs: String, mvT: String, spec: Spec): Int =
     catalog.versions(mvNs, mvT).reverse.iterator
       .flatMap { v =>
-        catalog.manifestEntries(mvNs, mvT, v).iterator
+        catalog.manifestEntries(mvNs, mvT, v).reverseIterator
           .filter(_.startsWith("data/"))
           .flatMap(rel => catalog.getTableMeta(mvNs, mvT, seenMetaForRel(rel)))
           .nextOption()

@@ -553,6 +553,15 @@ object Dedup {
   val SemClusters = 16
   val SemThreshold = 0.95
 
+  /** Hard per-cluster retention cap for the ONLINE SemDeDup seen-set
+    * ([[graft.streaming.EventStreams.semanticDedupStream]]) — the E7
+    * MaxBucket treatment at cluster granularity. Production sizing keeps
+    * clusters well under it (K ≈ corpus/5k); the cap bounds the one state
+    * store entry a mis-sized or adversarially hot cluster would otherwise
+    * grow with O(cluster) embeddings.
+    */
+  val MaxSemCluster = 8192
+
   /** Deterministic cluster centroids for the semantic dedup: the first K
     * corpus vectors in md5-of-id order — literally the same sampler as the
     * PQ codebook ([[Similarity.sampledVectors]]), so the determinism

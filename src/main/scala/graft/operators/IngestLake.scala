@@ -820,6 +820,35 @@ object IngestLake {
     * table (files, lineage, AND delete semantics) that an adopting engine
     * could trust. IcebergExportSpec pins the spec-field structure.
     */
+  /** Read back STRICTLY from exported Iceberg metadata: the JSON
+    * TableMetadata via Jackson, the manifest lists + manifests as the
+    * Avro object container files they really are — never a graft
+    * manifest. Returns the current snapshot's (data files, delete files).
+    */
+  private def exportedFileSets(s: org.apache.spark.sql.SparkSession,
+      exp: graft.lake.IcebergExport.Export): (Seq[(String, Int)], Seq[(String, Int)]) = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def json(p: String) =
+      mapper.readTree(new java.io.File(new java.net.URI(p).getPath))
+    val hconf = s.sessionState.newHadoopConf()
+    def avro(p: String) = {
+      val path = new org.apache.hadoop.fs.Path(new java.net.URI(p))
+      graft.lake.IcebergAvro.readContainer(path.getFileSystem(hconf), path)._1
+    }
+    val meta = json(exp.metadataFile)
+    val snaps = meta.get("snapshots")
+    val cur = (0 until snaps.size()).map(snaps.get)
+      .find(_.get("snapshot-id").asLong() ==
+        meta.get("current-snapshot-id").asLong())
+      .getOrElse(sys.error("current snapshot missing from exported metadata"))
+    import graft.lake.IcebergAvro.{int => aInt, rec => aRec, str => aStr}
+    avro(cur.get("manifest-list").asText())
+      .flatMap { mf =>
+        avro(aStr(mf, "manifest_path")).map(aRec(_, "data_file"))
+          .map(df => (aStr(df, "file_path"), aInt(df, "content")))
+      }.partition(_._2 == 0)
+  }
+
   val lakeIcebergExport: Q = Q(
     "lake_iceberg_export",
     (s, dir) => {
@@ -831,29 +860,7 @@ object IngestLake {
         SaveMode.Append)
       cat.deleteMoR("ice", "orders", col("o_orderkey") % 7 === 0)
       val exp = graft.lake.IcebergExport.export(s, cat, "ice", "orders")
-      // ---- read back STRICTLY from the exported Iceberg metadata: the
-      // JSON TableMetadata via Jackson, the manifest lists + manifests as
-      // the Avro object container files they really are
-      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-      def json(p: String) =
-        mapper.readTree(new java.io.File(new java.net.URI(p).getPath))
-      val hconf = s.sessionState.newHadoopConf()
-      def avro(p: String) = {
-        val path = new org.apache.hadoop.fs.Path(new java.net.URI(p))
-        graft.lake.IcebergAvro.readContainer(path.getFileSystem(hconf), path)._1
-      }
-      val meta = json(exp.metadataFile)
-      val snaps = meta.get("snapshots")
-      val cur = (0 until snaps.size()).map(snaps.get)
-        .find(_.get("snapshot-id").asLong() ==
-          meta.get("current-snapshot-id").asLong())
-        .getOrElse(sys.error("current snapshot missing from exported metadata"))
-      import graft.lake.IcebergAvro.{int => aInt, rec => aRec, str => aStr}
-      val (dataFiles, deleteFiles) = avro(cur.get("manifest-list").asText())
-        .flatMap { mf =>
-          avro(aStr(mf, "manifest_path")).map(aRec(_, "data_file"))
-            .map(df => (aStr(df, "file_path"), aInt(df, "content")))
-        }.partition(_._2 == 0)
+      val (dataFiles, deleteFiles) = exportedFileSets(s, exp)
       // normalize both sides to table-relative keys (URI-scheme-agnostic,
       // same rationale as LakeCatalog.fileKeyExpr)
       def relKey(c: org.apache.spark.sql.Column) =
@@ -877,6 +884,99 @@ object IngestLake {
     GROUP BY o_orderstatus ORDER BY o_orderstatus""")
   )
 
+  /** B31-nested (r8): NESTED types end-to-end through the lake + Iceberg
+    * export — a struct column and an array column built from lineitem are
+    * written as two lake commits, exported (exercising the recursive
+    * field-id assignment and name-mapping on a live table, not just in
+    * spec), and read back STRICTLY from the exported Avro manifests. The
+    * result flattens the struct fields and folds the array so the oracle
+    * recomputes every value from the flat table — a mangled struct field,
+    * a reordered/lost array element, or a data file missing from the
+    * exported manifests each breaks a different column.
+    */
+  val lakeExportNested: Q = Q(
+    "lake_export_nested",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val src = t.lineitem.filter(col("l_orderkey") % 50 === 0)
+        .groupBy("l_orderkey")
+        .agg(
+          sort_array(collect_list(col("l_linenumber").cast("int"))).as("lines"),
+          struct(
+            count(lit(1)).cast("long").as("n_lines"),
+            max(col("l_quantity").cast("int")).as("max_qty")).as("info"))
+      val cat = LakeCatalog(s, scratch("ice_nested"))
+      cat.write("ice", "nested", src.filter(col("l_orderkey") % 100 === 0))
+      cat.write("ice", "nested", src.filter(col("l_orderkey") % 100 =!= 0),
+        SaveMode.Append)
+      val exp = graft.lake.IcebergExport.export(s, cat, "ice", "nested")
+      val (dataFiles, _) = exportedFileSets(s, exp)
+      s.read.parquet(dataFiles.map(_._1): _*)
+        .select(col("l_orderkey").as("orderkey"),
+          col("info.n_lines").as("n_lines"),
+          col("info.max_qty").as("max_qty"),
+          aggregate(col("lines"), lit(0L), (a, x) => a + x).as("line_sum"))
+        .orderBy("orderkey")
+    },
+    Some("""SELECT l_orderkey AS orderkey,
+      COUNT(*) AS n_lines,
+      MAX(CAST(l_quantity AS INT)) AS max_qty,
+      CAST(SUM(l_linenumber) AS BIGINT) AS line_sum
+    FROM lineitem WHERE l_orderkey % 50 = 0
+    GROUP BY l_orderkey ORDER BY orderkey""")
+  )
+
+  /** The reference's HEADLINE benchmark width/size (README.md:449-455:
+    * ~50K rows, "tested with 4,450+ columns", ~15 s single-node).
+    */
+  val WideRows = 50000L
+  val WideCols = 4450
+
+  /** A2/A7/B-width canary (r8): the reference's published benchmark shape
+    * end-to-end — generate a [[WideRows]]×[[WideCols]] CSV with messy
+    * headers, then safe CSV read (schema inference, PERMISSIVE,
+    * maxColumns) → name sanitization over all 4,450 headers → lake write
+    * (footer-stats sidecars for every column) → lake read-back. The
+    * result is a one-row accounting the oracle re-derives from first
+    * principles: row count, data-column count, the global cell sum of the
+    * deterministic generator v(i,j) = (i+j) % 97, and the md5 of the
+    * ','-joined sanitized name list — a lost row, a dropped or mangled
+    * column, and a mis-sanitized header each break a different column.
+    */
+  val ingestWideSchema: Q = Q(
+    "ingest_wide_schema",
+    (s, dir) => {
+      val root = scratch("wide")
+      val csvDir = root + "/wide_csv"
+      val gen = s.range(WideRows).select(
+        (0 until WideCols).map(j => ((col("id") + lit(j)) % 97).cast("int")
+          .as(f"Col $j%04d (wide)")): _*)
+      gen.write.mode(SaveMode.Overwrite).option("header", "true").csv(csvDir)
+      val clean = SchemaTools.sanitizeColumns(
+        MFR.readCsv(s, csvDir).drop(MFR.CorruptCol))
+      val cat = LakeCatalog(s, root + "/lake")
+      cat.write("wide", "t", clean)
+      val back = cat.read("wide", "t")
+      val dataCols = back.columns
+      val rowSum = aggregate(
+        array(dataCols.map(c => col(c).cast("long")).toIndexedSeq: _*),
+        lit(0L), (acc, x) => acc + x)
+      back.agg(count(lit(1)).as("n_rows"), sum(rowSum).as("total_sum"))
+        .select(col("n_rows"),
+          lit(dataCols.length).cast("long").as("n_cols"),
+          col("total_sum"),
+          md5(lit(dataCols.mkString(","))).as("names_md5"))
+    },
+    Some(s"""SELECT
+      CAST((SELECT COUNT(*) FROM range($WideRows)) AS BIGINT) AS n_rows,
+      CAST((SELECT COUNT(*) FROM range($WideCols)) AS BIGINT) AS n_cols,
+      CAST((SELECT SUM((i.range + j.range) % 97)
+            FROM range($WideRows) i CROSS JOIN range($WideCols) j) AS BIGINT)
+        AS total_sum,
+      (SELECT md5(string_agg(printf('Col_%04d_wide', CAST(j.range AS INT)), ',' ORDER BY j.range))
+       FROM range($WideCols) j) AS names_md5""")
+  )
+
   val all: Seq[Q] = Seq(
     ingestCsvRoundtrip, ingestJsonRoundtrip, ingestParquet, ingestTextLines,
     ingestOrcRoundtrip, ingestXmlRoundtrip, ingestSchemaEvolution, ingestJsonProps,
@@ -884,5 +984,6 @@ object IngestLake {
     lakeScd2, lakeDelete, lakeIncrementalRead, lakeConstraints, lakeDataSkipping,
     lakeZorder, lakeMaintenance, lakePointLookup, lakeMvRefresh, lakeWap,
     lakeDeleteMor, lakeCdcApply, lakeIcebergExport, ingestDocxReal,
-    ingestJdbcRoundtrip, lakeTimeTravel, lakeExpiry, lakeTags)
+    ingestJdbcRoundtrip, lakeTimeTravel, lakeExpiry, lakeTags, ingestWideSchema,
+    lakeExportNested)
 }

@@ -281,6 +281,79 @@ object Similarity {
     None // approximate + KMeans-trained — recall pinned in SimilaritySpec
   )
 
+  /** DETERMINISTIC IVF (r8): the exact [[IvfIndex.searchTopK]] pipeline —
+    * cell assignment, nProbe nearest-cell probing, cosine ranking — under
+    * a coarse quantizer built by the md5-sample centroid recipe
+    * ([[sampledVectors]], the same sampler SemDeDup and the PQ codebook
+    * already prove under oracle) instead of KMeans. Every stage is IEEE
+    * double arithmetic with fixed fold order and fixed tie-breaks, so the
+    * FULL IVF search is bit-reproducible and the DuckDB oracle checks it
+    * end to end — this closes the one operator whose rows-only status had
+    * a non-fundamental escape (KMeans iteration order). ann_ivf keeps the
+    * KMeans quantizer as the recall-tuned production alternative; the
+    * search machinery is shared verbatim, so the oracle on this variant
+    * covers it too.
+    */
+  val annIvfDet: Q = Q(
+    "ann_ivf_det",
+    (s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      val cents = sampledVectors(emb, "vec_id", "embedding", IvfIndex.DefaultNumCells)
+      val centroids = {
+        import s.implicits._
+        cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+          .toDF("cell", "centroid")
+      }
+      val queries = emb.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      IvfIndex.searchTopK(emb, "vec_id", "embedding", centroids, queries,
+        k = TopK, nProbe = IvfIndex.DefaultNProbe)
+    },
+    // Bit-exact DuckDB twin of the full IVF pipeline: md5-ordered centroid
+    // sample → L2 argmin cell assignment (same left-to-right double fold,
+    // lowest-cell tie-break — the least(struct) semantics) → nProbe=4
+    // nearest cells per query by the same metric (queries are corpus
+    // members, so their centroid distances come from the same cdists) →
+    // within-probed-cells cosine → top-5 by (score DESC, neighbor ASC).
+    Some("""WITH ordered AS (
+      SELECT vec_id, embedding,
+        row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid
+      FROM embeddings),
+    cent AS (SELECT cid AS cell, embedding AS c_emb FROM ordered WHERE cid < 16),
+    cdists AS (
+      SELECT e.vec_id, cent.cell,
+        list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(e.embedding)+1),
+          i -> (e.embedding[i]::DOUBLE - c_emb[i]::DOUBLE)
+             * (e.embedding[i]::DOUBLE - c_emb[i]::DOUBLE))), (x,y) -> x+y) AS d
+      FROM embeddings e, cent),
+    assigned AS (
+      SELECT vec_id AS neighbor_id, cell FROM (
+        SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+        FROM cdists) t WHERE rn = 1),
+    probes AS (
+      SELECT vec_id AS query_id, cell FROM (
+        SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS crank
+        FROM cdists WHERE vec_id < 10) t WHERE crank <= 4),
+    scored AS (
+      SELECT p.query_id, a.neighbor_id,
+        list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(q.embedding)+1),
+          i -> q.embedding[i]::DOUBLE * n.embedding[i]::DOUBLE)), (x,y) -> x+y)
+        / (sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(q.embedding)+1),
+            i -> q.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE)), (x,y) -> x+y))
+         * sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(n.embedding)+1),
+            i -> n.embedding[i]::DOUBLE * n.embedding[i]::DOUBLE)), (x,y) -> x+y))) AS score
+      FROM probes p JOIN assigned a USING (cell)
+      JOIN embeddings q ON q.vec_id = p.query_id
+      JOIN embeddings n ON n.vec_id = a.neighbor_id
+      WHERE a.neighbor_id <> p.query_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, score,
+        row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS "rank"
+      FROM scored)
+    SELECT query_id, "rank", neighbor_id, score FROM ranked
+    WHERE "rank" <= 5 ORDER BY query_id, "rank" """)
+  )
+
   /** Scalar (int8) embedding quantization + search over the RECONSTRUCTED
     * vectors — the memory-side scale path ANN deployments pair with IVF:
     * per-dimension corpus [min, max] maps each float to one of 256 levels
@@ -524,7 +597,7 @@ object Similarity {
     WHERE "rank" <= 5 ORDER BY query_id, "rank" """)
   )
 
-  val all: Seq[Q] = Seq(annBruteforce, annLsh, annIvf, annQuantized, annPq)
+  val all: Seq[Q] = Seq(annBruteforce, annLsh, annIvf, annIvfDet, annQuantized, annPq)
 }
 
 /** IVF (inverted-file) ANN with a PERSISTABLE coarse quantizer: a KMeans

@@ -360,18 +360,31 @@ object EventStreams {
     * where any lower id is a valid witness.
     *
     * State per cluster is the cluster's seen vector set — the same memory
-    * the batch screen holds per cluster, bounded by cluster sizing (K is
-    * the knob) and by the event-time TTL, which drops clusters quiet past
-    * the watermark horizon. When the replay arrives in id order (the twin
-    * does; a production backfill should), the emitted set is EXACTLY the
-    * batch output; under arbitrary arrival order the screen is
-    * best-effort-monotone: only lower-id entries count as witnesses, so a
-    * vector is never eliminated by a later id.
+    * the batch screen holds per cluster, bounded THREE ways: by cluster
+    * sizing (K is the knob), by the event-time TTL, which drops clusters
+    * quiet past the watermark horizon, and by a hard per-cluster cap
+    * (`maxPerCluster`, the E7 MaxBucket treatment): once a cluster
+    * retains that many vectors, later arrivals still screen against the
+    * retained set — and are emitted with correct witnesses when they
+    * match — but no longer join it, so a hot (or adversarially spammed)
+    * cluster's state store entry stays O(cap) floats instead of O(cluster
+    * size). Production sizing keeps clusters well under the cap
+    * (K ≈ corpus/5k); the cap is the backstop for the one cluster that
+    * breaks the sizing assumption, trading completeness only of
+    * over-cap-vs-over-cap pairs (retained members' witness sets are
+    * unaffected — pinned in EventStreamsSpec).
+    *
+    * When the replay arrives in id order (the twin does; a production
+    * backfill should), the emitted set is EXACTLY the batch output;
+    * under arbitrary arrival order the screen is best-effort-monotone:
+    * only lower-id entries count as witnesses, so a vector is never
+    * eliminated by a later id.
     */
   def semanticDedupStream(
       vecs: Dataset[VecIn],
       threshold: Double = graft.operators.Dedup.SemThreshold,
-      ttlMinutes: Int = 60): Dataset[SemDup] = {
+      ttlMinutes: Int = 60,
+      maxPerCluster: Int = graft.operators.Dedup.MaxSemCluster): Dataset[SemDup] = {
     import vecs.sparkSession.implicits._
     val ttlMs = ttlMinutes * 60L * 1000L
     vecs.toDF()
@@ -395,7 +408,8 @@ object EventStreams {
                 .map(_.id)
               if (witnesses.nonEmpty)
                 out += SemDup(v.vec_id, witnesses.min, cluster.toLong)
-              if (seen.add(v.vec_id)) entries += ClusterEntry(v.vec_id, v.embedding)
+              if (entries.length < maxPerCluster && seen.add(v.vec_id))
+                entries += ClusterEntry(v.vec_id, v.embedding)
             }
             state.update(SemClusterState(entries.toList))
             val batchMaxMs = sorted.map(_.ts.getTime).max

@@ -8,14 +8,15 @@ import org.apache.spark.sql.types._
 /** Driver-checked STREAMING queries (SURVEY §2 E8/E10/E12/E13): batch-vs-
   * stream equivalence twins under the DuckDB oracle.
   *
-  * Replay harness (round 7): the corpus is replayed through the streaming
+  * Replay harness (round 8): the corpus is replayed through the streaming
   * operators via a FILE SOURCE — each micro-batch is a partition-parallel
-  * parquet drop into the source directory, and results land in a parquet
+  * parquet drop published by ONE atomic directory rename into the watched
+  * glob, consumed by a single long-lived query; results land in a parquet
   * sink read back as an ordinary distributed frame. NO scale-proportional
   * data ever moves through the driver: the only collects are single-row
   * aggregates (a split threshold, a max timestamp). This is the shape a
   * production replay takes on a real cluster — data at rest becomes a
-  * stream by landing files, not by addData from the driver.
+  * stream by landing (renaming in) files, not by addData from the driver.
   *
   * Batch membership is decided by a data-derived event-time threshold
   * (everything below the midpoint is micro-batch 1), which preserves the
@@ -41,38 +42,54 @@ object StreamingQueries {
   }
 
   /** Land `rounds` of per-source parquet drops, one drop = one replay
-    * round. Each round runs stop-start: the round's files are FULLY
-    * committed while NO query is running, then the query starts against
-    * the shared checkpoint (offsets, operator state and watermark all
-    * restored), drains everything available, and stops. A drop is a
-    * multi-file partition-parallel write whose task files become visible
-    * one rename at a time — a query polling DURING the commit could take
-    * a partial subset as its own micro-batch and break the twins'
-    * arrival-order invariants, so the harness never overlaps landing with
-    * a live query. This is also the production replay shape: a
-    * data-at-rest backfill runs as discrete drain-everything batches, not
-    * a continuous poll racing the writer. `start` receives freshly-built
-    * file-source streams each round and must return the started query.
+    * round, through ONE long-lived query. A drop is a multi-file
+    * partition-parallel write whose task files become visible one rename
+    * at a time — a query polling DURING that commit could take a partial
+    * subset as its own micro-batch and break the twins' arrival-order
+    * invariants. The harness therefore makes each drop ATOMIC instead of
+    * stopping the query around it: the round's frame is written to a
+    * staging directory outside the watched glob, then ONE directory
+    * rename (`ATOMIC_MOVE`) publishes the whole drop into `src<i>/r<n>`,
+    * which the source watches as a one-level glob under `src<i>`. A
+    * trigger's listing
+    * either sees none of the round's files or all of them, so micro-batch
+    * membership is exactly one drop per round (`processAllAvailable`
+    * drains round N before round N+1 lands). This is also the documented
+    * production shape — Structured Streaming's file source contract is
+    * "files must be atomically placed in the monitored directory", which
+    * on a real DFS is exactly a rename of a fully-written directory.
+    *
+    * Versus the round-7 stop-start harness this keeps operator state,
+    * watermark and offsets IN MEMORY across rounds — no per-round
+    * checkpoint reload, state-store restore or query re-planning — which
+    * is where the r7 bench regression (+49% on the four twins,
+    * BENCH_r07) went. `start` receives the file-source streams once and
+    * must return the started query.
     */
   private def replay(
       s: SparkSession,
       root: java.nio.file.Path,
       sources: Seq[(StructType, Seq[DataFrame])],
       start: Seq[DataFrame] => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
-    val srcDirs = sources.indices.map(i => root.resolve(s"src$i").toString)
+    val srcDirs = sources.indices.map(i => root.resolve(s"src$i"))
+    srcDirs.foreach(java.nio.file.Files.createDirectories(_))
     val rounds = sources.map(_._2.length).max
     def land(round: Int): Unit =
-      for (((_, frames), d) <- sources.zip(srcDirs); if round < frames.length)
-        frames(round).write.mode("append").parquet(d)
-    for (r <- 0 until rounds) {
-      land(r) // fully committed before any query can list the dir
-      val streams = sources.zip(srcDirs).map { case ((schema, _), d) =>
-        s.readStream.schema(schema).parquet(d)
+      for (((_, frames), i) <- sources.zipWithIndex; if round < frames.length) {
+        val stage = root.resolve(s"stage${i}_$round")
+        frames(round).write.parquet(stage.toString)
+        java.nio.file.Files.move(stage, srcDirs(i).resolve(s"r$round"),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       }
-      val query = start(streams)
-      try query.processAllAvailable()
-      finally query.stop()
+    land(0) // the glob matches at least one dir before the query starts
+    val streams = sources.zip(srcDirs).map { case ((schema, _), d) =>
+      s.readStream.schema(schema).parquet(d.toString + "/*")
     }
+    val query = start(streams)
+    try {
+      query.processAllAvailable()
+      for (r <- 1 until rounds) { land(r); query.processAllAvailable() }
+    } finally query.stop()
   }
 
   /** Replay through a streaming TRANSFORM and collect its results from a
@@ -87,19 +104,30 @@ object StreamingQueries {
       transform: Seq[DataFrame] => DataFrame,
       complete: Boolean = false): DataFrame = {
     val root = java.nio.file.Files.createTempDirectory("graft_twin_")
-    val outDir = root.resolve("out").toString
+    val outDir = root.resolve("out")
     val cpDir = root.resolve("cp").toString
-    replay(s, root, sources, { streams =>
-      val sinkBase = transform(streams).writeStream.option("checkpointLocation", cpDir)
-      if (complete)
-        sinkBase.outputMode("complete").foreachBatch {
-          (b: Dataset[Row], _: Long) => b.write.mode("overwrite").parquet(outDir); ()
-        }.start()
-      else sinkBase.outputMode("append").format("parquet").option("path", outDir).start()
-    })
-    val result = s.read.parquet(outDir).localCheckpoint(true)
-    rmrf(root)
-    result
+    var outSchema: StructType = null
+    try {
+      replay(s, root, sources, { streams =>
+        val tf = transform(streams)
+        outSchema = tf.schema
+        val sinkBase = tf.writeStream.option("checkpointLocation", cpDir)
+        if (complete)
+          sinkBase.outputMode("complete").foreachBatch {
+            (b: Dataset[Row], _: Long) =>
+              b.write.mode("overwrite").parquet(outDir.toString); ()
+          }.start()
+        else sinkBase.outputMode("append").format("parquet")
+          .option("path", outDir.toString).start()
+      })
+      // explicit schema: a twin that emitted zero rows reads back as an
+      // empty frame instead of a schema-inference failure
+      val result =
+        if (java.nio.file.Files.exists(outDir))
+          s.read.schema(outSchema).parquet(outDir.toString)
+        else s.createDataFrame(new java.util.ArrayList[Row](), outSchema)
+      result.localCheckpoint(true)
+    } finally rmrf(root) // temp source/checkpoint/output never leak
   }
 
   /** single-row aggregate: midpoint of a long column's range — the
@@ -402,18 +430,18 @@ object StreamingQueries {
       def half(p: org.apache.spark.sql.Column): DataFrame =
         feed.filter(p).select("event_id", "ts", "user_id", "event_type", "value")
       val root = java.nio.file.Files.createTempDirectory("graft_sink_")
-      val cat = graft.lake.LakeCatalog(s, root.resolve("lake").toString)
-      replay(s, root,
-        Seq(eventSchema -> Seq(half(col("ts_ns") <= mid), half(col("ts_ns") > mid))),
-        srcs => EventStreams.streamIntoLake(srcs.head, cat, "st", "events",
-          root.resolve("cp").toString))
-      val out = cat.read("st", "events")
-        .groupBy("event_type")
-        .agg(count(lit(1)).as("n_events"), graft.Num.dsum(col("value")).as("total_value"))
-        .orderBy("event_type")
-        .localCheckpoint(true)
-      rmrf(root)
-      out
+      try {
+        val cat = graft.lake.LakeCatalog(s, root.resolve("lake").toString)
+        replay(s, root,
+          Seq(eventSchema -> Seq(half(col("ts_ns") <= mid), half(col("ts_ns") > mid))),
+          srcs => EventStreams.streamIntoLake(srcs.head, cat, "st", "events",
+            root.resolve("cp").toString))
+        cat.read("st", "events")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"), graft.Num.dsum(col("value")).as("total_value"))
+          .orderBy("event_type")
+          .localCheckpoint(true)
+      } finally rmrf(root)
     },
     Some("""SELECT event_type, COUNT(*) AS n_events,
       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
@@ -439,17 +467,17 @@ object StreamingQueries {
         StructField("event_id", LongType), StructField("event_type", StringType),
         StructField("value", DoubleType)))
       val root = java.nio.file.Files.createTempDirectory("graft_sink_")
-      val cat = graft.lake.LakeCatalog(s, root.resolve("lake").toString)
-      replay(s, root, Seq(schema -> Seq(base, corrections)),
-        srcs => EventStreams.streamUpsertIntoLake(srcs.head, cat, "st", "events",
-          "event_id", root.resolve("cp").toString))
-      val out = cat.read("st", "events")
-        .groupBy("event_type")
-        .agg(count(lit(1)).as("n_events"), graft.Num.dsum(col("value")).as("total_value"))
-        .orderBy("event_type")
-        .localCheckpoint(true)
-      rmrf(root)
-      out
+      try {
+        val cat = graft.lake.LakeCatalog(s, root.resolve("lake").toString)
+        replay(s, root, Seq(schema -> Seq(base, corrections)),
+          srcs => EventStreams.streamUpsertIntoLake(srcs.head, cat, "st", "events",
+            "event_id", root.resolve("cp").toString))
+        cat.read("st", "events")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"), graft.Num.dsum(col("value")).as("total_value"))
+          .orderBy("event_type")
+          .localCheckpoint(true)
+      } finally rmrf(root)
     },
     Some("""SELECT event_type, COUNT(*) AS n_events,
       CAST(SUM(CASE WHEN event_id % 10 = 0
@@ -485,17 +513,17 @@ object StreamingQueries {
         StructField("value", DoubleType), StructField("_op", StringType),
         StructField("ord", LongType)))
       val root = java.nio.file.Files.createTempDirectory("graft_sink_")
-      val cat = graft.lake.LakeCatalog(s, root.resolve("lake").toString)
-      replay(s, root, Seq(schema -> Seq(upserts1, batch2)),
-        srcs => EventStreams.streamCdcApplyIntoLake(srcs.head, cat, "st", "events",
-          "event_id", root.resolve("cp").toString, orderCol = Some("ord")))
-      val out = cat.read("st", "events")
-        .groupBy("event_type")
-        .agg(count(lit(1)).as("n_events"), graft.Num.dsum(col("value")).as("total_value"))
-        .orderBy("event_type")
-        .localCheckpoint(true)
-      rmrf(root)
-      out
+      try {
+        val cat = graft.lake.LakeCatalog(s, root.resolve("lake").toString)
+        replay(s, root, Seq(schema -> Seq(upserts1, batch2)),
+          srcs => EventStreams.streamCdcApplyIntoLake(srcs.head, cat, "st", "events",
+            "event_id", root.resolve("cp").toString, orderCol = Some("ord")))
+        cat.read("st", "events")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"), graft.Num.dsum(col("value")).as("total_value"))
+          .orderBy("event_type")
+          .localCheckpoint(true)
+      } finally rmrf(root)
     },
     Some("""SELECT event_type, COUNT(*) AS n_events,
       CAST(SUM(CASE WHEN event_id % 10 = 0

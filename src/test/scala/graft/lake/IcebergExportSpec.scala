@@ -313,6 +313,42 @@ class IcebergExportSpec extends SparkSpec {
       s"mapping=$fromMapping schema=$fromSchema")
   }
 
+  test("partitioned MoR export: per-partition delete files carrying partition values") {
+    val cat = freshCatalog()
+    import spark.implicits._
+    cat.write("ice", "pm",
+      (1 to 40).map(i => (i, if (i % 2 == 0) "us" else "de", i * 1.0))
+        .toDF("id", "country", "x"),
+      partitionBy = Seq("country"))
+    cat.deleteMoR("ice", "pm", col("id") <= 10) // five marks per partition
+    assert(cat.read("ice", "pm").count() == 30)
+    val exp = IcebergExport.export(spark, cat, "ice", "pm")
+    val m = readJson(exp.metadataFile)
+    val current = m.get("snapshots").get(m.get("snapshots").size() - 1)
+    val manifests = manifestsOf(current.get("manifest-list").asText())
+    val deleteEntries = manifests.flatMap(_._2).map(aRec(_, "data_file"))
+      .filter(aInt(_, "content") == 1)
+    assert(deleteEntries.nonEmpty, "MoR delete must surface as delete entries")
+    // a v2 reader indexes position deletes by partition tuple — every
+    // delete entry must carry a NON-NULL tuple covering both partitions
+    val byPart = deleteEntries.groupBy(e =>
+      String.valueOf(aRec(e, "partition").get("country")))
+    assert(byPart.keySet == Set("us", "de"), s"got ${byPart.keySet}")
+    // each delete FILE references only data files of its own partition,
+    // sorted by (file_path, pos) as the spec requires
+    for ((country, entries) <- byPart; e <- entries) {
+      val del = spark.read.parquet(localFile(aStr(e, "file_path")).getPath)
+      assert(del.columns.toSeq == Seq("file_path", "pos"))
+      val rows = del.collect().map(r => (r.getString(0), r.getLong(1)))
+      assert(rows.nonEmpty)
+      assert(rows.forall(_._1.contains(s"country=$country")),
+        s"delete file for $country references foreign partitions")
+      assert(rows.sortBy(identity).sameElements(rows))
+    }
+    // row accounting: the split files still cover all 10 deleted positions
+    assert(deleteEntries.map(aLong(_, "record_count")).sum == 10)
+  }
+
   test("unsupported Spark types fail the export loudly instead of lying") {
     import org.apache.spark.sql.types._
     val bad = StructType(Seq(StructField("x", CalendarIntervalType)))

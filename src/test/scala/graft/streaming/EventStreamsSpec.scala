@@ -436,4 +436,47 @@ class EventStreamsSpec extends SparkSpec {
       assert(out2.toSeq == Seq(5L))
     } finally q.stop()
   }
+
+  test("E17: per-cluster cap bounds state; retained members keep correct witnesses") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val e1 = Seq(1.0f, 0.0f, 0.0f)
+    val far = Seq(0.0f, 1.0f, 0.0f)
+    val input = MemoryStream[VecIn]
+    // cap = 2: the cluster retains only its first two arrivals as
+    // potential witnesses
+    val q = semanticDedupStream(input.toDS(), maxPerCluster = 2).toDF()
+      .writeStream.format("memory").queryName("e17_cap").outputMode("append").start()
+    try {
+      // batch 1: ids 10 (e1) and 20 (far) fill the cap
+      input.addData(VecIn(10L, ts(0), 7, e1), VecIn(20L, ts(1), 7, far))
+      q.processAllAvailable()
+      assert(spark.table("e17_cap").count() == 0)
+      // batch 2: id 30 duplicates RETAINED id 10 — over-cap arrivals
+      // still screen against the retained set and emit correctly
+      input.addData(VecIn(30L, ts(2), 7, e1))
+      q.processAllAvailable()
+      assert(spark.table("e17_cap")
+        .select("vec_id", "dup_of", "cluster").as[(Long, Long, Long)]
+        .collect().toSeq == Seq((30L, 10L, 7L)))
+      // batch 3: id 35 brings a NEW direction — no retained match, and
+      // over the cap it is NOT added to the seen-set
+      val newDir = Seq(0.0f, 0.0f, 1.0f)
+      input.addData(VecIn(35L, ts(3), 7, newDir))
+      q.processAllAvailable()
+      assert(spark.table("e17_cap").count() == 1)
+      // the documented completeness trade: id 50 duplicates UNRETAINED
+      // id 35 — an uncapped run would emit (50, 35); the capped run
+      // cannot (only over-cap-vs-over-cap pairs are lost)
+      input.addData(VecIn(50L, ts(4), 7, newDir))
+      q.processAllAvailable()
+      assert(spark.table("e17_cap").count() == 1)
+      // batch 5: id 40 duplicates retained id 10 — retained members'
+      // witness sets are unaffected by the cap, min retained id wins
+      input.addData(VecIn(40L, ts(5), 7, e1))
+      q.processAllAvailable()
+      assert(spark.table("e17_cap").filter(col("vec_id") === 40L)
+        .select("dup_of").as[Long].collect().toSeq == Seq(10L))
+    } finally q.stop()
+  }
 }
