@@ -325,9 +325,7 @@ object ScaleProbe {
       org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
         .delete(new org.apache.hadoop.fs.Path(root), true)
       val t0 = System.nanoTime()
-      val clean = sources.SchemaTools.sanitizeColumns(
-        sources.MultiFormatReader.readCsv(spark, csvDir)
-          .drop(sources.MultiFormatReader.CorruptCol))
+      val clean = sources.MultiFormatReader.readCsvSanitized(spark, csvDir)
       val cat = lake.LakeCatalog(spark, root)
       cat.write("wide", "t", clean)
       val n = cat.read("wide", "t").count()

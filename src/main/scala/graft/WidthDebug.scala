@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+
+/** scratch main for bisecting the wide-ingest cliff — not part of the library */
+object WidthDebug {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.getOrCreate("graft-width-debug")
+    spark.sparkContext.setLogLevel("ERROR")
+    val cols = args.headOption.map(_.toInt).getOrElse(4450)
+    val rows = 50000L
+    val csvDir = s"/tmp/graft_scale_wide_$cols"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(csvDir))) {
+      spark.range(rows).select(
+        (0 until cols).map(j => ((col("id") + lit(j)) % 97).cast("int")
+          .as(f"Col $j%04d (wide)")): _*)
+        .write.mode(SaveMode.Overwrite).option("header", "true").csv(csvDir)
+    }
+    def timed[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[width] $label%-30s ${(System.nanoTime() - t0) / 1e9}%8.1fs")
+      r
+    }
+    val mode = args.drop(1).headOption.getOrElse("full")
+    if (mode == "plain") {
+      // reference-equivalent ingest: inferred read -> parquet, no
+      // corrupt-record isolation
+      val pq = s"/tmp/graft_width_plain_$cols"
+      timed("plain ingest (infer+write)") {
+        spark.read.option("header", "true").option("inferSchema", "true")
+          .option("multiLine", "true").option("maxColumns", cols + 16)
+          .csv(csvDir)
+          .write.mode(SaveMode.Overwrite).parquet(pq)
+      }
+    } else if (mode == "corrupt-nodrop") {
+      // corrupt col in the read schema, but NO filter/drop/rename on top:
+      // isolates the parser's corrupt path from the projection stack
+      val schema = org.apache.spark.sql.types.StructType(
+        (0 until cols).map(j => org.apache.spark.sql.types.StructField(
+          f"Col $j%04d (wide)", org.apache.spark.sql.types.IntegerType))
+          :+ org.apache.spark.sql.types.StructField("_corrupt_record",
+            org.apache.spark.sql.types.StringType))
+      val pq = s"/tmp/graft_width_cnd_$cols"
+      timed("corrupt-schema read+write") {
+        spark.read.option("header", "true").option("multiLine", "true")
+          .option("maxColumns", cols + 16)
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt_record")
+          .schema(schema).csv(csvDir)
+          .write.mode(SaveMode.Overwrite).parquet(pq)
+      }
+    } else {
+      val read = timed("readCsv (infer+wrap)") {
+        sources.MultiFormatReader.readCsv(spark, csvDir)
+      }
+      val clean = timed("sanitize") {
+        sources.SchemaTools.sanitizeColumns(read.drop(sources.MultiFormatReader.CorruptCol))
+      }
+      val root = s"/tmp/graft_width_lake_$cols"
+      org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(root), true)
+      val cat = lake.LakeCatalog(spark, root)
+      timed("lake write (from csv plan)") { cat.write("wide", "t", clean) }
+      timed("lake read count") { cat.read("wide", "t").count() }
+    }
+    spark.stop()
+  }
+}

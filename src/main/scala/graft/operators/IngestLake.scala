@@ -952,8 +952,10 @@ object IngestLake {
         (0 until WideCols).map(j => ((col("id") + lit(j)) % 97).cast("int")
           .as(f"Col $j%04d (wide)")): _*)
       gen.write.mode(SaveMode.Overwrite).option("header", "true").csv(csvDir)
-      val clean = SchemaTools.sanitizeColumns(
-        MFR.readCsv(s, csvDir).drop(MFR.CorruptCol))
+      // sanitization happens at the SCHEMA level, fused into the scan —
+      // the wide-table discipline (a post-read rename Project at this
+      // width costs tens of seconds of projection codegen alone)
+      val clean = MFR.readCsvSanitized(s, csvDir)
       val cat = LakeCatalog(s, root + "/lake")
       cat.write("wide", "t", clean)
       val back = cat.read("wide", "t")

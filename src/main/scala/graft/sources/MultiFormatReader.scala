@@ -43,6 +43,28 @@ object MultiFormatReader {
     dropCorrupt(df)
   }
 
+  /** Effective Univocity maxColumns for a CSV read: the parser's row
+    * buffer is sized (and churned, per record) by this setting, so a
+    * blanket huge value taxes EVERY row of every file — width-probed at
+    * 4,450 real columns, maxColumns=50000 parsed 6× slower than a
+    * right-sized bound. The bound is derived from the first header line
+    * (delimiter count + 1, headroom for ragged rows); an overcount from
+    * quoted delimiters is harmless — the value only needs to be ≥ the
+    * real width. `ceiling` (the caller's maxColumns) stays the hard cap.
+    */
+  private def fitMaxColumns(spark: SparkSession, path: String,
+      delimiter: String, ceiling: Int): Int = {
+    val firstLine =
+      try spark.read.textFile(path).head(1).headOption
+      catch { case _: Exception => None }
+    firstLine match {
+      case Some(h) =>
+        val cols = h.count(_ == delimiter.head) + 1
+        math.min(math.max(cols + cols / 8 + 16, 128), ceiling)
+      case None => ceiling
+    }
+  }
+
   /** PERMISSIVE CSV: header, wide-table support (maxColumns), quoted
     * multi-line fields, corrupt-record isolation.
     *
@@ -59,9 +81,10 @@ object MultiFormatReader {
       maxColumns: Int = 50000,
       delimiter: String = ",",
       inferSchema: Boolean = true): DataFrame = {
+    val fitted = fitMaxColumns(spark, path, delimiter, maxColumns)
     def reader = spark.read
       .option("header", "true")
-      .option("maxColumns", maxColumns)
+      .option("maxColumns", fitted)
       .option("delimiter", delimiter)
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", CorruptCol)
@@ -72,23 +95,73 @@ object MultiFormatReader {
     readCsvWithSchema(spark, path, inferred, maxColumns, delimiter)
   }
 
+  /** The WIDE-table ingest path: infer, then re-read under the
+    * NAME-SANITIZED schema ([[SchemaTools.sanitizeSchema]]) applied
+    * positionally (`enforceSchema`, Spark's default) — so header
+    * sanitization costs zero extra plan nodes. At 4,000+ columns the
+    * alternative (`sanitizeColumns` after the read) stacks a rename
+    * `Project` whose one-time whole-projection codegen compilation alone
+    * runs tens of seconds (width-probed); a renamed scan schema is free.
+    */
+  def readCsvSanitized(
+      spark: SparkSession,
+      path: String,
+      maxColumns: Int = 50000,
+      delimiter: String = ",",
+      inferSchema: Boolean = true): DataFrame = {
+    val fitted = fitMaxColumns(spark, path, delimiter, maxColumns)
+    val inferred = spark.read
+      .option("header", "true")
+      .option("maxColumns", fitted)
+      .option("delimiter", delimiter)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .option("multiLine", "true")
+      .option("escape", "\"")
+      .option("encoding", "UTF-8")
+      .option("inferSchema", inferSchema)
+      .csv(path).schema
+    // corrupt isolation WITHOUT the dropCorrupt cache: a wide ingest goes
+    // straight to a full write, so pinning every cell in columnar storage
+    // (plus its per-column codegen) is pure overhead. Contract: reference
+    // at least one real data column in the first action (a bare count()
+    // on an uncached corrupt-filtered CSV hits Spark's corrupt-column
+    // AnalysisException — the documented Spark limitation dropCorrupt's
+    // cache shields elsewhere).
+    rawCsvWithSchema(spark, path, SchemaTools.sanitizeSchema(inferred),
+      maxColumns, delimiter)
+      .filter(col(CorruptCol).isNull).drop(CorruptCol)
+  }
+
   /** CSV with a KNOWN schema — the production path for large files: no
     * inference scan, and the corrupt-record column is appended explicitly
-    * (required for CSV isolation to work at all).
+    * (required for CSV isolation to work at all). maxColumns is
+    * right-sized to the schema width (plus ragged-row headroom, capped by
+    * the caller's value) — see [[fitMaxColumns]].
     */
   def readCsvWithSchema(
       spark: SparkSession,
       path: String,
       schema: org.apache.spark.sql.types.StructType,
       maxColumns: Int = 50000,
-      delimiter: String = ","): DataFrame = {
+      delimiter: String = ","): DataFrame =
+    dropCorrupt(rawCsvWithSchema(spark, path, schema, maxColumns, delimiter))
+
+  /** The corrupt-schema CSV scan before corrupt-row filtering. */
+  private def rawCsvWithSchema(
+      spark: SparkSession,
+      path: String,
+      schema: org.apache.spark.sql.types.StructType,
+      maxColumns: Int,
+      delimiter: String): DataFrame = {
     val withCorrupt = org.apache.spark.sql.types.StructType(
       schema.fields.filterNot(_.name == CorruptCol) :+
         org.apache.spark.sql.types.StructField(CorruptCol,
           org.apache.spark.sql.types.StringType, nullable = true))
-    val df = spark.read
+    val w = withCorrupt.size
+    spark.read
       .option("header", "true")
-      .option("maxColumns", maxColumns)
+      .option("maxColumns", math.min(math.max(w + w / 8 + 16, 128), maxColumns))
       .option("delimiter", delimiter)
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", CorruptCol)
@@ -97,7 +170,6 @@ object MultiFormatReader {
       .option("encoding", "UTF-8")
       .schema(withCorrupt)
       .csv(path)
-    dropCorrupt(df)
   }
 
   def readParquet(spark: SparkSession, path: String): DataFrame =

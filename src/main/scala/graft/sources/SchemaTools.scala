@@ -18,14 +18,14 @@ object SchemaTools {
     if (named.head.isDigit) s"c_$named" else named
   }
 
-  /** Sanitize all column names; dedupe collisions with _2, _3, ...
-    * Generated names are themselves recorded, so a later column that
-    * sanitizes to an already-generated name (e.g. a literal "a_2" after
-    * two "a"s) still comes out unique.
+  /** [[sanitizeName]] over a whole name list; dedupe collisions with _2,
+    * _3, ... Generated names are themselves recorded, so a later column
+    * that sanitizes to an already-generated name (e.g. a literal "a_2"
+    * after two "a"s) still comes out unique.
     */
-  def sanitizeColumns(df: DataFrame): DataFrame = {
+  def sanitizeNames(names: Seq[String]): Seq[String] = {
     val used = scala.collection.mutable.Set.empty[String]
-    val renamed = df.columns.map { c =>
+    names.map { c =>
       val base = sanitizeName(c)
       var candidate = base
       var n = 1
@@ -36,8 +36,23 @@ object SchemaTools {
       used += candidate
       candidate
     }
-    df.toDF(renamed.toIndexedSeq: _*)
   }
+
+  /** Sanitize all column names; dedupe collisions with _2, _3, ... */
+  def sanitizeColumns(df: DataFrame): DataFrame =
+    df.toDF(sanitizeNames(df.columns.toIndexedSeq): _*)
+
+  /** Schema-level sanitization: the same renaming applied to a
+    * [[StructType]] instead of a frame. For schema-carrying sources (CSV
+    * with `enforceSchema`, the positional default) this FUSES the rename
+    * into the scan itself — at 4,000+ columns a rename `Project` on top
+    * of the scan costs tens of seconds of whole-projection codegen
+    * compilation alone (width-probed), while a renamed scan schema costs
+    * nothing. Sanitize the schema, not the rows.
+    */
+  def sanitizeSchema(schema: StructType): StructType =
+    StructType(schema.fields.zip(sanitizeNames(schema.fields.map(_.name).toIndexedSeq))
+      .map { case (f, n) => f.copy(name = n) })
 
   /** Schema evolution across files: union an arbitrary set of frames by
     * column name, null-padding columns a frame lacks. Declarative

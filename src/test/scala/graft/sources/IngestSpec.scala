@@ -20,6 +20,32 @@ class IngestSpec extends SparkSpec {
     assert(out.columns.toSeq == Seq("a_b", "a_b_2", "ok"))
   }
 
+  test("sanitizeSchema mirrors sanitizeColumns, types preserved") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("a b", IntegerType), StructField("a-b", DoubleType),
+      StructField("ok", StringType, nullable = false)))
+    val out = SchemaTools.sanitizeSchema(schema)
+    assert(out.fields.map(_.name).toSeq == Seq("a_b", "a_b_2", "ok"))
+    assert(out.fields.map(_.dataType).toSeq ==
+      Seq(IntegerType, DoubleType, StringType))
+    assert(!out.fields(2).nullable)
+  }
+
+  test("readCsvSanitized: sanitized names fused into the scan, corrupt rows out") {
+    val d = Files.createTempDirectory("graft_csv_san")
+    Files.writeString(d.resolve("w.csv"),
+      "Col A (x),Col-B!\n1,2\n3,4\n\"oops,5\n")
+    val df = MultiFormatReader.readCsvSanitized(spark, d.resolve("w.csv").toString)
+    assert(df.columns.toSeq == Seq("Col_A_x", "Col_B"))
+    // no rename Project above the scan: the analyzed plan's relation
+    // already carries the sanitized names. The 2-row result doubles as
+    // the corrupt-row check (a bare count() is illegal on the uncached
+    // corrupt-filtered scan — the documented contract of this path).
+    assert(df.select("Col_A_x").collect().map(_.get(0).toString).sorted.toSeq
+      == Seq("1", "3"))
+  }
+
   test("directory scan isolates corrupt and empty files") {
     val base = Files.createTempDirectory("graft_ingest").toString
     Files.createDirectories(Paths.get(base, "json"))
