@@ -41,12 +41,7 @@ object Relational {
           dsum(col("l_quantity")).as("sum_qty"),
           dsum(col("l_extendedprice")).as("sum_base_price"),
           sum(discPrice).cast(DoubleType).as("sum_disc_price"),
-          // sum_charge stays DECIMAL end-to-end: at sf1 magnitudes (16+
-          // significant digits) DuckDB's DECIMAL→DOUBLE cast is 1 ulp off
-          // the correctly-rounded JVM conversion, so a double-surfaced
-          // column hash-mismatches through no fault of the engine —
-          // decimals compare exactly at any scale factor (r8, verdict #4)
-          sum(charge).cast(DecimalType(38, 6)).as("sum_charge"),
+          sum(charge).cast(DoubleType).as("sum_charge"),
           (sum(m(col("l_quantity"))).cast(DoubleType) / count(lit(1))).as("avg_qty"),
           (sum(m(col("l_extendedprice"))).cast(DoubleType) / count(lit(1))).as("avg_price"),
           count(lit(1)).as("count_order")
@@ -57,7 +52,11 @@ object Relational {
       CAST(SUM(CAST(l_quantity AS $D)) AS DOUBLE) AS sum_qty,
       CAST(SUM(CAST(l_extendedprice AS $D)) AS DOUBLE) AS sum_base_price,
       ${revSql()} AS sum_disc_price,
-      CAST(SUM(CAST(l_extendedprice AS $D) * (1 - CAST(l_discount AS $D)) * (1 + CAST(l_tax AS $D))) AS DECIMAL(38,6)) AS sum_charge,
+      -- via VARCHAR: DuckDB's direct DECIMAL->DOUBLE cast is 1 ulp off the
+      -- correctly-rounded conversion once the sum reaches 16+ significant
+      -- digits (sf1 magnitudes, measured); its VARCHAR->DOUBLE parse is
+      -- correctly rounded and matches the JVM bit-for-bit
+      CAST(CAST(SUM(CAST(l_extendedprice AS $D) * (1 - CAST(l_discount AS $D)) * (1 + CAST(l_tax AS $D))) AS VARCHAR) AS DOUBLE) AS sum_charge,
       CAST(SUM(CAST(l_quantity AS $D)) AS DOUBLE) / COUNT(*) AS avg_qty,
       CAST(SUM(CAST(l_extendedprice AS $D)) AS DOUBLE) / COUNT(*) AS avg_price,
       COUNT(*) AS count_order
