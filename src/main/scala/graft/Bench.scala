@@ -55,9 +55,9 @@ object Bench {
     println(line)
     // The driver's BENCH_r{N}.json retains only a tail of the stdout line,
     // which loses half the per-query timings; persist the COMPLETE sorted
-    // JSON to a file as well (full runs only — a subset run would overwrite
-    // the round's record with a partial one).
-    if (args.isEmpty) {
+    // JSON to a file as well (full CLEAN runs only — a subset run or one
+    // with errors must not replace the round's last good record).
+    if (args.isEmpty && errs == 0) {
       val out = java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH-full-latest.json"))
       java.nio.file.Files.write(out,

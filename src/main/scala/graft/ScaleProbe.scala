@@ -317,9 +317,7 @@ object ScaleProbe {
     if (on("width")) for (cols <- Seq(1000, 2000, 4450)) {
       val rows = 50000L
       val csvDir = s"/tmp/graft_scale_wide_$cols"
-      spark.range(rows).select(
-        (0 until cols).map(j => ((col("id") + lit(j)) % 97).cast("int")
-          .as(f"Col $j%04d (wide)")): _*)
+      operators.IngestLake.wideFrame(spark, rows, cols)
         .write.mode(SaveMode.Overwrite).option("header", "true").csv(csvDir)
       val root = s"/tmp/graft_scale_wide_lake_$cols"
       org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)

@@ -12,9 +12,7 @@ object WidthDebug {
     val rows = 50000L
     val csvDir = s"/tmp/graft_scale_wide_$cols"
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(csvDir))) {
-      spark.range(rows).select(
-        (0 until cols).map(j => ((col("id") + lit(j)) % 97).cast("int")
-          .as(f"Col $j%04d (wide)")): _*)
+      operators.IngestLake.wideFrame(spark, rows, cols)
         .write.mode(SaveMode.Overwrite).option("header", "true").csv(csvDir)
     }
     def timed[T](label: String)(f: => T): T = {
@@ -24,7 +22,18 @@ object WidthDebug {
       r
     }
     val mode = args.drop(1).headOption.getOrElse("full")
-    if (mode == "plain") {
+    if (mode == "maxcols") {
+      val schema = org.apache.spark.sql.types.StructType(
+        (0 until cols).map(j => org.apache.spark.sql.types.StructField(
+          f"Col $j%04d (wide)", org.apache.spark.sql.types.IntegerType)))
+      for (mc <- Seq(cols + 16, 2 * cols, 8192, 16384, 50000)) {
+        timed(s"parse maxCols=$mc") {
+          spark.read.option("header", "true").option("multiLine", "true")
+            .option("maxColumns", mc).schema(schema).csv(csvDir)
+            .agg(sum(col(schema.fields.last.name))).collect()
+        }
+      }
+    } else if (mode == "plain") {
       // reference-equivalent ingest: inferred read -> parquet, no
       // corrupt-record isolation
       val pq = s"/tmp/graft_width_plain_$cols"

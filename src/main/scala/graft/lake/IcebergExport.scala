@@ -414,17 +414,23 @@ object IcebergExport {
     val src = base.select(Seq(
       concat(lit(location + "/"), col("_dv_file")).as("file_path"),
       col("_dv_pos").cast(LongType).as("pos")) ++ partExprs: _*)
-    val shaped =
-      if (partitionCols.isEmpty) src.coalesce(1).sortWithinPartitions("file_path", "pos")
-      else src.repartition(partitionCols.map(col): _*)
-        // sort leads with the partition columns so the dynamic-partition
-        // writer's required ordering is already satisfied — no extra sort
-        // gets inserted that could break the (file_path, pos) order
-        .sortWithinPartitions((partitionCols ++ Seq("file_path", "pos")).map(col): _*)
-    val withIds = spark.createDataFrame(shaped.rdd,
+    // the field-id-carrying schema goes on BEFORE the sort: createDataFrame
+    // over an RDD yields a LogicalRDD with no outputOrdering, so a sort
+    // applied earlier would be invisible to the writer, which would then
+    // insert its own partition-only sort — not guaranteed stable under
+    // spill, silently breaking the spec's (file_path, pos) order. With the
+    // sort ON the plan, its ordering leads with the partition columns, the
+    // dynamic-partition writer's required ordering is already satisfied,
+    // and no extra sort is inserted.
+    val withIds = spark.createDataFrame(src.rdd,
       StructType(Seq(filePathField, posField) ++
         partitionCols.map(StructField(_, StringType))))
-    val writer = withIds.write.mode("overwrite")
+    val shaped =
+      if (partitionCols.isEmpty)
+        withIds.coalesce(1).sortWithinPartitions("file_path", "pos")
+      else withIds.repartition(partitionCols.map(col): _*)
+        .sortWithinPartitions((partitionCols ++ Seq("file_path", "pos")).map(col): _*)
+    val writer = shaped.write.mode("overwrite")
     (if (partitionCols.isEmpty) writer else writer.partitionBy(partitionCols: _*))
       .parquet(outDir.toString)
     parquetFilesUnder(fs, outDir).map(p => p -> partitionValuesOf(outDir, p))

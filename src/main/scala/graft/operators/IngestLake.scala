@@ -932,6 +932,19 @@ object IngestLake {
   val WideRows = 50000L
   val WideCols = 4450
 
+  /** The deterministic messy-headed wide frame — v(i,j) = (i+j) % 97
+    * under header `Col %04d (wide)`. ONE definition shared by the
+    * ingest_wide_schema oracle, the ScaleProbe width section and the
+    * width-bisect scratch main: the oracle hashes the md5 of the
+    * sanitized name list, so a drifted copy would silently decouple the
+    * probe from the benched shape.
+    */
+  def wideFrame(s: org.apache.spark.sql.SparkSession, rows: Long,
+      cols: Int): org.apache.spark.sql.DataFrame =
+    s.range(rows).select(
+      (0 until cols).map(j => ((col("id") + lit(j)) % 97).cast("int")
+        .as(f"Col $j%04d (wide)")): _*)
+
   /** A2/A7/B-width canary (r8): the reference's published benchmark shape
     * end-to-end — generate a [[WideRows]]×[[WideCols]] CSV with messy
     * headers, then safe CSV read (schema inference, PERMISSIVE,
@@ -948,10 +961,8 @@ object IngestLake {
     (s, dir) => {
       val root = scratch("wide")
       val csvDir = root + "/wide_csv"
-      val gen = s.range(WideRows).select(
-        (0 until WideCols).map(j => ((col("id") + lit(j)) % 97).cast("int")
-          .as(f"Col $j%04d (wide)")): _*)
-      gen.write.mode(SaveMode.Overwrite).option("header", "true").csv(csvDir)
+      wideFrame(s, WideRows, WideCols)
+        .write.mode(SaveMode.Overwrite).option("header", "true").csv(csvDir)
       // sanitization happens at the SCHEMA level, fused into the scan —
       // the wide-table discipline (a post-read rename Project at this
       // width costs tens of seconds of projection codegen alone)

@@ -43,14 +43,27 @@ object MultiFormatReader {
     dropCorrupt(df)
   }
 
-  /** Effective Univocity maxColumns for a CSV read: the parser's row
-    * buffer is sized (and churned, per record) by this setting, so a
-    * blanket huge value taxes EVERY row of every file — width-probed at
-    * 4,450 real columns, maxColumns=50000 parsed 6× slower than a
-    * right-sized bound. The bound is derived from the first header line
-    * (delimiter count + 1, headroom for ragged rows); an overcount from
-    * quoted delimiters is harmless — the value only needs to be ≥ the
-    * real width. `ceiling` (the caller's maxColumns) stays the hard cap.
+  /** A row whose field count exceeds Univocity's maxColumns throws
+    * TextParsingException, which Spark's per-record PERMISSIVE machinery
+    * does NOT catch — the whole read dies (probe-verified). So the fitted
+    * bound below never drops under this floor: junk/mis-delimited rows up
+    * to this many fields keep landing in the corrupt column instead of
+    * aborting the job, which is the module's isolation contract.
+    */
+  val MaxColumnsFloor = 8192
+
+  /** Effective Univocity maxColumns for a CSV read: the parser sizes its
+    * per-record row buffer from this setting, and on full-field
+    * conversion passes an oversized bound is measurable wall time
+    * (width-probed at 4,450 real columns: the blanket 50000 cost ~25%
+    * end-to-end vs a fitted bound). The bound is derived from the first
+    * header line (delimiter count + 1, headroom for ragged rows), never
+    * below [[MaxColumnsFloor]] (isolation contract), never above
+    * `ceiling` (the caller's maxColumns). An overcount from quoted
+    * delimiters is harmless — the value only needs to be ≥ the real
+    * width; the floor also covers the undercount edges (a quoted
+    * embedded-newline header, a directory whose first file is narrower
+    * than its widest) for any table up to the floor's width.
     */
   private def fitMaxColumns(spark: SparkSession, path: String,
       delimiter: String, ceiling: Int): Int = {
@@ -60,7 +73,7 @@ object MultiFormatReader {
     firstLine match {
       case Some(h) =>
         val cols = h.count(_ == delimiter.head) + 1
-        math.min(math.max(cols + cols / 8 + 16, 128), ceiling)
+        math.min(math.max(cols + cols / 8 + 16, MaxColumnsFloor), ceiling)
       case None => ceiling
     }
   }
@@ -81,19 +94,31 @@ object MultiFormatReader {
       maxColumns: Int = 50000,
       delimiter: String = ",",
       inferSchema: Boolean = true): DataFrame = {
-    val fitted = fitMaxColumns(spark, path, delimiter, maxColumns)
-    def reader = spark.read
-      .option("header", "true")
-      .option("maxColumns", fitted)
-      .option("delimiter", delimiter)
-      .option("mode", "PERMISSIVE")
-      .option("columnNameOfCorruptRecord", CorruptCol)
-      .option("multiLine", "true")
-      .option("escape", "\"")
-      .option("encoding", "UTF-8")
-    val inferred = reader.option("inferSchema", inferSchema).csv(path).schema
+    val inferred = inferCsvSchema(spark, path, maxColumns, delimiter, inferSchema)
     readCsvWithSchema(spark, path, inferred, maxColumns, delimiter)
   }
+
+  /** The shared PERMISSIVE CSV reader configuration (one place, three
+    * read paths: inference, schema'd, sanitized).
+    */
+  private def csvReader(spark: SparkSession, delimiter: String,
+      maxCols: Int): org.apache.spark.sql.DataFrameReader = spark.read
+    .option("header", "true")
+    .option("maxColumns", maxCols)
+    .option("delimiter", delimiter)
+    .option("mode", "PERMISSIVE")
+    .option("columnNameOfCorruptRecord", CorruptCol)
+    .option("multiLine", "true")
+    .option("escape", "\"")
+    .option("encoding", "UTF-8")
+
+  /** The inference pass: full scan, schema only. */
+  private def inferCsvSchema(spark: SparkSession, path: String,
+      maxColumns: Int, delimiter: String, inferSchema: Boolean)
+      : org.apache.spark.sql.types.StructType =
+    csvReader(spark, delimiter, fitMaxColumns(spark, path, delimiter, maxColumns))
+      .option("inferSchema", inferSchema)
+      .csv(path).schema
 
   /** The WIDE-table ingest path: infer, then re-read under the
     * NAME-SANITIZED schema ([[SchemaTools.sanitizeSchema]]) applied
@@ -109,18 +134,7 @@ object MultiFormatReader {
       maxColumns: Int = 50000,
       delimiter: String = ",",
       inferSchema: Boolean = true): DataFrame = {
-    val fitted = fitMaxColumns(spark, path, delimiter, maxColumns)
-    val inferred = spark.read
-      .option("header", "true")
-      .option("maxColumns", fitted)
-      .option("delimiter", delimiter)
-      .option("mode", "PERMISSIVE")
-      .option("columnNameOfCorruptRecord", CorruptCol)
-      .option("multiLine", "true")
-      .option("escape", "\"")
-      .option("encoding", "UTF-8")
-      .option("inferSchema", inferSchema)
-      .csv(path).schema
+    val inferred = inferCsvSchema(spark, path, maxColumns, delimiter, inferSchema)
     // corrupt isolation WITHOUT the dropCorrupt cache: a wide ingest goes
     // straight to a full write, so pinning every cell in columnar storage
     // (plus its per-column codegen) is pure overhead. Contract: reference
@@ -159,15 +173,8 @@ object MultiFormatReader {
         org.apache.spark.sql.types.StructField(CorruptCol,
           org.apache.spark.sql.types.StringType, nullable = true))
     val w = withCorrupt.size
-    spark.read
-      .option("header", "true")
-      .option("maxColumns", math.min(math.max(w + w / 8 + 16, 128), maxColumns))
-      .option("delimiter", delimiter)
-      .option("mode", "PERMISSIVE")
-      .option("columnNameOfCorruptRecord", CorruptCol)
-      .option("multiLine", "true")
-      .option("escape", "\"")
-      .option("encoding", "UTF-8")
+    csvReader(spark, delimiter,
+        math.min(math.max(w + w / 8 + 16, MaxColumnsFloor), maxColumns))
       .schema(withCorrupt)
       .csv(path)
   }
