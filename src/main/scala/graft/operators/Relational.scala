@@ -507,6 +507,64 @@ object Relational {
     None // sketch outputs are engine-specific; error bounds pinned in spec
   )
 
+  /** KMV (k-minimum-values) distinct-count sketch — the DETERMINISTIC
+    * complement to the HLL profile above: hash each key to a uniform
+    * 60-bit value (md5 prefix, bit-identical across engines — the same
+    * portability contract as q_det_sample), keep only the k smallest
+    * distinct hashes per group via the bounded-heap TopKPerGroup operator
+    * (O(k) state per group, partial reduction before the shuffle), and
+    * estimate |distinct| = (k-1)/f_k where f_k is the k-th minimum as a
+    * fraction of the hash space [Bar-Yossef et al., RANDOM 2002]. Unlike
+    * HLL the whole computation is plain deterministic SQL, so the DuckDB
+    * oracle checks it bit-for-bit — closing the "sketches are engine-local"
+    * escape for the distinct-count half of the profiling pass. Groups with
+    * fewer than k distinct hashes return their exact count (the sketch IS
+    * exact below k). All arithmetic on the estimate path is IEEE-double
+    * with an identical expression tree on both engines (exact products of
+    * small ints by 2^60, one correctly-rounded divide, floor) — no
+    * rounding-mode divergence.
+    */
+  val qSketchKmv: Q = Q(
+    "q_sketch_kmv",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val k = 256
+      val hv = expr(
+        "cast(conv(substring(md5(cast(user_id as string)), 1, 15), 16, 10) as bigint)")
+        .as("hv")
+      // distinct (group, hash) pairs: map-side combine, one shuffle
+      val pairs = t.events.select(col("event_type"), hv).distinct()
+      // k smallest hashes per group, bounded heap — never a full sort
+      val kmin = TopK.perGroup(pairs, Seq(col("event_type")), Seq(col("hv").asc), k)
+      kmin.groupBy("event_type")
+        .agg(count(lit(1)).as("m"), max("hv").as("hk"))
+        .select(col("event_type"),
+          when(col("m") < k, col("m"))
+            .otherwise(floor(
+              lit((k - 1).toDouble) * pow(lit(2.0), lit(60.0)) / col("hk").cast("double"))
+              .cast("long"))
+            .as("approx_users_kmv"))
+        .orderBy("event_type")
+    },
+    Some("""WITH h AS (
+      SELECT DISTINCT event_type,
+        ('0x' || substring(md5(user_id::VARCHAR), 1, 15))::BIGINT AS hv
+      FROM events
+    ), r AS (
+      SELECT event_type, hv,
+        row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+      FROM h
+    ), kt AS (
+      SELECT event_type, COUNT(*) AS m, MAX(hv) AS hk
+      FROM r WHERE rn <= 256 GROUP BY event_type
+    )
+    SELECT event_type,
+      CASE WHEN m < 256 THEN m
+           ELSE CAST(FLOOR(255.0 * POW(2.0, 60.0) / hk) AS BIGINT) END
+        AS approx_users_kmv
+    FROM kt ORDER BY event_type""")
+  )
+
   /** Bucketed co-located join: both fact tables are written bucketed+sorted
     * on the join key, so the sort-merge join needs NO shuffle and NO sort —
     * each task merges matching buckets. This is the amortize-the-shuffle
@@ -632,6 +690,6 @@ object Relational {
     q1PricingSummary, q3ShippingPriority, q5LocalSupplier, qWindowTopN,
     qRollupRegion, qSemiJoin, qAntiJoin, qDistinctSegments, qTopKParts,
     qSessionize, qEventBuckets, qCubeSegments, qSetOps, qWindowAnalytics,
-    qSaltedAgg, qAsofJoin, qPivot, qApproxSketches, qBucketedJoin, qRangeJoin,
-    qHistogram, qDateSpine)
+    qSaltedAgg, qAsofJoin, qPivot, qApproxSketches, qSketchKmv, qBucketedJoin,
+    qRangeJoin, qHistogram, qDateSpine)
 }

@@ -4,7 +4,7 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 
 /** Logical "keep the top-k rows of each group under `order`" operator.
@@ -70,6 +70,8 @@ case class PartialTopKPerGroupExec(
     child: SparkPlan) extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output
   override def requiredChildDistribution: Seq[Distribution] = Seq(UnspecifiedDistribution)
+  // narrow per-partition reduction: rows never move
+  override def outputPartitioning: Partitioning = child.outputPartitioning
   override protected def doExecute(): RDD[InternalRow] = {
     // locals only: the closure must not capture the plan node itself
     val (out, g, o, kk) = (output, groupExprs, order, k)
@@ -88,6 +90,11 @@ case class TopKPerGroupExec(
   // final pass needs each group wholly in one partition
   override def requiredChildDistribution: Seq[Distribution] =
     Seq(ClusteredDistribution(groupExprs))
+  // groups stay where the exchange put them, so downstream operators
+  // clustered on the same keys (a groupBy after a per-group cap is the
+  // common shape) reuse this exchange instead of shuffling ≤k-per-group
+  // rows again
+  override def outputPartitioning: Partitioning = child.outputPartitioning
   override protected def doExecute(): RDD[InternalRow] = {
     val (out, g, o, kk) = (output, groupExprs, order, k)
     child.execute().mapPartitions(it => TopKReduce.reduce(it, out, g, o, kk))

@@ -311,4 +311,16 @@ class PlanQualitySpec extends SparkSpec {
       s"distinct supplier count must use the two-phase distinct aggregate:\n$p")
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q_sketch_kmv: bounded heap before the shuffle; no windowed full sort") {
+    val p = plan(operators.Relational.qSketchKmv)
+    assert(p.contains("TopKPerGroup"),
+      s"k-minimum selection must run through the bounded-heap operator:\n$p")
+    // never the row_number()-over-full-sort formulation the oracle uses
+    assert(!p.contains("row_number"), s"no window rank on the engine side:\n$p")
+    // distinct pairs + TopK group reduction; the final tiny agg reuses the
+    // TopK partitioning — 2 hash exchanges total, constant at any SF
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 2, s"expected <=2 hash exchanges, got $exchanges:\n$p")
+  }
 }

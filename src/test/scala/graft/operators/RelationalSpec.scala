@@ -60,6 +60,23 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("KMV sketch estimates distinct counts within the k=256 error bound") {
+    val t = graft.Tables(spark, sfDir)
+    val est = Relational.qSketchKmv.fn(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = t.events.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("u"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.keySet == exact.keySet)
+    for ((typ, eu) <- exact) {
+      val au = est(typ)
+      // std error of KMV at k=256 is ~1/sqrt(k-2) ≈ 6.3%; 4 sigma bound,
+      // and exact-below-k groups must match exactly
+      if (eu < 256) assert(au == eu, s"$typ below-k must be exact: $au vs $eu")
+      else assert(math.abs(au - eu).toDouble / eu <= 0.25, s"$typ kmv: $au vs $eu")
+    }
+  }
+
   test("as-of join picks the latest rate at or before each ship date") {
     val df = Relational.qAsofJoin.fn(spark, sfDir)
     assert(df.filter(col("rate_date").isNull).count() == 0)
