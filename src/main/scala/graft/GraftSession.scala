@@ -34,9 +34,11 @@ object GraftSession {
       .config("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)
       .config("spark.sql.files.maxPartitionBytes", 128 * 1024 * 1024)
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
-      // events.ts is parquet TIMESTAMP(NANOS): surface it as a nanos-since-
-      // epoch long (Spark has no ns timestamp type); operators bucket it with
-      // integer division, which matches the oracle's epoch_us() exactly.
+      // Defensive: if a testdata regeneration ships events.ts as parquet
+      // TIMESTAMP(NANOS) again (rounds 1-7 did), surface it as a long
+      // instead of failing the scan — Tables.events converts that long to
+      // the canonical native TimestampType on load. Current testdata is
+      // timestamp[us], which this flag does not touch.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
 

@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated TPC-H-ish star schema (see TESTDATA.md).
   * Plain declarative parquet scans: Catalyst pushes filters/projections from
@@ -17,7 +19,31 @@ final case class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame       = t("part")
   def orders: DataFrame     = t("orders")
   def lineitem: DataFrame   = t("lineitem")
-  def events: DataFrame     = t("events")
+
+  /** Events with ONE canonical time encoding: `ts` is always a native
+    * TimestampType (microsecond precision). The driver's testdata has
+    * shipped `ts` both as nanos-since-epoch int64 (rounds 1-7, surfaced as
+    * LongType via nanosAsLong) and as parquet timestamp[us] with
+    * isAdjustedToUTC=false (round 8+, surfaced as TIMESTAMP_NTZ); every
+    * consumer reads through this accessor, which converts either legacy
+    * encoding on load. The NTZ→timestamp cast is the identity on the
+    * stored micros because the session time zone is pinned to UTC
+    * (GraftSession). Operators that want integer arithmetic derive
+    * `unix_micros(ts)` — the exact value DuckDB's `epoch_us(ts)` computes
+    * on the same file, so oracle comparisons stay bit-identical.
+    */
+  def events: DataFrame = {
+    val raw = t("events")
+    raw.schema("ts").dataType match {
+      case LongType => // legacy nanos-as-int64: truncate to micros once
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType => // wall-clock micros == UTC instant micros
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => raw
+      case other =>
+        sys.error(s"events.ts: unsupported encoding $other (expected TIMESTAMP, TIMESTAMP_NTZ or BIGINT nanos)")
+    }
+  }
   def documents: DataFrame  = t("documents")
   def embeddings: DataFrame = t("embeddings")
 }

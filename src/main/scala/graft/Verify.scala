@@ -2,10 +2,75 @@ package graft
 
 import java.nio.file.{Files, Paths}
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare.
   */
 object Verify {
+
+  /** JSON string escape: backslash, quote, and ALL control chars (<0x20)
+    * — a tab or CR in builder-authored SQL would otherwise make the
+    * driver's json.load fail and silently zero the round's correctness.
+    */
+  private def q(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  /** Dump every selected query's result to `outDir/<name>` parquet.
+    *
+    * A query that fails to build or run must APPEAR in the dump, never
+    * vanish: the round-8 correctness artifact silently shrank from 139 to
+    * 133 entries when ten queries hit an analysis error, and the file read
+    * as all-green unless diffed against the previous round. Failures now
+    * land twice: a one-row `err` parquet under the query's own name (so
+    * the driver's compare yields an explicit mismatching row instead of an
+    * absent one — Bench.scala's `err:<class>` markers, mirrored) and an
+    * `errors.json` sidecar naming every failed query.
+    *
+    * Returns name → error for the failures.
+    */
+  def dump(
+      spark: SparkSession,
+      sfDir: String,
+      outDir: String,
+      queries: Map[String, (SparkSession, String) => DataFrame],
+      only: Set[String] = Set.empty): Map[String, String] = {
+    new java.io.File(outDir).mkdirs()
+    // run in family order and release memoized state at family boundaries,
+    // exactly like Bench — a 140-query session should not accumulate every
+    // family's pinned storage (see GraftSession.releaseCaches).
+    var family: String = null
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    queries.toSeq.sortBy(_._1)
+      .filter(kv => only.isEmpty || only.contains(kv._1))
+      .foreach { case (name, fn) =>
+        val f = GraftSession.familyOf(name)
+        if (family != null && f != family) GraftSession.releaseCaches(spark)
+        family = f
+        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        catch { case e: Throwable =>
+          val msg = s"err:${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}"
+          System.err.println(s"[verify] $name failed: $msg")
+          errors += name -> msg
+          import spark.implicits._
+          Seq(msg).toDF("err").coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+        }
+      }
+    val errJson = errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    errors.toMap
+  }
+
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     // optional trailing names: dump only that subset (dev loop; the driver
@@ -16,35 +81,7 @@ object Verify {
       s"no such quer${if (unknown.size == 1) "y" else "ies"}: ${unknown.mkString(", ")} " +
         "(a typo here would otherwise dump nothing and exit 0)")
     val spark = GraftSession.getOrCreate("graft-verify")
-    new java.io.File(outDir).mkdirs()
-    // run in family order and release memoized state at family boundaries,
-    // exactly like Bench — a 91-query session should not accumulate every
-    // family's pinned storage (see GraftSession.releaseCaches).
-    var family: String = null
-    SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter(kv => only.isEmpty || only.contains(kv._1))
-      .foreach { case (name, fn) =>
-      val f = GraftSession.familyOf(name)
-      if (family != null && f != family) GraftSession.releaseCaches(spark)
-      family = f
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-    }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+    dump(spark, sfDir, outDir, SparkEntry.queries, only)
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

@@ -228,9 +228,9 @@ object Relational {
   )
 
   /** Gaps-and-islands sessionization: 30-min inactivity gap splits sessions.
-    * Batch twin of the streaming sessionizer (SURVEY §2 E2). Events carry
-    * nanosecond timestamps; both engines compare at microsecond precision
-    * (unix_micros / epoch_us) so the boundary arithmetic is identical.
+    * Batch twin of the streaming sessionizer (SURVEY §2 E2). Both engines
+    * compare event time at microsecond precision (unix_micros / epoch_us)
+    * so the boundary arithmetic is identical.
     */
   val qSessionize: Q = Q(
     "q_sessionize",
@@ -239,7 +239,7 @@ object Relational {
       val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
       val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
       t.events
-        .select(col("user_id"), col("event_id"), col("value"), expr("ts DIV 1000").as("ts_us"))
+        .select(col("user_id"), col("event_id"), col("value"), unix_micros(col("ts")).as("ts_us"))
         .withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))
         .withColumn("is_new",
           when(col("prev_us").isNull || col("ts_us") - col("prev_us") > 1800000000L, 1).otherwise(0))
@@ -267,8 +267,8 @@ object Relational {
   )
 
   /** Hourly event rollup — the batch twin of the streaming windowed
-    * aggregation (SURVEY §2 E1). Bucket surfaced as epoch seconds so both
-    * engines agree despite ns-vs-us timestamp precision.
+    * aggregation (SURVEY §2 E1). Bucket surfaced as epoch seconds, the
+    * common denominator both engines compute exactly.
     */
   val qEventBuckets: Q = Q(
     "q_event_buckets",
@@ -276,7 +276,7 @@ object Relational {
       val t = Tables(s, dir)
       t.events
         .groupBy(
-          expr("(ts DIV 3600000000000) * 3600").as("bucket_s"),
+          expr("(unix_micros(ts) DIV 3600000000) * 3600").as("bucket_s"),
           col("event_type"))
         .agg(
           count(lit(1)).as("n_events"),

@@ -81,7 +81,7 @@ object RelationalAnalytics {
       val w = Window.partitionBy("user_id").orderBy("ts_us")
         .rangeBetween(-3600000000L, 0L)
       t.events
-        .select(col("user_id"), col("event_id"), expr("ts DIV 1000").as("ts_us"),
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
           m(col("value")).as("v"))
         .withColumn("trailing_1h_value", sum(col("v")).over(w).cast(DoubleType))
         .select("user_id", "event_id", "ts_us", "trailing_1h_value")
@@ -104,7 +104,7 @@ object RelationalAnalytics {
       val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       t.events
-        .select(col("user_id"), col("event_id"), expr("ts DIV 1000").as("ts_us"),
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
           when(col("event_type") === "purchase", m(col("value"))).as("purchase_value"))
         .withColumn("filled_value",
           last(col("purchase_value"), ignoreNulls = true).over(w).cast(DoubleType))
@@ -175,14 +175,14 @@ object RelationalAnalytics {
 
   /** Retention cohorts: users grouped by first-activity day; counts of
     * distinct users active k days later — integer-exact day arithmetic on
-    * the nanos epoch.
+    * the micros epoch.
     */
   val qRetention: Q = Q(
     "q_retention",
     (s, dir) => {
       val t = Tables(s, dir)
       val days = t.events
-        .select(col("user_id"), expr("ts DIV 86400000000000").as("day"))
+        .select(col("user_id"), expr("unix_micros(ts) DIV 86400000000").as("day"))
         .distinct()
       val cohorts = days.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
       days.join(cohorts, "user_id")
@@ -191,7 +191,7 @@ object RelationalAnalytics {
         .orderBy("cohort_day", "day_offset")
     },
     Some("""WITH days AS (
-      SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS day FROM events),
+      SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
     cohorts AS (SELECT user_id, MIN(day) AS cohort_day FROM days GROUP BY user_id)
     SELECT cohort_day, day - cohort_day AS day_offset, COUNT(DISTINCT days.user_id) AS n_users
     FROM days JOIN cohorts USING (user_id)
@@ -446,7 +446,7 @@ object RelationalAnalytics {
     (s, dir) => {
       val t = Tables(s, dir)
       val hourly = t.events
-        .groupBy(expr("(ts DIV 3600000000000) * 3600").as("hour_s"),
+        .groupBy(expr("(unix_micros(ts) DIV 3600000000) * 3600").as("hour_s"),
           col("event_type"))
         .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total"))
       val grid = hourly.groupBy("event_type")

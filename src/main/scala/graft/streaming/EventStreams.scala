@@ -423,11 +423,12 @@ object EventStreams {
       }
   }
 
-  /** events table (nanos-long ts) → typed stream-shaped dataset */
+  /** events table → typed stream-shaped dataset (`ts` arrives as a native
+    * TimestampType via the Tables.events canonicalization) */
   def eventsAsTyped(spark: SparkSession, dir: String): Dataset[Event] = {
     import spark.implicits._
-    spark.read.parquet(s"$dir/events.parquet")
-      .select(col("event_id"), timestamp_micros(expr("ts DIV 1000")).as("ts"),
+    graft.Tables(spark, dir).events
+      .select(col("event_id"), col("ts"),
         col("user_id"), col("event_type"), col("value"))
       .as[Event]
   }

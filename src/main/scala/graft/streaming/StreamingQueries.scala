@@ -213,13 +213,12 @@ object StreamingQueries {
   val streamBucketsTwin: Q = Q(
     "stream_buckets_twin",
     (s, dir) => {
-      // events.ts is a nanos long (TESTDATA); micros truncation keeps
-      // hour-bucket assignment exact (truncation cannot cross an hour)
+      // Tables.events canonicalizes ts to native TimestampType (micros);
+      // the micros long is derived only to pick the batch-split midpoint
       val feed = Tables(s, dir).events
-        .select(col("ts").as("ts_ns"),
-          timestamp_micros(expr("ts DIV 1000")).as("ts"),
+        .select(unix_micros(col("ts")).as("ts_us"), col("ts"),
           col("event_type"), col("value"))
-      val mid = midpoint(feed, "ts_ns")
+      val mid = midpoint(feed, "ts_us")
       def half(p: org.apache.spark.sql.Column): DataFrame =
         feed.filter(p).select("ts", "event_type", "value")
       val schema = StructType(Seq(
@@ -227,7 +226,7 @@ object StreamingQueries {
         StructField("value", DoubleType)))
       val out = fileReplay(
         s,
-        Seq(schema -> Seq(half(col("ts_ns") <= mid), half(col("ts_ns") > mid))),
+        Seq(schema -> Seq(half(col("ts_us") <= mid), half(col("ts_us") > mid))),
         srcs => EventStreams.hourlyAggregates(srcs.head),
         complete = true)
       out.select(col("window.start").cast("long").as("bucket_s"),
@@ -260,16 +259,16 @@ object StreamingQueries {
     (s, dir) => {
       import s.implicits._
       val feed = Tables(s, dir).events
-        .select(col("ts").as("ts_ns"), col("event_id"),
-          timestamp_micros(expr("ts DIV 1000")).as("ts"), col("user_id"),
+        .select(unix_micros(col("ts")).as("ts_us"), col("event_id"),
+          col("ts"), col("user_id"),
           lit("replay").as("event_type"), lit(0.0).as("value"))
-      val mid = midpoint(feed, "ts_ns")
-      val maxNanos = feed.agg(max(col("ts_ns"))).head().getLong(0)
+      val mid = midpoint(feed, "ts_us")
+      val maxUs = feed.agg(max(col("ts_us"))).head().getLong(0)
       val gapMs = 30L * 60L * 1000L
       def half(p: org.apache.spark.sql.Column): DataFrame =
         feed.filter(p).select("event_id", "ts", "user_id", "event_type", "value")
       def sentinel(k: Int): DataFrame =
-        Seq((-k.toLong, new java.sql.Timestamp(maxNanos / 1000000L + (100L * k) * gapMs),
+        Seq((-k.toLong, new java.sql.Timestamp(maxUs / 1000L + (100L * k) * gapMs),
           -1L, "sentinel", 0.0))
           .toDF("event_id", "ts", "user_id", "event_type", "value")
       val schema = StructType(Seq(
@@ -278,7 +277,7 @@ object StreamingQueries {
         StructField("value", DoubleType)))
       val out = fileReplay(
         s,
-        Seq(schema -> Seq(half(col("ts_ns") <= mid), half(col("ts_ns") > mid),
+        Seq(schema -> Seq(half(col("ts_us") <= mid), half(col("ts_us") > mid),
           sentinel(1), sentinel(2))),
         srcs => EventStreams.sessionize(srcs.head.as[EventStreams.Event]).toDF())
       out.filter(col("user_id") >= 0)
@@ -316,10 +315,10 @@ object StreamingQueries {
     (s, dir) => {
       val feed = Tables(s, dir).events
         .filter(col("event_type").isin("click", "view"))
-        .select(col("ts").as("ts_ns"), col("event_id"),
-          timestamp_micros(expr("ts DIV 1000")).as("ts"), col("user_id"),
+        .select(unix_micros(col("ts")).as("ts_us"), col("event_id"),
+          col("ts"), col("user_id"),
           col("event_type"))
-      val mid = midpoint(feed, "ts_ns")
+      val mid = midpoint(feed, "ts_us")
       def slice(et: String, p: org.apache.spark.sql.Column): DataFrame =
         feed.filter(col("event_type") === et && p)
           .select("event_id", "ts", "user_id")
@@ -338,10 +337,10 @@ object StreamingQueries {
         try fileReplay(
           s,
           Seq(
-            schema -> Seq(slice("click", col("ts_ns") <= mid),
-              slice("click", col("ts_ns") > mid)),
-            schema -> Seq(slice("view", col("ts_ns") <= mid),
-              slice("view", col("ts_ns") > mid))),
+            schema -> Seq(slice("click", col("ts_us") <= mid),
+              slice("click", col("ts_us") > mid)),
+            schema -> Seq(slice("view", col("ts_us") <= mid),
+              slice("view", col("ts_us") > mid))),
           srcs => EventStreams.correlate(srcs(0), srcs(1), withinMinutes = 60))
         finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       out.select(col("user_id"), col("click_id"), col("view_id"),
@@ -423,17 +422,17 @@ object StreamingQueries {
     "stream_lake_sink",
     (s, dir) => {
       val feed = Tables(s, dir).events
-        .select(col("ts").as("ts_ns"), col("event_id"),
-          timestamp_micros(expr("ts DIV 1000")).as("ts"), col("user_id"),
+        .select(unix_micros(col("ts")).as("ts_us"), col("event_id"),
+          col("ts"), col("user_id"),
           col("event_type"), col("value"))
-      val mid = midpoint(feed, "ts_ns")
+      val mid = midpoint(feed, "ts_us")
       def half(p: org.apache.spark.sql.Column): DataFrame =
         feed.filter(p).select("event_id", "ts", "user_id", "event_type", "value")
       val root = java.nio.file.Files.createTempDirectory("graft_sink_")
       try {
         val cat = graft.lake.LakeCatalog(s, root.resolve("lake").toString)
         replay(s, root,
-          Seq(eventSchema -> Seq(half(col("ts_ns") <= mid), half(col("ts_ns") > mid))),
+          Seq(eventSchema -> Seq(half(col("ts_us") <= mid), half(col("ts_us") > mid))),
           srcs => EventStreams.streamIntoLake(srcs.head, cat, "st", "events",
             root.resolve("cp").toString))
         cat.read("st", "events")

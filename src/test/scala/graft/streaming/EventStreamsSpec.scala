@@ -291,7 +291,7 @@ class EventStreamsSpec extends SparkSpec {
     val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val batch = graft.Tables(spark, sfDir).events
-      .select(col("user_id"), col("event_id"), expr("ts DIV 1000").as("ts_us"))
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
       .withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))
       .withColumn("is_new",
         when(col("prev_us").isNull || col("ts_us") - col("prev_us") > 1800000000L, 1)
@@ -311,7 +311,7 @@ class EventStreamsSpec extends SparkSpec {
     val streamed = StreamingQueries.streamJoinTwin.fn(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
     val ev = graft.Tables(spark, sfDir).events
-      .select(col("user_id"), col("event_id"), expr("ts DIV 1000").as("us"), col("event_type"))
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"), col("event_type"))
     val c = ev.filter(col("event_type") === "click")
       .select(col("user_id"), col("event_id").as("click_id"), col("us").as("click_us"))
     val v = ev.filter(col("event_type") === "view")
