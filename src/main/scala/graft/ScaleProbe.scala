@@ -14,18 +14,28 @@ import org.apache.spark.sql.functions._
   */
 object ScaleProbe {
 
-  def main(args: Array[String]): Unit = {
-    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    // optional trailing section names restrict the run; empty = all.
-    // Unknown names fail loudly — a typo must not run zero sections and
-    // exit 0 (the same contract Verify enforces on query names).
-    val known = Set("minhash", "ann", "text", "mega-bucket", "rank", "merge",
-      "mor", "pq", "skew", "sem", "stream", "width")
-    val sections = args.drop(1).toSet
-    val unknownSections = sections -- known
+  /** Section-name whitelist; a typo must not run zero sections and exit 0
+    * (the same contract Verify enforces on query names).
+    */
+  private[graft] val knownSections = Set("minhash", "ann", "text",
+    "mega-bucket", "rank", "merge", "mor", "pq", "skew", "sem", "stream",
+    "width")
+
+  /** Validates requested section names against the whitelist; throws on
+    * any unknown name. Factored out of main so the contract is spec-pinned.
+    */
+  private[graft] def validateSections(sections: Set[String]): Set[String] = {
+    val unknownSections = sections -- knownSections
     require(unknownSections.isEmpty,
       s"unknown section(s): ${unknownSections.mkString(", ")} " +
-        s"(known: ${known.toSeq.sorted.mkString(", ")})")
+        s"(known: ${knownSections.toSeq.sorted.mkString(", ")})")
+    sections
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    // optional trailing section names restrict the run; empty = all
+    val sections = validateSections(args.drop(1).toSet)
     def on(name: String): Boolean = sections.isEmpty || sections.contains(name)
     val spark = GraftSession.getOrCreate("graft-scale-probe")
     import spark.implicits._
@@ -317,8 +327,7 @@ object ScaleProbe {
     if (on("width")) for (cols <- Seq(1000, 2000, 4450)) {
       val rows = 50000L
       val csvDir = s"/tmp/graft_scale_wide_$cols"
-      operators.IngestLake.wideFrame(spark, rows, cols)
-        .write.mode(SaveMode.Overwrite).option("header", "true").csv(csvDir)
+      operators.IngestLake.writeWideCsv(spark, rows, cols, csvDir)
       val root = s"/tmp/graft_scale_wide_lake_$cols"
       org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
         .delete(new org.apache.hadoop.fs.Path(root), true)

@@ -12,8 +12,7 @@ object WidthDebug {
     val rows = 50000L
     val csvDir = s"/tmp/graft_scale_wide_$cols"
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(csvDir))) {
-      operators.IngestLake.wideFrame(spark, rows, cols)
-        .write.mode(SaveMode.Overwrite).option("header", "true").csv(csvDir)
+      operators.IngestLake.writeWideCsv(spark, rows, cols, csvDir)
     }
     def timed[T](label: String)(f: => T): T = {
       val t0 = System.nanoTime()

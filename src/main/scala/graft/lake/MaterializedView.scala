@@ -88,15 +88,31 @@ final class MaterializedView(catalog: LakeCatalog) {
     * the correctness fallback, not the steady-state cost.
     */
   private def currentSeen(mvNs: String, mvT: String, spec: Spec): Int =
+    currentSeenProbed(mvNs, mvT, spec)._1
+
+  /** As currentSeen, also returning HOW MANY versions were probed before
+    * the cursor resolved — the spec pin for the hot path's O(1) cost
+    * (1 for any table whose latest version was written by refresh; the
+    * deeper walk only runs for pre-scheme or maintenance-rewritten
+    * history). Exposed private[graft] for MaterializedViewSpec only.
+    */
+  private[graft] def currentSeenProbed(mvNs: String, mvT: String): (Int, Int) =
+    currentSeenProbed(mvNs, mvT, readSpec(mvNs, mvT))
+
+  private def currentSeenProbed(mvNs: String, mvT: String, spec: Spec): (Int, Int) = {
+    var probed = 0
     catalog.versions(mvNs, mvT).reverse.iterator
       .flatMap { v =>
+        probed += 1
         catalog.manifestEntries(mvNs, mvT, v).reverseIterator
           .filter(_.startsWith("data/"))
           .flatMap(rel => catalog.getTableMeta(mvNs, mvT, seenMetaForRel(rel)))
           .nextOption()
           .orElse(catalog.getTableMeta(mvNs, mvT, legacySeenMetaName(v)))
       }
-      .map(_.trim.toInt).nextOption().getOrElse(spec.seenVersion)
+      .map(s => (s.trim.toInt, probed)).nextOption()
+      .getOrElse((spec.seenVersion, probed))
+  }
 
   // the sidecar format mirrors the stats sidecar: tab-separated lines,
   // URL-encoded fields

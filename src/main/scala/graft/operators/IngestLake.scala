@@ -933,17 +933,50 @@ object IngestLake {
   val WideCols = 4450
 
   /** The deterministic messy-headed wide frame — v(i,j) = (i+j) % 97
-    * under header `Col %04d (wide)`. ONE definition shared by the
-    * ingest_wide_schema oracle, the ScaleProbe width section and the
-    * width-bisect scratch main: the oracle hashes the md5 of the
-    * sanitized name list, so a drifted copy would silently decouple the
-    * probe from the benched shape.
+    * under header `Col %04d (wide)`: the DECLARATIVE definition of the
+    * wide test corpus. The benched/probed paths write the same bytes via
+    * [[writeWideCsv]] (no wide-projection codegen); IngestWideSpec pins
+    * the two against each other, and the ingest_wide_schema oracle hashes
+    * the md5 of the sanitized name list, so a drifted copy would silently
+    * decouple the probe from the benched shape.
     */
   def wideFrame(s: org.apache.spark.sql.SparkSession, rows: Long,
       cols: Int): org.apache.spark.sql.DataFrame =
     s.range(rows).select(
       (0 until cols).map(j => ((col("id") + lit(j)) % 97).cast("int")
         .as(f"Col $j%04d (wide)")): _*)
+
+  /** Writes the wide test CSV directly as text lines (header first in
+    * every part file, the per-file contract `header=true` reads expect).
+    *
+    * Exists because generating the same bytes through [[wideFrame]]'s
+    * 4,450-expression projection + the CSV writer spends ~30 s in ONE
+    * thread compiling and running the generated projection class — the
+    * test-DATA generation dominated the benched query 3:1 over the
+    * ingest it exists to measure (r9, 43.6 s total vs the 13.4 s
+    * ingest-only probe). A per-partition StringBuilder emits the
+    * identical bytes with no wide codegen at all and parallelizes
+    * across the range's partitions.
+    */
+  def writeWideCsv(s: org.apache.spark.sql.SparkSession, rows: Long,
+      cols: Int, dir: String): Unit = {
+    import s.implicits._
+    val header = (0 until cols).map(j => f"Col $j%04d (wide)").mkString(",")
+    s.range(rows).mapPartitions { it =>
+      val sb = new java.lang.StringBuilder(cols * 3 + 16)
+      Iterator.single(header) ++ it.map { i =>
+        val iv = i.longValue
+        sb.setLength(0)
+        var j = 0
+        while (j < cols) {
+          if (j > 0) sb.append(',')
+          sb.append(((iv + j) % 97).toInt)
+          j += 1
+        }
+        sb.toString
+      }
+    }.write.mode(SaveMode.Overwrite).text(dir)
+  }
 
   /** A2/A7/B-width canary (r8): the reference's published benchmark shape
     * end-to-end — generate a [[WideRows]]×[[WideCols]] CSV with messy
@@ -961,8 +994,7 @@ object IngestLake {
     (s, dir) => {
       val root = scratch("wide")
       val csvDir = root + "/wide_csv"
-      wideFrame(s, WideRows, WideCols)
-        .write.mode(SaveMode.Overwrite).option("header", "true").csv(csvDir)
+      writeWideCsv(s, WideRows, WideCols, csvDir)
       // sanitization happens at the SCHEMA level, fused into the scan —
       // the wide-table discipline (a post-read rename Project at this
       // width costs tens of seconds of projection codegen alone)

@@ -98,7 +98,8 @@ object StreamingQueries {
     * returned frame is localCheckpoint'ed so the temp dirs can be
     * reclaimed immediately.
     */
-  private def fileReplay(
+  // private[graft] so the failure-path temp-dir cleanup is spec-pinned
+  private[graft] def fileReplay(
       s: SparkSession,
       sources: Seq[(StructType, Seq[DataFrame])],
       transform: Seq[DataFrame] => DataFrame,

@@ -157,6 +157,29 @@ class MaterializedViewSpec extends SparkSpec {
       "the loser's orphan cursor must not suppress delta B")
   }
 
+  test("long-history MV: the refresh cursor resolves from ONE probed version") {
+    // a refresh must touch O(1) manifests however deep the view's history
+    // is — the newest-first walk's FIRST probe hits for any table whose
+    // latest version was written by refresh (the sidecar travels with the
+    // staged dir), so a long-lived daily-refresh MV never pays a
+    // history-length metadata scan
+    val cat = freshCatalog()
+    seed(cat)
+    val mv = mkView(cat)
+    import spark.implicits._
+    for (i <- 1 to 8) {
+      cat.write("ns", "base", Seq(("a", 100L + i, 0.01)).toDF("k", "seq", "amt"),
+        SaveMode.Append)
+      mv.refresh("ns", "view")
+    }
+    assert(cat.versions("ns", "view").size >= 9, "history must be deep for this pin")
+    val (seen, probed) = mv.currentSeenProbed("ns", "view")
+    assert(seen == cat.versions("ns", "base").last,
+      "cursor must reflect the last refreshed base version")
+    assert(probed == 1,
+      s"refresh cursor probed $probed versions; the hot path must stay O(1)")
+  }
+
   test("readAppended is metadata-scoped for append windows, changelog fallback otherwise") {
     val cat = freshCatalog()
     import spark.implicits._
