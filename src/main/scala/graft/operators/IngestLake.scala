@@ -621,8 +621,14 @@ object IngestLake {
         .withColumn("o_totalprice",
           (m(col("o_totalprice")) + lit(1000)).cast(DoubleType))
         .withColumn("_op", lit("upsert"))
+      // synthetic-insert keys must sit ABOVE the live key domain — a fixed
+      // +10M offset collided with the 10×-soak corpus's key stride and the
+      // "inserts" silently merged into the next replica's rows. One max()
+      // (bounded: a single long) mirrored verbatim by the oracle's
+      // scalar subquery keeps both engines' keys identical at any SF.
+      val insertOff = orders.agg(max(col("o_orderkey"))).head().getLong(0) + 1
       val inserts = orders.filter(col("o_orderkey") % 10 === 4)
-        .select((col("o_orderkey") + lit(10000000L)).as("o_orderkey"),
+        .select((col("o_orderkey") + lit(insertOff)).as("o_orderkey"),
           col("o_custkey"), col("o_totalprice"))
         .withColumn("_op", lit("upsert"))
       val tombstones = orders.filter(col("o_orderkey") % 10 === 7)
@@ -641,7 +647,8 @@ object IngestLake {
           ELSE o_totalprice END AS o_totalprice
       FROM orders WHERE o_orderkey % 10 <> 7
       UNION ALL
-      SELECT o_orderkey + 10000000 AS o_orderkey, o_totalprice
+      SELECT o_orderkey + (SELECT MAX(o_orderkey) + 1 FROM orders) AS o_orderkey,
+        o_totalprice
       FROM orders WHERE o_orderkey % 10 = 4)
     SELECT COUNT(*) AS n_rows,
       CAST(SUM(CAST(o_totalprice AS $D)) AS DOUBLE) AS total,

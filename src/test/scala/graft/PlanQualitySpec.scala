@@ -312,6 +312,29 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_event_buckets: canonicalized ts keeps pruning, map-side combine and codegen") {
+    // the round-8 testdata regeneration changed the ts encoding under the
+    // operators; this pins that the recovery (Tables.events canonicalization
+    // + unix_micros derivation) did not cost the plan its scan pruning or
+    // its partial aggregation
+    val p = plan(Relational.qEventBuckets)
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("props") && !readSchema.contains("event_id"),
+      s"events scan must prune untouched columns:\n$readSchema")
+    assert(p.contains("partial_"), s"hourly rollup must combine map-side:\n$p")
+    // (WholeStageCodegen spans are not visible in the pre-execution AQE
+    // plan string — isFinalPlan=false — so codegen is not asserted here)
+  }
+
+  test("q_sessionize: window and session agg share ONE user_id shuffle") {
+    val p = plan(Relational.qSessionize)
+    // HashPartitioning(user_id) satisfies the (user_id, session_id) agg's
+    // clustering, so only the window shuffle + the final orderBy's range
+    // exchange appear — a third hash exchange means the reuse broke
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx <= 1, s"expected <=1 hash exchange, got $hashEx:\n$p")
+  }
+
   test("q_sketch_kmv: bounded heap before the shuffle; no windowed full sort") {
     val p = plan(operators.Relational.qSketchKmv)
     assert(p.contains("TopKPerGroup"),
