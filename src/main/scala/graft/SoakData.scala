@@ -33,11 +33,18 @@ object SoakData {
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: SoakData <srcDir> <dstDir> [mult=10]")
-    val (src, dst) = (args(0), args(1))
-    val mult = args.drop(2).headOption.map(_.toInt).getOrElse(10)
     val spark = GraftSession.getOrCreate("graft-soak-data")
     spark.sparkContext.setLogLevel("WARN")
+    generate(spark, args(0), args(1),
+      args.drop(2).headOption.map(_.toInt).getOrElse(10))
+    spark.stop()
+  }
 
+  /** Generates the corpus; factored from main so SoakDataSpec can pin the
+    * invariants the soak findings hinge on (replica join consistency,
+    * near- but not exact duplication).
+    */
+  def generate(spark: SparkSession, src: String, dst: String, mult: Int): Unit = {
     def raw(name: String): DataFrame = spark.read.parquet(s"$src/$name.parquet")
     def put(name: String, df: DataFrame): Unit = {
       df.write.mode(SaveMode.Overwrite).parquet(s"$dst/$name.parquet")
@@ -94,6 +101,5 @@ object SoakData {
            x => (x + lit(m.toFloat * 1e-3f)).cast("float"))).as("embedding"),
         col("label"))
     })
-    spark.stop()
   }
 }
