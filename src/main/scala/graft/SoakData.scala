@@ -19,9 +19,12 @@ import org.apache.spark.sql.functions._
   *   sbt "runMain graft.Verify /tmp/graft_sf1 /tmp/vout_sf1"
   *   python3 tools/check_oracle.py /tmp/graft_sf1 /tmp/vout_sf1
   *
-  * Raw parquet is read/written directly (NOT through Tables' events
-  * canonicalization) so the soak ships the same physical encodings the
-  * driver's testdata does — the soak must exercise the same load path.
+  * Raw parquet is read/written directly so the soak exercises the same
+  * load path as the driver's testdata — with one exception: a legacy
+  * nanos-long events.ts is canonicalized to a real timestamp on the way
+  * out, because round-tripping the long through Spark writes unannotated
+  * int64 that DuckDB's epoch_us() oracles cannot read (the current
+  * timestamp[us] testdata passes through with its encoding intact).
   */
 object SoakData {
 
@@ -45,10 +48,13 @@ object SoakData {
     * near- but not exact duplication).
     */
   def generate(spark: SparkSession, src: String, dst: String, mult: Int): Unit = {
+    require(mult >= 1, s"mult must be >= 1, got $mult")
     def raw(name: String): DataFrame = spark.read.parquet(s"$src/$name.parquet")
     def put(name: String, df: DataFrame): Unit = {
+      // no count readback: a second full scan of the 10x corpus per table
+      // just for a log line; SoakDataSpec pins the row counts instead
       df.write.mode(SaveMode.Overwrite).parquet(s"$dst/$name.parquet")
-      println(s"[soak] $name: ${spark.read.parquet(s"$dst/$name.parquet").count()} rows")
+      println(s"[soak] $name written")
     }
     def replicated(df: DataFrame)(copy: (DataFrame, Int) => DataFrame): DataFrame =
       (0 until mult).map(m => copy(df, m)).reduce(_ unionByName _)
@@ -81,18 +87,32 @@ object SoakData {
         col("l_linestatus"), col("l_shipdate"))
     })
     // events: user_id offset too — otherwise every user gets mult× the
-    // events and the sessionize/retention shapes skew instead of scale
-    put("events", replicated(raw("events")) { (df, m) =>
+    // events and the sessionize/retention shapes skew instead of scale.
+    // A legacy nanos-long ts (rounds 1-7 encoding, surfaced as LongType by
+    // nanosAsLong) is canonicalized to a real timestamp on the way out:
+    // writing the long back as unannotated int64 would break every DuckDB
+    // epoch_us() oracle on the soak corpus while Spark kept working.
+    val rawEvents = raw("events")
+    val eventsCanon = rawEvents.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        rawEvents.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case _ => rawEvents
+    }
+    put("events", replicated(eventsCanon) { (df, m) =>
       df.select(off("event_id", m), col("ts"), off("user_id", m),
         col("event_type"), col("value"), col("props"))
     })
     // near- but not exact duplicates across copies (dedup must WORK, not
-    // collapse): the ScaleProbe corpus perturbation, kept schema-complete
+    // collapse): the ScaleProbe corpus perturbation, kept schema-complete;
+    // n_chars tracks the perturbed text so the stored-length invariant
+    // holds on every replica
     put("documents", replicated(raw("documents")) { (df, m) =>
+      val suffix = s" variant token $m"
       df.select(off("doc_id", m),
-        (if (m == 0) col("text")
-         else concat(col("text"), lit(s" variant token $m"))).as("text"),
-        col("lang"), col("source"), col("n_chars"))
+        (if (m == 0) col("text") else concat(col("text"), lit(suffix))).as("text"),
+        col("lang"), col("source"),
+        (if (m == 0) col("n_chars")
+         else (col("n_chars") + lit(suffix.length.toLong))).as("n_chars"))
     })
     put("embeddings", replicated(raw("embeddings")) { (df, m) =>
       df.select(off("vec_id", m),

@@ -48,26 +48,36 @@ object Verify {
     // family's pinned storage (see GraftSession.releaseCaches).
     var family: String = null
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    queries.toSeq.sortBy(_._1)
-      .filter(kv => only.isEmpty || only.contains(kv._1))
-      .foreach { case (name, fn) =>
-        val f = GraftSession.familyOf(name)
-        if (family != null && f != family) GraftSession.releaseCaches(spark)
-        family = f
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        catch { case e: Throwable =>
-          val msg = s"err:${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}"
-          System.err.println(s"[verify] $name failed: $msg")
-          errors += name -> msg
-          import spark.implicits._
-          Seq(msg).toDF("err").coalesce(1).write.mode("overwrite")
+    try {
+      queries.toSeq.sortBy(_._1)
+        .filter(kv => only.isEmpty || only.contains(kv._1))
+        .foreach { case (name, fn) =>
+          val f = GraftSession.familyOf(name)
+          if (family != null && f != family) GraftSession.releaseCaches(spark)
+          family = f
+          try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
             .parquet(s"$outDir/$name")
+          catch { case e: Throwable =>
+            val msg = s"err:${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}"
+            System.err.println(s"[verify] $name failed: $msg")
+            errors += name -> msg
+            // the marker write itself can fail (dead session, OOM): the
+            // errors.json entry above already records the query, and the
+            // finally below makes sure the sidecar lands even then
+            try {
+              import spark.implicits._
+              Seq(msg).toDF("err").coalesce(1).write.mode("overwrite")
+                .parquet(s"$outDir/$name")
+            } catch { case m: Throwable =>
+              System.err.println(s"[verify] $name err-marker write failed: ${m.getMessage}")
+            }
+          }
         }
-      }
-    val errJson = errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }
-      .mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    } finally {
+      val errJson = errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+        .mkString("{", ",", "}")
+      Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    }
     errors.toMap
   }
 

@@ -55,6 +55,9 @@ class SoakDataSpec extends SparkSpec {
       "replica text must be perturbed (near-dup), not byte-identical")
     assert(joined.filter(col("text1").startsWith(col("text"))).count()
       == joined.count(), "replica text must extend the original (stay near)")
+    // the stored-length invariant must hold on replicas too
+    assert(t("documents").filter(col("n_chars") =!= length(col("text")))
+      .count() == 0, "n_chars must track the perturbed text")
 
     val copy1Emb = t("embeddings").filter(col("vec_id") >= SoakData.Stride)
       .select((col("vec_id") - SoakData.Stride).as("vec_id"),

@@ -64,6 +64,11 @@ def main():
             print(f"  {name:28} NO-OUTPUT")
             continue
         spark_df = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
+        # Verify writes a one-row {err} parquet when a query fails to
+        # build/run; it must never read as a healthy rows-only result
+        if list(spark_df.columns) == ["err"]:
+            print(f"  {name:28} ERR {spark_df['err'].iloc[0] if len(spark_df) else ''}")
+            continue
         if name not in oracle:
             status = f"rows-only ({len(spark_df)} rows)" + (" EMPTY!" if len(spark_df) == 0 else "")
             print(f"  {name:28} {status}")
