@@ -335,6 +335,23 @@ class PlanQualitySpec extends SparkSpec {
     assert(hashEx <= 1, s"expected <=1 hash exchange, got $hashEx:\n$p")
   }
 
+  test("q_retention: day-distinct collapses BEFORE the cohort join") {
+    // the cohort self-join must run over the per-(user, day) distinct rows
+    // (bounded by users x active-days), never the raw event stream — at
+    // 100 TB the distinct is what keeps the join input small
+    val p = plan(operators.RelationalAnalytics.qRetention)
+    assert(p.contains("partial_"), s"distinct must partial-aggregate map-side:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"cohorts (small) must broadcast:\n$p")
+  }
+
+  test("q_window_range: one user_id exchange feeds the range-frame window") {
+    val p = plan(operators.RelationalAnalytics.qWindowRange)
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx <= 1, s"expected <=1 hash exchange, got $hashEx:\n$p")
+    assert(p.contains("RangeFrame"), s"frame must be a RANGE frame:\n$p")
+  }
+
   test("q_sketch_kmv: bounded heap before the shuffle; no windowed full sort") {
     val p = plan(operators.Relational.qSketchKmv)
     assert(p.contains("TopKPerGroup"),
