@@ -187,13 +187,20 @@ object StreamingQueries {
       val schema = StructType(Seq(
         StructField("doc_id", LongType), StructField("ts", TimestampType),
         StructField("text", StringType)))
-      val out = fileReplay(
-        s,
-        Seq(schema -> Seq(
-          stamped(corpus.filter(col("doc_id") <= mid), base),
-          stamped(corpus.filter(col("doc_id") > mid), base + 60000L))),
-        srcs => EventStreams.nearDupCandidates(srcs.head.as[EventStreams.DocIn],
-          threshold = 0.5).toDF())
+      // signature hashing parallelizes on the SOURCE partitions; only the
+      // stateful bucket stage follows shuffle.partitions, where per-batch
+      // store commits dominate — fewer partitions there (see streamJoinTwin)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val out =
+        try fileReplay(
+          s,
+          Seq(schema -> Seq(
+            stamped(corpus.filter(col("doc_id") <= mid), base),
+            stamped(corpus.filter(col("doc_id") > mid), base + 60000L))),
+          srcs => EventStreams.nearDupCandidates(srcs.head.as[EventStreams.DocIn],
+            threshold = 0.5).toDF())
+        finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       // a pair colliding in several bands emits once per band: distinct
       out.select(col("a"), col("b"), col("est_jaccard"))
         .distinct()
@@ -225,11 +232,18 @@ object StreamingQueries {
       val schema = StructType(Seq(
         StructField("ts", TimestampType), StructField("event_type", StringType),
         StructField("value", DoubleType)))
-      val out = fileReplay(
-        s,
-        Seq(schema -> Seq(half(col("ts_us") <= mid), half(col("ts_us") > mid))),
-        srcs => EventStreams.hourlyAggregates(srcs.head),
-        complete = true)
+      // the windowed agg's state is tiny (hours × types) but each shuffle
+      // partition still commits its own store per micro-batch — fewer
+      // partitions, same correctness (see streamJoinTwin)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val out =
+        try fileReplay(
+          s,
+          Seq(schema -> Seq(half(col("ts_us") <= mid), half(col("ts_us") > mid))),
+          srcs => EventStreams.hourlyAggregates(srcs.head),
+          complete = true)
+        finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       out.select(col("window.start").cast("long").as("bucket_s"),
           col("event_type"), col("n_events"), col("total_value"))
         .orderBy("bucket_s", "event_type")
@@ -276,11 +290,20 @@ object StreamingQueries {
         StructField("event_id", LongType), StructField("ts", TimestampType),
         StructField("user_id", LongType), StructField("event_type", StringType),
         StructField("value", DoubleType)))
-      val out = fileReplay(
-        s,
-        Seq(schema -> Seq(half(col("ts_us") <= mid), half(col("ts_us") > mid),
-          sentinel(1), sentinel(2))),
-        srcs => EventStreams.sessionize(srcs.head.as[EventStreams.Event]).toDF())
+      // four micro-batches (2 halves + 2 sentinels) each commit one state
+      // store per shuffle partition; at replay volume the commits dominate
+      // wall time, so the stateful stage runs on fewer partitions — same
+      // trade as streamJoinTwin (correctness is partition-count-
+      // independent; the conf is pinned at stream start)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val out =
+        try fileReplay(
+          s,
+          Seq(schema -> Seq(half(col("ts_us") <= mid), half(col("ts_us") > mid),
+            sentinel(1), sentinel(2))),
+          srcs => EventStreams.sessionize(srcs.head.as[EventStreams.Event]).toDF())
+        finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       out.filter(col("user_id") >= 0)
         .select("user_id", "session_id", "n_events", "start_us", "end_us")
         .orderBy("user_id", "session_id")
@@ -392,12 +415,19 @@ object StreamingQueries {
         StructField("vec_id", LongType), StructField("ts", TimestampType),
         StructField("cluster", IntegerType),
         StructField("embedding", ArrayType(FloatType))))
-      val out = fileReplay(
-        s,
-        Seq(schema -> Seq(
-          stamped(assigned.filter(col("vec_id") <= mid), baseTs),
-          stamped(assigned.filter(col("vec_id") > mid), baseTs + 60000L))),
-        srcs => EventStreams.semanticDedupStream(srcs.head.as[EventStreams.VecIn]).toDF())
+      // same stateful-stage partition trade as the other twins: centroid
+      // assignment runs source-side; only the per-cluster state stage
+      // follows shuffle.partitions
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val out =
+        try fileReplay(
+          s,
+          Seq(schema -> Seq(
+            stamped(assigned.filter(col("vec_id") <= mid), baseTs),
+            stamped(assigned.filter(col("vec_id") > mid), baseTs + 60000L))),
+          srcs => EventStreams.semanticDedupStream(srcs.head.as[EventStreams.VecIn]).toDF())
+        finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       out.select("vec_id", "dup_of", "cluster").orderBy("vec_id")
     },
     // the batch dedup_semantic oracle, verbatim — stream == batch
