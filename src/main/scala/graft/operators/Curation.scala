@@ -139,6 +139,38 @@ object Curation {
     GROUP BY d.source ORDER BY d.source""")
   )
 
+  /** Deterministic stratified TRAIN/VAL/TEST SPLIT assignment (90/5/5 by
+    * md5 of the stable document key): the split every training pipeline
+    * needs, computed as a pure per-row projection — no rand() (whose
+    * draws depend on partitioning and retries), no global sort, no
+    * shuffle. Stratification is implicit: a uniform hash splits EVERY
+    * stratum at the target rates regardless of corpus skew, so per-lang /
+    * per-source proportions hold without a per-stratum pass. The full
+    * per-document assignment is the query output — the oracle checks the
+    * complete mapping, not summary counts — and membership is stable
+    * under corpus growth: a document's split never changes when other
+    * documents are added or removed, which is what makes downstream
+    * eval-set contamination tracking possible at all. 100 TB shape:
+    * embarrassingly parallel, zero exchanges before the verification
+    * sort.
+    */
+  val textSplitAssign: Q = Q(
+    "text_split",
+    (s, dir) => {
+      val h = expr(
+        "cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint) % 100")
+      Tables(s, dir).documents.select(col("doc_id"), col("lang"))
+        .withColumn("split",
+          when(h < 90, "train").when(h < 95, "val").otherwise("test"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, lang,
+      CASE WHEN ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 90 THEN 'train'
+           WHEN ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 95 THEN 'val'
+           ELSE 'test' END AS split
+    FROM documents ORDER BY doc_id""")
+  )
+
   // re-exported tokenizer to keep the gram definition identical to the
   // text-analysis family's
   private def wsTokens(c: Column): Column = TextAnalysis.wsTokens(c)
@@ -197,5 +229,5 @@ object Curation {
   )
 
   val all: Seq[Q] = Seq(textDecontaminate, textDomainCap, textMixResample,
-    textSemanticDecontam)
+    textSemanticDecontam, textSplitAssign)
 }

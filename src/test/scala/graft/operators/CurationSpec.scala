@@ -66,6 +66,30 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("split assignment is exhaustive, deterministic and near the 90/5/5 target per stratum") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables(spark, sfDir).documents
+    val out = Curation.textSplitAssign.fn(spark, sfDir).cache()
+    // every document assigned exactly once
+    assert(out.count() == docs.count())
+    assert(out.select("doc_id").distinct().count() == docs.count())
+    // deterministic: a second invocation produces the identical mapping
+    val again = Curation.textSplitAssign.fn(spark, sfDir)
+    assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+    // stable under corpus change: the same docs restricted to half the
+    // corpus keep their assignments (membership depends only on the key)
+    val half = Curation.textSplitAssign.fn(spark, sfDir)
+      .filter(col("doc_id") % 2 === 0)
+    assert(half.exceptAll(out.filter(col("doc_id") % 2 === 0)).isEmpty)
+    // proportions: global split near 90/5/5 (md5 uniformity; wide tolerance
+    // at the 500-doc CI scale factor)
+    val n = out.count().toDouble
+    val byCounts = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byCounts("train") / n > 0.8 && byCounts("train") / n < 0.97, byCounts.toString)
+    assert(byCounts.getOrElse("val", 0L) + byCounts.getOrElse("test", 0L) > 0, byCounts.toString)
+  }
+
   test("semantic decontamination drops every planted benchmark copy, keeps the rest") {
     import org.apache.spark.sql.functions._
     val out = Curation.textSemanticDecontam.fn(spark, sfDir).cache()
