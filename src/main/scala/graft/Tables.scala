@@ -36,6 +36,7 @@ final case class Tables(spark: SparkSession, dir: String) {
     val raw = t("events")
     raw.schema("ts").dataType match {
       case LongType => // legacy nanos-as-int64: truncate to micros once
+        Tables.assertPlausibleEpochNanos(raw)
         raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
       case TimestampNTZType => // wall-clock micros == UTC instant micros
         raw.withColumn("ts", col("ts").cast(TimestampType))
@@ -46,4 +47,29 @@ final case class Tables(spark: SparkSession, dir: String) {
   }
   def documents: DataFrame  = t("documents")
   def embeddings: DataFrame = t("embeddings")
+}
+
+object Tables {
+  /** Guards the int64-nanos branch against a silent unit flip: a future
+    * corpus shipping micros-as-int64 would still surface as LongType, pass
+    * the schema contract, and be mis-scaled 1000x by `ts DIV 1000`. A
+    * single min/max aggregate (one cheap scan over the int64 column,
+    * parquet footer stats usually answer it) pins the decoded instants to a
+    * plausible year range; micros-as-int64 decodes to ~1970 and fails
+    * loudly instead of canonicalizing wrong.
+    */
+  private[graft] def assertPlausibleEpochNanos(raw: DataFrame): Unit = {
+    val bounds = raw.selectExpr("min(ts) AS lo", "max(ts) AS hi").head()
+    if (!bounds.isNullAt(0)) {
+      val (lo, hi)   = (bounds.getLong(0), bounds.getLong(1))
+      // 2000-01-01 .. 2100-01-01 as epoch nanos
+      val minNanos = 946684800L * 1000000000L
+      val maxNanos = 4102444800L * 1000000000L
+      require(
+        lo >= minNanos && hi < maxNanos,
+        s"events.ts int64 range [$lo, $hi] is outside plausible epoch-NANOS bounds " +
+          s"[$minNanos, $maxNanos) — is the corpus actually micros- or millis-as-int64? " +
+          "Refusing to canonicalize with a possibly wrong unit.")
+    }
+  }
 }

@@ -91,10 +91,19 @@ object Verify {
       s"no such quer${if (unknown.size == 1) "y" else "ies"}: ${unknown.mkString(", ")} " +
         "(a typo here would otherwise dump nothing and exit 0)")
     val spark = GraftSession.getOrCreate("graft-verify")
-    dump(spark, sfDir, outDir, SparkEntry.queries, only)
+    val errors = dump(spark, sfDir, outDir, SparkEntry.queries, only)
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    // scripted/CI use must not be able to miss failures: the err parquets
+    // and errors.json still land (so the driver's compare sees explicit
+    // mismatches, not absences), but the process itself exits nonzero too
+    if (errors.nonEmpty) {
+      System.err.println(
+        s"[verify] FAILED: ${errors.size} quer${if (errors.size == 1) "y" else "ies"} " +
+          s"errored: ${errors.keys.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

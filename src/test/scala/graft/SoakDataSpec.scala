@@ -13,12 +13,23 @@ import org.apache.spark.sql.functions._
   */
 class SoakDataSpec extends SparkSpec {
 
+  @volatile private var generated: Option[String] = None
   private lazy val dst = {
     val d = Files.createTempDirectory("graft_soak_spec_").toString
     SoakData.generate(spark, sfDir, d, mult = 2)
+    generated = Some(d)
     d
   }
   private def t(name: String) = spark.read.parquet(s"$dst/$name.parquet")
+
+  override def afterAll(): Unit = {
+    // the generated 2x corpus is a multi-table parquet tree; leaking it
+    // into /tmp on every run adds up fast (only touch dst if a test
+    // actually forced the lazy — never generate just to delete)
+    try generated.foreach(d =>
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
+    finally super.afterAll()
+  }
 
   test("fact tables multiply; dims are copied once") {
     val src = Tables(spark, sfDir)

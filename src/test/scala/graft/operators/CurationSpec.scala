@@ -76,11 +76,24 @@ class CurationSpec extends SparkSpec {
     // deterministic: a second invocation produces the identical mapping
     val again = Curation.textSplitAssign.fn(spark, sfDir)
     assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
-    // stable under corpus change: the same docs restricted to half the
-    // corpus keep their assignments (membership depends only on the key)
-    val half = Curation.textSplitAssign.fn(spark, sfDir)
-      .filter(col("doc_id") % 2 === 0)
-    assert(half.exceptAll(out.filter(col("doc_id") % 2 === 0)).isEmpty)
+    // stable under corpus change: RECOMPUTE the assignment over a reduced
+    // corpus (half the documents, materialized as its own table dir) and
+    // compare against the full-corpus mapping — a corpus-dependent
+    // assignment (rand(), global rank, proportional quota) would shift
+    // splits here and fail; filtering the full output post-hoc would not
+    // detect that
+    val halfDir = java.nio.file.Files.createTempDirectory("graft-split-half")
+    try {
+      docs.filter(col("doc_id") % 2 === 0).write.mode("overwrite")
+        .parquet(s"$halfDir/documents.parquet")
+      val half = Curation.textSplitAssign.fn(spark, halfDir.toString)
+      val expectHalf = out.filter(col("doc_id") % 2 === 0)
+      assert(half.count() == expectHalf.count())
+      assert(half.exceptAll(expectHalf).isEmpty && expectHalf.exceptAll(half).isEmpty,
+        "split assignment must be independent of corpus membership")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(halfDir.toFile)
+    }
     // proportions: global split near 90/5/5 (md5 uniformity; wide tolerance
     // at the 500-doc CI scale factor)
     val n = out.count().toDouble
