@@ -15,11 +15,20 @@ object GraftSession {
 
   def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
 
-  def builder(appName: String = "graft"): SparkSession.Builder =
-    SparkSession
+  /** Master override (SPARK_GRAFT_MASTER): the multi-JVM correctness
+    * replay sets `local-cluster[n,cores,memMB]` — real executor
+    * processes, real serialization, real network shuffle — which local
+    * mode never exercises. Executor JVMs don't inherit the driver's
+    * classpath, so SPARK_GRAFT_EXECUTOR_CP must name the engine classes
+    * (and any non-Spark deps) when the master is a cluster one.
+    */
+  def master: String = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+
+  def builder(appName: String = "graft"): SparkSession.Builder = {
+    val b = SparkSession
       .builder()
       .appName(appName)
-      .master(s"local[$cpus]")
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
@@ -40,7 +49,14 @@ object GraftSession {
       // the canonical native TimestampType on load. Current testdata is
       // timestamp[us], which this flag does not touch.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // in-process object-store-semantics FileSystem (graftoss://bucket/...):
+      // lets any run point a warehouse at S3-shaped storage without an
+      // external endpoint — see graft.lake.ObjectStoreFS
+      .config("spark.hadoop.fs.graftoss.impl", "graft.lake.ObjectStoreFS")
       .config("spark.ui.enabled", "false")
+    sys.env.get("SPARK_GRAFT_EXECUTOR_CP")
+      .fold(b)(cp => b.config("spark.executor.extraClassPath", cp))
+  }
 
   def getOrCreate(appName: String = "graft"): SparkSession = {
     val spark = builder(appName).getOrCreate()

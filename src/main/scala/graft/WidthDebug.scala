@@ -21,6 +21,28 @@ object WidthDebug {
       r
     }
     val mode = args.drop(1).headOption.getOrElse("full")
+    if (mode == "entry") {
+      // the exact ingest_wide_schema stages, individually timed
+      val root = s"/tmp/graft_width_entry_$cols"
+      org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(root), true)
+      val csvDir = root + "/wide_csv"
+      timed("writeWideCsv") { operators.IngestLake.writeWideCsv(spark, rows, cols, csvDir) }
+      val clean = timed("readCsvSanitized(inferRows=1000)") {
+        sources.MultiFormatReader.readCsvSanitized(spark, csvDir, inferRows = 1000)
+      }
+      println(s"[width] inferred types: ${clean.schema.fields.map(_.dataType).distinct.mkString(",")}"
+        + s" ncols=${clean.schema.length}")
+      val cat = lake.LakeCatalog(spark, root + "/lake")
+      timed("lake write") { cat.write("wide", "t", clean) }
+      val back = timed("lake read plan") { cat.read("wide", "t") }
+      val dataCols = back.columns
+      timed("rowsum agg (native)") {
+        val rowSum = call_function("graft_row_sum", dataCols.toIndexedSeq.map(col): _*)
+        back.agg(org.apache.spark.sql.functions.count(lit(1)), sum(rowSum)).collect()
+      }
+      spark.stop(); return
+    }
     if (mode == "maxcols") {
       val schema = org.apache.spark.sql.types.StructType(
         (0 until cols).map(j => org.apache.spark.sql.types.StructField(

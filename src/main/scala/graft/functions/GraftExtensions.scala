@@ -81,6 +81,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException("graft_cosine(a, b)")
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_row_sum"),
+      new ExpressionInfo(classOf[WideRowSum].getName, "graft_row_sum"),
+      (args: Seq[Expression]) => args match {
+        case cols if cols.nonEmpty => WideRowSum(cols)
+        case _ => throw new IllegalArgumentException("graft_row_sum(col, ...)")
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_hyperplane_sig"),
       new ExpressionInfo(classOf[HyperplaneSig].getName, "graft_hyperplane_sig"),
       (args: Seq[Expression]) => args match {

@@ -26,13 +26,58 @@ object IngestLake {
     * the IVF scratch: a world-shared tmpdir subpath can be squatted by
     * another local user).
     */
-  private def scratch(name: String): String = {
+  private def scratch(name: String): String =
+    sys.props.get(ScratchRootProp) match {
+      case Some(root) => // scheme-qualified root (e.g. graftoss://bucket/x):
+        // the owning FileSystem creates dirs on write; nothing local to make
+        s"${root.stripSuffix("/")}/$name/${java.util.UUID.randomUUID().toString}"
+      case None =>
+        val user = sys.props.getOrElse("user.name", "unknown")
+          .replaceAll("[^A-Za-z0-9._-]", "_")
+        val p = Paths.get(sys.props("java.io.tmpdir"), s"graft_scratch_$user", name,
+          java.util.UUID.randomUUID().toString)
+        Files.createDirectories(p)
+        p.toString
+    }
+
+  /** System property redirecting every operator scratch dir (lake
+    * warehouses, roundtrip files) to a scheme-qualified root — how the
+    * object-store spec replays the whole lake family against
+    * `graftoss://` storage with zero per-query changes.
+    */
+  val ScratchRootProp = "graft.scratch.root"
+
+  /** Always-LOCAL scratch, exempt from [[ScratchRootProp]] — for the few
+    * seeds that must live on a real local filesystem regardless of where
+    * the warehouse is (the embedded Derby database directory).
+    */
+  private def scratchLocal(name: String): String = {
     val user = sys.props.getOrElse("user.name", "unknown")
       .replaceAll("[^A-Za-z0-9._-]", "_")
     val p = Paths.get(sys.props("java.io.tmpdir"), s"graft_scratch_$user", name,
       java.util.UUID.randomUUID().toString)
     Files.createDirectories(p)
     p.toString
+  }
+
+  /** Zip `dir` into `jar` with entries rooted at `rootName/` — the layout
+    * Derby's `jdbc:derby:jar:(file)rootName` subprotocol boots read-only.
+    */
+  private def jarUpDirectory(dir: java.nio.file.Path, jar: java.nio.file.Path,
+      rootName: String): Unit = {
+    val out = new java.util.zip.ZipOutputStream(Files.newOutputStream(jar))
+    try {
+      val it = Files.walk(dir).iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        if (Files.isRegularFile(p)) {
+          out.putNextEntry(new java.util.zip.ZipEntry(
+            s"$rootName/${dir.relativize(p).toString.replace('\\', '/')}"))
+          Files.copy(p, out)
+          out.closeEntry()
+        }
+      }
+    } finally out.close()
   }
 
   val ingestCsvRoundtrip: Q = Q(
@@ -773,6 +818,56 @@ object IngestLake {
     GROUP BY o_orderstatus ORDER BY o_orderstatus""")
   )
 
+  /** Write-mode lifecycle under the oracle (reference: merge_utils.py's
+    * overwrite/append strategies; SURVEY §2 B2/B3/B7/B11 promoted from
+    * spec-only to hash-checked): a hive-partitioned base write, two
+    * appends that bring the table to full parity with the source, a
+    * partition-pruned read (filter on the partition column travels to
+    * directory pruning — only the matching `o_orderstatus=` dirs are
+    * scanned), then an INSERT OVERWRITE that replaces the file list
+    * entirely, and a final full read. The oracle recomputes both probe
+    * aggregates independently; a leaked pre-overwrite file, a dropped
+    * append, or a partition column lost in the hive round-trip all
+    * hash-mismatch. Scale shape: appends are metadata-only extensions
+    * (no data rewrite), overwrite is an O(1) manifest swap, and the
+    * pruned read never lists non-matching partition dirs.
+    */
+  val lakeWriteModes: Q = Q(
+    "lake_write_modes",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val cat = LakeCatalog(s, scratch("wmodes"))
+      val orders = t.orders.select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+      val part = Seq("o_orderstatus")
+      cat.write("wm", "orders", orders.filter(col("o_orderkey") % 3 === 0),
+        SaveMode.Overwrite, part)                                            // v1: partitioned base
+      cat.write("wm", "orders", orders.filter(col("o_orderkey") % 3 === 1),
+        SaveMode.Append, part)                                               // v2: append
+      cat.write("wm", "orders", orders.filter(col("o_orderkey") % 3 === 2),
+        SaveMode.Append, part)                                               // v3: append → full table
+      val pruned = cat.read("wm", "orders")
+        .filter(col("o_orderstatus") === "F")                                // partition-dir pruning
+        .agg(count(lit(1)).as("n_f"), dsum(col("o_totalprice")).as("total_f"))
+      // materialize the probe BEFORE the overwrite swaps the manifest out
+      // from under the lazy plan
+      val prunedRow = pruned.head()
+      cat.write("wm", "orders", orders.filter(col("o_orderkey") % 2 === 0),
+        SaveMode.Overwrite, part)                                            // v4: INSERT OVERWRITE
+      val after = cat.read("wm", "orders")
+        .agg(count(lit(1)).as("n_after"), dsum(col("o_totalprice")).as("total_after"))
+      import s.implicits._
+      Seq((prunedRow.getLong(0), prunedRow.getDouble(1))).toDF("n_f", "total_f")
+        .crossJoin(after)
+    },
+    Some(s"""SELECT
+      (SELECT COUNT(*) FROM orders WHERE o_orderstatus = 'F') AS n_f,
+      (SELECT CAST(SUM(CAST(o_totalprice AS $D)) AS DOUBLE) FROM orders
+        WHERE o_orderstatus = 'F') AS total_f,
+      (SELECT COUNT(*) FROM orders WHERE o_orderkey % 2 = 0) AS n_after,
+      (SELECT CAST(SUM(CAST(o_totalprice AS $D)) AS DOUBLE) FROM orders
+        WHERE o_orderkey % 2 = 0) AS total_after""")
+  )
+
   /** JDBC ingestion end-to-end under the oracle (reference: main.py:18
     * ships the MySQL connector jar for its OLTP feed; re-expressed
     * against the embedded Derby engine this environment ships): the
@@ -784,6 +879,15 @@ object IngestLake {
     * itself is driver-side but bounded: nation is a fixed-size dimension
     * (25 rows), the same class of bounded seed every ingest_* roundtrip
     * writes.
+    *
+    * The loaded database is re-published as Derby's JAR-ARCHIVED
+    * read-only form (`jdbc:derby:jar:(file)db`) before the Spark read:
+    * an in-memory or live file database is bootable by ONE JVM only, so
+    * the partitioned read would deadlock (or see nothing) the moment the
+    * four range queries run from real executor processes — the
+    * local-cluster correctness replay caught exactly that. A read-only
+    * archive boots concurrently in any number of JVMs, which is the
+    * honest single-file analog of "executors connect to a DB server".
     */
   val ingestJdbcRoundtrip: Q = Q(
     "ingest_jdbc",
@@ -791,8 +895,9 @@ object IngestLake {
       val t = Tables(s, dir)
       val rows = t.nation.select("n_nationkey", "n_name", "n_regionkey")
         .collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2)))
-      val db = s"memory:graft_jdbc_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      val url = s"jdbc:derby:$db;create=true"
+      val root = scratchLocal("jdbc")
+      val dbName = "seeddb"
+      val url = s"jdbc:derby:$root/$dbName;create=true"
       val conn = java.sql.DriverManager.getConnection(url)
       try {
         conn.createStatement().execute(
@@ -804,7 +909,13 @@ object IngestLake {
         }
         ps.executeBatch()
       } finally conn.close()
-      MFR.readJdbc(s, s"jdbc:derby:$db", "nation",
+      // clean shutdown (flushes the log), then archive to a jar: success
+      // of a Derby shutdown IS an exception, per its JDBC contract
+      try java.sql.DriverManager.getConnection(s"jdbc:derby:$root/$dbName;shutdown=true")
+      catch { case _: java.sql.SQLException => () }
+      val dbJar = s"$root/$dbName.jar"
+      jarUpDirectory(Paths.get(root, dbName), Paths.get(dbJar), dbName)
+      MFR.readJdbc(s, s"jdbc:derby:jar:($dbJar)$dbName", "nation",
           partitionColumn = Some("n_nationkey"), lowerBound = Some(0L),
           upperBound = Some(rows.map(_._1).max.toLong + 1), numPartitions = 4)
         // Derby folds unquoted identifiers to upper case; restore the
@@ -835,9 +946,15 @@ object IngestLake {
   private def exportedFileSets(s: org.apache.spark.sql.SparkSession,
       exp: graft.lake.IcebergExport.Export): (Seq[(String, Int)], Seq[(String, Int)]) = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    def json(p: String) =
-      mapper.readTree(new java.io.File(new java.net.URI(p).getPath))
     val hconf = s.sessionState.newHadoopConf()
+    def json(p: String) = {
+      // through the owning FileSystem, not java.io.File — the export can
+      // live on any scheme the warehouse does (object-store spec replays
+      // this on graftoss://)
+      val path = new org.apache.hadoop.fs.Path(new java.net.URI(p))
+      val in = path.getFileSystem(hconf).open(path)
+      try mapper.readTree(in.readAllBytes()) finally in.close()
+    }
     def avro(p: String) = {
       val path = new org.apache.hadoop.fs.Path(new java.net.URI(p))
       graft.lake.IcebergAvro.readContainer(path.getFileSystem(hconf), path)._1
@@ -1004,15 +1121,23 @@ object IngestLake {
       writeWideCsv(s, WideRows, WideCols, csvDir)
       // sanitization happens at the SCHEMA level, fused into the scan —
       // the wide-table discipline (a post-read rename Project at this
-      // width costs tens of seconds of projection codegen alone)
-      val clean = MFR.readCsvSanitized(s, csvDir)
+      // width costs tens of seconds of projection codegen alone) — and
+      // inference is SAMPLE-BOUNDED (first 1,000 data rows): full-scan
+      // inference re-parses all 222M cells just to learn 4,450 ints, the
+      // single largest cost of the r9 entry. The oracle still checks the
+      // full cell sum, so a type the sample got wrong (rows quarantined
+      // to the corrupt column) would hash-mismatch loudly.
+      val clean = MFR.readCsvSanitized(s, csvDir, inferRows = 1000)
       val cat = LakeCatalog(s, root + "/lake")
       cat.write("wide", "t", clean)
       val back = cat.read("wide", "t")
       val dataCols = back.columns
-      val rowSum = aggregate(
-        array(dataCols.map(c => col(c).cast("long")).toIndexedSeq: _*),
-        lit(0L), (acc, x) => acc + x)
+      // native graft_row_sum: the `aggregate(array(...))` spelling is a
+      // higher-order function — CodegenFallback, one interpreted lambda
+      // pass plus a 4,450-element array PER ROW (measured 17-20 s); the
+      // codegen'd expression does the same reduction in ~1 s
+      val rowSum = call_function("graft_row_sum",
+        dataCols.toIndexedSeq.map(col): _*)
       back.agg(count(lit(1)).as("n_rows"), sum(rowSum).as("total_sum"))
         .select(col("n_rows"),
           lit(dataCols.length).cast("long").as("n_cols"),
@@ -1037,5 +1162,5 @@ object IngestLake {
     lakeZorder, lakeMaintenance, lakePointLookup, lakeMvRefresh, lakeWap,
     lakeDeleteMor, lakeCdcApply, lakeIcebergExport, ingestDocxReal,
     ingestJdbcRoundtrip, lakeTimeTravel, lakeExpiry, lakeTags, ingestWideSchema,
-    lakeExportNested)
+    lakeExportNested, lakeWriteModes)
 }

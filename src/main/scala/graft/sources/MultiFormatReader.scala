@@ -120,6 +120,59 @@ object MultiFormatReader {
       .option("inferSchema", inferSchema)
       .csv(path).schema
 
+  /** SAMPLE-BOUNDED inference: types from the first `sampleRows` data
+    * lines only, names from the real header — the wide/large-file fast
+    * path (full inference re-parses EVERY cell; on the 50K×4,450
+    * reference headline shape that scan alone rivals the whole ingest).
+    *
+    * The trade, stated plainly: a column whose first `sampleRows` values
+    * all parse as a NARROWER type than later values (ints then "abc")
+    * gets the narrow type, and the later rows land in the corrupt-record
+    * isolation instead of the table. String-ward misses are impossible
+    * (string is the widest type), so sampled inference never corrupts
+    * values it does load — it can only quarantine rows full inference
+    * would have widened for. Callers pick the bound; `Int.MaxValue`
+    * keeps exact full-scan inference.
+    *
+    * Bounded by construction: `limit` stops the text scan after the
+    * prefix (one or two leading splits — never a full-file pass), and
+    * the collected sample is `sampleRows` lines, a caller-chosen bound.
+    * Duplicate header lines (one per part file of a multi-file dir) are
+    * dropped from the sample before type inference.
+    */
+  private def inferCsvSchemaBounded(spark: SparkSession, path: String,
+      maxColumns: Int, delimiter: String, sampleRows: Int)
+      : org.apache.spark.sql.types.StructType = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{StructField, StructType, StringType}
+    val maxCols = fitMaxColumns(spark, path, delimiter, maxColumns)
+    // sampleRows data lines + up to one header per file seen; the limit
+    // is the scan bound, the collect is limit-sized
+    val lines = spark.read.textFile(path).limit(sampleRows + 1).collect()
+    if (lines.isEmpty) return StructType(Nil)
+    val header = lines.head
+    val data = lines.iterator.drop(1).filterNot(_ == header).toIndexedSeq
+    // names: parse the single header line through the same CSV dialect
+    val names = csvReader(spark, delimiter, maxCols)
+      .csv(Seq(header).toDS()).columns
+    if (data.isEmpty)
+      return StructType(names.map(n => StructField(n, StringType)))
+    // types: infer over the headerless sample
+    val sampled = spark.read
+      .option("header", "false")
+      .option("maxColumns", maxCols)
+      .option("delimiter", delimiter)
+      .option("mode", "PERMISSIVE")
+      .option("escape", "\"")
+      .option("inferSchema", "true")
+      .csv(data.toDS())
+      .schema
+    StructType(names.zipWithIndex.map { case (n, i) =>
+      StructField(n,
+        if (i < sampled.length) sampled(i).dataType else StringType)
+    })
+  }
+
   /** The WIDE-table ingest path: infer, then re-read under the
     * NAME-SANITIZED schema ([[SchemaTools.sanitizeSchema]]) applied
     * positionally (`enforceSchema`, Spark's default) — so header
@@ -133,8 +186,12 @@ object MultiFormatReader {
       path: String,
       maxColumns: Int = 50000,
       delimiter: String = ",",
-      inferSchema: Boolean = true): DataFrame = {
-    val inferred = inferCsvSchema(spark, path, maxColumns, delimiter, inferSchema)
+      inferSchema: Boolean = true,
+      inferRows: Int = Int.MaxValue): DataFrame = {
+    val inferred =
+      if (inferRows != Int.MaxValue && inferSchema)
+        inferCsvSchemaBounded(spark, path, maxColumns, delimiter, inferRows)
+      else inferCsvSchema(spark, path, maxColumns, delimiter, inferSchema)
     // corrupt isolation WITHOUT the dropCorrupt cache: a wide ingest goes
     // straight to a full write, so pinning every cell in columnar storage
     // (plus its per-column codegen) is pure overhead. Contract: reference

@@ -143,4 +143,45 @@ class IngestSpec extends SparkSpec {
     assert(u.filter("name IS NULL").count() == 1)
     assert(u.filter("score IS NULL").count() == 1)
   }
+
+  test("sample-bounded inference: same schema and rows as full inference on uniform data") {
+    val d = Files.createTempDirectory("graft_csv_bnd")
+    val rows = (1 to 200).map(i => s"$i,${i * 1.5},name_$i").mkString("\n")
+    Files.writeString(d.resolve("t.csv"), s"Id Col,Val (x),Name\n$rows\n")
+    val full = MultiFormatReader.readCsvSanitized(spark, d.resolve("t.csv").toString)
+    val bounded = MultiFormatReader.readCsvSanitized(spark, d.resolve("t.csv").toString,
+      inferRows = 10)
+    assert(bounded.schema == full.schema)
+    // collect, not count: any count() prunes the scan down to the corrupt
+    // column alone, Spark's documented raw-CSV limitation (see
+    // readCsvSanitized's contract)
+    assert(bounded.collect().length == 200 && full.collect().length == 200)
+    assert(bounded.exceptAll(full).isEmpty)
+  }
+
+  test("sample-bounded inference: duplicate per-file headers are dropped from the sample") {
+    val d = Files.createTempDirectory("graft_csv_bnd2")
+    // two part files, each with its own header — the multi-part layout
+    // every distributed CSV writer produces
+    Files.writeString(d.resolve("part-0.csv"), "k,v\n1,10\n2,20\n")
+    Files.writeString(d.resolve("part-1.csv"), "k,v\n3,30\n4,40\n")
+    val df = MultiFormatReader.readCsvSanitized(spark, d.toString, inferRows = 50)
+    import org.apache.spark.sql.types.IntegerType
+    // a header line leaking into the sample would string-ify both columns
+    assert(df.schema.fields.map(_.dataType).toSeq == Seq(IntegerType, IntegerType))
+    assert(df.collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 2, 3, 4))
+  }
+
+  test("sample-bounded inference: narrow-typed later rows quarantine, never corrupt") {
+    val d = Files.createTempDirectory("graft_csv_bnd3")
+    val ints = (1 to 50).map(i => s"$i,$i").mkString("\n")
+    // row 51's first column is not an int: with the sampled int type it
+    // must land in corrupt isolation (dropped), NOT load as garbage
+    Files.writeString(d.resolve("t.csv"), s"a,b\n$ints\nnot_an_int,51\n")
+    val df = MultiFormatReader.readCsvSanitized(spark, d.resolve("t.csv").toString,
+      inferRows = 20)
+    assert(df.collect().length == 50)
+    assert(df.agg(org.apache.spark.sql.functions.sum("a")).head().getLong(0)
+      == (1 to 50).sum.toLong)
+  }
 }
