@@ -19,7 +19,7 @@ object ScaleProbe {
     */
   private[graft] val knownSections = Set("minhash", "ann", "text",
     "mega-bucket", "rank", "merge", "mor", "pq", "skew", "sem", "stream",
-    "width")
+    "width", "streamparts")
 
   /** Validates requested section names against the whitelist; throws on
     * any unknown name. Factored out of main so the contract is spec-pinned.
@@ -346,6 +346,42 @@ object ScaleProbe {
     // parquet sink readback) must cost linear in replayed events; a
     // super-linear step here means the replay started moving data through
     // the driver again or the sink stopped scaling.
+    // partition-count trade for STATEFUL streaming (r9 pinned the twins to
+    // 8 shuffle partitions on reasoning; this measures it): each micro-
+    // batch commits one state store per shuffle partition (FOUR for a
+    // stream-stream join), so at replay volumes the commit count — not the
+    // data — dominates wall time. The probe runs the sessionizer and the
+    // interval-join replays at 8 vs 32 partitions on the same corpus; the
+    // expected shape is "8 wins at small batches, the gap narrows as
+    // per-batch data grows" — which is why the twins pin a LOW count for
+    // replay volume while a production deployment with large micro-batches
+    // raises it (it's a conf, never operator state). See also
+    // streaming/STATE_STORES.md for the RocksDB path at 100 TB state.
+    if (on("streamparts")) for (mult <- Seq(1, 3); parts <- Seq(8, 32)) {
+      val n = 60000L * mult
+      val ev = spark.range(n).select(
+        col("id").as("event_id"),
+        timestamp_micros(lit(1700000000000000L) + col("id") * 500000L).as("ts"),
+        (col("id") % 997L).as("user_id"),
+        when(col("id") % 3 === 0, "click").otherwise("view").as("event_type"),
+        (col("id") % 100L).cast("double").as("value"))
+      val path = s"/tmp/graft_scale_streamparts_${mult}x"
+      ev.write.mode(SaveMode.Overwrite).parquet(path)
+      val loaded = spark.read.parquet(path)
+      val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      try {
+        val t0 = System.nanoTime()
+        val sessions = streaming.StreamingQueries.sessionReplayProbe(spark, loaded)
+        val tSess = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val pairs = streaming.StreamingQueries.joinReplayProbe(spark, loaded)
+        val tJoin = (System.nanoTime() - t1) / 1e9
+        println(f"[scale] stream-parts ${mult}x parts=$parts%d: events=$n%d " +
+          f"sessions=$sessions%d t_session=$tSess%.1fs pairs=$pairs%d t_join=$tJoin%.1fs")
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
+
     if (on("stream")) for (mult <- Seq(1, 3, 10)) {
       val n = 60000L * mult
       val ev = spark.range(n).select(

@@ -160,6 +160,62 @@ object StreamingQueries {
       complete = true).count()
   }
 
+  /** ScaleProbe canary: the STATEFUL sessionizer replay (the
+    * stream_sessions_twin machinery minus the oracle) — run by the
+    * `streamparts` probe at two shuffle-partition settings to MEASURE the
+    * state-store-commits-per-partition trade instead of asserting it.
+    * Returns emitted session count.
+    */
+  private[graft] def sessionReplayProbe(s: SparkSession, events: DataFrame): Long = {
+    import s.implicits._
+    val feed = events.select(unix_micros(col("ts")).as("ts_us"), col("event_id"),
+      col("ts"), col("user_id"), lit("replay").as("event_type"), lit(0.0).as("value"))
+    val mid = midpoint(feed, "ts_us")
+    val maxUs = feed.agg(max(col("ts_us"))).head().getLong(0)
+    val gapMs = 30L * 60L * 1000L
+    def half(p: org.apache.spark.sql.Column): DataFrame =
+      feed.filter(p).select("event_id", "ts", "user_id", "event_type", "value")
+    def sentinel(k: Int): DataFrame =
+      Seq((-k.toLong, new java.sql.Timestamp(maxUs / 1000L + (100L * k) * gapMs),
+        -1L, "sentinel", 0.0))
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    fileReplay(
+      s,
+      Seq(schema -> Seq(half(col("ts_us") <= mid), half(col("ts_us") > mid),
+        sentinel(1), sentinel(2))),
+      srcs => EventStreams.sessionize(srcs.head.as[EventStreams.Event]).toDF())
+      .filter(col("user_id") >= 0).count()
+  }
+
+  /** ScaleProbe canary: the STREAM-STREAM interval-join replay (the
+    * stream_join_twin machinery minus the oracle); four state stores per
+    * shuffle partition, committed per micro-batch. Returns joined pairs.
+    */
+  private[graft] def joinReplayProbe(s: SparkSession, events: DataFrame): Long = {
+    val feed = events.filter(col("event_type").isin("click", "view"))
+      .select(unix_micros(col("ts")).as("ts_us"), col("event_id"), col("ts"),
+        col("user_id"), col("event_type"))
+    val mid = midpoint(feed, "ts_us")
+    def slice(et: String, p: org.apache.spark.sql.Column): DataFrame =
+      feed.filter(col("event_type") === et && p).select("event_id", "ts", "user_id")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType)))
+    fileReplay(
+      s,
+      Seq(
+        schema -> Seq(slice("click", col("ts_us") <= mid),
+          slice("click", col("ts_us") > mid)),
+        schema -> Seq(slice("view", col("ts_us") <= mid),
+          slice("view", col("ts_us") > mid))),
+      srcs => EventStreams.correlate(srcs(0), srcs(1), withinMinutes = 60))
+      .count()
+  }
+
   // ----- the four twins ----------------------------------------------------
 
   /** E8 twin: the dedup corpus replayed through the E7 streaming near-dup

@@ -13,6 +13,9 @@ set -euo pipefail
 
 CLASSES=/root/repo/target/scala-2.13/classes
 export SPARK_HOME=/opt/spark
+# the launcher's executor-command builder asks for this when the dist has
+# no launcher/target build dirs (jar-only layout)
+export SPARK_SCALA_VERSION=2.13
 export SPARK_GRAFT_MASTER="${GRAFT_CLUSTER:-local-cluster[4,8,6144]}"
 export SPARK_GRAFT_EXECUTOR_CP="$CLASSES"
 export SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}"
