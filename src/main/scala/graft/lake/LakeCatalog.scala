@@ -453,7 +453,16 @@ final class LakeCatalog(
   private def dvJoinSide(ns: String, t: String, dvs: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions.broadcast
     val frame = dvFrame(ns, t, dvs)
-    if (dvRowCount(ns, t, dvs) <= dvBroadcastMaxRows) broadcast(frame) else frame
+    val n = dvRowCount(ns, t, dvs)
+    if (n <= dvBroadcastMaxRows) broadcast(frame)
+    else {
+      // observable cap: the soak run must see the broadcast give way to
+      // the shuffled anti-join, not just not-OOM
+      org.slf4j.LoggerFactory.getLogger(getClass).info(
+        s"read($ns.$t): $n deletion-vector rows > broadcast cap " +
+          s"$dvBroadcastMaxRows -> shuffled anti-join")
+      frame
+    }
   }
 
   /** The distinct parent DIRECTORIES of vector-marked files — one row

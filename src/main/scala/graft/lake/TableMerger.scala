@@ -216,8 +216,14 @@ final class TableMerger(
       val numericKey = deduped.schema(k).dataType
         .isInstanceOf[org.apache.spark.sql.types.NumericType]
       val deltaKeys: Option[(Array[String], Array[java.math.BigDecimal])] =
-        if (sourceRows > DeltaKeyCollectCap) None
-        else {
+        if (sourceRows > DeltaKeyCollectCap) {
+          // observable cap: a scale soak must SEE the exact-key prune give
+          // way to the bounds fallback, not infer it
+          org.slf4j.LoggerFactory.getLogger(getClass).info(
+            s"merge: delta rows $sourceRows > collect cap $DeltaKeyCollectCap " +
+              "-> min/max bounds pruning (exact key-set prune skipped)")
+          None
+        } else {
           val ks = allKeys.select(col(k).cast("string")).na.drop()
             .collect().map(_.getString(0))
           if (numericKey) {

@@ -133,6 +133,12 @@ object Dedup {
           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
       case _ => false
     }
+    // the path decision is logged so a scale soak can OBSERVE the cap
+    // engaging its distributed fallback instead of inferring it from time
+    org.slf4j.LoggerFactory.getLogger(getClass).info(
+      s"duplicateClusters: $nEdges edges, threshold $localThreshold -> " +
+        (if (nEdges <= localThreshold && integralIds) "driver-local union-find"
+         else "distributed pointer-jumping"))
     if (nEdges <= localThreshold && integralIds) return localUnionFind(edges, idType)
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("label", col("id"))
