@@ -40,7 +40,25 @@ object GraftSession {
       // speak, the same contract as the lake catalog's file://hdfs://s3a://
       .config("spark.sql.warehouse.dir",
         sys.env.getOrElse("GRAFT_WAREHOUSE", "file:///tmp/graft_warehouse"))
-      .config("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)
+      // Broadcast policy, two tiers (measured at the sf10 soak):
+      //  - STATIC threshold 1 MB: planner estimates are file-bytes scaled
+      //    by pruned-column fraction, and for compressed key columns they
+      //    under-count rows brutally — at sf10 a 15M-row single-column
+      //    orders side estimated ~35 MB and the old 64 MB threshold
+      //    broadcast it (driver built a 15M-entry hash relation; q22 ran
+      //    47 s, and 29 join sites across the q-family broadcast a
+      //    scale-proportional side). 1 MB keeps the stage-free broadcast
+      //    for relations so small the estimate cannot lie big (nation,
+      //    region, scalar aggregates) and nothing else.
+      //  - ADAPTIVE threshold 32 MB: AQE re-plans each shuffle join from
+      //    the ACTUAL materialized shuffle bytes, so every honest dim-side
+      //    broadcast (customer/part at bench SFs) is recovered at runtime
+      //    with the local-shuffle-reader keeping the fact side unshuffled
+      //    — and a 100 TB fact side can never sneak in through a stale
+      //    estimate. Explicit broadcast() hints on bounded model artifacts
+      //    (codebooks, centroids, scalar rows) bypass both as before.
+      .config("spark.sql.autoBroadcastJoinThreshold", 1 * 1024 * 1024)
+      .config("spark.sql.adaptive.autoBroadcastJoinThreshold", 32 * 1024 * 1024)
       .config("spark.sql.files.maxPartitionBytes", 128 * 1024 * 1024)
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       // Defensive: if a testdata regeneration ships events.ts as parquet
@@ -94,6 +112,12 @@ object GraftSession {
   def releaseCaches(spark: SparkSession): Unit = {
     graft.operators.Dedup.clearCache(spark)
     spark.catalog.clearCache()
+    // Stateful streaming twins leave their state-store providers (and the
+    // providers' in-memory version maps) cached after the query completes;
+    // at the sf10 soak those maps held GBs and starved later aggregations
+    // into AGGREGATE_OUT_OF_MEMORY. Family boundaries never have an active
+    // streaming query, so unloading is safe (providers reload lazily).
+    org.apache.spark.sql.GraftBridge.unloadStateStores()
     // Drop references held by the periodic GC-based ContextCleaner so
     // localCheckpoint RDD blocks are actually evicted before the next
     // family is timed, not at some later GC.

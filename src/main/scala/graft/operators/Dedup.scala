@@ -557,6 +557,24 @@ object Dedup {
   // ---- semantic dedup (SemDeDup) ----------------------------------------
 
   val SemClusters = 16
+
+  /** SemDeDup target cluster size: K is sized so clusters hold ~this many
+    * vectors — the paper's own 100 TB trade (cluster size, not cluster
+    * count, is the knob that bounds the within-cluster O(n²) screen).
+    */
+  val SemTargetClusterSize = 5000
+
+  /** Cluster count for a corpus of `n` vectors: ceil(n / target size),
+    * floored at [[SemClusters]] so small corpora (every sf≤0.1 oracle run)
+    * keep the historical K=16 verbatim. Data-dependent BY DESIGN — a fixed
+    * K turns the per-cluster quadratic screen superlinear the moment the
+    * corpus outgrows K×target (measured at the sf10 soak: K=16 over 210k
+    * vectors made 13k-row clusters, 1.36B cosine pairs, and pushed
+    * clusters past the online twin's MaxSemCluster retention cap). The
+    * DuckDB oracles compute the same K from the same count.
+    */
+  def semClustersFor(n: Long): Int =
+    math.max(SemClusters.toLong, (n + SemTargetClusterSize - 1) / SemTargetClusterSize).toInt
   val SemThreshold = 0.95
 
   /** Hard per-cluster retention cap for the ONLINE SemDeDup seen-set
@@ -602,7 +620,10 @@ object Dedup {
       val planted = base.filter(col("vec_id") % 20 === 0)
         .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
       val corpus = base.select("vec_id", "embedding").unionByName(planted)
-      val cents = semCentroids(corpus, "vec_id", "embedding")
+      // one bounded count sizes K = ceil(n/5000): cluster SIZE stays ~flat
+      // across scale steps, so the within-cluster screen stays linear-in-n
+      val cents = semCentroids(corpus, "vec_id", "embedding",
+        semClustersFor(corpus.count()))
       val assigned = corpus.select(col("vec_id"), col("embedding"),
         org.apache.spark.sql.GraftBridge.column(graft.functions.NearestCentroid(
           org.apache.spark.sql.GraftBridge.expression(s, col("embedding")),
@@ -630,7 +651,8 @@ object Dedup {
       SELECT vec_id, embedding,
         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid
       FROM corpus),
-    cent AS (SELECT cid, embedding AS c_emb FROM ordered WHERE cid < 16),
+    cent AS (SELECT cid, embedding AS c_emb FROM ordered
+      WHERE cid < (SELECT GREATEST(16, CAST(CEIL(COUNT(*) / 5000.0) AS BIGINT)) FROM corpus)),
     dists AS (
       SELECT c.vec_id, cent.cid,
         list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(c.embedding)+1),

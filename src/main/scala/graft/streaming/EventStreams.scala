@@ -233,11 +233,15 @@ object EventStreams {
   /** one incoming document on the stream */
   case class DocIn(doc_id: Long, ts: java.sql.Timestamp, text: String)
 
-  /** a banded signature row (internal shape of the stateful stage) */
+  /** a banded signature row (internal shape of the stateful stage); `sig`
+    * is a primitive long array — the per-pair signature agreement count is
+    * the stateful stage's hot loop, and boxed Seq traversal was a measured
+    * multiple of it at the sf10 soak
+    */
   case class SigDoc(doc_id: Long, ts: java.sql.Timestamp, band: Int, bh: Long,
-      sig: Seq[Long])
+      sig: Array[Long])
 
-  case class BucketEntry(id: Long, sig: Seq[Long])
+  case class BucketEntry(id: Long, sig: Array[Long])
   case class BucketState(entries: List[BucketEntry])
 
   /** an emitted near-dup candidate (a < b), with the triggering doc's ts */
@@ -276,8 +280,11 @@ object EventStreams {
     import graft.operators.Dedup
     val ttlMs = ttlMinutes * 60L * 1000L
 
-    def estJac(a: Seq[Long], b: Seq[Long]): Double =
-      a.iterator.zip(b.iterator).count { case (x, y) => x == y }.toDouble / Dedup.NumPerms
+    def estJac(a: Array[Long], b: Array[Long]): Double = {
+      var c = 0; var i = 0
+      while (i < a.length) { if (a(i) == b(i)) c += 1; i += 1 }
+      c.toDouble / Dedup.NumPerms
+    }
 
     docs.toDF()
       .withWatermark("ts", s"$ttlMinutes minutes")
@@ -332,7 +339,12 @@ object EventStreams {
   case class VecIn(vec_id: Long, ts: java.sql.Timestamp, cluster: Int,
       embedding: Seq[Float])
 
-  case class ClusterEntry(id: Long, emb: Seq[Float])
+  /** `emb` is a primitive float array: the witness scan computes a cosine
+    * against up to [[graft.operators.Dedup.MaxSemCluster]] retained entries
+    * per incoming vector, and boxed Seq access was the measured hot cost of
+    * the sf10 twin (each get unboxes through WrappedArray).
+    */
+  case class ClusterEntry(id: Long, emb: Array[Float])
   case class SemClusterState(entries: List[ClusterEntry])
 
   /** an eliminated vector with its lowest-id witness duplicate */
@@ -340,7 +352,7 @@ object EventStreams {
 
   /** bit-identical to functions.CosineSim.compute (same accumulation order,
     * same float→double widening) so stream == batch == oracle exactly */
-  private def cosSeq(a: Seq[Float], b: Seq[Float]): Double = {
+  private def cosArr(a: Array[Float], b: Array[Float]): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     val n = a.length
     while (i < n) {
@@ -396,20 +408,40 @@ object EventStreams {
         (cluster: Int, it: Iterator[VecIn], state: GroupState[SemClusterState]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
+            // Retained entries are kept ASCENDING BY ID (insertion below
+            // preserves it; defensively restored for state written before
+            // the invariant): the min-id witness is then the FIRST match of
+            // an in-order scan, and the scan can stop at e.id >= v.vec_id —
+            // without the order, every incoming vector pays a full
+            // maxPerCluster cosine sweep (the sf10 twin's measured cost).
             val entries = scala.collection.mutable.ArrayBuffer
               .from(state.getOption.map(_.entries).getOrElse(Nil))
+            if (entries.length > 1 &&
+                entries.iterator.sliding(2).exists(p => p.head.id > p.last.id))
+              entries.sortInPlaceBy(_.id)
             val seen = scala.collection.mutable.Set.from(entries.iterator.map(_.id))
             val out = Seq.newBuilder[SemDup]
             // deterministic within-batch order, same tie-break as batch
             val sorted = it.toSeq.sortBy(v => (v.ts.getTime, v.vec_id))
             for (v <- sorted) {
-              val witnesses = entries.iterator
-                .filter(e => e.id < v.vec_id && cosSeq(e.emb, v.embedding) >= threshold)
-                .map(_.id)
-              if (witnesses.nonEmpty)
-                out += SemDup(v.vec_id, witnesses.min, cluster.toLong)
-              if (entries.length < maxPerCluster && seen.add(v.vec_id))
-                entries += ClusterEntry(v.vec_id, v.embedding)
+              val vec = v.embedding.toArray
+              var witness = -1L
+              var i = 0
+              while (witness < 0 && i < entries.length && entries(i).id < v.vec_id) {
+                if (cosArr(entries(i).emb, vec) >= threshold) witness = entries(i).id
+                i += 1
+              }
+              if (witness >= 0)
+                out += SemDup(v.vec_id, witness, cluster.toLong)
+              if (entries.length < maxPerCluster && seen.add(v.vec_id)) {
+                // binary-search insert keeps the ascending-id invariant
+                var lo = 0; var hi = entries.length
+                while (lo < hi) {
+                  val m = (lo + hi) >>> 1
+                  if (entries(m).id < v.vec_id) lo = m + 1 else hi = m
+                }
+                entries.insert(lo, ClusterEntry(v.vec_id, vec))
+              }
             }
             state.update(SemClusterState(entries.toList))
             val batchMaxMs = sorted.map(_.ts.getTime).max

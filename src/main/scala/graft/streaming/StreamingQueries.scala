@@ -456,7 +456,10 @@ object StreamingQueries {
       val planted = base.filter(col("vec_id") % 20 === 0)
         .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
       val corpus = base.select("vec_id", "embedding").unionByName(planted)
-      val cents = graft.operators.Dedup.semCentroids(corpus, "vec_id", "embedding")
+      // same data-dependent K as batch dedup_semantic — the shared oracle
+      // computes the identical ceil(n/5000) from the same corpus count
+      val cents = graft.operators.Dedup.semCentroids(corpus, "vec_id", "embedding",
+        graft.operators.Dedup.semClustersFor(corpus.count()))
       val assigned = corpus.select(col("vec_id"),
         org.apache.spark.sql.GraftBridge.column(graft.functions.NearestCentroid(
           org.apache.spark.sql.GraftBridge.expression(s, col("embedding")),

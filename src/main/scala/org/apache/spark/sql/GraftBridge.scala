@@ -47,6 +47,17 @@ object GraftBridge {
   def drainListenerBus(spark: SparkSession): Unit =
     spark.sparkContext.listenerBus.waitUntilEmpty()
 
+  /** Unload every cached streaming state-store provider on this JVM. A
+    * completed streaming query leaves its HDFS-backed providers (and their
+    * in-memory version maps — GBs for a large stateful replay) cached for
+    * fast restart; a long-lived session running many distinct stateful
+    * queries accumulates all of them. Callers must only invoke this with no
+    * streaming query active (providers reload lazily, so a restarted query
+    * still works — this trades restart speed for memory).
+    */
+  def unloadStateStores(): Unit =
+    execution.streaming.state.StateStore.unloadAll()
+
   /** Dataset → Arrow IPC record batches, one RDD element per batch (the
     * `private[sql]` seam PySpark's own toPandas path uses).
     */

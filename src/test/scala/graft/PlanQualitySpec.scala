@@ -168,11 +168,16 @@ class PlanQualitySpec extends SparkSpec {
     // skew once thresholds are scaled down to test-data sizes
     val prev = Seq(
       "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
       "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
       "spark.sql.adaptive.advisoryPartitionSizeInBytes",
       "spark.sql.adaptive.skewJoin.skewedPartitionFactor"
     ).map(k => k -> spark.conf.getOption(k))
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // the runtime tier must be off too: with it on, AQE converts the small
+    // side to broadcast from its ACTUAL shuffle bytes and no skewed
+    // shuffle join is left to split
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "128k")
     spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64k")
     spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
