@@ -558,11 +558,18 @@ object Dedup {
 
   val SemClusters = 16
 
-  /** SemDeDup target cluster size: K is sized so clusters hold ~this many
-    * vectors — the paper's own 100 TB trade (cluster size, not cluster
-    * count, is the knob that bounds the within-cluster O(n²) screen).
+  /** SemDeDup target MEAN cluster size: K is sized so clusters hold ~this
+    * many vectors — the paper's own 100 TB trade (cluster size, not
+    * cluster count, is the knob that bounds the within-cluster O(n²)
+    * screen). 2,000 deliberately sits 4× under the online twin's
+    * [[MaxSemCluster]] retention cap because nearest-centroid assignment
+    * is NOT balanced: at the sf10 soak a 5,000 mean produced a
+    * >8,192-member cluster, the cap truncated the twin's seen-set, and
+    * stream diverged from batch by 19 dup rows — the margin absorbs
+    * realistic skew, and the cap-hit warning below makes any residual
+    * truncation observable instead of silent.
     */
-  val SemTargetClusterSize = 5000
+  val SemTargetClusterSize = 2000
 
   /** Cluster count for a corpus of `n` vectors: ceil(n / target size),
     * floored at [[SemClusters]] so small corpora (every sf≤0.1 oracle run)
@@ -620,7 +627,7 @@ object Dedup {
       val planted = base.filter(col("vec_id") % 20 === 0)
         .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
       val corpus = base.select("vec_id", "embedding").unionByName(planted)
-      // one bounded count sizes K = ceil(n/5000): cluster SIZE stays ~flat
+      // one bounded count sizes K = ceil(n/2000): cluster SIZE stays ~flat
       // across scale steps, so the within-cluster screen stays linear-in-n
       val cents = semCentroids(corpus, "vec_id", "embedding",
         semClustersFor(corpus.count()))
@@ -652,7 +659,7 @@ object Dedup {
         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid
       FROM corpus),
     cent AS (SELECT cid, embedding AS c_emb FROM ordered
-      WHERE cid < (SELECT GREATEST(16, CAST(CEIL(COUNT(*) / 5000.0) AS BIGINT)) FROM corpus)),
+      WHERE cid < (SELECT GREATEST(16, CAST(CEIL(COUNT(*) / 2000.0) AS BIGINT)) FROM corpus)),
     dists AS (
       SELECT c.vec_id, cent.cid,
         list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(c.embedding)+1),

@@ -421,6 +421,7 @@ object EventStreams {
               entries.sortInPlaceBy(_.id)
             val seen = scala.collection.mutable.Set.from(entries.iterator.map(_.id))
             val out = Seq.newBuilder[SemDup]
+            var capWarned = false
             // deterministic within-batch order, same tie-break as batch
             val sorted = it.toSeq.sortBy(v => (v.ts.getTime, v.vec_id))
             for (v <- sorted) {
@@ -441,6 +442,17 @@ object EventStreams {
                   if (entries(m).id < v.vec_id) lo = m + 1 else hi = m
                 }
                 entries.insert(lo, ClusterEntry(v.vec_id, vec))
+              } else if (entries.length >= maxPerCluster && !seen.contains(v.vec_id) && !capWarned) {
+                // observable truncation: past the cap this operator can
+                // MISS duplicates a batch pass would find (the K sizing in
+                // operators.Dedup keeps clusters ~4x under the cap so this
+                // never fires on a sanely-clustered corpus — if it fires,
+                // the cluster count is undersized for the corpus)
+                capWarned = true
+                org.slf4j.LoggerFactory.getLogger(getClass).warn(
+                  s"semanticDedupStream: cluster $cluster hit the $maxPerCluster-entry " +
+                    "retention cap - later vectors in it are screened against a " +
+                    "TRUNCATED seen-set and stream may under-report duplicates vs batch")
               }
             }
             state.update(SemClusterState(entries.toList))

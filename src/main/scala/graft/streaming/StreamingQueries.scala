@@ -457,7 +457,7 @@ object StreamingQueries {
         .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
       val corpus = base.select("vec_id", "embedding").unionByName(planted)
       // same data-dependent K as batch dedup_semantic — the shared oracle
-      // computes the identical ceil(n/5000) from the same corpus count
+      // computes the identical ceil(n/2000) from the same corpus count
       val cents = graft.operators.Dedup.semCentroids(corpus, "vec_id", "embedding",
         graft.operators.Dedup.semClustersFor(corpus.count()))
       val assigned = corpus.select(col("vec_id"),
