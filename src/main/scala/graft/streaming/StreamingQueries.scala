@@ -131,6 +131,17 @@ object StreamingQueries {
     } finally rmrf(root) // temp source/checkpoint/output never leak
   }
 
+  /** Stateful-stage partition count for the replay twins. 8 is the
+    * r9-measured optimum at bench SFs, where per-micro-batch state-store
+    * commits dominate (ScaleProbe `streamparts`: 8 beats 32 by 2.3× on the
+    * stream-stream join). On compute-bound replays (a 100× corpus pushing
+    * tens of millions of candidate pairs through the stateful stage) the
+    * trade flips — the knob stays a DEPLOYMENT conf, overridable per run
+    * via SPARK_GRAFT_STREAM_PARTS, never operator state.
+    */
+  private def statefulParts: String =
+    sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "8")
+
   /** single-row aggregate: midpoint of a long column's range — the
     * replay's batch-membership threshold (bounded, never data-sized) */
   private def midpoint(df: DataFrame, c: String): Long = {
@@ -247,7 +258,7 @@ object StreamingQueries {
       // stateful bucket stage follows shuffle.partitions, where per-batch
       // store commits dominate — fewer partitions there (see streamJoinTwin)
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.shuffle.partitions", statefulParts)
       val out =
         try fileReplay(
           s,
@@ -292,7 +303,7 @@ object StreamingQueries {
       // partition still commits its own store per micro-batch — fewer
       // partitions, same correctness (see streamJoinTwin)
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.shuffle.partitions", statefulParts)
       val out =
         try fileReplay(
           s,
@@ -352,7 +363,7 @@ object StreamingQueries {
       // trade as streamJoinTwin (correctness is partition-count-
       // independent; the conf is pinned at stream start)
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.shuffle.partitions", statefulParts)
       val out =
         try fileReplay(
           s,
@@ -412,7 +423,7 @@ object StreamingQueries {
       // session conf is restored after the query starts, which pins the
       // stream's own partitioning at start time)
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.shuffle.partitions", statefulParts)
       val out =
         try fileReplay(
           s,
@@ -478,7 +489,7 @@ object StreamingQueries {
       // assignment runs source-side; only the per-cluster state stage
       // follows shuffle.partitions
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.shuffle.partitions", statefulParts)
       val out =
         try fileReplay(
           s,
