@@ -57,6 +57,13 @@ object GraftSession {
       //    — and a 100 TB fact side can never sneak in through a stale
       //    estimate. Explicit broadcast() hints on bounded model artifacts
       //    (codebooks, centroids, scalar rows) bypass both as before.
+      //  CAVEAT (streaming): AQE is disabled inside stateful streaming
+      //  queries, so the 32 MB adaptive tier never applies there — a dim
+      //  join added to a streaming pipeline only broadcasts under the 1 MB
+      //  static estimate (or an explicit broadcast()/honest-stats hint).
+      //  None of the current streaming operators joins a dim side; if one
+      //  appears, hint it explicitly rather than re-raising the static
+      //  threshold.
       .config("spark.sql.autoBroadcastJoinThreshold", 1 * 1024 * 1024)
       .config("spark.sql.adaptive.autoBroadcastJoinThreshold", 32 * 1024 * 1024)
       .config("spark.sql.files.maxPartitionBytes", 128 * 1024 * 1024)

@@ -43,6 +43,110 @@ object WidthDebug {
       }
       spark.stop(); return
     }
+    if (mode == "wexp2") {
+      // uncached entry-path experiments: parse cost (noop sink) and
+      // parse+encode cost under writer-option combos
+      def clean = sources.MultiFormatReader.readCsvSanitized(spark, csvDir, inferRows = 1000)
+      timed("noop sink (parse only, multiLine=true)") {
+        clean.write.mode(SaveMode.Overwrite).format("noop").save()
+      }
+      val schema = clean.schema
+      def cleanNoMulti = {
+        val raw = spark.read
+          .option("header", "true")
+          .option("maxColumns", cols + 16)
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", sources.MultiFormatReader.CorruptCol)
+          .option("escape", "\"")
+          .schema(org.apache.spark.sql.types.StructType(schema.fields :+
+            org.apache.spark.sql.types.StructField(sources.MultiFormatReader.CorruptCol,
+              org.apache.spark.sql.types.StringType)))
+          .csv(csvDir)
+        raw.filter(col(sources.MultiFormatReader.CorruptCol).isNull)
+          .drop(sources.MultiFormatReader.CorruptCol)
+      }
+      timed("noop sink (parse only, multiLine=false)") {
+        cleanNoMulti.write.mode(SaveMode.Overwrite).format("noop").save()
+      }
+      for ((label, src, opts) <- Seq(
+        ("multiline+nodict+blk8m", () => clean, Map(
+          "parquet.enable.dictionary" -> "false",
+          "parquet.block.size" -> (8 * 1024 * 1024).toString)),
+        ("nomulti+nodict+blk8m", () => cleanNoMulti, Map(
+          "parquet.enable.dictionary" -> "false",
+          "parquet.block.size" -> (8 * 1024 * 1024).toString)),
+        ("nomulti+nodict+blk8m+nocomp", () => cleanNoMulti, Map(
+          "parquet.enable.dictionary" -> "false",
+          "parquet.block.size" -> (8 * 1024 * 1024).toString,
+          "compression" -> "none")),
+        ("nomulti+v2+blk8m", () => cleanNoMulti, Map(
+          "parquet.writer.version" -> "PARQUET_2_0",
+          "parquet.block.size" -> (8 * 1024 * 1024).toString)),
+        ("nomulti+v2+nodict+blk8m", () => cleanNoMulti, Map(
+          "parquet.writer.version" -> "PARQUET_2_0",
+          "parquet.enable.dictionary" -> "false",
+          "parquet.block.size" -> (8 * 1024 * 1024).toString)))) {
+        val out = s"/tmp/graft_wexp2_$cols"
+        org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+          .delete(new org.apache.hadoop.fs.Path(out), true)
+        timed(s"parse+write [$label]") {
+          val w = src().write.mode(SaveMode.Overwrite)
+          opts.foreach { case (k, v) => w.option(k, v) }
+          w.parquet(out)
+        }
+        val sz = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+          .getContentSummary(new org.apache.hadoop.fs.Path(out)).getLength
+        println(f"[width]   size ${sz / 1e6}%.1f MB")
+        timed(s"  readback rowsum [$label]") {
+          val back = spark.read.parquet(out)
+          val rowSum = call_function("graft_row_sum",
+            back.columns.toIndexedSeq.map(col): _*)
+          back.agg(count(lit(1)), sum(rowSum)).collect()
+        }
+      }
+      spark.stop(); return
+    }
+    if (mode == "wexp") {
+      // decompose the lake-write cost: csv parse+convert vs parquet encode
+      // vs footer-stats sidecar, and the writer-option levers
+      val schema = org.apache.spark.sql.types.StructType(
+        (0 until cols).map(j => org.apache.spark.sql.types.StructField(
+          sources.SchemaTools.sanitizeName(f"Col $j%04d (wide)"),
+          org.apache.spark.sql.types.IntegerType)))
+      def clean = sources.MultiFormatReader.readCsvWithSchema(spark, csvDir, schema)
+      timed("parse+rowsum (csv only)") {
+        val rowSum = call_function("graft_row_sum",
+          schema.fieldNames.toIndexedSeq.map(col): _*)
+        clean.agg(count(lit(1)), sum(rowSum)).collect()
+      }
+      for ((label, opts) <- Seq(
+        "write default" -> Map.empty[String, String],
+        "write nodict" -> Map("parquet.enable.dictionary" -> "false"),
+        "write blk8m" -> Map("parquet.block.size" -> (8 * 1024 * 1024).toString),
+        "write nodict+blk8m" -> Map(
+          "parquet.enable.dictionary" -> "false",
+          "parquet.block.size" -> (8 * 1024 * 1024).toString),
+        "write uncompressed" -> Map("compression" -> "none"),
+        "write nodict+page64k" -> Map(
+          "parquet.enable.dictionary" -> "false",
+          "parquet.page.size" -> (64 * 1024).toString))) {
+        val out = s"/tmp/graft_wexp_$cols"
+        org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+          .delete(new org.apache.hadoop.fs.Path(out), true)
+        timed(label) {
+          val w = clean.write.mode(SaveMode.Overwrite)
+          opts.foreach { case (k, v) => w.option(k, v) }
+          w.parquet(out)
+        }
+        timed(s"  readback rowsum after [$label]") {
+          val back = spark.read.parquet(out)
+          val rowSum = call_function("graft_row_sum",
+            back.columns.toIndexedSeq.map(col): _*)
+          back.agg(count(lit(1)), sum(rowSum)).collect()
+        }
+      }
+      spark.stop(); return
+    }
     if (mode == "maxcols") {
       val schema = org.apache.spark.sql.types.StructType(
         (0 until cols).map(j => org.apache.spark.sql.types.StructField(

@@ -22,6 +22,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
     // opt-in rewrite of window-row_number top-k into the custom operator
     ext.injectOptimizerRule(s => graft.plans.TopKRewriteRule(s))
+    // honest-statistics broadcast hints: recover stage-free dim broadcasts
+    // from EXACT parquet footer row counts (estimates lie; footers don't)
+    ext.injectOptimizerRule(s => graft.plans.HonestBroadcastRule(s))
     ext.injectFunction((
       new FunctionIdentifier("graft_shingle_hashes"),
       new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingle_hashes"),

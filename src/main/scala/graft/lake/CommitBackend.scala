@@ -126,3 +126,42 @@ object CommitBackend {
   private[lake] def utf8(s: String): Array[Byte] = s.getBytes(StandardCharsets.UTF_8)
   private[lake] def utf8(b: Array[Byte]): String = new String(b, StandardCharsets.UTF_8)
 }
+
+/** Commit backend for `graftoss://` warehouses: plain object-store IO for
+  * everything EXCEPT the two operations the CAS protocol needs atomic —
+  * `createExclusive` (the version-lock claim) and `renameIfAbsent` (the
+  * manifest publish) — which route through the store's CONDITIONAL PUT
+  * ([[ObjectStoreFS.putIfAbsent]], the S3 `If-None-Match: *` / GCS
+  * `ifGenerationMatch=0` escape hatch [[CommitBackend]]'s guarantee
+  * matrix names for object stores). With it, concurrent writers racing
+  * the same version get exactly one winner — proven end-to-end through
+  * the real FileSystem path by ObjectStoreRaceSpec.
+  *
+  * `renameIfAbsent` becomes read + conditional-put + delete-src: the
+  * publish point is the single atomic PUT of the fully-written manifest
+  * bytes onto the versioned key, so a reader either sees no manifest or
+  * the complete one — the copy window of the FS-level non-atomic rename
+  * never exists for commits. (Data dirs still move through the plain FS;
+  * their visibility is gated by the manifest, so non-atomic data renames
+  * stay invisible to readers.)
+  */
+final class ObjectStoreCommitBackend(fs: FileSystem) extends CommitBackend {
+  private val plain = new HadoopCommitBackend(fs)
+  def mkdirs(dir: Path): Unit = plain.mkdirs(dir)
+  def exists(p: Path): Boolean = plain.exists(p)
+  def list(dir: Path): Seq[String] = plain.list(dir)
+  def readBytes(p: Path): Array[Byte] = plain.readBytes(p)
+  def writeBytes(p: Path, bytes: Array[Byte]): Unit = plain.writeBytes(p, bytes)
+  def mtime(p: Path): Option[Long] = plain.mtime(p)
+  def delete(p: Path): Unit = plain.delete(p)
+  def createExclusive(p: Path): Boolean =
+    ObjectStoreFS.putIfAbsent(fs.makeQualified(p), Array.emptyByteArray)
+  def renameIfAbsent(src: Path, dst: Path): Boolean = {
+    val bytes = plain.readBytes(src)
+    val won = ObjectStoreFS.putIfAbsent(fs.makeQualified(dst), bytes)
+    // the publish HAS happened (or lost) at the conditional put; the src
+    // cleanup is best-effort either way
+    try plain.delete(src) catch { case _: java.io.IOException => () }
+    won
+  }
+}

@@ -5,7 +5,7 @@ import scala.util.Using
 
 import graft.sources.SchemaTools
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
 
 /** Thrown when an optimistic commit loses: the table's latest version moved
   * past the version the writer staged against (or another writer claimed the
@@ -64,7 +64,14 @@ final class LakeCatalog(
     * (parquet commits, stats sidecars) stays on Spark/FileSystem directly.
     */
   private lazy val backend: CommitBackend =
-    backendOpt.getOrElse(new HadoopCommitBackend(fs))
+    backendOpt.getOrElse {
+      // where the store offers conditional put, use it: on graftoss the
+      // version claim + manifest publish become truly atomic (single
+      // racing winner), matching what a production S3 (If-None-Match) or
+      // Iceberg REST-catalog deployment provides
+      if (fs.getScheme == "graftoss") new ObjectStoreCommitBackend(fs)
+      else new HadoopCommitBackend(fs)
+    }
 
   /** Lake commits write modern INT64-micros timestamps, not the session's
     * default (Spark still defaults to deprecated INT96, whose footers
@@ -578,6 +585,35 @@ final class LakeCatalog(
       readDirsClean(ns, t, entries, entries.filter(touched)))
   }
 
+  /** Column count at which a commit switches to the WIDE writer profile. */
+  val WideWriterCols = 512
+
+  /** The commit writer, width-adaptive. Past [[WideWriterCols]] columns the
+    * parquet-mr defaults stop making sense — per-column costs are paid
+    * thousands of times per row group — so wide commits flip three knobs
+    * (all width-probed on the reference's 50K×4,450 headline shape):
+    *
+    *   - dictionary encoding OFF: the per-cell dictionary hash lookup is
+    *     ~2x the whole encode cost at this width (23.8s -> 14.1s write,
+    *     14.1s -> 8.3s read-back), and per-column dictionary pages are the
+    *     dominant term in the measured >6 GiB-per-8-writers memory floor;
+    *   - parquet v2 data pages: DELTA_BINARY_PACKED/DELTA_BYTE_ARRAY
+    *     recover the compression dictionaries provided without the
+    *     per-cell hashing (367.6 MB -> 63.3 MB at equal write time);
+    *   - 8 MB row groups: bounds writer memory at width×pageBuffers per
+    *     IN-FLIGHT row group instead of width×128 MB-block share.
+    *
+    * Narrow tables keep Spark's defaults — dictionary pages earn their
+    * cost there and bigger row groups scan better.
+    */
+  private def parquetWriter(df: DataFrame): org.apache.spark.sql.DataFrameWriter[Row] = {
+    val w = df.write.mode(SaveMode.Overwrite)
+    if (df.schema.length < WideWriterCols) w
+    else w.option("parquet.enable.dictionary", "false")
+      .option("parquet.writer.version", "PARQUET_2_0")
+      .option("parquet.block.size", (8 * 1024 * 1024).toString)
+  }
+
   /** Write a commit. OVERWRITE replaces the file list; APPEND extends it
     * (no data rewrite). Optional hive-style partitioning. Pass
     * `expectedVersion` (the version this writer read before staging — 0 for
@@ -596,7 +632,7 @@ final class LakeCatalog(
     val rel = s"data/$commitId"
     val out = new Path(tPath(ns, t), rel)
     withMicrosTimestamps {
-      val writer = df.write.mode(SaveMode.Overwrite)
+      val writer = parquetWriter(df)
       (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
         .parquet(out.toString)
     }
@@ -644,7 +680,7 @@ final class LakeCatalog(
     val rel = s"data/${java.util.UUID.randomUUID().toString}"
     val out = new Path(tPath(ns, t), rel)
     withMicrosTimestamps {
-      val writer = df.write.mode(SaveMode.Overwrite)
+      val writer = parquetWriter(df)
       (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
         .parquet(out.toString)
     }

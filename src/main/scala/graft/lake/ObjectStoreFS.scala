@@ -230,6 +230,26 @@ object ObjectStoreFS {
   /** Drop every object in `name` — spec teardown. */
   def clearBucket(name: String): Unit = buckets.remove(name)
 
+  /** CONDITIONAL PUT — the S3 `If-None-Match: *` / GCS
+    * `ifGenerationMatch=0` primitive (public API on both stores since
+    * 2024/always, respectively): atomically create `path` with `bytes`
+    * iff no object exists at that key; true iff this caller created it.
+    *
+    * Deliberately NOT part of the Hadoop FileSystem surface — real object
+    * stores expose it as an extra request header the generic FS API does
+    * not carry, so consumers that need the atomicity (the commit
+    * protocol's version claim/publish, via [[ObjectStoreCommitBackend]])
+    * must reach for it explicitly, and everything else keeps the honest
+    * check-then-put semantics.
+    */
+  def putIfAbsent(path: Path, bytes: Array[Byte]): Boolean = {
+    val uri = path.toUri
+    require(uri.getScheme == "graftoss", s"not a graftoss path: $path")
+    val key = uri.getPath.dropWhile(_ == '/')
+    bucket(Option(uri.getAuthority).getOrElse(""))
+      .putIfAbsent(key, Obj(bytes, System.currentTimeMillis())) == null
+  }
+
   /** Bytes currently held across all buckets (leak canary for specs). */
   def totalBytes: Long = buckets.asScala.valuesIterator
     .flatMap(_.asScala.valuesIterator).map(_.bytes.length.toLong).sum

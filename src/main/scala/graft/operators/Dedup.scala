@@ -627,10 +627,14 @@ object Dedup {
       val planted = base.filter(col("vec_id") % 20 === 0)
         .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
       val corpus = base.select("vec_id", "embedding").unionByName(planted)
-      // one bounded count sizes K = ceil(n/2000): cluster SIZE stays ~flat
-      // across scale steps, so the within-cluster screen stays linear-in-n
-      val cents = semCentroids(corpus, "vec_id", "embedding",
-        semClustersFor(corpus.count()))
+      // K = ceil(n/2000) keeps cluster SIZE ~flat across scale steps, so
+      // the within-cluster screen stays linear-in-n. n comes from parquet
+      // footers for the unfiltered base (metadata-only, no scan job) plus
+      // one single-column count of the planted rows — never a full pass
+      // over the embedding column just to size K.
+      val n = graft.sources.ParquetMeta.scanRowCount(s, base)
+        .getOrElse(base.count()) + planted.count()
+      val cents = semCentroids(corpus, "vec_id", "embedding", semClustersFor(n))
       val assigned = corpus.select(col("vec_id"), col("embedding"),
         org.apache.spark.sql.GraftBridge.column(graft.functions.NearestCentroid(
           org.apache.spark.sql.GraftBridge.expression(s, col("embedding")),

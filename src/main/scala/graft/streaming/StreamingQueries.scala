@@ -469,8 +469,12 @@ object StreamingQueries {
       val corpus = base.select("vec_id", "embedding").unionByName(planted)
       // same data-dependent K as batch dedup_semantic — the shared oracle
       // computes the identical ceil(n/2000) from the same corpus count
+      // (footer row count for the unfiltered base + one planted count, the
+      // same no-full-scan sizing as the batch path)
+      val n = graft.sources.ParquetMeta.scanRowCount(s, base)
+        .getOrElse(base.count()) + planted.count()
       val cents = graft.operators.Dedup.semCentroids(corpus, "vec_id", "embedding",
-        graft.operators.Dedup.semClustersFor(corpus.count()))
+        graft.operators.Dedup.semClustersFor(n))
       val assigned = corpus.select(col("vec_id"),
         org.apache.spark.sql.GraftBridge.column(graft.functions.NearestCentroid(
           org.apache.spark.sql.GraftBridge.expression(s, col("embedding")),
@@ -633,7 +637,50 @@ object StreamingQueries {
     GROUP BY event_type ORDER BY event_type""")
   )
 
+  // ----- RocksDB state-store replays (E8/E10/E12/E13/E17 + E16) -----------
+
+  /** The same twin replayed with the state kept in
+    * `RocksDBStateStoreProvider` (native, off-heap, disk-spilling) instead
+    * of the default heap-map provider — same DuckDB oracle, so the
+    * provider swap is proven BEHAVIOR-preserving end-to-end, not assumed
+    * from the provider-agnostic API surface. This is the 100 TB state
+    * path: heap-map stores bound state by executor heap; RocksDB bounds it
+    * by local SSD (see STATE_STORES.md for the measured commit-cost
+    * trade). Changelog checkpointing keeps per-batch commits delta-sized,
+    * as a production deployment would.
+    *
+    * The provider conf is read at STREAM START, so setting it around the
+    * twin's own run (which starts, drains and stops its query inside) and
+    * restoring after is exactly the submit-time conf swap a real cluster
+    * performs — operators are untouched.
+    */
+  private def underRocksDb(inner: Q, name: String): Q = Q(
+    name,
+    (s, dir) => {
+      val confs = Seq(
+        "spark.sql.streaming.stateStore.providerClass" ->
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
+          "true")
+      val prev = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+      confs.foreach { case (k, v) => s.conf.set(k, v) }
+      try inner.fn(s, dir)
+      finally prev.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+    },
+    inner.sql)
+
+  val streamNeardupRocks: Q = underRocksDb(streamNeardupTwin, "stream_neardup_rocks")
+  val streamBucketsRocks: Q = underRocksDb(streamBucketsTwin, "stream_buckets_rocks")
+  val streamSessionsRocks: Q = underRocksDb(streamSessionsTwin, "stream_sessions_rocks")
+  val streamJoinRocks: Q = underRocksDb(streamJoinTwin, "stream_join_rocks")
+  val streamSemanticRocks: Q = underRocksDb(streamSemanticTwin, "stream_semantic_rocks")
+  val streamCdcRocks: Q = underRocksDb(streamCdcSink, "stream_cdc_rocks")
+
   val all: Seq[Q] = Seq(streamNeardupTwin, streamBucketsTwin, streamSessionsTwin,
     streamJoinTwin, streamSemanticTwin, streamLakeSink, streamUpsertSink,
-    streamCdcSink)
+    streamCdcSink, streamNeardupRocks, streamBucketsRocks, streamSessionsRocks,
+    streamJoinRocks, streamSemanticRocks, streamCdcRocks)
 }

@@ -368,4 +368,79 @@ class PlanQualitySpec extends SparkSpec {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
     assert(exchanges <= 2, s"expected <=2 hash exchanges, got $exchanges:\n$p")
   }
+
+  // ----- honest-statistics broadcast (plans/HonestBroadcast.scala) --------
+  // The static threshold sits at 1 MB (estimates lie); the rule recovers
+  // STAGE-FREE dim broadcasts from exact footer row counts. Both directions
+  // pinned: a proven-small dim side broadcasts with no shuffle stage, and
+  // a side whose EXACT rows exceed the bound is never hinted — no matter
+  // how small its byte ESTIMATE claims to be.
+
+  test("honest broadcast: dim side hinted from exact footer rows, no dim shuffle") {
+    val t = Tables(spark, sfDir)
+    // part at sf0.001 estimates ABOVE the 1 MB static threshold once the
+    // whole row is projected, so without the rule this join would stage a
+    // shuffle first (AQE converts later); the rule proves it small from
+    // footers and the INITIAL plan is already a broadcast join
+    val joined = t.lineitem.join(t.part, col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand").agg(count(lit(1)).as("n"))
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    // exactly one exchange (the aggregate's) — the dim join added none
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 1, s"dim join must not add a shuffle stage:\n$p")
+  }
+
+  test("honest broadcast: exact row count disqualifies, regardless of estimate") {
+    val t = Tables(spark, sfDir)
+    val key = "spark.graft.honestBroadcast.threshold"
+    val prev = spark.conf.getOption(key)
+    // a threshold below any relation's honest bytes = every side
+    // disqualified by its EXACT rows (this is the fact-side guarantee:
+    // the 15M-row sf10 orders side can never sneak back in through a
+    // small estimate — its footer count disqualifies it at any estimate)
+    spark.conf.set(key, "64")
+    try {
+      val joined = t.lineitem.join(t.part, col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand").agg(count(lit(1)).as("n"))
+      val analyzed = joined.queryExecution.optimizedPlan.toString
+      assert(!analyzed.contains("broadcast"),
+        s"no broadcast hint may appear with rows over the bound:\n$analyzed")
+    } finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
+
+  test("honest broadcast: a filtered projection still qualifies (overcount-safe)") {
+    val t = Tables(spark, sfDir)
+    val dim = t.part.filter(col("p_size") > 10).select("p_partkey", "p_brand")
+    val joined = t.lineitem.join(dim, col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand").agg(count(lit(1)).as("n"))
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("honest broadcast: joins/aggregates below the side are never proven small") {
+    val t = Tables(spark, sfDir)
+    // an aggregate side could legitimately broadcast, but the rule must
+    // not CLAIM to prove it from footers (output rows != scan rows); it
+    // stays with the estimate policy. Disable the static threshold so the
+    // only possible broadcast source would be the honest rule.
+    val thr = "spark.sql.autoBroadcastJoinThreshold"
+    val aqeThr = "spark.sql.adaptive.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(thr)
+    val prevAqe = spark.conf.getOption(aqeThr)
+    spark.conf.set(thr, "-1")
+    spark.conf.set(aqeThr, "-1")
+    try {
+      val agg = t.part.groupBy("p_brand").agg(count(lit(1)).as("cnt"))
+      val joined = t.lineitem.join(t.part, col("l_partkey") === col("p_partkey"))
+        .join(agg, "p_brand")
+      val p = joined.queryExecution.executedPlan.toString
+      // the scan side (part) is proven; the aggregate side is not
+      val bhj = "BroadcastHashJoin".r.findAllIn(p).length
+      assert(bhj == 1, s"exactly the footer-proven side broadcasts:\n$p")
+    } finally {
+      spark.conf.set(thr, prev)
+      prevAqe.fold(spark.conf.unset(aqeThr))(spark.conf.set(aqeThr, _))
+    }
+  }
 }

@@ -172,6 +172,34 @@ class IngestSpec extends SparkSpec {
     assert(df.collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 2, 3, 4))
   }
 
+  test("sample-bounded inference: a data row byte-equal to the header is sample-excluded but still loads") {
+    val d = Files.createTempDirectory("graft_csv_bnd4")
+    // an all-string table where one legitimate DATA row repeats the header
+    // bytes: the row is dropped from the TYPE SAMPLE (indistinguishable
+    // from a repeated per-file header) — pinned harmless, because the
+    // sample exclusion is sample-only: with string types the row loads
+    Files.writeString(d.resolve("t.csv"), "name,tag\nalice,x\nname,tag\nbob,y\n")
+    val df = MultiFormatReader.readCsvSanitized(spark, d.resolve("t.csv").toString,
+      inferRows = 10)
+    import org.apache.spark.sql.types.StringType
+    assert(df.schema.fields.map(_.dataType).toSeq == Seq(StringType, StringType))
+    val rows = df.collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    assert(rows == Seq(("alice", "x"), ("bob", "y"), ("name", "tag")),
+      s"the header-equal data row must LOAD even though it was sample-excluded: $rows")
+  }
+
+  test("sample-bounded inference: header-only (empty) part files don't poison the sample") {
+    val d = Files.createTempDirectory("graft_csv_bnd5")
+    // a zero-row part file (just the header) listed FIRST — the common
+    // distributed-writer artifact; the header-first assumption must hold
+    Files.writeString(d.resolve("part-0.csv"), "k,v\n")
+    Files.writeString(d.resolve("part-1.csv"), "k,v\n1,10\n2,20\n")
+    val df = MultiFormatReader.readCsvSanitized(spark, d.toString, inferRows = 50)
+    import org.apache.spark.sql.types.IntegerType
+    assert(df.schema.fields.map(_.dataType).toSeq == Seq(IntegerType, IntegerType))
+    assert(df.collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 2))
+  }
+
   test("sample-bounded inference: narrow-typed later rows quarantine, never corrupt") {
     val d = Files.createTempDirectory("graft_csv_bnd3")
     val ints = (1 to 50).map(i => s"$i,$i").mkString("\n")

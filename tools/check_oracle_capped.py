@@ -45,7 +45,16 @@ def main():
             print(f"  {name:28} {status}", flush=True)
             n_ok += 1 if len(spark_df) > 0 else 0
             continue
-        timer = threading.Timer(cap, con.interrupt)
+        # done-flag guards the race where the timer fires between fetchdf()
+        # returning and cancel(): a late con.interrupt() would abort the
+        # NEXT query on the shared connection and misreport it as a timeout
+        done = threading.Event()
+
+        def _interrupt():
+            if not done.is_set():
+                con.interrupt()
+
+        timer = threading.Timer(cap, _interrupt)
         timer.start()
         try:
             odf = con.execute(oracle[name]).fetchdf()
@@ -59,6 +68,7 @@ def main():
                 print(f"  {name:28} ORACLE-SQL-ERR {msg[:200]}", flush=True)
             continue
         finally:
+            done.set()
             timer.cancel()
         r = cmp_frames(spark_df, odf)
         print(f"  {name:28} {r}", flush=True)
