@@ -5,7 +5,14 @@ object Debug {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.getOrCreate("graft-debug")
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
-    val names = if (args.length > 1) args.drop(1).toSeq else SparkEntry.queries.keys.toSeq.sorted
+    val names0 = if (args.length > 1) args.drop(1).toSeq else SparkEntry.queries.keys.toSeq.sorted
+    // conf:key=value args apply session conf overrides before running
+    val names = names0.filterNot(_.startsWith("conf:"))
+    names0.filter(_.startsWith("conf:")).foreach { c =>
+      val kv = c.stripPrefix("conf:").split("=", 2)
+      spark.conf.set(kv(0), kv(1))
+      println(s"[debug] conf ${kv(0)}=${kv(1)}")
+    }
     for (n <- names if n.startsWith("sql:")) {
       spark.sql(n.stripPrefix("sql:")).show(20, truncate = false)
     }

@@ -28,18 +28,24 @@ object WidthDebug {
         .delete(new org.apache.hadoop.fs.Path(root), true)
       val csvDir = root + "/wide_csv"
       timed("writeWideCsv") { operators.IngestLake.writeWideCsv(spark, rows, cols, csvDir) }
-      val clean = timed("readCsvSanitized(inferRows=1000)") {
-        sources.MultiFormatReader.readCsvSanitized(spark, csvDir, inferRows = 1000)
+      // mirrors the r11 single-pass entry: multiLine=false read, observed
+      // verification riding the write scan, metadata-only finish
+      val clean = timed("readCsvSanitized(inferRows=1000,noMultiLine)") {
+        sources.MultiFormatReader.readCsvSanitized(spark, csvDir, inferRows = 1000,
+          multiLine = false)
       }
       println(s"[width] inferred types: ${clean.schema.fields.map(_.dataType).distinct.mkString(",")}"
         + s" ncols=${clean.schema.length}")
       val cat = lake.LakeCatalog(spark, root + "/lake")
-      timed("lake write") { cat.write("wide", "t", clean) }
-      val back = timed("lake read plan") { cat.read("wide", "t") }
-      val dataCols = back.columns
-      timed("rowsum agg (native)") {
-        val rowSum = call_function("graft_row_sum", dataCols.toIndexedSeq.map(col): _*)
-        back.agg(org.apache.spark.sql.functions.count(lit(1)), sum(rowSum)).collect()
+      val obs = new org.apache.spark.sql.Observation("width_entry")
+      timed("lake write (observed parse+sum+write)") {
+        val rowSum = call_function("graft_row_sum",
+          clean.columns.toIndexedSeq.map(col): _*)
+        cat.write("wide", "t", clean.observe(obs,
+          org.apache.spark.sql.functions.count(lit(1)), sum(rowSum)))
+      }
+      timed("observed metrics + read plan") {
+        println(s"[width] metrics ${obs.get}  backCols=${cat.read("wide", "t").columns.length}")
       }
       spark.stop(); return
     }

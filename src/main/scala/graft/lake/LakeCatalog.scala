@@ -468,7 +468,11 @@ final class LakeCatalog(
       org.slf4j.LoggerFactory.getLogger(getClass).info(
         s"read($ns.$t): $n deletion-vector rows > broadcast cap " +
           s"$dvBroadcastMaxRows -> shuffled anti-join")
-      frame
+      // the cap decision is AUTHORITATIVE, stated as an explicit shuffle
+      // hint: nothing downstream (planner estimates, the honest-broadcast
+      // footer rule) may re-promote an over-cap vector side to a
+      // driver-built hash relation
+      frame.hint("shuffle_hash")
     }
   }
 

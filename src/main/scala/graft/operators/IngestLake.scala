@@ -148,6 +148,35 @@ object IngestLake {
       COUNT(*) AS n_items FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
   )
 
+  /** A6b: Avro ingest on avro-core + avro-mapred only (no spark-avro
+    * connector in this env) — full orders round-trip through real Avro
+    * container files: distributed write (one container per partition,
+    * timestamp-micros logical type), splittable read back via
+    * AvroKeyInputFormat (sync-marker splits, the 100 TB shape), row values
+    * checked per-row against the parquet-sourced oracle. Timestamps are
+    * surfaced as epoch micros (unix_micros == DuckDB epoch_us; the NTZ →
+    * timestamp cast is exact under the pinned UTC session).
+    */
+  val ingestAvroRoundtrip: Q = Q(
+    "ingest_avro_roundtrip",
+    (s, dir) => {
+      val out = scratch("avro") + "/orders_avro"
+      val src = Tables(s, dir).orders
+        .withColumn("o_orderdate", col("o_orderdate").cast("timestamp"))
+      graft.sources.AvroReader.writeAvro(s, src, out)
+      graft.sources.AvroReader.readAvro(s, out)
+        .select(col("o_orderkey").as("orderkey"), col("o_custkey").as("custkey"),
+          col("o_orderstatus").as("status"), col("o_totalprice").as("totalprice"),
+          unix_micros(col("o_orderdate")).as("od_us"),
+          col("o_orderpriority").as("priority"))
+        .orderBy("orderkey")
+    },
+    Some("""SELECT o_orderkey AS orderkey, o_custkey AS custkey,
+      o_orderstatus AS status, o_totalprice AS totalprice,
+      epoch_us(o_orderdate) AS od_us, o_orderpriority AS priority
+    FROM orders ORDER BY orderkey""")
+  )
+
   val ingestSchemaEvolution: Q = Q(
     "ingest_schema_evolution",
     (s, dir) => {
@@ -1173,5 +1202,5 @@ object IngestLake {
     lakeZorder, lakeMaintenance, lakePointLookup, lakeMvRefresh, lakeWap,
     lakeDeleteMor, lakeCdcApply, lakeIcebergExport, ingestDocxReal,
     ingestJdbcRoundtrip, lakeTimeTravel, lakeExpiry, lakeTags, ingestWideSchema,
-    lakeExportNested, lakeWriteModes)
+    lakeExportNested, lakeWriteModes, ingestAvroRoundtrip)
 }

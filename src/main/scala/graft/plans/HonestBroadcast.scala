@@ -109,7 +109,12 @@ case class HonestBroadcastRule(spark: SparkSession) extends Rule[LogicalPlan] {
     case SubqueryAlias(_, child) => scanOf(child)
     case lr: LogicalRelation => lr.relation match {
       case fs: HadoopFsRelation
-          if fs.fileFormat.toString.toLowerCase.contains("parquet") => Some(fs)
+          if fs.fileFormat.toString.toLowerCase.contains("parquet") =>
+        // a BUCKETED table is a deliberate physical design: its owner
+        // pre-paid the shuffle to get exchange-free co-located joins at
+        // every scale — a broadcast hint would discard the bucketing
+        // (and the spec-pinned plan) for a small-SF-only win
+        if (fs.bucketSpec.isDefined) None else Some(fs)
       case _ => None
     }
     case _ => None
