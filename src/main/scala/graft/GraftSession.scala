@@ -61,9 +61,11 @@ object GraftSession {
       //  queries, so the 32 MB adaptive tier never applies there — a dim
       //  join added to a streaming pipeline only broadcasts under the 1 MB
       //  static estimate (or an explicit broadcast()/honest-stats hint).
-      //  None of the current streaming operators joins a dim side; if one
-      //  appears, hint it explicitly rather than re-raising the static
-      //  threshold.
+      //  The one streaming operator that joins a dim side does exactly
+      //  that: EventStreams.enrichWithDim (E19) hints broadcast()
+      //  explicitly, and EnrichPlanSpec pins the executed micro-batch
+      //  plan. Any future streaming dim join should follow it rather
+      //  than re-raising the static threshold.
       .config("spark.sql.autoBroadcastJoinThreshold", 1 * 1024 * 1024)
       .config("spark.sql.adaptive.autoBroadcastJoinThreshold", 32 * 1024 * 1024)
       .config("spark.sql.files.maxPartitionBytes", 128 * 1024 * 1024)

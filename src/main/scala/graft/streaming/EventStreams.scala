@@ -124,6 +124,33 @@ object EventStreams {
       }
   }
 
+  /** E19: stream-static dimension ENRICHMENT join — every event in the
+    * stream picks up its dimension attributes (the kafka-topic × dim-table
+    * shape every production pipeline has). Stateless: a stream-static
+    * inner join buffers nothing, so it is append-able with no watermark
+    * and no state store.
+    *
+    * The dim side is hinted `broadcast(...)` EXPLICITLY, and that is the
+    * point of the operator at 100 TB: AQE is disabled inside streaming
+    * queries, so the runtime 32 MB tier of the session's two-tier
+    * broadcast policy never applies here, and the 1 MB static-estimate
+    * tier is deliberately too small for a real dim table — without the
+    * hint, every micro-batch would pay a full shuffle of the unbounded
+    * stream side against a bounded dim (see the CAVEAT note in
+    * GraftSession). With it, each micro-batch plans a BroadcastHashJoin:
+    * the stream partitions stay put, the dim ships once per executor.
+    * EnrichPlanSpec pins the executed micro-batch plan (broadcast on the
+    * dim, zero exchanges on the stream side).
+    *
+    * `dim` must be bounded (a dimension, a codebook — anything a planner
+    * may legitimately replicate); the stream side may be unbounded.
+    */
+  def enrichWithDim(
+      stream: DataFrame,
+      dim: DataFrame,
+      joinExpr: org.apache.spark.sql.Column): DataFrame =
+    stream.join(broadcast(dim), joinExpr)
+
   /** E5: stream-stream interval join — each click joins the same user's
     * views from the preceding `withinMinutes`. Both sides carry watermarks
     * and the join condition bounds event time in BOTH directions, so state

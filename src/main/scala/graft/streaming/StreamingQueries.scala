@@ -449,6 +449,50 @@ object StreamingQueries {
     ORDER BY c.user_id, click_id, view_id""")
   )
 
+  /** E19 twin: stream-static dim ENRICHMENT under the DuckDB oracle. The
+    * events table replays as two micro-batches through
+    * `EventStreams.enrichWithDim` against the customer⋈nation dim, and
+    * the enriched rows must hash-match the plain three-way batch join —
+    * value columns pass through untouched (no aggregation), so the match
+    * is bit-exact by construction and what the twin actually proves is
+    * JOIN COMPLETENESS across micro-batch boundaries: a dim row is
+    * available to every batch, each event appears exactly once.
+    *
+    * Stateless (no watermark, no state store), so no stateful-partition
+    * tuning applies; the scale property is in the PLAN — the hinted
+    * broadcast keeps the unbounded stream side unshuffled per micro-batch
+    * (EnrichPlanSpec pins BroadcastHashJoin + zero stream-side exchanges).
+    */
+  val streamEnrichTwin: Q = Q(
+    "stream_enrich_twin",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val feed = t.events.select(unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("user_id"), col("event_type"), col("value"))
+      val mid = midpoint(feed, "ts_us")
+      def half(p: org.apache.spark.sql.Column): DataFrame =
+        feed.filter(p).select("event_id", "user_id", "event_type", "value")
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("user_id", LongType),
+        StructField("event_type", StringType), StructField("value", DoubleType)))
+      val dim = t.customer
+        .join(t.nation, col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_name"), col("n_name"))
+      val out = fileReplay(
+        s,
+        Seq(schema -> Seq(half(col("ts_us") <= mid), half(col("ts_us") > mid))),
+        srcs => EventStreams.enrichWithDim(srcs.head, dim,
+            col("user_id") === col("c_custkey"))
+          .select("event_id", "event_type", "value", "c_name", "n_name"))
+      out.orderBy("event_id")
+    },
+    Some("""SELECT e.event_id, e.event_type, e.value, c.c_name, n.n_name
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    ORDER BY e.event_id""")
+  )
+
   /** E17 twin: ONLINE SemDeDup under the DuckDB oracle. The embedding
     * corpus (with the planted copies) is cluster-assigned by the SAME
     * stateless centroid projection as batch, replayed in vec_id order as
@@ -680,7 +724,7 @@ object StreamingQueries {
   val streamCdcRocks: Q = underRocksDb(streamCdcSink, "stream_cdc_rocks")
 
   val all: Seq[Q] = Seq(streamNeardupTwin, streamBucketsTwin, streamSessionsTwin,
-    streamJoinTwin, streamSemanticTwin, streamLakeSink, streamUpsertSink,
-    streamCdcSink, streamNeardupRocks, streamBucketsRocks, streamSessionsRocks,
-    streamJoinRocks, streamSemanticRocks, streamCdcRocks)
+    streamJoinTwin, streamEnrichTwin, streamSemanticTwin, streamLakeSink,
+    streamUpsertSink, streamCdcSink, streamNeardupRocks, streamBucketsRocks,
+    streamSessionsRocks, streamJoinRocks, streamSemanticRocks, streamCdcRocks)
 }
