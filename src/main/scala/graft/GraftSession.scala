@@ -33,6 +33,17 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // Shuffles START at 8x the core count and AQE coalesces DOWN to the
+      // 64 MB advisory target. AQE can split a partition only in the skew-
+      // join path — a plain oversized shuffle (e.g. a join side carrying
+      // wide array columns) is otherwise stuck at shuffle.partitions, and
+      // at 32 partitions an 18 GB shuffle put >500 MB in flight per
+      // reducer thread (observed heap exhaustion on the sf10 dedup pair
+      // join). Starting high and coalescing is the scale-correct default:
+      // small stages still collapse to a handful of partitions, big ones
+      // keep partitions bounded by BYTES, not by a static count.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        (cpus.toInt * 8).toString)
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       // scheme-qualified on purpose: every run (tests, bench, verify)

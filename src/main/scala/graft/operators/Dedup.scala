@@ -113,9 +113,15 @@ object Dedup {
       pairs: DataFrame,
       maxIter: Int = 10,
       localThreshold: Long = LocalCCThreshold): DataFrame = {
+    // persisted WITH an explicit hash partitioning on the probe key (not
+    // localCheckpoint, which erases partitioning): InMemoryTableScan
+    // reports the partitioning to EnsureRequirements, so each pointer-
+    // jumping round shuffles only the (small) labels side — the |E| side
+    // pays its shuffle once, not once per iteration
     val edges = pairs.select(col("a"), col("b"))
       .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
-      .distinct().localCheckpoint(eager = true)
+      .distinct().repartition(col("a"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Small-graph fast path: near-dup pair graphs are tiny relative to the
     // corpus (only documents with LSH collisions appear). Below a bounded
     // edge count (~16 MB of longs — the same order as Spark's broadcast
@@ -139,7 +145,11 @@ object Dedup {
       s"duplicateClusters: $nEdges edges, threshold $localThreshold -> " +
         (if (nEdges <= localThreshold && integralIds) "driver-local union-find"
          else "distributed pointer-jumping"))
-    if (nEdges <= localThreshold && integralIds) return localUnionFind(edges, idType)
+    if (nEdges <= localThreshold && integralIds) {
+      val local = localUnionFind(edges, idType)
+      edges.unpersist()
+      return local
+    }
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("label", col("id"))
     var converged = false
@@ -147,9 +157,14 @@ object Dedup {
     while (!converged && i < maxIter) {
       val propagated = edges
         .join(labels, edges("a") === labels("id"))
-        .select(col("b").as("id"), col("label"))
-      val merged = propagated.unionByName(labels)
-        .groupBy("id").agg(min("label").as("label"))
+        .select(col("b").as("id"), col("label"), lit(null).cast(idType).as("old"))
+      // the previous round's label rides the union as `old` (one row per id
+      // — max() just peels it past the propagated nulls), so convergence
+      // detection below is a scan of the checkpointed frame, NOT another
+      // |V|-vs-|V| shuffle join + action per round
+      val merged = propagated
+        .unionByName(labels.select(col("id"), col("label"), col("label").as("old")))
+        .groupBy("id").agg(min("label").as("label"), max("old").as("old"))
       // pointer jump: follow label -> label(label) through the previous
       // round's (checkpointed) table. Labels are always ids present in the
       // table (min over self-seeded ids), so chains shorten multiplicatively
@@ -159,12 +174,11 @@ object Dedup {
       val jump = labels.select(col("id").as("jid"), col("label").as("jlabel"))
       val next = merged
         .join(jump, col("label") === col("jid"), "left")
-        .select(col("id"), coalesce(col("jlabel"), col("label")).as("label"))
+        .select(col("id"), coalesce(col("jlabel"), col("label")).as("label"),
+          col("old"))
         .localCheckpoint(eager = true)
-      val changed = next.alias("n")
-        .join(labels.alias("o"), Seq("id"))
-        .filter(col("n.label") =!= col("o.label")).count()
-      labels = next
+      val changed = next.filter(col("label") =!= col("old")).count()
+      labels = next.select("id", "label")
       converged = changed == 0
       i += 1
     }
@@ -174,6 +188,7 @@ object Dedup {
           "duplicate chains with graph diameter > maxIter are split into " +
           "multiple clusters (survivor materialization keeps extra copies). " +
           "Raise maxIter for deep-chain corpora.")
+    edges.unpersist() // final labels are localCheckpointed — lineage-free
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 
@@ -289,22 +304,46 @@ object Dedup {
   // session's address reuse; entries bound to stopped sessions are evicted
   // on the next lookup, and clearCache(session) unpersists explicitly for
   // long-lived sessions.
-  private final case class CachedPipeline(pairs: DataFrame, signatures: DataFrame)
+  private final case class CachedPipeline(
+      signatures: DataFrame, slimPairs: DataFrame)
   private val pipelineCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String), CachedPipeline]()
 
   private def sessionUUID(s: SparkSession): String =
     org.apache.spark.sql.GraftBridge.sessionUUID(s)
 
-  private def minhashPipeline(s: SparkSession, dir: String): DataFrame = {
+  private def cachedPipeline(s: SparkSession, dir: String): CachedPipeline = {
     pipelineCache.entrySet().removeIf(e =>
       e.getValue.signatures.sparkSession.sparkContext.isStopped)
     pipelineCache.computeIfAbsent((sessionUUID(s), dir), _ => {
       val signed =
         signedFrame(withPlantedDups(Tables(s, dir).documents), "doc_id", "text").persist()
-      CachedPipeline(joinPairs(signed), signed)
-    }).pairs
+      // Every pipeline consumer starts from (a, b[, est_jaccard]) — a
+      // ~24 B/row projection of the LSH self-join. Two deliberate shuffle
+      // economies here: (1) the estimate joins attach ONLY the 64-long
+      // minhash signature, never the (larger, variable-size) shingle-hash
+      // sets — those ride a separate narrow join in the one consumer that
+      // needs them (ngram's exact-Jaccard verify, which also explains why
+      // this frame is UNFILTERED: that verify filters on exact Jaccard,
+      // not the estimate); (2) the result is persisted, making the join a
+      // once-per-corpus cost instead of once per consumer — at 100 TB this
+      // is the stage boundary a production pipeline checkpoints anyway.
+      val banded = signed.withColumn("bands", bandKeys(col("sig")))
+      val sigOnly = signed.select(col("id"), col("sig"))
+      val slim = candidatePairs(banded.select("id", "bands"))
+        .join(sigOnly.select(col("id").as("a"), col("sig").as("sig_a")), "a")
+        .join(sigOnly.select(col("id").as("b"), col("sig").as("sig_b")), "b")
+        .select(col("a"), col("b"),
+          estJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      CachedPipeline(signed, slim)
+    })
   }
+
+  /** (a, b, est_jaccard) for EVERY LSH candidate pair (no threshold) —
+    * persisted once per (session, corpus). */
+  private def slimPairsFor(s: SparkSession, dir: String): DataFrame =
+    cachedPipeline(s, dir).slimPairs
 
   // Memoized clusters: dedup_clusters and dedup_survivors both need the
   // connected components of the same near-dup pair graph; one CC run (an
@@ -316,12 +355,10 @@ object Dedup {
   private def clustersFor(s: SparkSession, dir: String): DataFrame = {
     clustersCache.entrySet().removeIf(e =>
       e.getValue.sparkSession.sparkContext.isStopped)
-    clustersCache.computeIfAbsent((sessionUUID(s), dir), _ => {
-      val pairs = minhashPipeline(s, dir)
-        .select(col("a"), col("b"), estJaccard(col("sig_a"), col("sig_b")).as("ej"))
-        .filter(col("ej") >= 0.5)
-      duplicateClusters(pairs)
-    })
+    clustersCache.computeIfAbsent((sessionUUID(s), dir), _ =>
+      duplicateClusters(slimPairsFor(s, dir)
+        .filter(col("est_jaccard") >= 0.5)
+        .select(col("a"), col("b"), col("est_jaccard").as("ej"))))
   }
 
   /** Unpersist and evict this session's memoized signature frames — call
@@ -335,6 +372,8 @@ object Dedup {
       if (e.getKey._1 == sessionUUID(s)) {
         try e.getValue.signatures.unpersist()
         catch { case _: Throwable => () }
+        try e.getValue.slimPairs.unpersist()
+        catch { case _: Throwable => () }
         it.remove()
       }
     }
@@ -342,11 +381,8 @@ object Dedup {
 
   val dedupMinhash: Q = Q(
     "dedup_minhash",
-    (s, dir) =>
-      minhashPipeline(s, dir)
-        .select(col("a"), col("b"), estJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
-        .filter(col("est_jaccard") >= 0.5)
-        .orderBy("a", "b"),
+    (s, dir) => slimPairsFor(s, dir)
+      .filter(col("est_jaccard") >= 0.5).orderBy("a", "b"),
     // Bit-exact DuckDB twin of the FULL MinHash pipeline — FNV-1a shingle
     // hashes, 64 mix64 permutations, xxhash64 band keys, capped buckets —
     // re-expressed in HUGEINT mod-2^64 arithmetic (generated by
@@ -356,11 +392,20 @@ object Dedup {
 
   val dedupNgramJaccard: Q = Q(
     "dedup_ngram_jaccard",
-    (s, dir) =>
-      minhashPipeline(s, dir)
+    (s, dir) => {
+      // pair list from the persisted slim frame + hashes from the persisted
+      // signature frame — two narrow hash joins instead of re-running the
+      // LSH bucket self-join (the only consumer that needs the shingle
+      // sets, for the EXACT-Jaccard verify; the estimate filter does not
+      // apply here, which is why the slim cache is unfiltered)
+      val p = cachedPipeline(s, dir)
+      p.slimPairs.select("a", "b")
+        .join(p.signatures.select(col("id").as("a"), col("hashes").as("h_a")), "a")
+        .join(p.signatures.select(col("id").as("b"), col("hashes").as("h_b")), "b")
         .select(col("a"), col("b"), exactJaccard(col("h_a"), col("h_b")).as("jaccard"))
         .filter(col("jaccard") >= 0.5)
-        .orderBy("a", "b"),
+        .orderBy("a", "b")
+    },
     // Same generated prelude as dedup_minhash; exact Jaccard over the
     // distinct shingle-hash sets of every LSH candidate pair.
     Some(graft.Q.oracleResource("dedup_ngram_jaccard"))
@@ -539,9 +584,8 @@ object Dedup {
     "dedup_levenshtein",
     (s, dir) => {
       val docs = withPlantedDups(Tables(s, dir).documents)
-      val pairs = minhashPipeline(s, dir)
-        .select(col("a"), col("b"), estJaccard(col("sig_a"), col("sig_b")).as("ej"))
-        .filter(col("ej") >= 0.5)
+      val pairs = slimPairsFor(s, dir)
+        .filter(col("est_jaccard") >= 0.5).select("a", "b")
       pairs
         .join(docs.select(col("doc_id").as("a"), col("text").as("text_a")), "a")
         .join(docs.select(col("doc_id").as("b"), col("text").as("text_b")), "b")
