@@ -89,7 +89,15 @@ object StreamingQueries {
     try {
       query.processAllAvailable()
       for (r <- 1 until rounds) { land(r); query.processAllAvailable() }
-    } finally query.stop()
+    } finally {
+      query.stop()
+      // The finished query's state-store providers stay cached on-heap
+      // (HDFS provider: full version maps — ~6 GB for the sf10 near-dup
+      // replay; RocksDB provider: native block cache). The caller's next
+      // step is a BATCH stage over the sink output; release the state
+      // memory before it runs rather than at the next family boundary.
+      org.apache.spark.sql.GraftBridge.unloadStateStores()
+    }
   }
 
   /** Replay through a streaming TRANSFORM and collect its results from a
@@ -127,7 +135,22 @@ object StreamingQueries {
         if (java.nio.file.Files.exists(outDir))
           s.read.schema(outSchema).parquet(outDir.toString)
         else s.createDataFrame(new java.util.ArrayList[Row](), outSchema)
-      result.localCheckpoint(true)
+      // Small splits while the eager checkpoint plans+runs the scan: the
+      // sink holds narrow highly-compressed rows (a 128 MB parquet split
+      // decodes to >1 GB of pairs), and the checkpoint partitioning
+      // becomes the map-side partitioning of the caller's
+      // distinct/aggregate — 32 concurrent default-sized tasks over the
+      // sf10 near-dup sink exhausted the execution pool
+      // (AGGREGATE_OUT_OF_MEMORY, BENCH_sf10b).
+      // DISK_ONLY: the checkpoint is written once and read once by the
+      // caller's batch stage; keeping a scale-proportional sink in the
+      // eviction-protected half of the storage pool would starve that
+      // stage's aggregation memory instead.
+      val prev = s.conf.get("spark.sql.files.maxPartitionBytes")
+      s.conf.set("spark.sql.files.maxPartitionBytes", (16 << 20).toString)
+      try result.localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      finally s.conf.set("spark.sql.files.maxPartitionBytes", prev)
     } finally rmrf(root) // temp source/checkpoint/output never leak
   }
 
