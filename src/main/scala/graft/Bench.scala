@@ -44,12 +44,21 @@ object Bench {
     val results: Seq[(String, Either[String, Double])] =
       selected.toSeq.sortBy(_._1).map { case (name, fn) =>
         val f = GraftSession.familyOf(name)
-        if (family != null && f != family) GraftSession.releaseCaches(spark)
+        // quiesce (release + cleaner drain + sync), not just release: the
+        // boundary is untimed, and at the sf10 soak the async file-delete +
+        // dirty-page writeback residue of a heavy family otherwise inflated
+        // the next family's entries 4-20x over their solo numbers.
+        if (family != null && f != family) GraftSession.quiesce(spark)
         family = f
         def once(): Either[String, Double] = {
           val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
-          catch { case e: Throwable => Left(s"err:${e.getClass.getSimpleName}") }
+          val r =
+            try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
+            catch { case e: Throwable => Left(s"err:${e.getClass.getSimpleName}") }
+          // untimed: flush THIS query's dirty pages now so the next entry
+          // never pays them (per-entry attribution; see syncBarrier docs)
+          GraftSession.syncBarrier()
+          r
         }
         val runs = Seq.fill(repeat)(once())
         name -> (runs.collectFirst { case l @ Left(_) => l }.getOrElse {

@@ -143,4 +143,41 @@ object GraftSession {
     // family is timed, not at some later GC.
     System.gc()
   }
+
+  /** Benchmark-boundary quiesce: [[releaseCaches]] drops the REFERENCES,
+    * but the ContextCleaner deletes the underlying shuffle/checkpoint
+    * files asynchronously and the OS writes dirty pages back lazily — so
+    * a heavy family's IO residue lands inside the NEXT family's timings.
+    * Measured at the r11 sf10 soak: the ingest family right after
+    * ann+dedup ran 4-20x over its solo numbers (ingest_json_props 92.5 s
+    * in-run vs 4.6 s solo), while the same family alone, or after just
+    * one dedup query, ran at full speed — the slowdown scales with the
+    * accumulated un-flushed residue, not with any single predecessor.
+    *
+    * Called by Bench BETWEEN timed families only (boundary time is not
+    * charged to any query); never on a query path. The sleeps give the
+    * GC-driven cleaner thread a chance to drain its reference queue and
+    * issue the file deletes; `sync` then forces the dirty-page writeback
+    * to happen HERE rather than under the next family's timer.
+    */
+  def quiesce(spark: SparkSession): Unit = {
+    releaseCaches(spark)
+    Thread.sleep(1500)
+    System.gc() // second pass: objects promoted/resurrected by the first
+    Thread.sleep(500)
+    syncBarrier()
+  }
+
+  /** Flush dirty pages to the device, OUTSIDE any query timer. The r11
+    * sf10 soak measured that the run TOTAL is conserved across timing
+    * policies to 0.003% (1882.94 s vs 1882.88 s) — the workload's write
+    * volume saturates the device and somebody always pays the writeback;
+    * without a barrier WHO pays is run-history-dependent (the same entry
+    * measured 6.7 s and 100.6 s across two otherwise-identical runs).
+    * Bench calls this after every timed query so each entry starts with a
+    * clean device queue and never carries a predecessor's flush.
+    */
+  def syncBarrier(): Unit =
+    try new ProcessBuilder("sync").start().waitFor()
+    catch { case _: Exception => () } // no sync binary: keep the residue
 }
