@@ -131,6 +131,10 @@ object GraftSession {
 
   def releaseCaches(spark: SparkSession): Unit = {
     graft.operators.Dedup.clearCache(spark)
+    // dead per-invocation scratch (lake warehouses, roundtrip files) goes
+    // with the caches: at the sf10 soak a full Verify pass otherwise
+    // accumulates 56 GB of write-once scratch and fills the device
+    graft.operators.IngestLake.reclaimScratch()
     spark.catalog.clearCache()
     // Stateful streaming twins leave their state-store providers (and the
     // providers' in-memory version maps) cached after the query completes;

@@ -37,8 +37,46 @@ object IngestLake {
         val p = Paths.get(sys.props("java.io.tmpdir"), s"graft_scratch_$user", name,
           java.util.UUID.randomUUID().toString)
         Files.createDirectories(p)
+        liveScratch.add(p)
         p.toString
     }
+
+  /** Per-invocation local scratch dirs allocated by this JVM and not yet
+    * reclaimed. The UUID dirs are write-once and never revisited after
+    * their query materializes — but "never revisited" used to also mean
+    * "never deleted": a full Verify pass at the sf10 soak accumulated
+    * 56 GB of dead scratch and filled the device mid-sequence. Reclaimed
+    * wholesale at family boundaries via [[reclaimScratch]]. The IVF
+    * centroid cache (Similarity.scala) is digest-keyed and deliberately
+    * reused across runs, so it does NOT register here.
+    */
+  private val liveScratch =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
+
+  /** Delete every registered scratch dir and invalidate the one
+    * cross-query scratch consumer (the memoized CDC scenario — a later
+    * call rebuilds it on fresh scratch). Callers must guarantee no query
+    * is mid-flight: GraftSession.releaseCaches invokes this at
+    * Bench/Verify family boundaries only, where every allocating query
+    * has fully materialized its result.
+    */
+  def reclaimScratch(): Unit = {
+    cdcCache.clear()
+    val it = liveScratch.iterator()
+    while (it.hasNext) {
+      val root = it.next()
+      it.remove()
+      try {
+        if (Files.exists(root)) {
+          val walk = Files.walk(root)
+          try walk.sorted(java.util.Comparator.reverseOrder()).forEach { p =>
+            try Files.deleteIfExists(p)
+            catch { case _: java.io.IOException => () } // open-but-unlinked is fine on POSIX
+          } finally walk.close()
+        }
+      } catch { case _: java.io.IOException => () }
+    }
+  }
 
   /** System property redirecting every operator scratch dir (lake
     * warehouses, roundtrip files) to a scheme-qualified root — how the
@@ -57,6 +95,7 @@ object IngestLake {
     val p = Paths.get(sys.props("java.io.tmpdir"), s"graft_scratch_$user", name,
       java.util.UUID.randomUUID().toString)
     Files.createDirectories(p)
+    liveScratch.add(p)
     p.toString
   }
 

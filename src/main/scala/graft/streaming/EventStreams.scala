@@ -280,16 +280,24 @@ object EventStreams {
     * graft_minhash_sig, columnar and stateless) run unchanged on the
     * stream; the only stateful piece is the bucket memory: state per
     * (band, bucket-hash) key holds the first `Dedup.MaxBucket` (id,
-    * signature) entries seen, each arriving doc is compared against its
-    * bucket's entries, and pairs at or above `threshold` estimated Jaccard
-    * are emitted as they happen.
+    * signature) entries seen, each ADMITTED doc is compared against the
+    * entries before it, and pairs at or above `threshold` estimated
+    * Jaccard are emitted as they happen. An arrival past the cap is
+    * dropped without screening — the same treatment the batch path gives
+    * bucket members beyond the min-k cut (Dedup.candidatePairs), so
+    * stream == batch holds even on the buckets where the cap engages.
     *
-    * State is bounded twice over: per key by the same MaxBucket cap the
-    * batch path enforces (a degenerate spam bucket stores 64 entries, not
-    * millions), and across keys by an event-time TTL — buckets quiet past
-    * the watermark horizon are dropped. A pair colliding in several bands
-    * emits once per band (keys are independent); land the stream through a
-    * batch dedup or dropDuplicates when exact-once pairs are required.
+    * Everything is bounded: state per key by the MaxBucket cap (a
+    * degenerate spam bucket stores 64 entries, not millions), state
+    * across keys by an event-time TTL — buckets quiet past the watermark
+    * horizon are dropped — and, because emission is admission-gated, a
+    * bucket's lifetime OUTPUT by C(MaxBucket, 2) (the pre-r11 behavior of
+    * screening over-cap arrivals emitted up to 64 pairs per arrival
+    * forever: unbounded downstream load from bounded state, and 13.5M
+    * extra rows vs batch at the sf10 soak). A pair colliding in several
+    * bands emits once per band (keys are independent); land the stream
+    * through a batch dedup or dropDuplicates when exact-once pairs are
+    * required.
     *
     * Replayed-stream equivalence: the `stream_neardup_twin` driver query
     * replays the dedup corpus through this operator and hash-matches the
@@ -337,14 +345,25 @@ object EventStreams {
             // deterministic within-batch order, same tie-break as batch
             val sorted = it.toSeq.sortBy(x => (x.ts.getTime, x.doc_id))
             for (d <- sorted) {
-              for (e <- entries if e.id != d.doc_id) {
-                val est = estJac(e.sig, d.sig)
-                if (est >= threshold)
-                  out += DupCandidate(math.min(e.id, d.doc_id),
-                    math.max(e.id, d.doc_id), est, d.ts)
-              }
-              if (entries.length < Dedup.MaxBucket && !entries.exists(_.id == d.doc_id))
+              // pairs are emitted ONLY when the arriving doc is itself
+              // admitted to the bucket — the exact batch semantics (pairs
+              // among the capped member set, Dedup.candidatePairs). The
+              // pre-r11 version also screened over-cap arrivals against the
+              // retained entries: strictly more pairs, but (a) it silently
+              // broke the stream==batch twin contract the moment the cap
+              // engaged (sf10: 31.6M stream rows vs 18.1M batch), and (b) a
+              // degenerate spam bucket emitted 64 pairs per arrival FOREVER
+              // — unbounded downstream load from bounded state. Admission
+              // gating bounds a bucket's lifetime output at C(cap,2).
+              if (entries.length < Dedup.MaxBucket && !entries.exists(_.id == d.doc_id)) {
+                for (e <- entries) {
+                  val est = estJac(e.sig, d.sig)
+                  if (est >= threshold)
+                    out += DupCandidate(math.min(e.id, d.doc_id),
+                      math.max(e.id, d.doc_id), est, d.ts)
+                }
                 entries = entries :+ BucketEntry(d.doc_id, d.sig)
+              }
             }
             state.update(BucketState(entries))
             // TTL counts from this bucket's LAST EVENT (the watermark at

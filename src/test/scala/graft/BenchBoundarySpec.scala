@@ -27,4 +27,41 @@ class BenchBoundarySpec extends SparkSpec {
   test("syncBarrier completes (flush is untimed boundary work, never a query's)") {
     GraftSession.syncBarrier() // must not throw, with or without a sync binary
   }
+
+  test("releaseCaches reclaims per-invocation scratch; CDC trio rebuilds after") {
+    val user = sys.props.getOrElse("user.name", "unknown")
+      .replaceAll("[^A-Za-z0-9._-]", "_")
+    val root = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft_scratch_$user")
+    // per-invocation dirs are <root>/<name>/<uuid>; the digest-keyed IVF
+    // centroid cache (<root>/ivf/...) is deliberately exempt from reclaim,
+    // so scope the check to dirs that APPEAR during the lake query
+    def uuidDirs: Set[java.nio.file.Path] =
+      if (!java.nio.file.Files.exists(root)) Set.empty
+      else {
+        val w = java.nio.file.Files.walk(root, 2)
+        try {
+          import scala.jdk.CollectionConverters._
+          w.iterator().asScala
+            .filter(p => p.getParent != null && p.getParent.getParent != null &&
+              p.getParent.getParent == root && p.getParent.getFileName.toString != "ivf")
+            .toSet
+        } finally w.close()
+      }
+    val pre = uuidDirs
+    // a lake query allocates scratch and fully materializes through it
+    val before = operators.IngestLake.lakeCtas.fn(spark, sfDir).count()
+    assert(before > 0)
+    val created = uuidDirs -- pre
+    assert(created.nonEmpty, "lake query should have written scratch")
+    GraftSession.releaseCaches(spark)
+    assert((uuidDirs -- pre).isEmpty,
+      "family-boundary release must reclaim dead scratch")
+    // the memoized CDC scenario (the one cross-query scratch consumer)
+    // must rebuild on fresh scratch after reclamation, not read a tomb
+    val cdc = operators.IngestLake.lakeMergeUpsert.fn(spark, sfDir).count()
+    assert(cdc > 0)
+    GraftSession.releaseCaches(spark)
+    assert((uuidDirs -- pre).isEmpty)
+  }
 }

@@ -366,6 +366,47 @@ class EventStreamsSpec extends SparkSpec {
       s"stream/batch divergence: missing=${(batch -- streamed).take(5)} extra=${(streamed -- batch).take(5)}")
   }
 
+  test("E7: bucket cap engaged — stream still equals batch, output admission-gated") {
+    // The sf10 soak caught the pre-r11 operator emitting 13.5M extra rows
+    // once buckets passed MaxBucket: over-cap arrivals were screened
+    // against retained entries (pairs the batch path never generates, and
+    // 64 pairs per arrival forever from one spam bucket). This pins the
+    // fixed contract on a bucket that actually overflows: 66 identical
+    // docs → every band-bucket holds all 66, the cap retains the 64
+    // smallest, and BOTH sides must emit exactly the pairs among those 64.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val text = "the quick brown fox jumps over the lazy dog and keeps on running " +
+      "through the quiet field toward the river bank before sunset tonight"
+    val n = graft.operators.Dedup.MaxBucket + 2
+    val base = 1700000000000L
+    val input = MemoryStream[DocIn]
+    val q = nearDupCandidates(input.toDS(), threshold = 0.5)
+      .writeStream.format("memory").queryName("e7_cap").outputMode("append").start()
+    try {
+      // ascending arrival split across two micro-batches, overflow in batch 2
+      input.addData((1 to n - 6).map(i =>
+        DocIn(i.toLong, new java.sql.Timestamp(base + i), text)))
+      q.processAllAvailable()
+      input.addData((n - 5 to n).map(i =>
+        DocIn(i.toLong, new java.sql.Timestamp(base + 60000L + i), text)))
+      q.processAllAvailable()
+      val streamed = spark.table("e7_cap").as[DupCandidate].collect()
+        .map(c => (c.a, c.b, c.est_jaccard)).distinct.toSet
+      val batch = graft.operators.Dedup.nearDuplicatePairs(
+        (1 to n).map(i => (i.toLong, text)).toDF("doc_id", "text"),
+        "doc_id", "text", 0.5)
+        .select("a", "b", "est_jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val k = graft.operators.Dedup.MaxBucket
+      assert(batch.size == k * (k - 1) / 2, s"batch should cap at C($k,2), got ${batch.size}")
+      assert(streamed == batch,
+        s"cap-engaged divergence: missing=${(batch -- streamed).take(5)} extra=${(streamed -- batch).take(5)}")
+      assert(!streamed.exists(p => p._1 > k || p._2 > k),
+        "over-cap arrivals must not appear in any emitted pair")
+    } finally q.stop()
+  }
+
   test("E7: streaming near-dup detection finds a planted duplicate across batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
