@@ -72,8 +72,14 @@ object Bench {
     }.mkString("{", ",", "}")
     val errs = results.count(_._2.isLeft)
     val total = results.collect { case (_, Right(v)) => v }.sum
+    // repeat mode must be VISIBLE in the record: a median-of-N run is not
+    // interchangeable with a single pass (repeats re-enter a warm family —
+    // entries backed by family-shared caches, e.g. the dedup pair frame or
+    // the memoized CDC scenario, report their MARGINAL warm cost under
+    // repeat>1, while repeat=1 charges the family build to its first entry)
+    val repeatField = if (repeat > 1) s""","repeat":$repeat""" else ""
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","errors":$errs,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","errors":$errs$repeatField,"queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // The driver's BENCH_r{N}.json retains only a tail of the stdout line,
     // which loses half the per-query timings; persist the COMPLETE sorted
