@@ -1,0 +1,353 @@
+package graft.lake
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Iceberg v2 TABLE READER over the HadoopCatalog directory layout — the
+  * inverse of [[IcebergExport]], and the adoption path for tables written
+  * by REAL Iceberg engines (reference utils/spark_write_iceberg.py:8-90
+  * writes exactly this layout through the Iceberg runtime; this reads it
+  * back from the public spec, https://iceberg.apache.org/spec/, with no
+  * Iceberg runtime jar).
+  *
+  * What is resolved, per read:
+  *  - `metadata/version-hint.text` → `v<N>.metadata.json` (falling back
+  *    to the highest `v*.metadata.json` when no hint exists — both are
+  *    HadoopCatalog conventions);
+  *  - the requested snapshot: `current-snapshot-id` by default, a
+  *    snapshot id for time travel, or a named ref (branch/tag — graft
+  *    tags export as tag refs, so `ref = Some("pre_delete")` reproduces
+  *    the tagged state);
+  *  - that snapshot's manifest list + manifests (real Avro object
+  *    container files via [[IcebergAvro.readContainer]]) → data files and
+  *    position-delete files with their data sequence numbers;
+  *  - the table schema (`schemas`/`current-schema-id`) → a Spark
+  *    StructType the result is projected and cast to, so an adopted
+  *    table reads with Iceberg's declared types, not whatever the
+  *    parquet footers happen to infer.
+  *
+  * Identity-partitioned tables: Iceberg keeps identity partition VALUES
+  * in the manifests' per-file partition struct; hive-layout data files
+  * (graft's own, and Iceberg tables migrated from hive) do not carry the
+  * column in the parquet pages. Any schema column absent from the data
+  * files is reattached by a BROADCAST map join on `_metadata.file_path`
+  * — file→tuple is manifest metadata, bounded by file count, never by
+  * rows. Non-identity transforms (bucket/truncate/day/…) need no
+  * reattachment — their SOURCE columns are ordinary data columns — so
+  * they read correctly too; only the transform's derived value is
+  * (deliberately) not materialized.
+  *
+  * Merge-on-read: position-delete files apply by the spec's sequence
+  * rule — a delete with sequence number S hides (file_path, pos) rows of
+  * data files whose data sequence number ≤ S. Implemented as one
+  * LEFT ANTI join on (normalized path, pos) with the sequence guard as a
+  * join condition; both sides get their sequence number from a broadcast
+  * file→sequence map. Equality deletes (content=2) are rejected loudly —
+  * emitting silently-undeleted rows would be corruption, not degraded
+  * support.
+  *
+  * Scale shape: planning is driver-side METADATA work (one JSON document
+  * + Avro manifests — the same economics as Iceberg's own planner); data
+  * IO is ONE Spark parquet scan over exactly the snapshot's files, plus
+  * broadcast joins against file-count-bounded maps and the anti-join
+  * whose delete side is scale-proportional (never forced broadcast).
+  */
+object IcebergImport {
+
+  private val mapper = new ObjectMapper()
+
+  final case class SnapshotInfo(
+      snapshotId: Long,
+      sequenceNumber: Long,
+      timestampMs: Long,
+      operation: String,
+      manifestList: String)
+
+  /** All snapshots recorded in the table's current metadata, oldest first. */
+  def snapshots(spark: SparkSession, location: String): Seq[SnapshotInfo] = {
+    val meta = loadMetadata(spark, location)._2
+    val arr = meta.get("snapshots")
+    (0 until arr.size()).map(arr.get).map { s =>
+      SnapshotInfo(
+        s.get("snapshot-id").asLong(),
+        s.get("sequence-number").asLong(),
+        s.get("timestamp-ms").asLong(),
+        Option(s.get("summary")).flatMap(x => Option(x.get("operation")))
+          .map(_.asText()).getOrElse(""),
+        s.get("manifest-list").asText())
+    }
+  }
+
+  /** Named refs (branches and tags) → snapshot id. */
+  def refs(spark: SparkSession, location: String): Map[String, Long] = {
+    val meta = loadMetadata(spark, location)._2
+    Option(meta.get("refs")).map { r =>
+      import scala.jdk.CollectionConverters._
+      r.properties().asScala
+        .map(e => e.getKey -> e.getValue.get("snapshot-id").asLong()).toMap
+    }.getOrElse(Map.empty)
+  }
+
+  /** The table's declared schema as a Spark StructType. */
+  def schemaOf(spark: SparkSession, location: String): StructType =
+    tableSchema(loadMetadata(spark, location)._2)
+
+  /** Read the table at its current snapshot, a specific snapshot id, or a
+    * named ref (exactly one of `snapshotId`/`ref`, or neither).
+    */
+  def read(
+      spark: SparkSession,
+      location: String,
+      snapshotId: Option[Long] = None,
+      ref: Option[String] = None): DataFrame = {
+    require(snapshotId.isEmpty || ref.isEmpty,
+      "pass a snapshot id OR a ref, not both")
+    val (fs, meta) = loadMetadata(spark, location)
+
+    val wantId: Long = ref match {
+      case Some(name) =>
+        val r = Option(meta.get("refs")).flatMap(x => Option(x.get(name)))
+          .getOrElse(sys.error(s"no ref '$name' in table metadata"))
+        r.get("snapshot-id").asLong()
+      case None => snapshotId.getOrElse(meta.get("current-snapshot-id").asLong())
+    }
+    val snaps = meta.get("snapshots")
+    val snap = (0 until snaps.size()).map(snaps.get)
+      .find(_.get("snapshot-id").asLong() == wantId)
+      .getOrElse(sys.error(s"no snapshot $wantId in table metadata"))
+
+    val schema = tableSchema(meta)
+    val partitionNames = identityPartitionNames(meta, schema)
+
+    // ---- plan: manifest list → manifests → (data files, delete files)
+    import IcebergAvro.{int => aInt, long => aLong, rec => aRec, str => aStr}
+    val listPath = new Path(new java.net.URI(snap.get("manifest-list").asText()))
+    final case class FileEntry(path: String, seq: Long, content: Int,
+        partition: Seq[(String, Option[String])])
+    val entries: Seq[FileEntry] =
+      IcebergAvro.readContainer(fs, listPath)._1.flatMap { mf =>
+        val mPath = new Path(new java.net.URI(aStr(mf, "manifest_path")))
+        val mSeq = aLong(mf, "sequence_number")
+        IcebergAvro.readContainer(fs, mPath)._1.flatMap { e =>
+          if (aInt(e, "status") == 2) None // DELETED in this snapshot
+          else {
+            val df = aRec(e, "data_file")
+            // v2 inheritance: a null entry sequence number inherits the
+            // manifest's (spec: "inherited when null")
+            val seq = Option(e.get("sequence_number"))
+              .map(_.asInstanceOf[Number].longValue()).getOrElse(mSeq)
+            val part = Option(df.get("partition"))
+              .map(_.asInstanceOf[org.apache.avro.generic.GenericRecord])
+              .map(pr => pr.getSchema.getFields.size match {
+                case 0 => Nil
+                case _ =>
+                  import scala.jdk.CollectionConverters._
+                  pr.getSchema.getFields.asScala.toSeq.map(f =>
+                    f.name() -> Option(pr.get(f.name())).map(String.valueOf(_)))
+              }).getOrElse(Nil)
+            Some(FileEntry(aStr(df, "file_path"), seq, aInt(df, "content"), part))
+          }
+        }
+      }
+    val badEq = entries.filter(_.content == 2)
+    require(badEq.isEmpty,
+      s"equality deletes are not supported (content=2): ${badEq.head.path}")
+    val (deleteEntries, dataEntries) = entries.partition(_.content == 1)
+
+    if (dataEntries.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
+    // ---- one scan over the snapshot's data files. Row identity
+    // (`_metadata` file path + row index) must be captured ON THE SCAN:
+    // the pseudo-column resolves only against a file-source relation and
+    // does not survive a join, so both downstream consumers (partition
+    // reattachment, delete anti-join) share these captured columns.
+    val raw = spark.read.parquet(dataEntries.map(_.path): _*)
+    val present = raw.columns.toSet
+    val missingPart = partitionNames.filterNot(present.contains)
+    val needsKey = missingPart.nonEmpty || deleteEntries.nonEmpty
+    val keyed0 =
+      if (!needsKey) raw
+      else raw
+        .withColumn("__ice_fp", normPathCol(col("_metadata.file_path")))
+        .withColumn("__ice_pos", col("_metadata.row_index"))
+
+    // identity partition columns absent from the files: reattach from the
+    // manifests' partition tuples (file-count-bounded broadcast map)
+    val withPart =
+      if (missingPart.isEmpty) keyed0
+      else {
+        val mapRows = dataEntries.map { fe =>
+          val pv = fe.partition.toMap
+          org.apache.spark.sql.Row.fromSeq(
+            normalize(fe.path) +: missingPart.map(pv.get(_).flatten.orNull))
+        }
+        val mapSchema = StructType(
+          StructField("__ice_fp", StringType) +:
+            missingPart.map(StructField(_, StringType)))
+        val lookup = spark.createDataFrame(
+          spark.sparkContext.parallelize(mapRows, 1), mapSchema)
+        keyed0.join(broadcast(lookup), "__ice_fp")
+      }
+
+    // ---- merge-on-read: anti-join away position-deleted rows
+    val undeleted =
+      if (deleteEntries.isEmpty) withPart
+      else {
+        val dataSeq = spark.createDataFrame(
+          spark.sparkContext.parallelize(
+            dataEntries.map(fe =>
+              org.apache.spark.sql.Row(normalize(fe.path), fe.seq)), 1),
+          StructType(Seq(StructField("__ice_dfp", StringType),
+            StructField("__ice_dseq", LongType))))
+        val delSeq = spark.createDataFrame(
+          spark.sparkContext.parallelize(
+            deleteEntries.map(fe =>
+              org.apache.spark.sql.Row(normalize(fe.path), fe.seq)), 1),
+          StructType(Seq(StructField("__ice_xfp", StringType),
+            StructField("__ice_xseq", LongType))))
+        val dels = spark.read.parquet(deleteEntries.map(_.path): _*)
+          .select(normPathCol(col("file_path")).as("__del_fp"),
+            col("pos").cast("long").as("__del_pos"),
+            normPathCol(col("_metadata.file_path")).as("__del_src"))
+          .join(broadcast(delSeq), col("__del_src") === col("__ice_xfp"))
+          .select(col("__del_fp"), col("__del_pos"),
+            col("__ice_xseq").as("__del_seq"))
+        val keyed = withPart
+          .join(broadcast(dataSeq), col("__ice_fp") === col("__ice_dfp"))
+        // delete side is scale-proportional: no broadcast hint — the
+        // session policy (or AQE) decides
+        keyed.join(dels,
+          keyed("__ice_fp") === dels("__del_fp") &&
+            keyed("__ice_pos") === dels("__del_pos") &&
+            dels("__del_seq") >= keyed("__ice_dseq"),
+          "left_anti")
+      }
+
+    // ---- project to the declared Iceberg schema (order + types)
+    undeleted.select(schema.fields.toSeq.map { f =>
+      require(undeleted.columns.contains(f.name),
+        s"schema column '${f.name}' is in the Iceberg schema but in neither " +
+          "the data files nor the partition tuples")
+      col(f.name).cast(f.dataType).as(f.name)
+    }: _*)
+  }
+
+  // ---- metadata resolution -----------------------------------------------
+
+  private def loadMetadata(spark: SparkSession, location: String): (FileSystem, JsonNode) = {
+    val conf = spark.sessionState.newHadoopConf()
+    val tableDir = new Path(location)
+    val fs = tableDir.getFileSystem(conf)
+    val metaDir = new Path(tableDir, "metadata")
+    val hint = new Path(metaDir, "version-hint.text")
+    val metaFile =
+      if (fs.exists(hint)) {
+        val in = fs.open(hint)
+        val n = try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toInt
+        finally in.close()
+        new Path(metaDir, s"v$n.metadata.json")
+      } else {
+        val cands = Option(fs.globStatus(new Path(metaDir, "v*.metadata.json")))
+          .getOrElse(Array.empty).map(_.getPath)
+        require(cands.nonEmpty, s"no Iceberg metadata under $metaDir")
+        cands.maxBy(p => p.getName.stripPrefix("v")
+          .stripSuffix(".metadata.json").toInt)
+      }
+    val in = fs.open(metaFile)
+    val node = try mapper.readTree(in.readAllBytes()) finally in.close()
+    require(node.get("format-version").asInt() == 2,
+      s"only Iceberg format-version 2 is supported, " +
+        s"got ${node.get("format-version")}")
+    (fs, node)
+  }
+
+  private def tableSchema(meta: JsonNode): StructType = {
+    val id = meta.get("current-schema-id").asInt()
+    val schemas = meta.get("schemas")
+    val node = (0 until schemas.size()).map(schemas.get)
+      .find(_.get("schema-id").asInt() == id)
+      .getOrElse(sys.error(s"current-schema-id $id missing from schemas"))
+    structOf(node)
+  }
+
+  private def structOf(node: JsonNode): StructType = {
+    val fields = node.get("fields")
+    StructType((0 until fields.size()).map(fields.get).map { f =>
+      StructField(f.get("name").asText(), sparkTypeOf(f.get("type")),
+        nullable = !f.get("required").asBoolean(false))
+    })
+  }
+
+  /** Iceberg type JSON → Spark type — the inverse of
+    * IcebergExport.icebergSchema's typeJson.
+    */
+  private[lake] def sparkTypeOf(t: JsonNode): DataType =
+    if (t.isTextual) {
+      val s = t.asText()
+      val dec = """decimal\(\s*(\d+)\s*,\s*(\d+)\s*\)""".r
+      val fixed = """fixed\[\s*(\d+)\s*\]""".r
+      s match {
+        case "boolean" => BooleanType
+        case "int" => IntegerType
+        case "long" => LongType
+        case "float" => FloatType
+        case "double" => DoubleType
+        case "string" => StringType
+        case "uuid" => StringType // Spark has no UUID type; 36-char text
+        case "binary" => BinaryType
+        case "date" => DateType
+        case "timestamptz" => TimestampType
+        case "timestamp" => TimestampNTZType
+        case dec(p, sc) => DecimalType(p.toInt, sc.toInt)
+        case fixed(_) => BinaryType
+        case other => sys.error(s"unsupported Iceberg type: $other")
+      }
+    } else t.get("type").asText() match {
+      case "struct" => structOf(t)
+      case "list" =>
+        ArrayType(sparkTypeOf(t.get("element")),
+          containsNull = !t.get("element-required").asBoolean(false))
+      case "map" =>
+        MapType(sparkTypeOf(t.get("key")), sparkTypeOf(t.get("value")),
+          valueContainsNull = !t.get("value-required").asBoolean(false))
+      case other => sys.error(s"unsupported Iceberg type: $other")
+    }
+
+  /** Names of identity-transform partition fields of the default spec
+    * (the only transform whose values must be reattachable; all other
+    * transforms read their source columns from the data pages).
+    */
+  private def identityPartitionNames(meta: JsonNode, schema: StructType): Seq[String] = {
+    val specId = meta.get("default-spec-id").asInt()
+    val specs = meta.get("partition-specs")
+    val spec = (0 until specs.size()).map(specs.get)
+      .find(_.get("spec-id").asInt() == specId)
+      .getOrElse(sys.error(s"default-spec-id $specId missing"))
+    val fields = spec.get("fields")
+    (0 until fields.size()).map(fields.get)
+      .filter(_.get("transform").asText() == "identity")
+      .map(_.get("name").asText())
+  }
+
+  // ---- path normalization --------------------------------------------------
+  // Manifest paths are fully qualified; `_metadata.file_path` qualifies
+  // through the session's FileSystem — the two can disagree on scheme
+  // rendering (file:/x vs file:///x). Join on the URI PATH, which both
+  // rendering styles share. Driver side uses java URI; the row-level
+  // column strips `scheme://authority` then `scheme:/` with two
+  // anchored regexes (no scheme survives the first, so the second only
+  // fires on the no-authority rendering).
+
+  private def normalize(p: String): String = new Path(new java.net.URI(p)).toUri.getPath
+
+  private def normPathCol(c: Column): Column =
+    regexp_replace(
+      regexp_replace(c, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*", ""),
+      "^[a-zA-Z][a-zA-Z0-9+.-]*:/", "/")
+}

@@ -1076,6 +1076,52 @@ object IngestLake {
     GROUP BY o_orderstatus ORDER BY o_orderstatus""")
   )
 
+  /** B35 (r11): Iceberg v2 IMPORT — the adoption path in the other
+    * direction. The table is PARTITIONED on o_orderstatus (so the column's
+    * values exist only in hive dir names → exported manifests, never in
+    * the parquet pages), tagged before a merge-on-read delete, exported,
+    * and then read back EXCLUSIVELY through `lake.IcebergImport` — version
+    * hint → metadata JSON → Avro manifest lists/manifests → one parquet
+    * scan ± position-delete anti-join. The result joins the CURRENT
+    * snapshot (deletes applied, partition column reattached from manifest
+    * partition tuples) against the TAG REF'S snapshot (pre-delete state
+    * via time travel), so one hash covers partition reattachment, MoR
+    * sequence semantics, and ref resolution at once.
+    */
+  val lakeIcebergImport: Q = Q(
+    "lake_iceberg_import",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val cat = LakeCatalog(s, scratch("ice_import"))
+      val orders = t.orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
+      cat.write("ice", "orders", orders.filter(col("o_orderkey") % 2 === 0),
+        partitionBy = Seq("o_orderstatus"))
+      cat.write("ice", "orders", orders.filter(col("o_orderkey") % 2 === 1),
+        SaveMode.Append, partitionBy = Seq("o_orderstatus"))
+      cat.createTag("ice", "orders", "pre_delete")
+      cat.deleteMoR("ice", "orders", col("o_orderkey") % 7 === 0)
+      graft.lake.IcebergExport.export(s, cat, "ice", "orders")
+      val loc = new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(
+          new org.apache.hadoop.fs.Path(cat.root), "ice"), "orders").toString
+      val now = graft.lake.IcebergImport.read(s, loc)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_now"), dsum(col("o_totalprice")).as("total_now"))
+      val tagged = graft.lake.IcebergImport.read(s, loc, ref = Some("pre_delete"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_tagged"))
+      now.join(tagged, "o_orderstatus").orderBy("o_orderstatus")
+    },
+    Some(s"""SELECT n.o_orderstatus, n.n_now, n.total_now, t.n_tagged
+    FROM (SELECT o_orderstatus, COUNT(*) AS n_now,
+            CAST(SUM(CAST(o_totalprice AS $D)) AS DOUBLE) AS total_now
+          FROM orders WHERE o_orderkey % 7 <> 0 GROUP BY o_orderstatus) n
+    JOIN (SELECT o_orderstatus, COUNT(*) AS n_tagged
+          FROM orders GROUP BY o_orderstatus) t
+    USING (o_orderstatus)
+    ORDER BY o_orderstatus""")
+  )
+
   /** B31-nested (r8): NESTED types end-to-end through the lake + Iceberg
     * export — a struct column and an array column built from lineitem are
     * written as two lake commits, exported (exercising the recursive
@@ -1239,7 +1285,7 @@ object IngestLake {
     lakeCtas, lakeMergeUpsert, lakeChangelog, lakeDataProfile,
     lakeScd2, lakeDelete, lakeIncrementalRead, lakeConstraints, lakeDataSkipping,
     lakeZorder, lakeMaintenance, lakePointLookup, lakeMvRefresh, lakeWap,
-    lakeDeleteMor, lakeCdcApply, lakeIcebergExport, ingestDocxReal,
+    lakeDeleteMor, lakeCdcApply, lakeIcebergExport, lakeIcebergImport, ingestDocxReal,
     ingestJdbcRoundtrip, lakeTimeTravel, lakeExpiry, lakeTags, ingestWideSchema,
     lakeExportNested, lakeWriteModes, ingestAvroRoundtrip)
 }

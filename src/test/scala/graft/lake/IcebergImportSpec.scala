@@ -1,0 +1,162 @@
+package graft.lake
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Iceberg v2 import: reading back STRICTLY through the exported metadata
+  * (version hint → TableMetadata JSON → Avro manifest lists/manifests →
+  * parquet ± position deletes) must reproduce the lake table exactly —
+  * current state, any time-traveled snapshot, and tag refs — including
+  * identity-partitioned tables whose partition values exist ONLY in the
+  * manifests, and the v2 sequence-number rule that scopes a position
+  * delete to data files at or below its sequence.
+  */
+class IcebergImportSpec extends SparkSpec {
+
+  private def rows(df: DataFrame): Set[Seq[Any]] =
+    df.collect().map(_.toSeq).toSet
+
+  private def freshCatalog(): LakeCatalog =
+    LakeCatalog(spark, Files.createTempDirectory("graft_ice_imp").toString)
+
+  private def tableLoc(cat: LakeCatalog, ns: String, t: String): String =
+    new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(cat.root), ns), t).toString
+
+  test("round-trip: imported current snapshot equals the lake read (MoR deletes applied)") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    cat.write("ice", "t", (1 to 100).map(i => (i.toLong, s"v$i", i * 1.5)).toDF("id", "v", "x"))
+    cat.write("ice", "t", (101 to 200).map(i => (i.toLong, s"v$i", i * 1.5)).toDF("id", "v", "x"),
+      SaveMode.Append)
+    cat.deleteMoR("ice", "t", col("id") % 9 === 0)
+    IcebergExport.export(spark, cat, "ice", "t")
+
+    val imported = IcebergImport.read(spark, tableLoc(cat, "ice", "t"))
+    assert(imported.columns.toSeq == Seq("id", "v", "x"))
+    assert(rows(imported) == rows(cat.read("ice", "t").select("id", "v", "x")))
+    assert(imported.filter(col("id") % 9 === 0).count() == 0)
+  }
+
+  test("identity partition values reattach from manifests with schema types") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    val df = (1 to 60).map(i => (i.toLong, i % 3, s"p${i % 3}", i * 2.0))
+      .toDF("id", "bucket", "tag", "x")
+    cat.write("ice", "p", df, partitionBy = Seq("bucket", "tag"))
+    IcebergExport.export(spark, cat, "ice", "p")
+
+    val imported = IcebergImport.read(spark, tableLoc(cat, "ice", "p"))
+    // partition columns come back typed per the Iceberg schema, not as
+    // the strings they rode the manifests in
+    assert(imported.schema("bucket").dataType == IntegerType)
+    assert(imported.schema("tag").dataType == StringType)
+    assert(rows(imported.select("id", "bucket", "tag", "x")) ==
+      rows(df.select(col("id"), col("bucket"), col("tag"), col("x"))))
+  }
+
+  test("partitioned + MoR deletes COMPOSE: reattachment and anti-join share scan keys") {
+    // regression pin: `_metadata` resolves only against the file scan, so
+    // capturing row identity after the partition-reattachment join failed
+    // with UNRESOLVED_COLUMN — exactly the combination the two
+    // single-feature tests above don't exercise together
+    import spark.implicits._
+    val cat = freshCatalog()
+    val df = (1 to 90).map(i => (i.toLong, s"s${i % 3}", i * 1.0)).toDF("id", "status", "x")
+    cat.write("ice", "pm", df, partitionBy = Seq("status"))
+    cat.deleteMoR("ice", "pm", col("id") % 5 === 0)
+    IcebergExport.export(spark, cat, "ice", "pm")
+
+    val imported = IcebergImport.read(spark, tableLoc(cat, "ice", "pm"))
+    // column order follows the DECLARED Iceberg schema (hive-read order:
+    // partition columns last), not the pre-write frame
+    assert(imported.columns.toSeq ==
+      IcebergImport.schemaOf(spark, tableLoc(cat, "ice", "pm")).fieldNames.toSeq)
+    assert(imported.filter(col("id") % 5 === 0).count() == 0)
+    assert(rows(imported.select("id", "status", "x")) ==
+      rows(cat.read("ice", "pm").select("id", "status", "x")))
+  }
+
+  test("snapshot time travel and tag refs resolve to the exported states") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    cat.write("ice", "tt", (1 to 50).map(i => (i.toLong, s"a$i")).toDF("id", "v"))
+    cat.createTag("ice", "tt", "first")
+    cat.write("ice", "tt", (51 to 80).map(i => (i.toLong, s"a$i")).toDF("id", "v"),
+      SaveMode.Append)
+    cat.deleteMoR("ice", "tt", col("id") <= 5)
+    IcebergExport.export(spark, cat, "ice", "tt")
+    val loc = tableLoc(cat, "ice", "tt")
+
+    val snaps = IcebergImport.snapshots(spark, loc)
+    assert(snaps.map(_.snapshotId) == Seq(1L, 2L, 3L))
+    assert(IcebergImport.refs(spark, loc).get("first").contains(1L))
+
+    assert(IcebergImport.read(spark, loc, snapshotId = Some(1L)).count() == 50)
+    assert(rows(IcebergImport.read(spark, loc, ref = Some("first"))) ==
+      rows(cat.readTag("ice", "tt", "first").select("id", "v")))
+    // current: deletes applied, both appends visible
+    val cur = IcebergImport.read(spark, loc)
+    assert(cur.count() == 75)
+    assert(cur.agg(min("id")).head.getLong(0) == 6L)
+  }
+
+  test("sequence rule: rows appended AFTER a delete are untouched by it") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    cat.write("ice", "seq", (1 to 40).map(i => (i.toLong, "old")).toDF("id", "gen"))
+    cat.deleteMoR("ice", "seq", col("id") <= 20) // delete at sequence 2
+    cat.write("ice", "seq", (1 to 40).map(i => (i.toLong, "new")).toDF("id", "gen"),
+      SaveMode.Append) // same ids, later sequence
+    IcebergExport.export(spark, cat, "ice", "seq")
+
+    val cur = IcebergImport.read(spark, tableLoc(cat, "ice", "seq"))
+    // old generation lost ids 1-20; new generation keeps all 40
+    assert(cur.filter(col("gen") === "old").count() == 20)
+    assert(cur.filter(col("gen") === "new").count() == 40)
+    assert(rows(cur) == rows(cat.read("ice", "seq").select("id", "gen")))
+  }
+
+  test("nested struct/array schema projects with declared Iceberg types") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    val df = (1 to 20).map(i => (i.toLong, (i * 10L, s"n$i"), Seq(i, i + 1)))
+      .toDF("id", "info", "xs")
+    cat.write("ice", "n", df)
+    IcebergExport.export(spark, cat, "ice", "n")
+
+    val imported = IcebergImport.read(spark, tableLoc(cat, "ice", "n"))
+    assert(imported.schema("info").dataType.isInstanceOf[StructType])
+    assert(imported.schema("xs").dataType.isInstanceOf[ArrayType])
+    assert(rows(imported.select(col("id"), col("info._1"), col("info._2"),
+        aggregate(col("xs"), lit(0L), (a, x) => a + x))) ==
+      rows(df.select(col("id"), col("info._1"), col("info._2"),
+        aggregate(col("xs"), lit(0L), (a, x) => a + x))))
+  }
+
+  test("schemaOf inverts the exported schema; unsupported types fail loudly") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    val df = Seq((1L, java.sql.Date.valueOf("2024-03-01"),
+      new java.math.BigDecimal("12.34"), Array[Byte](1, 2)))
+      .toDF("id", "d", "m", "b")
+      .withColumn("m", col("m").cast(DecimalType(10, 2)))
+    cat.write("ice", "ty", df)
+    IcebergExport.export(spark, cat, "ice", "ty")
+    val s = IcebergImport.schemaOf(spark, tableLoc(cat, "ice", "ty"))
+    assert(s("id").dataType == LongType)
+    assert(s("d").dataType == DateType)
+    assert(s("m").dataType == DecimalType(10, 2))
+    assert(s("b").dataType == BinaryType)
+
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val err = intercept[RuntimeException] {
+      IcebergImport.sparkTypeOf(mapper.readTree("\"interval\""))
+    }
+    assert(err.getMessage.contains("unsupported Iceberg type"))
+  }
+}
