@@ -97,12 +97,24 @@ object IcebergImport {
 
   /** Read the table at its current snapshot, a specific snapshot id, or a
     * named ref (exactly one of `snapshotId`/`ref`, or neither).
+    *
+    * `partitionEq` prunes at PLANNING time: only files whose manifest
+    * partition tuple carries every given (column → value) pair are
+    * scanned — the metadata-level pruning a 100 TB table needs to serve
+    * one partition without touching the rest (Iceberg's planner does the
+    * same against manifest partition structs; no data IO is spent on
+    * pruned files, which a post-scan filter could not guarantee).
+    * Position-delete files prune by the same tuple; a delete file with NO
+    * tuple (a global delete on an unpartitioned spec) is always kept.
+    * Keys must be identity partition columns — anything else fails loudly
+    * rather than silently returning the unpruned table.
     */
   def read(
       spark: SparkSession,
       location: String,
       snapshotId: Option[Long] = None,
-      ref: Option[String] = None): DataFrame = {
+      ref: Option[String] = None,
+      partitionEq: Map[String, String] = Map.empty): DataFrame = {
     require(snapshotId.isEmpty || ref.isEmpty,
       "pass a snapshot id OR a ref, not both")
     val (fs, meta) = loadMetadata(spark, location)
@@ -155,7 +167,24 @@ object IcebergImport {
     val badEq = entries.filter(_.content == 2)
     require(badEq.isEmpty,
       s"equality deletes are not supported (content=2): ${badEq.head.path}")
-    val (deleteEntries, dataEntries) = entries.partition(_.content == 1)
+    if (partitionEq.nonEmpty) {
+      val bad = partitionEq.keySet -- partitionNames.toSet
+      require(bad.isEmpty,
+        s"partitionEq keys ${bad.mkString(", ")} are not identity partition " +
+          s"columns of the default spec (${partitionNames.mkString(", ")})")
+    }
+    def tupleMatches(fe: FileEntry, keepTupleless: Boolean): Boolean = {
+      val pv = fe.partition.toMap
+      if (partitionEq.isEmpty) true
+      else if (pv.isEmpty) keepTupleless
+      else partitionEq.forall { case (k, v) => pv.get(k).flatten.contains(v) }
+    }
+    val (deleteEntries, dataEntries) = entries.partition(_.content == 1) match {
+      case (dels, datas) =>
+        // planning-time pruning: pruned files never reach the scan
+        (dels.filter(tupleMatches(_, keepTupleless = true)),
+          datas.filter(tupleMatches(_, keepTupleless = false)))
+    }
 
     if (dataEntries.isEmpty)
       return spark.createDataFrame(

@@ -81,6 +81,32 @@ class IcebergImportSpec extends SparkSpec {
       rows(cat.read("ice", "pm").select("id", "status", "x")))
   }
 
+  test("partitionEq prunes at planning time: fewer input files, exact rows, MoR intact") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    val df = (1 to 120).map(i => (i.toLong, s"s${i % 4}", i * 1.0)).toDF("id", "status", "x")
+    cat.write("ice", "pr", df, partitionBy = Seq("status"))
+    cat.deleteMoR("ice", "pr", col("id") % 6 === 0)
+    IcebergExport.export(spark, cat, "ice", "pr")
+    val loc = tableLoc(cat, "ice", "pr")
+
+    val full = IcebergImport.read(spark, loc)
+    val one = IcebergImport.read(spark, loc, partitionEq = Map("status" -> "s1"))
+    // pruning is in the PLAN, not a filter: the pruned read scans a strict
+    // subset of the snapshot's data files
+    assert(one.inputFiles.length < full.inputFiles.length,
+      s"expected fewer input files: ${one.inputFiles.length} vs ${full.inputFiles.length}")
+    assert(rows(one.select("id", "status", "x")) ==
+      rows(cat.read("ice", "pr").filter(col("status") === "s1")
+        .select("id", "status", "x")))
+    assert(one.filter(col("id") % 6 === 0).count() == 0) // deletes still apply
+
+    val err = intercept[IllegalArgumentException] {
+      IcebergImport.read(spark, loc, partitionEq = Map("x" -> "1.0"))
+    }
+    assert(err.getMessage.contains("not identity partition"))
+  }
+
   test("snapshot time travel and tag refs resolve to the exported states") {
     import spark.implicits._
     val cat = freshCatalog()
