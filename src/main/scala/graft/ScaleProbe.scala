@@ -19,7 +19,7 @@ object ScaleProbe {
     */
   private[graft] val knownSections = Set("minhash", "ann", "text",
     "mega-bucket", "rank", "merge", "mor", "pq", "skew", "sem", "stream",
-    "width", "streamparts")
+    "width", "streamparts", "iceimport")
 
   /** Validates requested section names against the whitelist; throws on
     * any unknown name. Factored out of main so the contract is spec-pinned.
@@ -324,6 +324,39 @@ object ScaleProbe {
     // width grows 1k -> 4.5k at constant rows (the timed span is ingest
     // only, excluding test-data generation, to match the reference's
     // measurement).
+    // Iceberg import pruning probe (r11): full-snapshot read vs a
+    // one-partition read through lake.IcebergImport on an exported
+    // partitioned + merge-on-read table. Pruning happens at metadata
+    // planning (non-matching files never reach the parquet scan), so the
+    // pruned read must cost like ITS partition, not like the table — the
+    // serve-one-partition-of-100 TB contract, measured.
+    if (on("iceimport")) {
+      val root = "/tmp/graft_scale_iceimport"
+      org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(root), true)
+      val cat = lake.LakeCatalog(spark, root)
+      val orders = Tables(spark, dir).orders
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      cat.write("ice", "orders", orders, partitionBy = Seq("o_orderstatus"))
+      cat.deleteMoR("ice", "orders", col("o_orderkey") % 7 === 0)
+      lake.IcebergExport.export(spark, cat, "ice", "orders")
+      val loc = new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(root), "ice"),
+        "orders").toString
+      def timed(df: => DataFrame): (Long, Int, Double) = {
+        val t0 = System.nanoTime()
+        val d = df
+        val n = d.count()
+        (n, d.inputFiles.length, (System.nanoTime() - t0) / 1e9)
+      }
+      val (nFull, fFull, tFull) = timed(lake.IcebergImport.read(spark, loc))
+      val (nOne, fOne, tOne) = timed(lake.IcebergImport.read(spark, loc,
+        partitionEq = Map("o_orderstatus" -> "F")))
+      println(f"[scale] ice-import full rows=$nFull%d files=$fFull%d " +
+        f"time=$tFull%.1fs; pruned(F) rows=$nOne%d files=$fOne%d " +
+        f"time=$tOne%.1fs time_ratio=${tOne / tFull}%.2f")
+    }
+
     if (on("width")) for (cols <- Seq(1000, 2000, 4450)) {
       val rows = 50000L
       val csvDir = s"/tmp/graft_scale_wide_$cols"
