@@ -1,0 +1,293 @@
+package graft.lake
+
+import java.nio.charset.StandardCharsets
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Delta Lake TRANSACTION-LOG EXPORTER: renders a graft.lake table's full
+  * snapshot lineage as a Delta Lake `_delta_log` — the public protocol
+  * (https://github.com/delta-io/delta/blob/master/PROTOCOL.md) — the
+  * adoption sibling of [[IcebergExport]]: together they make every graft
+  * table readable by BOTH open-table-format ecosystems without data
+  * rewrite (reference utils/spark_write_iceberg.py:8-90 commits to an
+  * open-format catalog; this generalizes that capability to the other
+  * format's spec surface).
+  *
+  * What is emitted under `<table>/_delta_log/`:
+  *  - `%020d.json` — one Delta commit per graft version (graft v1 →
+  *    Delta version 0). Version 0 carries `protocol`
+  *    (minReaderVersion 1 / minWriterVersion 2 — the base feature set;
+  *    nothing emitted here needs column mapping or DV read support) and
+  *    `metaData` (table uuid, `schemaString` as the Spark-JSON schema the
+  *    spec mandates, identity `partitionColumns`); a later version emits
+  *    a fresh `metaData` action iff its read schema differs (schema
+  *    evolution, spec §"Change Metadata"). Every commit then carries
+  *    `add` actions for files new vs the previous snapshot and `remove`
+  *    tombstones for files dropped by it (CoW DELETE / compaction /
+  *    rollback all reduce to adds+removes), plus a `commitInfo` line.
+  *  - `add.path` is the table-relative file path, percent-encoded as the
+  *    spec requires; `add.partitionValues` carries the hive tuple parsed
+  *    from the path (the files themselves never contain partition
+  *    columns — same layout contract Delta itself writes);
+  *    `add.stats` embeds `numRecords` read from the parquet FOOTER.
+  *  - `%020d.checkpoint.parquet` + `_last_checkpoint` on demand
+  *    ([[checkpoint]]): the spec's log-compaction mechanism — a reader
+  *    starts from the newest checkpoint and replays only later JSON
+  *    commits, which is what keeps million-commit 100 TB logs readable.
+  *
+  * Boundaries, enforced loudly: merge-on-read deletion vectors are NOT
+  * exported — the protocol's DV feature encodes RoaringBitmap sidecars
+  * this exporter does not emit. A table whose CURRENT snapshot holds
+  * `dv/` entries must `materializeDeletes` first (require below, with
+  * that message); history at or behind a vector-holding snapshot is
+  * collapsed into Delta version 0 (the present is always adoptable, an
+  * unrepresentable past is not time-travelable).
+  *
+  * Scale note: like the Iceberg exporter this is a METADATA operation —
+  * per data file it reads one footer (record count), never data pages.
+  */
+object DeltaExport {
+
+  private val mapper = new ObjectMapper()
+
+  final case class Export(logDir: String, lastDeltaVersion: Long)
+
+  /** Render `ns.t`'s whole lineage as `_delta_log` JSON commits; returns
+    * the log location and the highest Delta version written. Idempotent
+    * per version content: re-exporting after new graft commits rewrites
+    * the same deterministic files plus the new tail versions.
+    */
+  def export(spark: SparkSession, catalog: LakeCatalog, ns: String, t: String): Export = {
+    val tableDir = new Path(new Path(new Path(catalog.root), ns), t)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = tableDir.getFileSystem(conf)
+    val logDir = new Path(tableDir, "_delta_log")
+    fs.mkdirs(logDir)
+
+    val allVersions = catalog.versions(ns, t)
+    require(allVersions.nonEmpty, s"no such table: $ns.$t")
+    val entriesByV = allVersions.map(v => v -> catalog.entriesOf(ns, t, v)).toMap
+    def hasDv(v: Int) = entriesByV(v).exists(_.startsWith("dv/"))
+    // A dv-holding snapshot is not representable without the protocol's DV
+    // encoding: the CURRENT state must be vector-free (loud), and history
+    // behind the last vector-holding snapshot is collapsed into Delta v0
+    // (you can always adopt the present; you cannot time-travel through an
+    // unexportable representation).
+    require(!hasDv(allVersions.last),
+      s"$ns.$t holds merge-on-read deletion vectors; Delta export does " +
+        "not emit the protocol's DV encoding — run materializeDeletes first")
+    val versions = allVersions.lastIndexWhere(hasDv) match {
+      case -1 => allVersions
+      case i => allVersions.drop(i + 1)
+    }
+
+    // (relative path, size, mtime, numRecords, partitionValues) per file of
+    // a commit dir — footer-only IO, resolved once per dir across versions
+    // (append-dominated lineages reuse almost every dir).
+    val filesByDir = scala.collection.mutable.Map.empty[String, Seq[FileInfo]]
+    def filesOf(rel: String): Seq[FileInfo] =
+      filesByDir.getOrElseUpdate(rel, listDataFiles(fs, conf, tableDir, rel))
+
+    val tableId = java.util.UUID.nameUUIDFromBytes(
+      s"graft-delta:$ns.$t".getBytes(StandardCharsets.UTF_8)).toString
+    var prevFiles = Map.empty[String, FileInfo]
+    var prevMeta: Option[(String, Seq[String])] = None
+    var deltaV = -1L
+    versions.foreach { v =>
+      deltaV += 1
+      val cur = entriesByV(v).flatMap(filesOf).map(f => f.rel -> f).toMap
+      val schema = catalog.read(ns, t, Some(v)).schema
+      // partitionColumns is TABLE-LEVEL state in Delta, derived here from
+      // the snapshot's live files. graft rewrites (CoW DELETE, compaction)
+      // re-land hive-partitioned data as FLAT files carrying the column in
+      // their pages — representable as a metaData transition to an
+      // unpartitioned table (emitted below). A snapshot MIXING tupled and
+      // flat files has no faithful partitionColumns value at all: reject
+      // loudly rather than export silently-null columns.
+      val keySets = cur.values.map(_.partitionValues.keySet).toSet
+      require(keySets.size <= 1,
+        s"$ns.$t v$v mixes hive-partitioned and flat data files " +
+          s"(partition key sets: ${keySets.map(_.mkString("{", ",", "}")).mkString(" vs ")}); " +
+          "one Delta partitionColumns set cannot represent it — compact or " +
+          "recluster the table first")
+      val partCols = keySets.headOption.getOrElse(Set.empty[String]).toSeq.sorted
+      // Delta schemaString must include partition columns; graft's read
+      // surfaces them via partition discovery, so schema already has them.
+      val schemaJson = schema.json
+      val lines = Seq.newBuilder[String]
+      if (!prevMeta.contains((schemaJson, partCols))) {
+        if (deltaV == 0L)
+          lines += """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+        lines += metaDataLine(tableId, s"$ns.$t", schemaJson, partCols)
+        prevMeta = Some((schemaJson, partCols))
+      }
+      val added = cur.keySet -- prevFiles.keySet
+      val removed = prevFiles.keySet -- cur.keySet
+      val op = if (removed.isEmpty) "WRITE" else "DELETE"
+      lines += s"""{"commitInfo":{"operation":"$op","operationParameters":{},"engineInfo":"graft-lake"}}"""
+      removed.toSeq.sorted.foreach { r =>
+        lines += removeLine(r, prevFiles(r).mtime)
+      }
+      added.toSeq.sorted.foreach { a => lines += addLine(cur(a)) }
+      writeText(fs, new Path(logDir, f"$deltaV%020d.json"),
+        lines.result().mkString("", "\n", "\n"))
+      prevFiles = cur
+    }
+    Export(logDir.toString, deltaV)
+  }
+
+  /** Write the spec's log-compaction artifact at `deltaVersion`: a
+    * single-file `%020d.checkpoint.parquet` holding the table state
+    * (protocol + latest metaData + the net `add` set after replaying
+    * commits 0..deltaVersion) plus the `_last_checkpoint` pointer.
+    * Readers then start here and replay only later JSON commits — the
+    * move that bounds log-replay cost on long-lived tables.
+    */
+  def checkpoint(spark: SparkSession, logDir: String, deltaVersion: Long): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val dir = new Path(logDir)
+    val fs = dir.getFileSystem(conf)
+    val state = DeltaImport.replayJson(fs, dir, 0L, deltaVersion, DeltaImport.EmptyState)
+
+    val addType = StructType(Seq(
+      StructField("path", StringType),
+      StructField("partitionValues", MapType(StringType, StringType)),
+      StructField("size", LongType),
+      StructField("modificationTime", LongType),
+      StructField("dataChange", BooleanType),
+      StructField("stats", StringType)))
+    val schema = StructType(Seq(
+      StructField("protocol", StructType(Seq(
+        StructField("minReaderVersion", IntegerType),
+        StructField("minWriterVersion", IntegerType)))),
+      StructField("metaData", StructType(Seq(
+        StructField("id", StringType),
+        StructField("name", StringType),
+        StructField("format", StructType(Seq(
+          StructField("provider", StringType),
+          StructField("options", MapType(StringType, StringType))))),
+        StructField("schemaString", StringType),
+        StructField("partitionColumns", ArrayType(StringType)),
+        StructField("configuration", MapType(StringType, StringType)),
+        StructField("createdTime", LongType)))),
+      StructField("add", addType)))
+    val protoRow = Row.fromSeq(Seq(Row(1, 2), null, null))
+    val metaRow = Row.fromSeq(Seq(null,
+      Row(state.tableId, state.tableName, Row("parquet", Map.empty[String, String]),
+        state.schemaJson, state.partitionColumns, Map.empty[String, String],
+        state.createdTime), null))
+    val addRows = state.adds.toSeq.sortBy(_._1).map { case (p, a) =>
+      Row.fromSeq(Seq(null, null,
+        Row(p, a.partitionValues, a.size, a.mtime, true, a.stats.orNull)))
+    }
+    val rows = protoRow +: metaRow +: addRows
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+    val tmp = new Path(dir, s".cp-${java.util.UUID.randomUUID()}.tmp")
+    df.coalesce(1).write.parquet(tmp.toString)
+    val part = fs.listStatus(tmp).map(_.getPath)
+      .find(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+      .getOrElse(sys.error("checkpoint write produced no parquet part"))
+    val target = new Path(dir, f"$deltaVersion%020d.checkpoint.parquet")
+    fs.delete(target, false)
+    fs.rename(part, target)
+    fs.delete(tmp, true)
+    writeText(fs, new Path(dir, "_last_checkpoint"),
+      s"""{"version":$deltaVersion,"size":${rows.size}}""")
+  }
+
+  // ---- internals ----------------------------------------------------------
+
+  private[lake] final case class FileInfo(
+      rel: String,
+      size: Long,
+      mtime: Long,
+      numRecords: Long,
+      partitionValues: Map[String, String])
+
+  /** All data files under table-relative commit dir `rel`, with footer
+    * record counts and hive partition tuples parsed from path segments.
+    */
+  private def listDataFiles(fs: FileSystem,
+      conf: org.apache.hadoop.conf.Configuration,
+      tableDir: Path, rel: String): Seq[FileInfo] = {
+    val dir = new Path(tableDir, rel)
+    val base = tableDir.toUri.getPath.stripSuffix("/")
+    val out = Seq.newBuilder[FileInfo]
+    val it = fs.listFiles(dir, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val n = st.getPath.getName
+      if (st.isFile && n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")) {
+        val relPath = st.getPath.toUri.getPath.stripPrefix(base).stripPrefix("/")
+        val parts = relPath.split("/").dropRight(1).toSeq
+          .filter(_.contains("="))
+          .map { seg =>
+            val k = seg.takeWhile(_ != '=')
+            val v = java.net.URLDecoder.decode(seg.drop(k.length + 1), "UTF-8")
+            k -> v
+          }.toMap
+        val reader = ParquetFileReader.open(HadoopInputFile.fromPath(st.getPath, conf))
+        val records = try {
+          import scala.jdk.CollectionConverters._
+          reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+        } finally reader.close()
+        out += FileInfo(relPath, st.getLen, st.getModificationTime, records, parts)
+      }
+    }
+    out.result().sortBy(_.rel)
+  }
+
+  /** Spec: `add.path` is percent-encoded (RFC 2396 path component). */
+  private[lake] def encodePath(rel: String): String =
+    new java.net.URI(null, null, rel, null).toASCIIString
+
+  private def addLine(f: FileInfo): String = {
+    val o = mapper.createObjectNode()
+    val a = o.putObject("add")
+    a.put("path", encodePath(f.rel))
+    val pv = a.putObject("partitionValues")
+    f.partitionValues.toSeq.sortBy(_._1).foreach { case (k, v) => pv.put(k, v) }
+    a.put("size", f.size)
+    a.put("modificationTime", f.mtime)
+    a.put("dataChange", true)
+    a.put("stats", s"""{"numRecords":${f.numRecords}}""")
+    mapper.writeValueAsString(o)
+  }
+
+  private def removeLine(rel: String, ts: Long): String = {
+    val o = mapper.createObjectNode()
+    val r = o.putObject("remove")
+    r.put("path", encodePath(rel))
+    r.put("deletionTimestamp", ts)
+    r.put("dataChange", true)
+    mapper.writeValueAsString(o)
+  }
+
+  private def metaDataLine(id: String, name: String, schemaJson: String,
+      partCols: Seq[String]): String = {
+    val o = mapper.createObjectNode()
+    val m = o.putObject("metaData")
+    m.put("id", id)
+    m.put("name", name)
+    val f = m.putObject("format")
+    f.put("provider", "parquet")
+    f.putObject("options")
+    m.put("schemaString", schemaJson)
+    val pc = m.putArray("partitionColumns")
+    partCols.foreach(pc.add)
+    m.putObject("configuration")
+    m.put("createdTime", System.currentTimeMillis())
+    mapper.writeValueAsString(o)
+  }
+
+  private def writeText(fs: FileSystem, p: Path, s: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(s.getBytes(StandardCharsets.UTF_8)) finally out.close()
+  }
+}

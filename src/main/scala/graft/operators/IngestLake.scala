@@ -1122,6 +1122,56 @@ object IngestLake {
     ORDER BY o_orderstatus""")
   )
 
+  /** B36/B37 (r11): DELTA LAKE adoption round-trip — the other open table
+    * format's public protocol (delta-io/delta PROTOCOL.md), no Delta jar.
+    * A PARTITIONED two-commit table takes a CoW DELETE (so the lineage
+    * holds adds AND remove tombstones), its full history is exported as a
+    * `_delta_log` (`lake.DeltaExport`), a CHECKPOINT parquet is cut
+    * mid-lineage, and the table is read back EXCLUSIVELY through
+    * `lake.DeltaImport`: the CURRENT read seeds from the checkpoint and
+    * replays only the JSON tail (the spec's log-compaction economics —
+    * remove tombstones from the post-checkpoint commit must still apply),
+    * while the TIME-TRAVEL read of Delta version 0 replays JSON from
+    * scratch below the checkpoint. Partition values reattach from
+    * `add.partitionValues` (per the spec they exist nowhere else), and
+    * everything is cast per `schemaString`. One hash covers export
+    * fidelity, checkpoint+tail replay, tombstone semantics, version time
+    * travel, and partition reattachment.
+    */
+  val lakeDeltaExport: Q = Q(
+    "lake_delta_export",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val cat = LakeCatalog(s, scratch("delta"))
+      val orders = t.orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
+      cat.write("dl", "orders", orders.filter(col("o_orderkey") % 2 === 0),
+        partitionBy = Seq("o_orderstatus")) // Delta v0
+      cat.write("dl", "orders", orders.filter(col("o_orderkey") % 2 === 1),
+        SaveMode.Append, partitionBy = Seq("o_orderstatus")) // Delta v1
+      cat.delete("dl", "orders", col("o_orderkey") % 7 === 0) // Delta v2: removes+adds
+      val exp = graft.lake.DeltaExport.export(s, cat, "dl", "orders")
+      graft.lake.DeltaExport.checkpoint(s, exp.logDir, 1L)
+      val loc = new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(
+          new org.apache.hadoop.fs.Path(cat.root), "dl"), "orders").toString
+      val now = graft.lake.DeltaImport.read(s, loc) // checkpoint seed + JSON tail
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_now"), dsum(col("o_totalprice")).as("total_now"))
+      val v0 = graft.lake.DeltaImport.read(s, loc, Some(0L)) // below the checkpoint
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_v0"))
+      now.join(v0, "o_orderstatus").orderBy("o_orderstatus")
+    },
+    Some(s"""SELECT n.o_orderstatus, n.n_now, n.total_now, v.n_v0
+    FROM (SELECT o_orderstatus, COUNT(*) AS n_now,
+            CAST(SUM(CAST(o_totalprice AS $D)) AS DOUBLE) AS total_now
+          FROM orders WHERE o_orderkey % 7 <> 0 GROUP BY o_orderstatus) n
+    JOIN (SELECT o_orderstatus, COUNT(*) AS n_v0
+          FROM orders WHERE o_orderkey % 2 = 0 GROUP BY o_orderstatus) v
+    USING (o_orderstatus)
+    ORDER BY o_orderstatus""")
+  )
+
   /** B31-nested (r8): NESTED types end-to-end through the lake + Iceberg
     * export — a struct column and an array column built from lineitem are
     * written as two lake commits, exported (exercising the recursive
@@ -1287,5 +1337,5 @@ object IngestLake {
     lakeZorder, lakeMaintenance, lakePointLookup, lakeMvRefresh, lakeWap,
     lakeDeleteMor, lakeCdcApply, lakeIcebergExport, lakeIcebergImport, ingestDocxReal,
     ingestJdbcRoundtrip, lakeTimeTravel, lakeExpiry, lakeTags, ingestWideSchema,
-    lakeExportNested, lakeWriteModes, ingestAvroRoundtrip)
+    lakeExportNested, lakeWriteModes, ingestAvroRoundtrip, lakeDeltaExport)
 }
