@@ -597,7 +597,131 @@ object Similarity {
     WHERE "rank" <= 5 ORDER BY query_id, "rank" """)
   )
 
-  val all: Seq[Q] = Seq(annBruteforce, annLsh, annIvf, annIvfDet, annQuantized, annPq)
+  // ---- D7e: Johnson-Lindenstrauss signed-random-projection sketches -----
+
+  val JlDims = 32
+  val JlCand = 50
+
+  /** Deterministic ±1 JL projection signs — sign(j, i) = bit (i mod 4) of
+    * hex char ((i mod 128) / 4) of md5("jl:<j>:<i/128>"). One md5 per
+    * (output dim, 128-input-dim block) of a public recipe both engines
+    * reproduce; the resulting matrix is a CONSTANT bound into the
+    * codegen'd projection (the ann_pq codebook treatment), so executors
+    * never hash. Signed ±1 entries are the database-style JL variant
+    * (Achlioptas 2001: ±1 projections satisfy the JL lemma with the same
+    * distortion bounds as Gaussians, and they keep the arithmetic exact
+    * integer-scaled sums — bit-reproducible across engines).
+    */
+  def jlSigns(k: Int, d: Int): Array[Array[Double]] =
+    Array.tabulate(k) { j =>
+      Array.tabulate(d) { i =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"jl:$j:${i / 128}".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        val hv = "0123456789abcdef".indexOf(hex.charAt((i % 128) / 4))
+        ((hv >> (i % 4)) & 1) * 2.0 - 1.0
+      }
+    }
+
+  /** k-dim sketch of an embedding: per output dim, the signed sum folds
+    * input dims in ascending order (the oracle's list_reduce mirrors the
+    * fold exactly).
+    */
+  def jlSketch(emb: Column, signs: Array[Array[Double]]): Column =
+    array(signs.toSeq.map { srow =>
+      aggregate(
+        zip_with(typedlit(srow.toSeq), emb, (sgn, x) => sgn * x.cast("double")),
+        lit(0.0), (acc, x) => acc + x)
+    }: _*)
+
+  /** JL sketch PREFILTER + exact re-rank — the memory-scale ANN path that
+    * needs no training at all (vs IVF/PQ): project every vector ONCE to a
+    * 16-dim ±1-signed sketch (4× smaller than these 64-float embeddings;
+    * 16-48× on production 256-768-dim corpora), scan SKETCHES for the
+    * top-[[JlCand]] candidates per query, then re-rank only those
+    * candidates on the full vectors. At 100 TB the sketch column is the
+    * only thing the prefilter scan touches (persist it next to the
+    * embedding and the scan shrinks by the compression factor); the exact
+    * stage reads Q×[[JlCand]] full vectors — row-bounded, not
+    * corpus-bounded. Queries broadcast; candidate selection partial-sorts
+    * per query under a window (same plan shape as ann_bruteforce, pinned
+    * there). The DuckDB twin recomputes the SAME sign matrix from the md5
+    * recipe and folds in the same order — the whole two-stage pipeline is
+    * bit-exact across engines, sketch scores included.
+    */
+  val annJlSketch: Q = Q(
+    "ann_jl_sketch",
+    (s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      val dim = emb.select(size(col("embedding"))).head.getInt(0)
+      val signs = jlSigns(JlDims, dim)
+      val sk = emb.select(col("vec_id"), col("embedding"),
+        jlSketch(col("embedding"), signs).as("sketch"))
+      val queries = sk.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+          col("sketch").as("q_sketch"))
+      val corpus = sk.select(col("vec_id").as("neighbor_id"), col("embedding"),
+        col("sketch"))
+      val wS = Window.partitionBy("query_id").orderBy(desc("sketch_score"), asc("neighbor_id"))
+      val wE = Window.partitionBy("query_id").orderBy(desc("score"), asc("neighbor_id"))
+      corpus.join(broadcast(queries), col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id"), col("q_emb"), col("embedding"),
+          cosine(col("q_sketch"), col("sketch")).as("sketch_score"))
+        .withColumn("srank", row_number().over(wS))
+        .filter(col("srank") <= JlCand)
+        .select(col("query_id"), col("neighbor_id"), col("sketch_score"),
+          cosine(col("q_emb"), col("embedding")).as("score"))
+        .withColumn("rank", row_number().over(wE))
+        .filter(col("rank") <= TopK)
+        .select("query_id", "rank", "neighbor_id", "score", "sketch_score")
+        .orderBy("query_id", "rank")
+    },
+    // Bit-exact DuckDB twin INCLUDING the sign matrix: md5-recipe signs,
+    // same ascending fold per output dim, same cosine formula, same
+    // two-stage row_number ranking with neighbor_id tie-breaks.
+    Some("""WITH sk AS (
+      SELECT vec_id, embedding,
+        list_transform(range(0, 32), j ->
+          list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(embedding)+1),
+            i -> (2*(CAST(floor((strpos('0123456789abcdef',
+                    substr(md5('jl:' || CAST(j AS VARCHAR) || ':' || CAST(((i-1)//128) AS VARCHAR)),
+                      (((i-1)%128)//4)+1, 1)) - 1) / power(2, (i-1)%4)) AS BIGINT) % 2) - 1)::DOUBLE
+                 * embedding[i]::DOUBLE)),
+            (x,y) -> x+y)) AS sketch
+      FROM embeddings),
+    q AS (SELECT vec_id AS query_id, embedding AS q_emb, sketch AS q_sketch FROM sk WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, embedding, sketch FROM sk),
+    pre AS (
+      SELECT query_id, neighbor_id, q_emb, embedding,
+        list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(q_sketch)+1),
+          i -> q_sketch[i] * sketch[i])), (x,y) -> x+y)
+        / (sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(q_sketch)+1),
+            i -> q_sketch[i] * q_sketch[i])), (x,y) -> x+y))
+         * sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(sketch)+1),
+            i -> sketch[i] * sketch[i])), (x,y) -> x+y))) AS sketch_score
+      FROM c JOIN q ON neighbor_id <> query_id),
+    cand AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sketch_score DESC, neighbor_id ASC) AS srank
+      FROM pre),
+    exact AS (
+      SELECT query_id, neighbor_id, sketch_score,
+        list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(q_emb)+1),
+          i -> q_emb[i]::DOUBLE * embedding[i]::DOUBLE)), (x,y) -> x+y)
+        / (sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(q_emb)+1),
+            i -> q_emb[i]::DOUBLE * q_emb[i]::DOUBLE)), (x,y) -> x+y))
+         * sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(embedding)+1),
+            i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)), (x,y) -> x+y))) AS score
+      FROM cand WHERE srank <= 50),
+    ranked AS (
+      SELECT query_id, neighbor_id, sketch_score, score,
+        row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS "rank"
+      FROM exact)
+    SELECT query_id, "rank", neighbor_id, score, sketch_score FROM ranked
+    WHERE "rank" <= 5 ORDER BY query_id, "rank" """)
+  )
+
+  val all: Seq[Q] = Seq(annBruteforce, annLsh, annIvf, annIvfDet, annQuantized,
+    annPq, annJlSketch)
 }
 
 /** IVF (inverted-file) ANN with a PERSISTABLE coarse quantizer: a KMeans
