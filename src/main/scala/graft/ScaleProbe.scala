@@ -19,7 +19,7 @@ object ScaleProbe {
     */
   private[graft] val knownSections = Set("minhash", "ann", "text",
     "mega-bucket", "rank", "merge", "mor", "pq", "skew", "sem", "stream",
-    "width", "streamparts", "iceimport")
+    "width", "streamparts", "iceimport", "deltaimport")
 
   /** Validates requested section names against the whitelist; throws on
     * any unknown name. Factored out of main so the contract is spec-pinned.
@@ -353,6 +353,37 @@ object ScaleProbe {
       val (nOne, fOne, tOne) = timed(lake.IcebergImport.read(spark, loc,
         partitionEq = Map("o_orderstatus" -> "F")))
       println(f"[scale] ice-import full rows=$nFull%d files=$fFull%d " +
+        f"time=$tFull%.1fs; pruned(F) rows=$nOne%d files=$fOne%d " +
+        f"time=$tOne%.1fs time_ratio=${tOne / tFull}%.2f")
+    }
+
+    // Delta-log import economics, mirroring the iceimport probe: replay is
+    // checkpoint-seeded metadata work, the data IO is one scan, and
+    // partitionEq pruning must make a one-partition read cost one
+    // partition (plus fixed plan overhead), not the table.
+    if (on("deltaimport")) {
+      val root = "/tmp/graft_scale_deltaimport"
+      org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(root), true)
+      val cat = lake.LakeCatalog(spark, root)
+      val orders = Tables(spark, dir).orders
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      cat.write("dl", "orders", orders, partitionBy = Seq("o_orderstatus"))
+      val exp = lake.DeltaExport.export(spark, cat, "dl", "orders")
+      lake.DeltaExport.checkpoint(spark, exp.logDir, exp.lastDeltaVersion)
+      val loc = new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(root), "dl"),
+        "orders").toString
+      def timed(df: => DataFrame): (Long, Int, Double) = {
+        val t0 = System.nanoTime()
+        val d = df
+        val n = d.count()
+        (n, d.inputFiles.length, (System.nanoTime() - t0) / 1e9)
+      }
+      val (nFull, fFull, tFull) = timed(lake.DeltaImport.read(spark, loc))
+      val (nOne, fOne, tOne) = timed(lake.DeltaImport.read(spark, loc,
+        partitionEq = Map("o_orderstatus" -> "F")))
+      println(f"[scale] delta-import full rows=$nFull%d files=$fFull%d " +
         f"time=$tFull%.1fs; pruned(F) rows=$nOne%d files=$fOne%d " +
         f"time=$tOne%.1fs time_ratio=${tOne / tFull}%.2f")
     }

@@ -54,9 +54,17 @@ object DeltaImport {
 
   /** Read the table at `version` (default: latest committed). `location`
     * is the TABLE directory (the one holding `_delta_log`).
+    *
+    * `partitionEq` prunes FILES at planning time against the log's
+    * `add.partitionValues` (the same move Delta engines make): pruned
+    * files never reach the scan, so serving one partition of a 100 TB
+    * table costs one partition, not the table. Keys must be declared
+    * partition columns (loud otherwise — a typo would silently scan
+    * everything).
     */
   def read(spark: SparkSession, location: String,
-      version: Option[Long] = None): DataFrame = {
+      version: Option[Long] = None,
+      partitionEq: Map[String, String] = Map.empty): DataFrame = {
     val conf = spark.sessionState.newHadoopConf()
     val tableDir = new Path(location)
     val fs = tableDir.getFileSystem(conf)
@@ -74,10 +82,19 @@ object DeltaImport {
     require(state.schemaJson != null,
       s"no metaData action in the log up to version $v")
     val schema = DataType.fromJson(state.schemaJson).asInstanceOf[StructType]
-    if (state.adds.isEmpty)
+    if (partitionEq.nonEmpty) {
+      val bad = partitionEq.keySet -- state.partitionColumns.toSet
+      require(bad.isEmpty,
+        s"partitionEq keys ${bad.mkString(", ")} are not partition columns " +
+          s"of this table (${state.partitionColumns.mkString(", ")})")
+    }
+    val live = state.adds.filter { case (_, a) =>
+      partitionEq.forall { case (k, x) => a.partitionValues.get(k).contains(x) }
+    }
+    if (live.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
 
-    val files = state.adds.toSeq.sortBy(_._1).map { case (rel, a) =>
+    val files = live.toSeq.sortBy(_._1).map { case (rel, a) =>
       (new Path(tableDir, decodePath(rel)), a.partitionValues)
     }
     // scan with the declared DATA schema (schemaString minus partition

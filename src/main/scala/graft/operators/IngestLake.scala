@@ -800,6 +800,46 @@ object IngestLake {
     Some("SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey")
   )
 
+  /** REAL .xlsx parse under the oracle (A15 — the spreadsheet sibling of
+    * ingest_docx_real; the reference's multi-format intake has no
+    * spreadsheet path at all): build genuine SpreadsheetML files (zip +
+    * worksheet + a real shared-string table) carrying the nation table,
+    * with every 5th name cell OMITTED — the A1-ref gap that silently
+    * left-shifts a naive parser — and read them back through the
+    * distributed zip+StAX reader. The parsed, typed rows must equal the
+    * source table with exactly those cells null.
+    */
+  val ingestXlsxReal: Q = Q(
+    "ingest_xlsx_real",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val rows = t.nation.select("n_nationkey", "n_name", "n_regionkey")
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2))).sortBy(_._1)
+      val out = scratch("xlsx")
+      val header = Seq[Any]("n_nationkey", "n_name", "n_regionkey")
+      // two files: the read must union multiple workbooks
+      val (a, b) = rows.splitAt(rows.length / 2)
+      for ((name, part) <- Seq("a.xlsx" -> a, "b.xlsx" -> b)) {
+        val body = part.map { case (k, n, rk) =>
+          Seq[Any](k, if (k % 5 == 0) null else n, rk)
+        }
+        java.nio.file.Files.write(Paths.get(out, name),
+          graft.sources.XlsxReader.xlsxBytes(header +: body.toSeq))
+      }
+      graft.sources.XlsxReader.readXlsx(s, out)
+        .filter(col("row_idx") >= 1) // drop each workbook's header row
+        .select(
+          element_at(col("cells"), 1).cast("int").as("n_nationkey"),
+          element_at(col("cells"), 2).as("n_name"),
+          element_at(col("cells"), 3).cast("int").as("n_regionkey"))
+        .orderBy("n_nationkey")
+    },
+    Some("""SELECT n_nationkey,
+      CASE WHEN n_nationkey % 5 = 0 THEN NULL ELSE n_name END AS n_name,
+      n_regionkey
+    FROM nation ORDER BY n_nationkey""")
+  )
+
   /** B8 under the oracle: SNAPSHOT TIME TRAVEL — three commits land
     * disjoint thirds of orders; reading @v2 must return exactly the first
     * two thirds (DuckDB reconstructs the same subset from the base
@@ -1337,5 +1377,6 @@ object IngestLake {
     lakeZorder, lakeMaintenance, lakePointLookup, lakeMvRefresh, lakeWap,
     lakeDeleteMor, lakeCdcApply, lakeIcebergExport, lakeIcebergImport, ingestDocxReal,
     ingestJdbcRoundtrip, lakeTimeTravel, lakeExpiry, lakeTags, ingestWideSchema,
-    lakeExportNested, lakeWriteModes, ingestAvroRoundtrip, lakeDeltaExport)
+    lakeExportNested, lakeWriteModes, ingestAvroRoundtrip, lakeDeltaExport,
+    ingestXlsxReal)
 }

@@ -119,6 +119,32 @@ class DeltaSpec extends SparkSpec {
     assert(rows(imported) == rows(cat.read("dl", "p").select("id", "x", "bucket", "tag")))
   }
 
+  test("partitionEq prunes files at planning time; unknown keys are loud") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    val df = (1 to 60).map(i => (i.toLong, i % 3, i * 2.0)).toDF("id", "bucket", "x")
+    cat.write("dl", "p", df, partitionBy = Seq("bucket"))
+    DeltaExport.export(spark, cat, "dl", "p")
+    val loc = tableLoc(cat, "dl", "p")
+    val full = DeltaImport.read(spark, loc)
+    val pruned = DeltaImport.read(spark, loc, partitionEq = Map("bucket" -> "1"))
+    assert(rows(pruned) == rows(full.filter(col("bucket") === 1)))
+    // pruning happens at PLANNING time: the other partitions' files never
+    // reach the scan
+    val prunedFiles = pruned.inputFiles.toSet
+    val fullFiles = full.inputFiles.toSet
+    assert(prunedFiles.nonEmpty && prunedFiles.subsetOf(fullFiles)
+      && prunedFiles.size < fullFiles.size)
+    assert(prunedFiles.forall(_.contains("bucket=1")))
+    val e = intercept[IllegalArgumentException] {
+      DeltaImport.read(spark, loc, partitionEq = Map("nope" -> "1"))
+    }
+    assert(e.getMessage.contains("not partition columns"))
+    // a value matching no partition returns an empty, correctly-typed frame
+    val none = DeltaImport.read(spark, loc, partitionEq = Map("bucket" -> "9"))
+    assert(none.count() == 0 && none.schema == full.schema)
+  }
+
   test("checkpoint seed + JSON tail equals full JSON replay") {
     import spark.implicits._
     val cat = freshCatalog()
