@@ -619,6 +619,49 @@ object StreamingQueries {
     FROM events GROUP BY event_type ORDER BY event_type""")
   )
 
+  /** E20: STREAMING INGESTION → OPEN-FORMAT HANDOFF. The E4/E14 lake sink
+    * (one atomic commit per micro-batch), then the table is handed to the
+    * Delta ecosystem: every streaming commit becomes a Delta version via
+    * `lake.DeltaExport`, a checkpoint is cut at version 0, and the final
+    * aggregate is computed READING EXCLUSIVELY through `lake.DeltaImport`
+    * (checkpoint seed + JSON tail). This is the production shape where a
+    * Spark streaming pipeline feeds a table that non-Spark Delta readers
+    * consume — the handoff has to be correct for every micro-batch's
+    * commit, not just batch-written lineages (lake_delta_export covers
+    * those).
+    */
+  val streamDeltaSink: Q = Q(
+    "stream_delta_sink",
+    (s, dir) => {
+      val feed = Tables(s, dir).events
+        .select(unix_micros(col("ts")).as("ts_us"), col("event_id"),
+          col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      val mid = midpoint(feed, "ts_us")
+      def half(p: org.apache.spark.sql.Column): DataFrame =
+        feed.filter(p).select("event_id", "ts", "user_id", "event_type", "value")
+      val root = java.nio.file.Files.createTempDirectory("graft_sink_")
+      try {
+        val cat = graft.lake.LakeCatalog(s, root.resolve("lake").toString)
+        replay(s, root,
+          Seq(eventSchema -> Seq(half(col("ts_us") <= mid), half(col("ts_us") > mid))),
+          srcs => EventStreams.streamIntoLake(srcs.head, cat, "st", "events",
+            root.resolve("cp").toString))
+        val exp = graft.lake.DeltaExport.export(s, cat, "st", "events")
+        graft.lake.DeltaExport.checkpoint(s, exp.logDir, 0L)
+        val loc = root.resolve("lake").resolve("st").resolve("events").toString
+        graft.lake.DeltaImport.read(s, loc)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"), graft.Num.dsum(col("value")).as("total_value"))
+          .orderBy("event_type")
+          .localCheckpoint(true)
+      } finally rmrf(root)
+    },
+    Some("""SELECT event_type, COUNT(*) AS n_events,
+      CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY event_type ORDER BY event_type""")
+  )
+
   /** E9 end-to-end: streaming CDC UPSERT sink — micro-batch 1 lands every
     * event, micro-batch 2 re-sends corrections for 1-in-10 keys (+1000),
     * and the LAKE TABLE must converge to one row per key with the latest
@@ -749,5 +792,6 @@ object StreamingQueries {
   val all: Seq[Q] = Seq(streamNeardupTwin, streamBucketsTwin, streamSessionsTwin,
     streamJoinTwin, streamEnrichTwin, streamSemanticTwin, streamLakeSink,
     streamUpsertSink, streamCdcSink, streamNeardupRocks, streamBucketsRocks,
-    streamSessionsRocks, streamJoinRocks, streamSemanticRocks, streamCdcRocks)
+    streamSessionsRocks, streamJoinRocks, streamSemanticRocks, streamCdcRocks,
+    streamDeltaSink)
 }
