@@ -40,13 +40,16 @@ import org.apache.spark.sql.types._
   *    starts from the newest checkpoint and replays only later JSON
   *    commits, which is what keeps million-commit 100 TB logs readable.
   *
-  * Boundaries, enforced loudly: merge-on-read deletion vectors are NOT
-  * exported — the protocol's DV feature encodes RoaringBitmap sidecars
-  * this exporter does not emit. A table whose CURRENT snapshot holds
-  * `dv/` entries must `materializeDeletes` first (require below, with
-  * that message); history at or behind a vector-holding snapshot is
-  * collapsed into Delta version 0 (the present is always adoptable, an
-  * unrepresentable past is not time-travelable).
+  * Merge-on-read DELETION VECTORS export as the protocol's
+  * `deletionVectors` table feature (reader 3 / writer 7 + feature lists):
+  * each vectored file's add action carries a descriptor whose bitmap is
+  * the real RoaringBitmapArray encoding ([[RoaringDv]]) — Z85-inlined in
+  * the log under [[DefaultInlineDvMax]] bytes, else a
+  * `deletion_vector_<uuid>.bin` sidecar with the store framing (version
+  * byte, i32-BE size, blob, i32-BE CRC32). A DV change re-emits the add
+  * (last-add-per-path-wins is the protocol's own update rule), so
+  * stacked MoR deletes and `materializeDeletes` folds are all faithful,
+  * time-travelable Delta versions.
   *
   * Scale note: like the Iceberg exporter this is a METADATA operation —
   * per data file it reads one footer (record count), never data pages.
@@ -62,29 +65,18 @@ object DeltaExport {
     * per version content: re-exporting after new graft commits rewrites
     * the same deterministic files plus the new tail versions.
     */
-  def export(spark: SparkSession, catalog: LakeCatalog, ns: String, t: String): Export = {
+  def export(spark: SparkSession, catalog: LakeCatalog, ns: String, t: String,
+      inlineDvMax: Int = DefaultInlineDvMax): Export = {
     val tableDir = new Path(new Path(new Path(catalog.root), ns), t)
     val conf = spark.sessionState.newHadoopConf()
     val fs = tableDir.getFileSystem(conf)
     val logDir = new Path(tableDir, "_delta_log")
     fs.mkdirs(logDir)
 
-    val allVersions = catalog.versions(ns, t)
-    require(allVersions.nonEmpty, s"no such table: $ns.$t")
-    val entriesByV = allVersions.map(v => v -> catalog.entriesOf(ns, t, v)).toMap
-    def hasDv(v: Int) = entriesByV(v).exists(_.startsWith("dv/"))
-    // A dv-holding snapshot is not representable without the protocol's DV
-    // encoding: the CURRENT state must be vector-free (loud), and history
-    // behind the last vector-holding snapshot is collapsed into Delta v0
-    // (you can always adopt the present; you cannot time-travel through an
-    // unexportable representation).
-    require(!hasDv(allVersions.last),
-      s"$ns.$t holds merge-on-read deletion vectors; Delta export does " +
-        "not emit the protocol's DV encoding — run materializeDeletes first")
-    val versions = allVersions.lastIndexWhere(hasDv) match {
-      case -1 => allVersions
-      case i => allVersions.drop(i + 1)
-    }
+    val versions = catalog.versions(ns, t)
+    require(versions.nonEmpty, s"no such table: $ns.$t")
+    val entriesByV = versions.map(v => v -> catalog.entriesOf(ns, t, v)).toMap
+    val anyDv = versions.exists(v => entriesByV(v).exists(_.startsWith("dv/")))
 
     // (relative path, size, mtime, numRecords, partitionValues) per file of
     // a commit dir — footer-only IO, resolved once per dir across versions
@@ -92,15 +84,24 @@ object DeltaExport {
     val filesByDir = scala.collection.mutable.Map.empty[String, Seq[FileInfo]]
     def filesOf(rel: String): Seq[FileInfo] =
       filesByDir.getOrElseUpdate(rel, listDataFiles(fs, conf, tableDir, rel))
+    // per-file DV blobs of a snapshot's cumulative dv/ sidecar set, cached
+    // by set (stacked-delete lineages reuse the prior set's read)
+    val dvCache = scala.collection.mutable.Map.empty[Seq[String], Map[String, (Array[Byte], Long)]]
+    def dvBlobsOf(dvRels: Seq[String]): Map[String, (Array[Byte], Long)] =
+      dvCache.getOrElseUpdate(dvRels.sorted, dvBlobs(spark, tableDir, dvRels.sorted))
 
     val tableId = java.util.UUID.nameUUIDFromBytes(
       s"graft-delta:$ns.$t".getBytes(StandardCharsets.UTF_8)).toString
     var prevFiles = Map.empty[String, FileInfo]
+    var prevDv = Map.empty[String, String] // file -> blob digest
     var prevMeta: Option[(String, Seq[String])] = None
     var deltaV = -1L
     versions.foreach { v =>
       deltaV += 1
-      val cur = entriesByV(v).flatMap(filesOf).map(f => f.rel -> f).toMap
+      val entries = entriesByV(v)
+      val cur = entries.filterNot(_.startsWith("dv/")).flatMap(filesOf)
+        .map(f => f.rel -> f).toMap
+      val dvByFile = dvBlobsOf(entries.filter(_.startsWith("dv/")))
       val schema = catalog.read(ns, t, Some(v)).schema
       // partitionColumns is TABLE-LEVEL state in Delta, derived here from
       // the snapshot's live files. graft rewrites (CoW DELETE, compaction)
@@ -121,24 +122,103 @@ object DeltaExport {
       val schemaJson = schema.json
       val lines = Seq.newBuilder[String]
       if (!prevMeta.contains((schemaJson, partCols))) {
-        if (deltaV == 0L)
-          lines += """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
-        lines += metaDataLine(tableId, s"$ns.$t", schemaJson, partCols)
+        if (deltaV == 0L) {
+          // merge-on-read lineages need the deletionVectors table feature;
+          // vector-free tables stay on the widely-readable base protocol
+          lines +=
+            (if (anyDv)
+              """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+                """"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}"""
+            else """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""")
+        }
+        lines += metaDataLine(tableId, s"$ns.$t", schemaJson, partCols, anyDv)
         prevMeta = Some((schemaJson, partCols))
+      }
+      // serialize + place this snapshot's DVs; digest change (not dv-dir
+      // identity) decides which files re-emit their add action
+      val curDv: Map[String, (String, String)] = dvByFile.collect {
+        case (file, (blob, card)) if cur.contains(file) =>
+          val digest = java.util.UUID.nameUUIDFromBytes(blob).toString
+          file -> (digest, dvDescriptorJson(fs, tableDir, blob, card, inlineDvMax))
       }
       val added = cur.keySet -- prevFiles.keySet
       val removed = prevFiles.keySet -- cur.keySet
-      val op = if (removed.isEmpty) "WRITE" else "DELETE"
+      val dvChanged = (cur.keySet -- added).filter(f =>
+        curDv.get(f).map(_._1) != prevDv.get(f))
+      val op = if (removed.nonEmpty || dvChanged.nonEmpty) "DELETE" else "WRITE"
       lines += s"""{"commitInfo":{"operation":"$op","operationParameters":{},"engineInfo":"graft-lake"}}"""
       removed.toSeq.sorted.foreach { r =>
         lines += removeLine(r, prevFiles(r).mtime)
       }
-      added.toSeq.sorted.foreach { a => lines += addLine(cur(a)) }
+      (added ++ dvChanged).toSeq.sorted.foreach { a =>
+        lines += addLine(cur(a), curDv.get(a).map(_._2))
+      }
       writeText(fs, new Path(logDir, f"$deltaV%020d.json"),
         lines.result().mkString("", "\n", "\n"))
       prevFiles = cur
+      prevDv = curDv.map { case (f, (digest, _)) => f -> digest }
     }
     Export(logDir.toString, deltaV)
+  }
+
+  /** Inline-vs-file threshold for DV placement: blobs at or under this go
+    * into the JSON log as Z85 (`storageType "i"`); larger ones land in a
+    * `deletion_vector_<uuid>.bin` sidecar (`"u"`) so a hot log never
+    * carries megabytes of bitmap. Delta's own writers make the same trade.
+    */
+  val DefaultInlineDvMax = 4096
+
+  /** Cumulative per-file DV blobs of one snapshot: read the `dv/` sidecar
+    * parquet (one Spark job, proportional to marked rows), group positions
+    * per file, serialize each to the protocol's RoaringBitmapArray bytes.
+    * Driver holds only the COMPRESSED bitmaps (Delta's own log economics).
+    */
+  private def dvBlobs(spark: SparkSession, tableDir: Path,
+      dvRels: Seq[String]): Map[String, (Array[Byte], Long)] =
+    if (dvRels.isEmpty) Map.empty
+    else {
+      import org.apache.spark.sql.functions.{col, collect_list}
+      import spark.implicits._
+      spark.read.parquet(dvRels.map(r => new Path(tableDir, r).toString): _*)
+        .groupBy(col("_dv_file")).agg(collect_list(col("_dv_pos")).as("ps"))
+        .as[(String, Seq[Long])].collect()
+        .map { case (f, ps) =>
+          val distinct = ps.toArray.distinct
+          f -> (RoaringDv.serialize(distinct), distinct.length.toLong)
+        }.toMap
+    }
+
+  /** Render one DV as its descriptor JSON: inline Z85 under the threshold,
+    * else a `deletion_vector_<uuid>.bin` sidecar with the store framing
+    * (version byte 1, then i32-BE size + blob + i32-BE CRC32; descriptor
+    * offset points at the size field). The uuid derives from the blob, so
+    * re-exports rewrite the same file instead of leaking new ones.
+    */
+  private def dvDescriptorJson(fs: FileSystem, tableDir: Path,
+      blob: Array[Byte], cardinality: Long, inlineMax: Int): String = {
+    if (blob.length <= inlineMax) {
+      s"""{"storageType":"i","pathOrInlineDv":"${RoaringDv.z85Encode(blob)}",""" +
+        s""""sizeInBytes":${blob.length},"cardinality":$cardinality}"""
+    } else {
+      val uuid = java.util.UUID.nameUUIDFromBytes(blob)
+      val bb = java.nio.ByteBuffer.allocate(16)
+        .putLong(uuid.getMostSignificantBits)
+        .putLong(uuid.getLeastSignificantBits).array()
+      val target = new Path(tableDir, s"deletion_vector_$uuid.bin")
+      val crc = new java.util.zip.CRC32()
+      crc.update(blob)
+      val out = fs.create(target, true)
+      try {
+        out.write(1) // format version
+        val dos = new java.io.DataOutputStream(out)
+        dos.writeInt(blob.length)
+        dos.write(blob)
+        dos.writeInt(crc.getValue.toInt)
+        dos.flush()
+      } finally out.close()
+      s"""{"storageType":"u","pathOrInlineDv":"${RoaringDv.z85Encode(bb)}",""" +
+        s""""offset":1,"sizeInBytes":${blob.length},"cardinality":$cardinality}"""
+    }
   }
 
   /** Write the spec's log-compaction artifact at `deltaVersion`: a
@@ -154,13 +234,20 @@ object DeltaExport {
     val fs = dir.getFileSystem(conf)
     val state = DeltaImport.replayJson(fs, dir, 0L, deltaVersion, DeltaImport.EmptyState)
 
+    val dvType = StructType(Seq(
+      StructField("storageType", StringType),
+      StructField("pathOrInlineDv", StringType),
+      StructField("offset", IntegerType),
+      StructField("sizeInBytes", IntegerType),
+      StructField("cardinality", LongType)))
     val addType = StructType(Seq(
       StructField("path", StringType),
       StructField("partitionValues", MapType(StringType, StringType)),
       StructField("size", LongType),
       StructField("modificationTime", LongType),
       StructField("dataChange", BooleanType),
-      StructField("stats", StringType)))
+      StructField("stats", StringType),
+      StructField("deletionVector", dvType)))
     val schema = StructType(Seq(
       StructField("protocol", StructType(Seq(
         StructField("minReaderVersion", IntegerType),
@@ -182,8 +269,11 @@ object DeltaExport {
         state.schemaJson, state.partitionColumns, Map.empty[String, String],
         state.createdTime), null))
     val addRows = state.adds.toSeq.sortBy(_._1).map { case (p, a) =>
+      val dvRow = a.dv.map(d =>
+        Row(d.storageType, d.pathOrInlineDv, d.offset.map(Int.box).orNull,
+          d.sizeInBytes, d.cardinality)).orNull
       Row.fromSeq(Seq(null, null,
-        Row(p, a.partitionValues, a.size, a.mtime, true, a.stats.orNull)))
+        Row(p, a.partitionValues, a.size, a.mtime, true, a.stats.orNull, dvRow)))
     }
     val rows = protoRow +: metaRow +: addRows
     val df = spark.createDataFrame(
@@ -247,7 +337,7 @@ object DeltaExport {
   private[lake] def encodePath(rel: String): String =
     new java.net.URI(null, null, rel, null).toASCIIString
 
-  private def addLine(f: FileInfo): String = {
+  private def addLine(f: FileInfo, dvJson: Option[String]): String = {
     val o = mapper.createObjectNode()
     val a = o.putObject("add")
     a.put("path", encodePath(f.rel))
@@ -257,6 +347,8 @@ object DeltaExport {
     a.put("modificationTime", f.mtime)
     a.put("dataChange", true)
     a.put("stats", s"""{"numRecords":${f.numRecords}}""")
+    dvJson.foreach(j =>
+      a.set[com.fasterxml.jackson.databind.JsonNode]("deletionVector", mapper.readTree(j)))
     mapper.writeValueAsString(o)
   }
 
@@ -270,7 +362,7 @@ object DeltaExport {
   }
 
   private def metaDataLine(id: String, name: String, schemaJson: String,
-      partCols: Seq[String]): String = {
+      partCols: Seq[String], dvEnabled: Boolean): String = {
     val o = mapper.createObjectNode()
     val m = o.putObject("metaData")
     m.put("id", id)
@@ -281,7 +373,8 @@ object DeltaExport {
     m.put("schemaString", schemaJson)
     val pc = m.putArray("partitionColumns")
     partCols.foreach(pc.add)
-    m.putObject("configuration")
+    val cfg = m.putObject("configuration")
+    if (dvEnabled) cfg.put("delta.enableDeletionVectors", "true")
     m.put("createdTime", System.currentTimeMillis())
     mapper.writeValueAsString(o)
   }

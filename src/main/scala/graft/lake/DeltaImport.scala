@@ -34,8 +34,14 @@ object DeltaImport {
 
   private val mapper = new ObjectMapper()
 
+  /** A parsed `deletionVector` descriptor (PROTOCOL.md §Deletion Vectors):
+    * `storageType` "i" (Z85 inline) or "u" (uuid-named sidecar file).
+    */
+  final case class DvDescriptor(storageType: String, pathOrInlineDv: String,
+      offset: Option[Int], sizeInBytes: Int, cardinality: Long)
+
   final case class AddState(partitionValues: Map[String, String], size: Long,
-      mtime: Long, stats: Option[String])
+      mtime: Long, stats: Option[String], dv: Option[DvDescriptor] = None)
 
   final case class LogState(
       tableId: String,
@@ -97,15 +103,32 @@ object DeltaImport {
     val files = live.toSeq.sortBy(_._1).map { case (rel, a) =>
       (new Path(tableDir, decodePath(rel)), a.partitionValues)
     }
+    // decode DV blobs DRIVER-side to compressed bytes only (the log's own
+    // economics — a "u" sidecar read is one bounded FS fetch); positions
+    // expand EXECUTOR-side in the flatMap below, so the driver never holds
+    // a deleted-rows-proportional long array
+    val dvBlobRows: Seq[(String, Array[Byte])] = live.toSeq.sortBy(_._1).collect {
+      case (rel, a) if a.dv.isDefined =>
+        normalize(new Path(tableDir, decodePath(rel))) -> dvBlob(fs, tableDir, a.dv.get)
+    }
+
     // scan with the declared DATA schema (schemaString minus partition
     // columns): files below a schema evolution null-fill their missing
     // columns without a mergeSchema footer sweep — the spec's reader
     // contract (schemaString is authoritative, not the files)
     val dataSchema = StructType(
       schema.fields.filterNot(f => state.partitionColumns.contains(f.name)))
-    val raw = spark.read.schema(dataSchema).parquet(files.map(_._1.toString): _*)
-    val present = raw.columns.toSet
+    val raw0 = spark.read.schema(dataSchema).parquet(files.map(_._1.toString): _*)
+    val present = raw0.columns.toSet
     val missingPart = state.partitionColumns.filterNot(present.contains)
+    // row identity must be captured ON the scan (the `_metadata`
+    // pseudo-column does not survive a join) — both the partition
+    // reattach and the DV anti-join consume these captured columns
+    val needsKey = missingPart.nonEmpty || dvBlobRows.nonEmpty
+    val raw =
+      if (!needsKey) raw0
+      else raw0.withColumn("__delta_fp", normPathCol(col("_metadata.file_path")))
+        .withColumn("__delta_pos", col("_metadata.row_index"))
     val withPart =
       if (missingPart.isEmpty) raw
       else {
@@ -117,16 +140,57 @@ object DeltaImport {
         }
         val lookup = spark.createDataFrame(
           spark.sparkContext.parallelize(mapRows, 1), mapSchema)
-        raw.withColumn("__delta_fp", normPathCol(col("_metadata.file_path")))
-          .join(broadcast(lookup), "__delta_fp")
+        raw.join(broadcast(lookup), "__delta_fp")
       }
-    withPart.select(schema.fields.toSeq.map { f =>
-      require(withPart.columns.contains(f.name),
+    val undeleted =
+      if (dvBlobRows.isEmpty) withPart
+      else {
+        import spark.implicits._
+        val dels = spark.createDataset(dvBlobRows)
+          .flatMap { case (f, blob) => RoaringDv.deserialize(blob).map(p => (f, p)) }
+          .toDF("__dv_fp", "__dv_pos")
+        withPart.join(dels,
+          col("__delta_fp") === col("__dv_fp") &&
+            col("__delta_pos") === col("__dv_pos"),
+          "left_anti")
+      }
+    undeleted.select(schema.fields.toSeq.map { f =>
+      require(undeleted.columns.contains(f.name),
         s"schema column '${f.name}' is in schemaString but in neither the " +
           "data files nor the partition values")
       col(f.name).cast(f.dataType).as(f.name)
     }: _*)
   }
+
+  /** Resolve a descriptor to its bitmap bytes: Z85-decode inline data, or
+    * fetch the `deletion_vector_<uuid>.bin` sidecar (seek to `offset`,
+    * read the i32-BE size-prefixed blob, verify the trailing CRC32).
+    */
+  private def dvBlob(fs: FileSystem, tableDir: Path, d: DvDescriptor): Array[Byte] =
+    d.storageType match {
+      case "i" => RoaringDv.z85Decode(d.pathOrInlineDv).take(d.sizeInBytes)
+      case "u" =>
+        val idBytes = RoaringDv.z85Decode(d.pathOrInlineDv)
+        val bb = java.nio.ByteBuffer.wrap(idBytes)
+        val uuid = new java.util.UUID(bb.getLong, bb.getLong)
+        val p = new Path(tableDir, s"deletion_vector_$uuid.bin")
+        val in = fs.open(p)
+        try {
+          in.seek(d.offset.getOrElse(1).toLong)
+          val din = new java.io.DataInputStream(in)
+          val size = din.readInt()
+          require(size == d.sizeInBytes,
+            s"DV size mismatch at $p: file says $size, descriptor ${d.sizeInBytes}")
+          val blob = new Array[Byte](size)
+          din.readFully(blob)
+          val crc = new java.util.zip.CRC32()
+          crc.update(blob)
+          val want = din.readInt()
+          require(crc.getValue.toInt == want, s"DV checksum mismatch at $p")
+          blob
+        } finally in.close()
+      case x => sys.error(s"unsupported DV storageType '$x'")
+    }
 
   /** Replay `%020d.json` commits `from..to` over `seed`. Shared with
     * [[DeltaExport.checkpoint]] (which persists exactly the state this
@@ -158,10 +222,18 @@ object DeltaImport {
             node.fieldNames().asScala.toSeq.flatMap(k =>
               Option(node.get(k)).filterNot(_.isNull).map(v => k -> v.asText()))
           }.toMap
+          val dv = Option(a.get("deletionVector")).filterNot(_.isNull).map { d =>
+            DvDescriptor(
+              d.get("storageType").asText(),
+              d.get("pathOrInlineDv").asText(),
+              Option(d.get("offset")).filterNot(_.isNull).map(_.asInt()),
+              d.get("sizeInBytes").asInt(),
+              d.get("cardinality").asLong())
+          }
           adds(a.get("path").asText()) = AddState(pv,
             Option(a.get("size")).map(_.asLong()).getOrElse(0L),
             Option(a.get("modificationTime")).map(_.asLong()).getOrElse(0L),
-            Option(a.get("stats")).filterNot(_.isNull).map(_.asText()))
+            Option(a.get("stats")).filterNot(_.isNull).map(_.asText()), dv)
         }
         Option(n.get("remove")).foreach(r => adds.remove(r.get("path").asText()))
       }
@@ -194,9 +266,15 @@ object DeltaImport {
         val a = r.getStruct(ai)
         val pv = Option(a.getAs[scala.collection.Map[String, String]]("partitionValues"))
           .map(_.toMap).getOrElse(Map.empty[String, String])
+        val dv = (if (a.schema != null && a.schema.fieldNames.contains("deletionVector"))
+            Option(a.getAs[Row]("deletionVector")) else None)
+          .map(d => DvDescriptor(
+            d.getAs[String]("storageType"), d.getAs[String]("pathOrInlineDv"),
+            Option(d.getAs[java.lang.Integer]("offset")).map(_.intValue()),
+            d.getAs[Int]("sizeInBytes"), d.getAs[Long]("cardinality")))
         adds(a.getAs[String]("path")) = AddState(pv,
           a.getAs[Long]("size"), a.getAs[Long]("modificationTime"),
-          Option(a.getAs[String]("stats")))
+          Option(a.getAs[String]("stats")), dv)
       }
     }
     state.copy(adds = adds.toMap)

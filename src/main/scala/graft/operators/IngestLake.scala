@@ -800,6 +800,47 @@ object IngestLake {
     Some("SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey")
   )
 
+  /** B36b (r11): MERGE-ON-READ deletes through the Delta handoff — stacked
+    * deleteMoR commits export as REAL deletion vectors (RoaringBitmapArray
+    * bytes, Z85-inlined descriptors, protocol feature `deletionVectors`),
+    * zero data rewrite, and the read back EXCLUSIVELY through
+    * `lake.DeltaImport` must subtract exactly the marked rows. The result
+    * joins the CURRENT state against the Delta-version-1 state (first
+    * delete only), so one hash covers the bitmap encode/decode round-trip,
+    * stacked-vector merging (last-add-wins), and DV time travel.
+    */
+  val lakeDeltaDv: Q = Q(
+    "lake_delta_dv",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val cat = LakeCatalog(s, scratch("delta_dv"))
+      val orders = t.orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
+      cat.write("dl", "orders", orders)
+      cat.deleteMoR("dl", "orders", col("o_orderkey") % 7 === 0) // Delta v1: DVs
+      cat.deleteMoR("dl", "orders", col("o_orderkey") % 11 === 0) // Delta v2: stacked
+      graft.lake.DeltaExport.export(s, cat, "dl", "orders")
+      val loc = new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(
+          new org.apache.hadoop.fs.Path(cat.root), "dl"), "orders").toString
+      val now = graft.lake.DeltaImport.read(s, loc)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_now"), dsum(col("o_totalprice")).as("total_now"))
+      val v1 = graft.lake.DeltaImport.read(s, loc, Some(1L))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_v1"))
+      now.join(v1, "o_orderstatus").orderBy("o_orderstatus")
+    },
+    Some(s"""SELECT n.o_orderstatus, n.n_now, n.total_now, v.n_v1
+    FROM (SELECT o_orderstatus, COUNT(*) AS n_now,
+            CAST(SUM(CAST(o_totalprice AS $D)) AS DOUBLE) AS total_now
+          FROM orders WHERE o_orderkey % 7 <> 0 AND o_orderkey % 11 <> 0
+          GROUP BY o_orderstatus) n
+    JOIN (SELECT o_orderstatus, COUNT(*) AS n_v1
+          FROM orders WHERE o_orderkey % 7 <> 0 GROUP BY o_orderstatus) v
+    USING (o_orderstatus)
+    ORDER BY o_orderstatus""")
+  )
+
   /** REAL .xlsx parse under the oracle (A15 — the spreadsheet sibling of
     * ingest_docx_real; the reference's multi-format intake has no
     * spreadsheet path at all): build genuine SpreadsheetML files (zip +
@@ -1378,5 +1419,5 @@ object IngestLake {
     lakeDeleteMor, lakeCdcApply, lakeIcebergExport, lakeIcebergImport, ingestDocxReal,
     ingestJdbcRoundtrip, lakeTimeTravel, lakeExpiry, lakeTags, ingestWideSchema,
     lakeExportNested, lakeWriteModes, ingestAvroRoundtrip, lakeDeltaExport,
-    ingestXlsxReal)
+    ingestXlsxReal, lakeDeltaDv)
 }

@@ -184,23 +184,64 @@ class DeltaSpec extends SparkSpec {
       .collect()(0).getLong(0) == 10L)
   }
 
-  test("merge-on-read deletion vectors are rejected loudly") {
+  test("merge-on-read deletes export as REAL deletion vectors; import applies them") {
     import spark.implicits._
     val cat = freshCatalog()
-    cat.write("dl", "t", (1 to 20).map(i => (i.toLong, i * 1.0)).toDF("id", "x"))
+    cat.write("dl", "t", (1 to 200).map(i => (i.toLong, i * 1.0)).toDF("id", "x"))
     cat.deleteMoR("dl", "t", col("id") % 3 === 0)
-    val e = intercept[IllegalArgumentException] {
-      DeltaExport.export(spark, cat, "dl", "t")
-    }
-    assert(e.getMessage.contains("materializeDeletes"))
-    // materializing clears the block; history behind the vector-holding
-    // snapshot collapses into Delta v0 (not representable without the
-    // protocol's DV encoding)
-    cat.materializeDeletes("dl", "t")
     val exp = DeltaExport.export(spark, cat, "dl", "t")
-    assert(exp.lastDeltaVersion == 0L)
-    val imported = DeltaImport.read(spark, tableLoc(cat, "dl", "t"))
-    assert(rows(imported) == rows(cat.read("dl", "t").select("id", "x")))
+    assert(exp.lastDeltaVersion == 1L)
+    val loc = tableLoc(cat, "dl", "t")
+    // protocol carries the table feature; the DV commit re-emits adds with
+    // inline Z85 descriptors and removes nothing (no data rewrite)
+    val v0 = logLines(loc, 0L)
+    assert(v0.exists(_.contains("\"minReaderVersion\":3")))
+    assert(v0.exists(_.contains("deletionVectors")))
+    val v1 = logLines(loc, 1L)
+    assert(v1.exists(l => l.contains("\"deletionVector\"") &&
+      l.contains("\"storageType\":\"i\"") && l.contains("\"cardinality\"")))
+    assert(!v1.exists(_.contains("\"remove\"")))
+    val imported = DeltaImport.read(spark, loc)
     assert(imported.filter(col("id") % 3 === 0).count() == 0)
+    assert(rows(imported) == rows(cat.read("dl", "t").select("id", "x")))
+    // time travel below the DV commit still sees every row
+    assert(DeltaImport.read(spark, loc, Some(0L)).count() == 200)
+  }
+
+  test("stacked MoR deletes re-emit the add with the merged vector; checkpoint carries it") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    cat.write("dl", "t", (1 to 300).map(i => (i.toLong, i * 1.0)).toDF("id", "x"))
+    cat.deleteMoR("dl", "t", col("id") % 5 === 0)
+    cat.deleteMoR("dl", "t", col("id") % 7 === 0)
+    val exp = DeltaExport.export(spark, cat, "dl", "t")
+    val loc = tableLoc(cat, "dl", "t")
+    val expect = rows(cat.read("dl", "t").select("id", "x"))
+    assert(rows(DeltaImport.read(spark, loc)) == expect)
+    // each stacked delete is its own faithful Delta version
+    assert(DeltaImport.read(spark, loc, Some(1L))
+      .filter(col("id") % 7 === 0 && col("id") % 5 =!= 0).count() > 0)
+    // a checkpoint at the tip persists the DV descriptor in the add struct
+    DeltaExport.checkpoint(spark, exp.logDir, exp.lastDeltaVersion)
+    assert(rows(DeltaImport.read(spark, loc)) == expect)
+  }
+
+  test("oversize vectors land in a uuid-named .bin sidecar with CRC framing") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    cat.write("dl", "t", (1 to 5000).map(i => (i.toLong, i * 1.0)).toDF("id", "x"))
+    cat.deleteMoR("dl", "t", col("id") % 2 === 0)
+    // force the file path by making every blob oversize
+    DeltaExport.export(spark, cat, "dl", "t", inlineDvMax = 8)
+    val loc = tableLoc(cat, "dl", "t")
+    val lines = logLines(loc, 1L)
+    assert(lines.exists(l => l.contains("\"storageType\":\"u\"") &&
+      l.contains("\"offset\":1")))
+    val fs = new Path(loc).getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.listStatus(new Path(loc)).exists(
+      _.getPath.getName.startsWith("deletion_vector_")))
+    val imported = DeltaImport.read(spark, loc)
+    assert(imported.filter(col("id") % 2 === 0).count() == 0)
+    assert(rows(imported) == rows(cat.read("dl", "t").select("id", "x")))
   }
 }
