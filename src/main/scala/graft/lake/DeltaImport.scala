@@ -103,14 +103,18 @@ object DeltaImport {
     val files = live.toSeq.sortBy(_._1).map { case (rel, a) =>
       (new Path(tableDir, decodePath(rel)), a.partitionValues)
     }
-    // decode DV blobs DRIVER-side to compressed bytes only (the log's own
-    // economics — a "u" sidecar read is one bounded FS fetch); positions
-    // expand EXECUTOR-side in the flatMap below, so the driver never holds
-    // a deleted-rows-proportional long array
-    val dvBlobRows: Seq[(String, Array[Byte])] = live.toSeq.sortBy(_._1).collect {
-      case (rel, a) if a.dv.isDefined =>
-        normalize(new Path(tableDir, decodePath(rel))) -> dvBlob(fs, tableDir, a.dv.get)
-    }
+    // DV resolution stays OUT of the driver's data path entirely: only the
+    // bounded descriptors (a Z85 string or a uuid+offset) ship into the
+    // dataset; executors resolve blobs (inline decode / "u" sidecar fetch
+    // via the broadcast Hadoop conf) and expand positions inside the
+    // flatMap — at 100 TB the driver never holds a byte of bitmap
+    val dvRows: Seq[(String, String, String, Int, Int)] =
+      live.toSeq.sortBy(_._1).collect {
+        case (rel, a) if a.dv.isDefined =>
+          val d = a.dv.get
+          (normalize(new Path(tableDir, decodePath(rel))),
+            d.storageType, d.pathOrInlineDv, d.offset.getOrElse(1), d.sizeInBytes)
+      }
 
     // scan with the declared DATA schema (schemaString minus partition
     // columns): files below a schema evolution null-fill their missing
@@ -124,7 +128,7 @@ object DeltaImport {
     // row identity must be captured ON the scan (the `_metadata`
     // pseudo-column does not survive a join) — both the partition
     // reattach and the DV anti-join consume these captured columns
-    val needsKey = missingPart.nonEmpty || dvBlobRows.nonEmpty
+    val needsKey = missingPart.nonEmpty || dvRows.nonEmpty
     val raw =
       if (!needsKey) raw0
       else raw0.withColumn("__delta_fp", normPathCol(col("_metadata.file_path")))
@@ -143,11 +147,19 @@ object DeltaImport {
         raw.join(broadcast(lookup), "__delta_fp")
       }
     val undeleted =
-      if (dvBlobRows.isEmpty) withPart
+      if (dvRows.isEmpty) withPart
       else {
         import spark.implicits._
-        val dels = spark.createDataset(dvBlobRows)
-          .flatMap { case (f, blob) => RoaringDv.deserialize(blob).map(p => (f, p)) }
+        val confB = spark.sparkContext.broadcast(
+          new org.apache.spark.util.SerializableConfiguration(conf))
+        val tableDirStr = tableDir.toString
+        val dels = spark.createDataset(dvRows)
+          .flatMap { case (f, st, pod, off, size) =>
+            val td = new Path(tableDirStr)
+            val blob = dvBlob(td.getFileSystem(confB.value.value), td,
+              DvDescriptor(st, pod, Some(off), size, -1L))
+            RoaringDv.deserialize(blob).map(p => (f, p))
+          }
           .toDF("__dv_fp", "__dv_pos")
         withPart.join(dels,
           col("__delta_fp") === col("__dv_fp") &&
