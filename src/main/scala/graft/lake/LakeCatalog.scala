@@ -1063,6 +1063,124 @@ final class LakeCatalog(
       .toMap
   }
 
+  // ----- branches (B38) ----------------------------------------------------
+  // Writable refs, the Iceberg/Nessie shape: a branch is a named lineage of
+  // manifests (`b<name>-vN.txt`, disjoint from main's `vN.txt` namespace)
+  // rooted at a main snapshot. Branch commits share main's data-dir space
+  // and staging machinery but are INVISIBLE to main readers until a
+  // fast-forward merge — the multi-commit generalization of
+  // write-audit-publish (B28: one staged commit; a branch: a whole audited
+  // lineage). The merge is CAS'd on the branch BASE: if main moved since
+  // the branch was cut, the merge raises CommitConflictException instead of
+  // silently dropping main's commits (rebase = cut a fresh branch and
+  // replay). Same commit protocol as main (tmp manifest + renameIfAbsent),
+  // so concurrent branch writers also serialize per branch version.
+
+  private def branchMetaName(name: String): String = s"branch-$name"
+
+  private def branchManifest(ns: String, t: String, name: String, v: Int): Path =
+    new Path(manifestDir(ns, t), f"b$name%s-v$v%05d.txt")
+
+  /** Cut a branch at a main snapshot (default: latest). */
+  def createBranch(ns: String, t: String, name: String,
+      version: Option[Int] = None): Int = {
+    require(name.matches("[A-Za-z0-9_-]+"), s"bad branch name: $name")
+    require(getTableMeta(ns, t, branchMetaName(name)).isEmpty,
+      s"branch $name already exists on $ns.$t")
+    val v = version.getOrElse(versions(ns, t).last)
+    require(versions(ns, t).contains(v), s"no snapshot v$v on $ns.$t")
+    putTableMeta(ns, t, branchMetaName(name), v.toString)
+    v
+  }
+
+  /** Main version the branch was cut from (the merge CAS base). */
+  def branchBase(ns: String, t: String, name: String): Int =
+    getTableMeta(ns, t, branchMetaName(name))
+      .getOrElse(sys.error(s"no branch $name on $ns.$t")).trim.toInt
+
+  /** Branch-local commit numbers, oldest first (empty = no commits yet). */
+  def branchVersions(ns: String, t: String, name: String): Seq[Int] =
+    backend.list(manifestDir(ns, t))
+      .filter(_.matches(s"b$name-v\\d+\\.txt"))
+      .map(_.stripPrefix(s"b$name-v").stripSuffix(".txt").toInt).sorted
+
+  private def branchEntries(ns: String, t: String, name: String): Seq[String] =
+    branchVersions(ns, t, name).lastOption match {
+      case Some(v) =>
+        new String(backend.readBytes(branchManifest(ns, t, name, v)),
+          StandardCharsets.UTF_8)
+          .split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+      case None => manifestEntries(ns, t, branchBase(ns, t, name))
+    }
+
+  /** Read the branch tip (branch commits + the base snapshot under them). */
+  def readBranch(ns: String, t: String, name: String): DataFrame = {
+    val entries = branchEntries(ns, t, name)
+    readDirsClean(ns, t, entries, dataRels(entries))
+  }
+
+  /** Commit to the branch: stages a data dir exactly like a main write,
+    * then publishes it onto the BRANCH lineage only (CAS on the branch
+    * version via renameIfAbsent — concurrent branch writers serialize).
+    * Returns the branch-local commit number.
+    */
+  def writeBranch(ns: String, t: String, name: String, df: DataFrame,
+      mode: SaveMode = SaveMode.Append,
+      partitionBy: Seq[String] = Nil): Int = {
+    val staged = stageWrite(ns, t, df, mode, partitionBy)
+    val entries = mode match {
+      case SaveMode.Overwrite => Seq(staged.rel)
+      case _ => branchEntries(ns, t, name) :+ staged.rel
+    }
+    val v = branchVersions(ns, t, name).lastOption.getOrElse(0) + 1
+    val target = branchManifest(ns, t, name, v)
+    val tmp = new Path(manifestDir(ns, t),
+      s".b$name-v$v-${java.util.UUID.randomUUID().toString}.tmp")
+    backend.writeBytes(tmp,
+      entries.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    if (!backend.renameIfAbsent(tmp, target)) {
+      backend.delete(tmp)
+      abortStaged(staged)
+      throw new CommitConflictException(
+        s"concurrent writer published branch $name v$v of $ns.$t first")
+    }
+    v
+  }
+
+  /** Fast-forward merge: publish the branch tip as the next MAIN snapshot,
+    * CAS'd against the branch base — if main committed anything since the
+    * branch was cut, this raises [[CommitConflictException]] and the
+    * branch stays intact for a rebase. On success the branch is dropped
+    * and the new main version returned.
+    */
+  def fastForwardBranch(ns: String, t: String, name: String): Int = {
+    val base = branchBase(ns, t, name)
+    val v = commit(ns, t, branchEntries(ns, t, name), Some(base))
+    dropBranch(ns, t, name)
+    v
+  }
+
+  /** Drop the branch pointer + its manifests (staged data dirs become
+    * orphans for [[vacuumOrphans]] — same economics as an aborted WAP).
+    */
+  def dropBranch(ns: String, t: String, name: String): Unit = {
+    branchVersions(ns, t, name).foreach(v =>
+      backend.delete(branchManifest(ns, t, name, v)))
+    backend.delete(new Path(tPath(ns, t), s"_graft_meta_${enc(branchMetaName(name))}"))
+  }
+
+  /** name -> (base version, branch commit count) of every branch. */
+  def listBranches(ns: String, t: String): Map[String, (Int, Int)] = {
+    val dir = tPath(ns, t)
+    if (!fs.exists(dir)) return Map.empty
+    fs.listStatus(dir).iterator.map(_.getPath.getName)
+      .filter(_.startsWith("_graft_meta_branch-"))
+      .map(n => dec(n.stripPrefix("_graft_meta_")).stripPrefix("branch-"))
+      .map(name => name ->
+        (branchBase(ns, t, name), branchVersions(ns, t, name).size))
+      .toMap
+  }
+
   // ----- per-commit column statistics (data skipping) --------------------
   // The Iceberg-manifest idea at commit granularity: every data dir carries
   // a sidecar of per-column (min, max) plus a row count, and predicated

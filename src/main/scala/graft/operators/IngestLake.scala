@@ -800,6 +800,45 @@ object IngestLake {
     Some("SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey")
   )
 
+  /** B38 (r11): BRANCHES under the oracle — a writable ref accumulates two
+    * audit-isolated commits (odd keys in two halves) on top of a main
+    * snapshot holding the even keys; main must still read pre-branch
+    * content while the branch tip already reads everything; a
+    * FAST-FORWARD merge then publishes the branch lineage as the next
+    * main snapshot. One result row set carries the final per-status
+    * aggregate plus the pre-merge main/branch counts, so a branch that
+    * leaked into main early, lost a commit, or merged the wrong tip each
+    * breaks a different column.
+    */
+  val lakeBranches: Q = Q(
+    "lake_branches",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val cat = LakeCatalog(s, scratch("branches"))
+      val orders = t.orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
+      cat.write("br", "orders", orders.filter(col("o_orderkey") % 2 === 0))
+      cat.createBranch("br", "orders", "audit")
+      cat.writeBranch("br", "orders", "audit", orders.filter(col("o_orderkey") % 4 === 1))
+      cat.writeBranch("br", "orders", "audit", orders.filter(col("o_orderkey") % 4 === 3))
+      val mainBefore = cat.read("br", "orders")
+        .agg(count(lit(1)).as("n_main_before"))
+      val branchTip = cat.readBranch("br", "orders", "audit")
+        .agg(count(lit(1)).as("n_branch_tip"))
+      cat.fastForwardBranch("br", "orders", "audit")
+      cat.read("br", "orders")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_final"), dsum(col("o_totalprice")).as("total_final"))
+        .crossJoin(broadcast(mainBefore))
+        .crossJoin(broadcast(branchTip))
+        .orderBy("o_orderstatus")
+    },
+    Some(s"""SELECT o_orderstatus, COUNT(*) AS n_final,
+      CAST(SUM(CAST(o_totalprice AS $D)) AS DOUBLE) AS total_final,
+      (SELECT COUNT(*) FROM orders WHERE o_orderkey % 2 = 0) AS n_main_before,
+      (SELECT COUNT(*) FROM orders) AS n_branch_tip
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+  )
+
   /** B36b (r11): MERGE-ON-READ deletes through the Delta handoff — stacked
     * deleteMoR commits export as REAL deletion vectors (RoaringBitmapArray
     * bytes, Z85-inlined descriptors, protocol feature `deletionVectors`),
@@ -1419,5 +1458,5 @@ object IngestLake {
     lakeDeleteMor, lakeCdcApply, lakeIcebergExport, lakeIcebergImport, ingestDocxReal,
     ingestJdbcRoundtrip, lakeTimeTravel, lakeExpiry, lakeTags, ingestWideSchema,
     lakeExportNested, lakeWriteModes, ingestAvroRoundtrip, lakeDeltaExport,
-    ingestXlsxReal, lakeDeltaDv)
+    ingestXlsxReal, lakeDeltaDv, lakeBranches)
 }
