@@ -193,6 +193,32 @@ object EventStreams {
       }
       .start()
 
+  /** E21: AUDITED streaming ingestion — every micro-batch commits onto a
+    * BRANCH (invisible to main readers), so a whole streaming session
+    * publishes to main ATOMICALLY via one fast-forward after an
+    * end-of-stream audit: the branch generalization of per-batch WAP
+    * (write-audit-publish audits one commit; this audits the session's
+    * whole lineage while main serves the last published state
+    * throughout). The branch CAS also means a concurrent main writer
+    * turns the publish into a loud conflict instead of an interleaving.
+    */
+  def streamIntoBranch(
+      stream: DataFrame,
+      catalog: graft.lake.LakeCatalog,
+      ns: String,
+      table: String,
+      branch: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        catalog.writeBranch(ns, table, branch, batch.toDF(),
+          org.apache.spark.sql.SaveMode.Append)
+        (): Unit
+      }
+      .start()
+
   // ----- E7: streaming near-duplicate detection ---------------------------
 
   /** E4b: streaming CDC UPSERT into the lakehouse — each micro-batch lands

@@ -662,6 +662,61 @@ object StreamingQueries {
     FROM events GROUP BY event_type ORDER BY event_type""")
   )
 
+  /** E21 end-to-end: AUDITED streaming ingestion — micro-batches land on a
+    * BRANCH while main stays at its pre-stream snapshot (pinned: the
+    * pre-publish main count rides the result as a column), an
+    * end-of-stream audit checks the branch tip, and ONE fast-forward
+    * publishes the whole session atomically. The final aggregate reads
+    * MAIN after the publish, so a branch that leaked early, lost a
+    * micro-batch, or merged the wrong tip each break a different column.
+    */
+  val streamBranchSink: Q = Q(
+    "stream_branch_sink",
+    (s, dir) => {
+      val feed = Tables(s, dir).events
+        .select(unix_micros(col("ts")).as("ts_us"), col("event_id"),
+          col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      val mid = midpoint(feed, "ts_us")
+      def half(p: org.apache.spark.sql.Column): DataFrame =
+        feed.filter(p).select("event_id", "ts", "user_id", "event_type", "value")
+      // main starts with the first half already published; the stream
+      // lands the second half on a branch as two micro-batches
+      val h2 = feed.filter(col("ts_us") > mid)
+      val mid2 = midpoint(h2, "ts_us")
+      val root = java.nio.file.Files.createTempDirectory("graft_sink_")
+      try {
+        val cat = graft.lake.LakeCatalog(s, root.resolve("lake").toString)
+        cat.write("st", "events", half(col("ts_us") <= mid))
+        cat.createBranch("st", "events", "ingest")
+        replay(s, root,
+          Seq(eventSchema -> Seq(
+            half(col("ts_us") > mid && col("ts_us") <= mid2),
+            half(col("ts_us") > mid2))),
+          srcs => EventStreams.streamIntoBranch(srcs.head, cat, "st", "events",
+            "ingest", root.resolve("cp").toString))
+        val mainBefore = cat.read("st", "events")
+          .agg(count(lit(1)).as("n_main_during_stream"))
+        // audit the branch tip, then publish the session atomically
+        require(cat.readBranch("st", "events", "ingest")
+          .filter(col("event_id").isNull).isEmpty, "audit: null event ids")
+        cat.fastForwardBranch("st", "events", "ingest")
+        cat.read("st", "events")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"), graft.Num.dsum(col("value")).as("total_value"))
+          .crossJoin(broadcast(mainBefore))
+          .orderBy("event_type")
+          .localCheckpoint(true)
+      } finally rmrf(root)
+    },
+    Some("""SELECT event_type, COUNT(*) AS n_events,
+      CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+      (SELECT COUNT(*) FROM events
+        WHERE epoch_us(ts) <= (SELECT MIN(epoch_us(ts)) // 2 + MAX(epoch_us(ts)) // 2 FROM events))
+        AS n_main_during_stream
+    FROM events GROUP BY event_type ORDER BY event_type""")
+  )
+
   /** E9 end-to-end: streaming CDC UPSERT sink — micro-batch 1 lands every
     * event, micro-batch 2 re-sends corrections for 1-in-10 keys (+1000),
     * and the LAKE TABLE must converge to one row per key with the latest
@@ -793,5 +848,5 @@ object StreamingQueries {
     streamJoinTwin, streamEnrichTwin, streamSemanticTwin, streamLakeSink,
     streamUpsertSink, streamCdcSink, streamNeardupRocks, streamBucketsRocks,
     streamSessionsRocks, streamJoinRocks, streamSemanticRocks, streamCdcRocks,
-    streamDeltaSink)
+    streamDeltaSink, streamBranchSink)
 }
