@@ -94,13 +94,14 @@ object DeltaExport {
       s"graft-delta:$ns.$t".getBytes(StandardCharsets.UTF_8)).toString
     var prevFiles = Map.empty[String, FileInfo]
     var prevDv = Map.empty[String, String] // file -> blob digest
+    var prevTxn = Map.empty[String, Long] // appId -> last emitted batch id
     var prevMeta: Option[(String, Seq[String])] = None
     var deltaV = -1L
     versions.foreach { v =>
       deltaV += 1
       val entries = entriesByV(v)
-      val cur = entries.filterNot(_.startsWith("dv/")).flatMap(filesOf)
-        .map(f => f.rel -> f).toMap
+      val cur = entries.filterNot(e => e.startsWith("dv/") || e.startsWith("txn/"))
+        .flatMap(filesOf).map(f => f.rel -> f).toMap
       val dvByFile = dvBlobsOf(entries.filter(_.startsWith("dv/")))
       val schema = catalog.read(ns, t, Some(v)).schema
       // partitionColumns is TABLE-LEVEL state in Delta, derived here from
@@ -147,6 +148,14 @@ object DeltaExport {
         curDv.get(f).map(_._1) != prevDv.get(f))
       val op = if (removed.nonEmpty || dvChanged.nonEmpty) "DELETE" else "WRITE"
       lines += s"""{"commitInfo":{"operation":"$op","operationParameters":{},"engineInfo":"graft-lake"}}"""
+      // graft txn/ watermark lines are Delta's native idea (PROTOCOL.md
+      // § Transaction Identifiers): emit the moved marks as txn actions so
+      // an external Delta reader sees the same idempotent-sink state
+      val curTxn = graftTxnMarks(entries)
+      curTxn.toSeq.sortBy(_._1).foreach { case (app, ver) =>
+        if (!prevTxn.get(app).contains(ver)) lines += txnLine(app, ver)
+      }
+      prevTxn = curTxn
       removed.toSeq.sorted.foreach { r =>
         lines += removeLine(r, prevFiles(r).mtime)
       }
@@ -349,6 +358,24 @@ object DeltaExport {
     a.put("stats", s"""{"numRecords":${f.numRecords}}""")
     dvJson.foreach(j =>
       a.set[com.fasterxml.jackson.databind.JsonNode]("deletionVector", mapper.readTree(j)))
+    mapper.writeValueAsString(o)
+  }
+
+  /** appId -> batch id from a manifest's `txn/<urlenc app>=<id>` lines. */
+  private def graftTxnMarks(entries: Seq[String]): Map[String, Long] =
+    entries.filter(_.startsWith("txn/")).flatMap { e =>
+      e.stripPrefix("txn/").split("=", 2) match {
+        case Array(app, v) =>
+          Some(java.net.URLDecoder.decode(app, "UTF-8") -> v.toLong)
+        case _ => None
+      }
+    }.toMap
+
+  private def txnLine(appId: String, version: Long): String = {
+    val o = mapper.createObjectNode()
+    val t = o.putObject("txn")
+    t.put("appId", appId)
+    t.put("version", version)
     mapper.writeValueAsString(o)
   }
 

@@ -91,7 +91,10 @@ object IcebergExport {
     }
 
     // ---- manifests: one per unique commit-dir entry, shared by snapshots
-    val entriesByV = versions.map(v => v -> catalog.entriesOf(ns, t, v)).toMap
+    // (txn/ watermark lines are engine-side sink state with no Iceberg
+    // counterpart at the file level — stripped from the exported view)
+    val entriesByV = versions.map(v =>
+      v -> catalog.entriesOf(ns, t, v).filterNot(_.startsWith("txn/"))).toMap
     val firstSeen = scala.collection.mutable.LinkedHashMap[String, Int]()
     versions.foreach(v => entriesByV(v).foreach(e =>
       if (!firstSeen.contains(e)) firstSeen(e) = v))

@@ -388,9 +388,11 @@ final class LakeCatalog(
   // order.
 
   private[lake] def dataRels(entries: Seq[String]): Seq[String] =
-    entries.filterNot(_.startsWith("dv/"))
+    entries.filterNot(e => e.startsWith("dv/") || e.startsWith("txn/"))
   private[lake] def dvRels(entries: Seq[String]): Seq[String] =
     entries.filter(_.startsWith("dv/"))
+  private[lake] def txnRels(entries: Seq[String]): Seq[String] =
+    entries.filter(_.startsWith("txn/"))
 
   /** File key relative to the table root ("data/<uuid>/…"), derived from
     * the scan's `_metadata.file_path` — URI-scheme-agnostic, so vectors
@@ -653,8 +655,117 @@ final class LakeCatalog(
           manifestEntries(ns, t, base) :+ rel,
           expectedVersion.orElse(Some(base)))
       case _ =>
-        commit(ns, t, Seq(rel), expectedVersion)
+        // an OVERWRITE replaces the DATA, not the table's transaction
+        // history: sink high-water marks (txn/ lines) survive, exactly as
+        // Delta's setTransaction actions survive an overwrite — otherwise a
+        // maintenance overwrite racing a streaming sink would reopen the
+        // sink's replay window
+        val carried =
+          if (tableExists(ns, t)) txnRels(manifestEntries(ns, t, versions(ns, t).last))
+          else Nil
+        commit(ns, t, carried :+ rel, expectedVersion)
     }
+  }
+
+  // ----- idempotent transactional appends (exactly-once streaming sinks) ---
+  // Structured Streaming delivers micro-batches into foreachBatch
+  // AT-LEAST-ONCE: a crash between the sink's lake commit and the
+  // checkpoint's commit log replays the same (appId, batchId) after
+  // restart. The guard is Delta's `txn` action pattern (PROTOCOL.md §
+  // Transaction Identifiers, modeled by DeltaExport): each idempotent
+  // append carries its application id + batch id INSIDE the manifest it
+  // publishes — one CAS'd rename, so the data and the watermark can never
+  // tear — and a replayed batch id at or below the recorded high-water
+  // mark is a no-op. Manifest line shape: `txn/<urlenc appId>=<batchId>`,
+  // a sibling entry class to `dv/` that every data-path consumer filters
+  // out via [[dataRels]].
+
+  private def txnLine(appId: String, batchId: Long): String =
+    s"txn/${enc(appId)}=$batchId"
+
+  /** appId -> highest applied batch id recorded in `entries`. */
+  private[lake] def txnWatermarks(entries: Seq[String]): Map[String, Long] =
+    txnRels(entries).flatMap { e =>
+      e.stripPrefix("txn/").split("=", 2) match {
+        case Array(app, v) => Some(dec(app) -> v.toLong)
+        case _ => None
+      }
+    }.toMap
+
+  /** The latest batch id `appId` has committed to `ns.t`, if any. */
+  def txnVersion(ns: String, t: String, appId: String): Option[Long] =
+    if (!tableExists(ns, t)) None
+    else txnWatermarks(latestEntries(ns, t)._2).get(appId)
+
+  /** Idempotent APPEND: commit `df` tagged with (`appId`, `batchId`),
+    * or no-op (returning None) when a commit with `batchId` or later from
+    * the same `appId` is already in the table — the exactly-once sink
+    * primitive. Batch ids must be monotonically increasing per appId
+    * (Structured Streaming's batchId contract). Safe under concurrency:
+    * the watermark rides in the same atomically-published manifest as the
+    * data entry, and a conflict with an unrelated writer re-reads and
+    * re-checks before retrying.
+    */
+  def writeTxn(ns: String, t: String, appId: String, batchId: Long,
+      df: DataFrame, partitionBy: Seq[String] = Nil): Option[Int] = {
+    def current: (Int, Seq[String]) =
+      if (tableExists(ns, t)) latestEntries(ns, t) else (0, Nil)
+    def replayed(entries: Seq[String]): Boolean =
+      txnWatermarks(entries).get(appId).exists(_ >= batchId)
+    var (base, entries) = current
+    if (replayed(entries)) return None
+    val staged = stageWrite(ns, t, df, SaveMode.Append, partitionBy)
+    var attempts = 0
+    while (true) {
+      val keep = entries.filterNot(_.startsWith(s"txn/${enc(appId)}="))
+      try {
+        return Some(commit(ns, t,
+          (keep :+ staged.rel) :+ txnLine(appId, batchId), Some(base)))
+      } catch {
+        case e: CommitConflictException =>
+          attempts += 1
+          val (b2, e2) = current
+          if (replayed(e2)) { abortStaged(staged); return None }
+          if (attempts >= 8) { abortStaged(staged); throw e }
+          base = b2; entries = e2
+      }
+    }
+    sys.error("unreachable")
+  }
+
+  /** [[writeTxn]] onto a BRANCH lineage (the audited-streaming sink): the
+    * watermark lives in the branch manifest and flows to main with the
+    * fast-forward merge, so a replay is a no-op whether the restart lands
+    * before or after the session's publish.
+    */
+  def writeBranchTxn(ns: String, t: String, name: String, appId: String,
+      batchId: Long, df: DataFrame): Option[Int] = {
+    def replayed(entries: Seq[String]): Boolean =
+      txnWatermarks(entries).get(appId).exists(_ >= batchId)
+    if (replayed(branchEntries(ns, t, name))) return None
+    val staged = stageWrite(ns, t, df, SaveMode.Append)
+    var attempts = 0
+    while (true) {
+      val entries = branchEntries(ns, t, name)
+      if (replayed(entries)) { abortStaged(staged); return None }
+      val keep = entries.filterNot(_.startsWith(s"txn/${enc(appId)}="))
+      val next = (keep :+ staged.rel) :+ txnLine(appId, batchId)
+      val v = branchVersions(ns, t, name).lastOption.getOrElse(0) + 1
+      val target = branchManifest(ns, t, name, v)
+      val tmp = new Path(manifestDir(ns, t),
+        s".b$name-v$v-${java.util.UUID.randomUUID().toString}.tmp")
+      backend.writeBytes(tmp,
+        next.mkString("\n").getBytes(StandardCharsets.UTF_8))
+      if (backend.renameIfAbsent(tmp, target)) return Some(v)
+      backend.delete(tmp)
+      attempts += 1
+      if (attempts >= 8) {
+        abortStaged(staged)
+        throw new CommitConflictException(
+          s"concurrent writer kept publishing branch $name of $ns.$t")
+      }
+    }
+    sys.error("unreachable")
   }
 
   // ----- write-audit-publish (Iceberg WAP pattern) ------------------------
@@ -830,9 +941,12 @@ final class LakeCatalog(
         else Some(fresh)
       }
     }
+    // txn watermarks are table-level sink state, not data: a maintenance
+    // rewrite (compaction, CoW delete) must never reopen a streaming
+    // sink's replay window
     val next =
-      if (rows == 0L && keptData.nonEmpty) { deleteRec(out); keptData ++ keptDvs }
-      else (keptData :+ rel) ++ keptDvs
+      (if (rows == 0L && keptData.nonEmpty) { deleteRec(out); keptData ++ keptDvs }
+       else (keptData :+ rel) ++ keptDvs) ++ txnRels(entries)
     commit(ns, t, next, Some(baseVersion))
   }
 
@@ -858,8 +972,11 @@ final class LakeCatalog(
     */
   private[lake] def appendedEntries(
       ns: String, t: String, fromV: Int, toV: Int): Option[Seq[String]] = {
-    val before = manifestEntries(ns, t, fromV)
-    val after = manifestEntries(ns, t, toV)
+    // txn watermark lines move on every idempotent append — they are sink
+    // metadata, not data, so the append-only test ignores them (otherwise
+    // every streaming-sink table would lose the metadata fast path)
+    val before = manifestEntries(ns, t, fromV).filterNot(_.startsWith("txn/"))
+    val after = manifestEntries(ns, t, toV).filterNot(_.startsWith("txn/"))
     val added = after.filterNot(before.toSet)
     // an added deletion vector is a logical DELETE, not an append — the
     // window then needs a real diff, same as a rewrite
@@ -1013,7 +1130,10 @@ final class LakeCatalog(
     val (protectedVs, expired) = old.partition(tagged)
     val kept = protectedVs ++ kept0
     val keptDirs = kept.flatMap(v => manifestEntries(ns, t, v)).toSet
-    val expiredDirs = expired.flatMap(v => manifestEntries(ns, t, v)).toSet -- keptDirs
+    // txn watermark lines are not dirs — nothing on disk to reclaim
+    val expiredDirs =
+      (expired.flatMap(v => manifestEntries(ns, t, v)).toSet -- keptDirs)
+        .filterNot(_.startsWith("txn/"))
     expired.foreach(v => backend.delete(manifestFile(ns, t, v)))
     expiredDirs.foreach(rel => deleteRec(new Path(tPath(ns, t), rel)))
     expiredDirs.size

@@ -76,6 +76,32 @@ object Similarity {
   private val TopK = 5
   private val NumQueries = 10
 
+  /** Scale-safe "top k candidates per query": a bounded-heap TopKPerGroup
+    * cut — per-partition partial heaps, then one clustered final heap, so
+    * the exchange moves at most k rows per (query, partition) and NO
+    * per-query full sort ever runs (the row_number().over(partitionBy(
+    * query)) formulation funnels a query's entire candidate stream through
+    * ONE reducer task: fine at sf10, a scale-killer at 10^9+ rows).
+    * `orderCols` must be a total order per group (score + unique neighbor
+    * id here) so the kept set is exactly the first k of the sorted order.
+    */
+  def topKCut(df: DataFrame, groupCol: String, orderCols: Seq[Column],
+      k: Int): DataFrame =
+    graft.operators.TopK.perGroup(df, Seq(col(groupCol)), orderCols, k)
+
+  /** [[topKCut]] plus the rank column the window formulation yields: after
+    * the bounded cut, row_number runs over AT MOST k rows per group — the
+    * window's sort input is bounded by the cut, not the corpus, so the
+    * plan keeps the same output (bit-identical ranks under the same total
+    * tie-break) without the single-reducer funnel.
+    */
+  def rankTopK(df: DataFrame, groupCol: String, orderCols: Seq[Column],
+      k: Int, rankAs: String): DataFrame = {
+    val w = Window.partitionBy(groupCol).orderBy(orderCols: _*)
+    topKCut(df, groupCol, orderCols, k)
+      .withColumn(rankAs, row_number().over(w))
+  }
+
   val annBruteforce: Q = Q(
     "ann_bruteforce",
     (s, dir) => {
@@ -87,10 +113,8 @@ object Similarity {
         .join(broadcast(queries), col("neighbor_id") =!= col("query_id"))
         .select(col("query_id"), col("neighbor_id"),
           cosine(col("q_emb"), col("embedding")).as("score"))
-      val w = Window.partitionBy("query_id").orderBy(desc("score"), asc("neighbor_id"))
-      scored
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= TopK)
+      rankTopK(scored, "query_id",
+        Seq(desc("score"), asc("neighbor_id")), TopK, "rank")
         .select("query_id", "rank", "neighbor_id", "score")
         .orderBy("query_id", "rank")
     },
@@ -126,14 +150,13 @@ object Similarity {
       val queries = signed.filter(col("vec_id") < NumQueries)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("sig"))
       val corpus = signed.select(col("vec_id").as("neighbor_id"), col("embedding"), col("sig"))
-      val w = Window.partitionBy("query_id").orderBy(desc("score"), asc("neighbor_id"))
-      corpus
+      val scored = corpus
         .join(broadcast(queries), Seq("sig"))
         .filter(col("neighbor_id") =!= col("query_id"))
         .select(col("query_id"), col("neighbor_id"),
           cosine(col("q_emb"), col("embedding")).as("score"))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= TopK)
+      rankTopK(scored, "query_id",
+        Seq(desc("score"), asc("neighbor_id")), TopK, "rank")
         .select("query_id", "rank", "neighbor_id", "score")
         .orderBy("query_id", "rank")
     },
@@ -407,13 +430,12 @@ object Similarity {
       val recon = quantizeRecon(emb, "vec_id", "embedding", "neighbor_id")
       val queries = emb.filter(col("vec_id") < NumQueries)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-      val w = Window.partitionBy("query_id").orderBy(desc("score"), asc("neighbor_id"))
-      recon
+      val scored = recon
         .join(broadcast(queries), col("neighbor_id") =!= col("query_id"))
         .select(col("query_id"), col("neighbor_id"),
           cosine(col("q_emb"), col("recon")).as("score"))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= TopK)
+      rankTopK(scored, "query_id",
+        Seq(desc("score"), asc("neighbor_id")), TopK, "rank")
         .select("query_id", "rank", "neighbor_id", "score")
         .orderBy("query_id", "rank")
     },
@@ -541,13 +563,12 @@ object Similarity {
       val recon = pqRecon(emb, "vec_id", "embedding", "neighbor_id")
       val queries = emb.filter(col("vec_id") < NumQueries)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-      val w = Window.partitionBy("query_id").orderBy(desc("score"), asc("neighbor_id"))
-      recon
+      val scored = recon
         .join(broadcast(queries), col("neighbor_id") =!= col("query_id"))
         .select(col("query_id"), col("neighbor_id"),
           cosine(col("q_emb"), col("recon")).as("score"))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= TopK)
+      rankTopK(scored, "query_id",
+        Seq(desc("score"), asc("neighbor_id")), TopK, "rank")
         .select("query_id", "rank", "neighbor_id", "score")
         .orderBy("query_id", "rank")
     },
@@ -643,9 +664,11 @@ object Similarity {
     * only thing the prefilter scan touches (persist it next to the
     * embedding and the scan shrinks by the compression factor); the exact
     * stage reads Q×[[JlCand]] full vectors — row-bounded, not
-    * corpus-bounded. Queries broadcast; candidate selection partial-sorts
-    * per query under a window (same plan shape as ann_bruteforce, pinned
-    * there). The DuckDB twin recomputes the SAME sign matrix from the md5
+    * corpus-bounded. Queries broadcast; BOTH rank stages ride the
+    * bounded-heap TopKPerGroup cut ([[topKCut]]/[[rankTopK]]), so the
+    * corpus-bounded candidate stream reduces map-side and no per-query
+    * window sort ever sees more than the cut (plan-pinned in
+    * PlanQualitySpec). The DuckDB twin recomputes the SAME sign matrix from the md5
     * recipe and folds in the same order — the whole two-stage pipeline is
     * bit-exact across engines, sketch scores included.
     */
@@ -662,17 +685,21 @@ object Similarity {
           col("sketch").as("q_sketch"))
       val corpus = sk.select(col("vec_id").as("neighbor_id"), col("embedding"),
         col("sketch"))
-      val wS = Window.partitionBy("query_id").orderBy(desc("sketch_score"), asc("neighbor_id"))
-      val wE = Window.partitionBy("query_id").orderBy(desc("score"), asc("neighbor_id"))
-      corpus.join(broadcast(queries), col("neighbor_id") =!= col("query_id"))
+      val prefiltered = corpus
+        .join(broadcast(queries), col("neighbor_id") =!= col("query_id"))
         .select(col("query_id"), col("neighbor_id"), col("q_emb"), col("embedding"),
           cosine(col("q_sketch"), col("sketch")).as("sketch_score"))
-        .withColumn("srank", row_number().over(wS))
-        .filter(col("srank") <= JlCand)
+      // the prefilter cut is where the corpus-bounded stream narrows to a
+      // row-bounded one: a bounded-heap TopKPerGroup (no rank column is
+      // needed — srank is discarded), so each partition contributes at
+      // most JlCand candidate rows per query and no per-query full sort
+      // ever funnels the corpus through one reducer
+      val cand = topKCut(prefiltered, "query_id",
+        Seq(desc("sketch_score"), asc("neighbor_id")), JlCand)
         .select(col("query_id"), col("neighbor_id"), col("sketch_score"),
           cosine(col("q_emb"), col("embedding")).as("score"))
-        .withColumn("rank", row_number().over(wE))
-        .filter(col("rank") <= TopK)
+      rankTopK(cand, "query_id",
+        Seq(desc("score"), asc("neighbor_id")), TopK, "rank")
         .select("query_id", "rank", "neighbor_id", "score", "sketch_score")
         .orderBy("query_id", "rank")
     },
@@ -833,14 +860,13 @@ object IvfIndex {
       .withColumn("crank", row_number().over(probeW))
       .filter(col("crank") <= nProbe)
       .select("query_id", "q_emb", "cell")
-    val w = Window.partitionBy("query_id").orderBy(desc("score"), asc("neighbor_id"))
-    assigned
+    val scored = assigned
       .join(broadcast(probes), Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         Similarity.cosine(col("q_emb"), col("embedding")).as("score"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    Similarity.rankTopK(scored, "query_id",
+      Seq(desc("score"), asc("neighbor_id")), k, "rank")
       .select("query_id", "rank", "neighbor_id", "score")
       .orderBy("query_id", "rank")
   }

@@ -183,15 +183,32 @@ object EventStreams {
       catalog: graft.lake.LakeCatalog,
       ns: String,
       table: String,
-      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    // foreachBatch is AT-LEAST-ONCE: a crash between the lake commit and
+    // the checkpoint's commit log re-delivers the same batchId on restart.
+    // The appId is the checkpoint location (the stable identity of a
+    // streaming query — restarts share it, distinct queries never do), and
+    // writeTxn makes the replayed batch a no-op: the Delta txn-action
+    // pattern, with the watermark riding in the same atomically-published
+    // manifest as the data so sink state and data can never tear.
+    val appId = sinkAppId(ns, table, checkpoint)
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        catalog.write(ns, table, batch.toDF(), org.apache.spark.sql.SaveMode.Append)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        catalog.writeTxn(ns, table, appId, batchId, batch.toDF())
         (): Unit
       }
       .start()
+  }
+
+  /** Stable idempotence key of a streaming sink: one query (one checkpoint
+    * lineage) must map to one appId forever, two different queries
+    * appending to the same table must never share one.
+    */
+  private[graft] def sinkAppId(ns: String, table: String, checkpoint: String): String =
+    s"graft-stream:$ns.$table:" + java.util.UUID.nameUUIDFromBytes(
+      checkpoint.getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
   /** E21: AUDITED streaming ingestion — every micro-batch commits onto a
     * BRANCH (invisible to main readers), so a whole streaming session
@@ -208,16 +225,20 @@ object EventStreams {
       ns: String,
       table: String,
       branch: String,
-      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    // same retry-idempotence guard as streamIntoLake; the watermark lives
+    // in the branch manifest and fast-forwards to main with the publish,
+    // so a replay no-ops on either side of the merge
+    val appId = sinkAppId(ns, table, checkpoint)
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        catalog.writeBranch(ns, table, branch, batch.toDF(),
-          org.apache.spark.sql.SaveMode.Append)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        catalog.writeBranchTxn(ns, table, branch, appId, batchId, batch.toDF())
         (): Unit
       }
       .start()
+  }
 
   // ----- E7: streaming near-duplicate detection ---------------------------
 
