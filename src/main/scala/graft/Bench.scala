@@ -31,12 +31,16 @@ object Bench {
     // warm the JVM/codegen paths once so per-query numbers measure the plan,
     // not first-call classloading.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    // SPARK_GRAFT_BENCH_REPEAT=N (default 1): time each query N times and
-    // record the MEDIAN — the host-noise guard for round-stamped records
-    // (a single contended run once inflated one entry 136s-vs-39s on the
-    // same code; a median over 3 cannot produce that artifact).
+    // SPARK_GRAFT_BENCH_REPEAT=N: time each query N times and record the
+    // MEDIAN — the host-noise guard for round-stamped records (a single
+    // contended run once inflated one entry 121s-vs-22.8s on the same
+    // code — VERDICT r11 "What's wrong #3"; a median over 3 cannot
+    // produce that artifact). Default 3 for FULL-surface runs (the ones
+    // that become the round record); subset dev-loop runs default to 1
+    // for iteration speed.
     val repeat = math.max(1,
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT", "1").toInt)
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT",
+        if (args.isEmpty) "3" else "1").toInt)
     var family: String = null
     // Right(seconds) for a completed query, Left(error) for a failed one —
     // a broken query must surface as "err:<class>" in the JSON, never as a

@@ -53,15 +53,16 @@ object IngestLake {
   private val liveScratch =
     java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
 
-  /** Delete every registered scratch dir and invalidate the one
-    * cross-query scratch consumer (the memoized CDC scenario — a later
-    * call rebuilds it on fresh scratch). Callers must guarantee no query
+  /** Delete every registered scratch dir. Callers must guarantee no query
     * is mid-flight: GraftSession.releaseCaches invokes this at
     * Bench/Verify family boundaries only, where every allocating query
-    * has fully materialized its result.
+    * has fully materialized its result. The memoized CDC scenario is
+    * EXEMPT (the IVF-centroid-cache treatment): its dir is not registered
+    * here and the cache survives the boundary — clearing it made whatever
+    * query touched the scenario first each family pass pay the 4-write
+    * rebuild (driver-stamped lake_changelog 11.8 s vs 0.73 s warm).
     */
   def reclaimScratch(): Unit = {
-    cdcCache.clear()
     val it = liveScratch.iterator()
     while (it.hasNext) {
       val root = it.next()
@@ -259,23 +260,71 @@ object IngestLake {
     Some("SELECT * FROM nation ORDER BY n_nationkey")
   )
 
-  // Shared CDC scenario, memoized per (session, sf-dir): three registered
-  // queries (merge_upsert / changelog / incremental_read) exercise three
-  // DIFFERENT APIs over the same seeded two-version table, so one build
-  // (CTAS + MERGE, four writes) serves all of them in a Verify/Bench
-  // session. First caller pays the build, like the dedup signature cache.
+  // Shared CDC scenario, memoized per (session, sf-dir, scratch root):
+  // three registered queries (merge_upsert / changelog / incremental_read)
+  // exercise three DIFFERENT APIs over the same seeded two-version table,
+  // so one build (CTAS + MERGE, four writes) serves all of them in a
+  // Verify/Bench session. First caller pays the build, like the dedup
+  // signature cache — and, unlike the rest of the scratch, the scenario
+  // SURVIVES family-boundary reclamation (it is the one scratch consumer
+  // re-read across families; see [[reclaimScratch]]). Its dirs are
+  // deleted when their session stops (eviction) or at JVM exit.
   private val cdcCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String),
-      (org.apache.spark.sql.SparkSession, LakeCatalog)]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String),
+      (org.apache.spark.sql.SparkSession, Option[java.nio.file.Path], LakeCatalog)]()
+
+  /** like [[scratch]] but NOT registered for family-boundary reclamation —
+    * for the memoized CDC scenario only. Returns (warehouse location,
+    * local path to delete on eviction/exit — None for scheme-qualified
+    * roots, whose stores manage their own lifecycle).
+    */
+  private def scratchPersistent(name: String): (String, Option[java.nio.file.Path]) =
+    sys.props.get(ScratchRootProp) match {
+      case Some(root) =>
+        (s"${root.stripSuffix("/")}/$name/${java.util.UUID.randomUUID().toString}", None)
+      case None =>
+        val user = sys.props.getOrElse("user.name", "unknown")
+          .replaceAll("[^A-Za-z0-9._-]", "_")
+        val p = Paths.get(sys.props("java.io.tmpdir"), s"graft_scratch_$user", name,
+          java.util.UUID.randomUUID().toString)
+        Files.createDirectories(p)
+        (p.toString, Some(p))
+    }
+
+  private lazy val cdcShutdownHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      cdcCache.values().forEach(_._2.foreach(deleteRecQuiet))))
+
+  private def deleteRecQuiet(root: java.nio.file.Path): Unit =
+    try {
+      if (Files.exists(root)) {
+        val walk = Files.walk(root)
+        try walk.sorted(java.util.Comparator.reverseOrder()).forEach { p =>
+          try Files.deleteIfExists(p)
+          catch { case _: java.io.IOException => () }
+        } finally walk.close()
+      }
+    } catch { case _: java.io.IOException => () }
 
   private def cdcScenario(s: org.apache.spark.sql.SparkSession, dir: String): LakeCatalog = {
+    cdcShutdownHook
     // evict entries bound to stopped sessions (same policy as the dedup
-    // pipeline caches) so long-lived JVMs don't pin dead session state
-    cdcCache.entrySet().removeIf(e => e.getValue._1.sparkContext.isStopped)
+    // pipeline caches) so long-lived JVMs don't pin dead session state —
+    // and reclaim their persistent scratch dirs with them
+    cdcCache.entrySet().removeIf { e =>
+      val dead = e.getValue._1.sparkContext.isStopped
+      if (dead) e.getValue._2.foreach(deleteRecQuiet)
+      dead
+    }
+    // the scratch root is part of the key: an object-store replay
+    // (graft.scratch.root=graftoss://…) must not be served a memoized
+    // file:// scenario from an earlier local pass
+    val rootProp = sys.props.getOrElse(ScratchRootProp, "")
     cdcCache.computeIfAbsent(
-      (org.apache.spark.sql.GraftBridge.sessionUUID(s), dir), _ => s -> {
+      (org.apache.spark.sql.GraftBridge.sessionUUID(s), dir, rootProp), _ => {
+        val (warehouse, localPath) = scratchPersistent("cdc")
         val t = Tables(s, dir)
-        val cat = LakeCatalog(s, scratch("cdc"))
+        val cat = LakeCatalog(s, warehouse)
         val merger = new TableMerger(cat)
         val base = t.orders.filter(col("o_orderkey") % 2 === 0)
           .select(col("o_orderkey").as("id"), col("o_totalprice"))
@@ -283,8 +332,8 @@ object IngestLake {
         val updates = t.orders.filter(col("o_orderkey") % 3 === 0)
           .select(col("o_orderkey").as("id"), (col("o_totalprice") + 1000).as("o_totalprice"))
         merger.mergeTable(updates, "lake", "orders_cdc") // v2 (MERGE upsert)
-        cat
-      })._2
+        (s, localPath, cat)
+      })._3
   }
 
   val lakeChangelog: Q = Q(

@@ -23,7 +23,9 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   * Project/Filter over one parquet scan has an EXACT row count in its
   * parquet footers (metadata-only, cached), and
   *
-  *     honestBytes = exactRows x (sum of output-attribute defaultSizes
+  *     honestBytes = exactRows x (fixed-width attrs at defaultSize
+  *                                + variable-width attrs at the footer's
+  *                                  total_uncompressed_size / rows
   *                                + per-entry hash-relation overhead)
   *
   * is an overcount-safe in-memory bound (filters only shrink it). Sides
@@ -83,8 +85,17 @@ case class HonestBroadcastRule(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 
   /** True iff `side` is a Project/Filter tree over ONE parquet scan whose
-    * exact footer row count bounds the in-memory build size under
-    * `threshold`.
+    * exact footer statistics bound the in-memory build size under
+    * `threshold` — honest in BOTH dimensions: rows are the footer's exact
+    * record count, and variable-width columns (strings, binaries, nested)
+    * are costed from the footer's per-column `total_uncompressed_size`
+    * instead of a fixed per-type default (defaultSize counts every string
+    * at 20 bytes — a 400k-row dim of KB-sized strings would pass a 32 MB
+    * "proof" yet build a multi-hundred-MB hash relation). Fixed-width
+    * columns keep defaultSize, which is exact for them. A variable-width
+    * output column that cannot be traced to a scan column (a computed
+    * expression — its width is unbounded by the scan) disqualifies the
+    * side: not provable, so it stays with the static/AQE policy.
     */
   private def provenSmall(side: LogicalPlan, threshold: Long): Boolean = {
     if (side.isStreaming) return false
@@ -92,10 +103,51 @@ case class HonestBroadcastRule(spark: SparkSession) extends Rule[LogicalPlan] {
     // list them for a side whose (already optimistic) estimate is huge
     if (side.stats.sizeInBytes > BigInt(32L) * threshold) return false
     scanOf(side).exists { rel =>
-      HonestBroadcastRule.exactRows(spark, rel).exists { rows =>
-        val rowBytes = side.output.map(_.dataType.defaultSize.toLong).sum + RowOverhead
-        rows * rowBytes <= threshold
+      HonestBroadcastRule.exactStats(spark, rel).exists { case (rows, colBytes) =>
+        rows == 0L || {
+          val perRow = side.output.map { a =>
+            if (isFixedWidth(a.dataType)) Some(a.dataType.defaultSize.toLong)
+            else originName(side, a).flatMap(colBytes.get)
+              // +8: UnsafeRow's offset-and-size word per variable field
+              .map(total => total / rows + 8L)
+          }
+          perRow.forall(_.isDefined) &&
+            rows * (perRow.flatten.sum + RowOverhead) <= threshold
+        }
       }
+    }
+  }
+
+  private def isFixedWidth(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case BooleanType | ByteType | ShortType | IntegerType | LongType |
+           FloatType | DoubleType | DateType | TimestampType |
+           TimestampNTZType | NullType => true
+      case _: DecimalType => true
+      case _ => false
+    }
+  }
+
+  /** The SCAN column an output attribute reads verbatim, traced through
+    * Project aliases/Filters down to the relation — None for computed
+    * expressions (their width isn't bounded by any footer column).
+    */
+  private def originName(p: LogicalPlan,
+      attr: org.apache.spark.sql.catalyst.expressions.Attribute): Option[String] = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference}
+    p match {
+      case Project(projList, child) =>
+        projList.find(_.exprId == attr.exprId).flatMap {
+          case a: AttributeReference => originName(child, a)
+          case Alias(ref: AttributeReference, _) => originName(child, ref)
+          case _ => None
+        }
+      case Filter(_, child) => originName(child, attr)
+      case SubqueryAlias(_, child) => originName(child, attr)
+      case lr: LogicalRelation =>
+        lr.output.find(_.exprId == attr.exprId).map(_.name)
+      case _ => None
     }
   }
 
@@ -122,16 +174,17 @@ case class HonestBroadcastRule(spark: SparkSession) extends Rule[LogicalPlan] {
 }
 
 object HonestBroadcastRule {
-  // footer row counts keyed by the scan's file list (immutable once
-  // written; testdata and lake commits never mutate in place)
+  // footer stats keyed by the scan's file list (immutable once written;
+  // testdata and lake commits never mutate in place)
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[Seq[String], Long]()
+    new java.util.concurrent.ConcurrentHashMap[Seq[String], (Long, Map[String, Long])]()
 
-  private def exactRows(spark: SparkSession, rel: HadoopFsRelation): Option[Long] = {
+  private def exactStats(spark: SparkSession,
+      rel: HadoopFsRelation): Option[(Long, Map[String, Long])] = {
     val files = rel.location.inputFiles.toIndexedSeq
-    if (files.isEmpty) return Some(0L)
+    if (files.isEmpty) return Some((0L, Map.empty))
     try Some(cache.computeIfAbsent(files,
-      _ => graft.sources.ParquetMeta.rowCountOfFiles(spark, files)))
+      _ => graft.sources.ParquetMeta.columnStatsOfFiles(spark, files)))
     catch { case _: Exception => None } // unreadable footer: not proven
   }
 

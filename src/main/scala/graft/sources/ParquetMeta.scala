@@ -45,6 +45,46 @@ object ParquetMeta {
     } finally pool.shutdown()
   }
 
+  /** Exact (row count, per-top-level-column total UNCOMPRESSED bytes) of
+    * `files` via footers — still metadata-only. Column chunk metadata
+    * carries `total_uncompressed_size` per leaf; leaves of a nested column
+    * aggregate under their top-level name, so the map bounds the bytes a
+    * row's column materializes to regardless of nesting. (Known residual
+    * undercount: dictionary-encoded chunks report dict + indices, not the
+    * expanded values — callers using this to bound in-memory size should
+    * treat it as the on-page honest figure, still orders of magnitude
+    * closer than a fixed per-type default.)
+    */
+  def columnStatsOfFiles(spark: SparkSession,
+      files: Seq[String]): (Long, Map[String, Long]) = {
+    if (files.isEmpty) return (0L, Map.empty)
+    val conf = spark.sessionState.newHadoopConf()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(FooterThreads, files.length))
+    try {
+      import scala.jdk.CollectionConverters._
+      val tasks = files.map { f =>
+        new java.util.concurrent.Callable[(Long, Map[String, Long])] {
+          override def call(): (Long, Map[String, Long]) = {
+            val reader = ParquetFileReader.open(
+              HadoopInputFile.fromPath(new Path(f), conf))
+            try {
+              val cols = reader.getFooter.getBlocks.asScala
+                .flatMap(_.getColumns.asScala)
+                .groupMapReduce(_.getPath.iterator().next())(
+                  _.getTotalUncompressedSize)(_ + _)
+              (reader.getRecordCount, cols)
+            } finally reader.close()
+          }
+        }
+      }
+      val parts = pool.invokeAll(tasks.asJava).asScala.map(_.get())
+      val rows = parts.map(_._1).sum
+      val bytes = parts.flatMap(_._2).groupMapReduce(_._1)(_._2)(_ + _)
+      (rows, bytes)
+    } finally pool.shutdown()
+  }
+
   /** Exact row count of the parquet files backing `df` — valid ONLY when
     * `df` is an unfiltered scan (projections are fine; a filter above the
     * scan would make the footer count an overcount, so callers must pass

@@ -130,14 +130,17 @@ object EventStreams {
     * inner join buffers nothing, so it is append-able with no watermark
     * and no state store.
     *
-    * The dim side is hinted `broadcast(...)` EXPLICITLY, and that is the
-    * point of the operator at 100 TB: AQE is disabled inside streaming
-    * queries, so the runtime 32 MB tier of the session's two-tier
-    * broadcast policy never applies here, and the 1 MB static-estimate
-    * tier is deliberately too small for a real dim table — without the
-    * hint, every micro-batch would pay a full shuffle of the unbounded
-    * stream side against a bounded dim (see the CAVEAT note in
-    * GraftSession). With it, each micro-batch plans a BroadcastHashJoin:
+    * The dim side is hinted `broadcast(...)` EXPLICITLY — the guarantee
+    * for dims the planner cannot PROVE small (in-memory relations,
+    * non-parquet sources, post-join/agg shapes): AQE is disabled inside
+    * streaming queries, so the runtime 32 MB tier of the session's
+    * two-tier broadcast policy never applies here, and the 1 MB
+    * static-estimate tier is deliberately too small for a real dim table.
+    * Parquet-backed dims need NO hint: HonestBroadcastRule runs in every
+    * micro-batch's optimizer and proves them from footer statistics
+    * (side.isStreaming guards only the stream side) — pinned hintless in
+    * EnrichPlanSpec. With either path, each micro-batch plans a
+    * BroadcastHashJoin:
     * the stream partitions stay put, the dim ships once per executor.
     * EnrichPlanSpec pins the executed micro-batch plan (broadcast on the
     * dim, zero exchanges on the stream side).

@@ -464,6 +464,77 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("honest broadcast: huge-string dims are disqualified by footer bytes") {
+    // few rows, KB-sized strings: rows x defaultSize(20) claims ~100 KB
+    // while the real hash relation is ~200 MB — the VERDICT r11 item 4
+    // failure. The byte bound must come from the footer's per-column
+    // total_uncompressed_size, so this side is NOT hinted.
+    val dir = java.nio.file.Files.createTempDirectory("graft_fat_")
+    try {
+      import spark.implicits._
+      val payload = "x" * 65536
+      (0 until 3000).map(i => (i.toLong, payload + i))
+        .toDF("fk", "fat").write.mode("overwrite")
+        .parquet(dir.resolve("fat").toString)
+      val fat = spark.read.parquet(dir.resolve("fat").toString)
+      val t = Tables(spark, sfDir)
+      // the probe side is an AGGREGATE (never footer-provable) and the
+      // static/AQE thresholds are off, so the ONLY broadcast source would
+      // be the honest rule proving the string side small
+      val probe = t.lineitem.groupBy("l_partkey").agg(count(lit(1)).as("n"))
+      val thr = "spark.sql.autoBroadcastJoinThreshold"
+      val aqeThr = "spark.sql.adaptive.autoBroadcastJoinThreshold"
+      val prev = spark.conf.get(thr)
+      val prevAqe = spark.conf.getOption(aqeThr)
+      spark.conf.set(thr, "-1"); spark.conf.set(aqeThr, "-1")
+      try {
+        val joined = probe.join(fat, col("l_partkey") === col("fk"))
+        val p = joined.queryExecution.executedPlan.toString
+        assert(!p.contains("BroadcastHashJoin"),
+          s"a 3000-row/196MB-string side must not be footer-proven small:\n$p")
+        // control: the same shape with a narrow string IS proven and hinted
+        (0 until 3000).map(i => (i.toLong, s"n$i"))
+          .toDF("fk", "thin").write.mode("overwrite")
+          .parquet(dir.resolve("thin").toString)
+        val thin = spark.read.parquet(dir.resolve("thin").toString)
+        val joined2 = probe.join(thin, col("l_partkey") === col("fk"))
+        assert(joined2.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+          "narrow-string control must still broadcast")
+      } finally {
+        spark.conf.set(thr, prev)
+        prevAqe.fold(spark.conf.unset(aqeThr))(spark.conf.set(aqeThr, _))
+      }
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
+  }
+
+  test("honest broadcast: computed variable-width outputs are not provable") {
+    val t = Tables(spark, sfDir)
+    val thr = "spark.sql.autoBroadcastJoinThreshold"
+    val aqeThr = "spark.sql.adaptive.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(thr)
+    val prevAqe = spark.conf.getOption(aqeThr)
+    spark.conf.set(thr, "-1"); spark.conf.set(aqeThr, "-1")
+    try {
+      // repeat() could blow a 1-byte scan column into anything — no footer
+      // column bounds it, so the side must stay unhinted (probe side is an
+      // aggregate: unprovable, so no broadcast may appear at all)
+      val dim = t.part.select(col("p_partkey"),
+        repeat(col("p_brand"), 100000).as("blown"))
+      val probe = t.lineitem.groupBy("l_partkey").agg(count(lit(1)).as("n"))
+      val joined = probe.join(dim, col("l_partkey") === col("p_partkey"))
+      val p = joined.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastHashJoin"),
+        s"computed variable-width output must not be footer-proven:\n$p")
+    } finally {
+      spark.conf.set(thr, prev)
+      prevAqe.fold(spark.conf.unset(aqeThr))(spark.conf.set(aqeThr, _))
+    }
+  }
+
   test("honest broadcast: joins/aggregates below the side are never proven small") {
     val t = Tables(spark, sfDir)
     // an aggregate side could legitimately broadcast, but the rule must

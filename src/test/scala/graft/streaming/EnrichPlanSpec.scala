@@ -39,6 +39,31 @@ class EnrichPlanSpec extends SparkSpec {
       s"stream side must not shuffle for a dim enrichment:\n$p")
   }
 
+  test("E19 generalized: a parquet dim broadcasts with NO explicit hint " +
+      "(honest-broadcast proves batch sides inside streaming micro-batches)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // a parquet-backed dim: footer-provable, unlike the LocalRelation above
+    val dim = Tables(spark, sfDir).nation
+      .select(col("n_nationkey").as("k"), col("n_name").as("label"))
+    val input = MemoryStream[(Long, Long, Double)]
+    val enriched = input.toDF().toDF("event_id", "k_ref", "value")
+      .join(dim, col("k_ref") === col("k")) // NO broadcast() hint
+    val q = enriched.writeStream
+      .format("memory").queryName("e19_nohint").outputMode("append").start()
+    val p =
+      try {
+        input.addData((10L, 1L, 0.5), (11L, 2L, 1.5))
+        q.processAllAvailable()
+        q.asInstanceOf[org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+          .streamingQuery.lastExecution.executedPlan.toString
+      } finally q.stop()
+    assert(p.contains("BroadcastHashJoin"),
+      s"footer-proven parquet dim must broadcast without a hint:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"stream side must not shuffle for a dim enrichment:\n$p")
+  }
+
   test("E19 twin: two-batch replay equals the batch join (cross-batch dim completeness)") {
     val twin = StreamingQueries.streamEnrichTwin.fn(spark, sfDir).collect().toSet
     val t = Tables(spark, sfDir)
