@@ -75,6 +75,33 @@ object DeltaExport {
 
     val versions = catalog.versions(ns, t)
     require(versions.nonEmpty, s"no such table: $ns.$t")
+    // Delta's log is append-only and versioned from 0: the export maps
+    // graft versions positionally, so deltaV 0 must mean the SAME graft
+    // version on every re-export. Each commitInfo records its graft
+    // version; a drifted mapping (earliest graft snapshots expired since
+    // the last export) must refuse, not silently renumber history under
+    // readers that cached earlier Delta versions.
+    val v0json = new Path(logDir, f"${0L}%020d.json")
+    if (fs.exists(v0json)) {
+      val in = fs.open(v0json)
+      val text = try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+        finally in.close()
+      val marker = text.split("\n").iterator.map(_.trim).filter(_.nonEmpty)
+        .map(mapper.readTree).flatMap(n => Option(n.get("commitInfo")))
+        .flatMap(ci => Option(ci.get("operationParameters")))
+        .flatMap(op => Option(op.get("graftVersion"))).map(_.asText())
+        .nextOption()
+      marker.foreach(m => require(m == versions.head.toString,
+        s"cannot re-export $ns.$t: existing Delta version 0 was cut from " +
+          s"graft v$m but the earliest surviving graft snapshot is now " +
+          s"v${versions.head} (snapshot expiry shifted the mapping); " +
+          "export to a fresh location instead"))
+    }
+    // deterministic createdTime: the first surviving manifest's publish
+    // mtime — constant across re-exports (a wall-clock stamp made every
+    // re-export rewrite already-committed versions with different bytes)
+    val createdTime = fs.getFileStatus(
+      new Path(tableDir, f"manifests/v${versions.head}%05d.txt")).getModificationTime
     val entriesByV = versions.map(v => v -> catalog.entriesOf(ns, t, v)).toMap
     val anyDv = versions.exists(v => entriesByV(v).exists(_.startsWith("dv/")))
 
@@ -132,7 +159,8 @@ object DeltaExport {
                 """"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}"""
             else """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""")
         }
-        lines += metaDataLine(tableId, s"$ns.$t", schemaJson, partCols, anyDv)
+        lines += metaDataLine(tableId, s"$ns.$t", schemaJson, partCols, anyDv,
+          createdTime)
         prevMeta = Some((schemaJson, partCols))
       }
       // serialize + place this snapshot's DVs; digest change (not dv-dir
@@ -147,7 +175,8 @@ object DeltaExport {
       val dvChanged = (cur.keySet -- added).filter(f =>
         curDv.get(f).map(_._1) != prevDv.get(f))
       val op = if (removed.nonEmpty || dvChanged.nonEmpty) "DELETE" else "WRITE"
-      lines += s"""{"commitInfo":{"operation":"$op","operationParameters":{},"engineInfo":"graft-lake"}}"""
+      lines += s"""{"commitInfo":{"operation":"$op","operationParameters":""" +
+        s"""{"graftVersion":"$v"},"engineInfo":"graft-lake"}}"""
       // graft txn/ watermark lines are Delta's native idea (PROTOCOL.md
       // § Transaction Identifiers): emit the moved marks as txn actions so
       // an external Delta reader sees the same idempotent-sink state
@@ -162,8 +191,13 @@ object DeltaExport {
       (added ++ dvChanged).toSeq.sorted.foreach { a =>
         lines += addLine(cur(a), curDv.get(a).map(_._2))
       }
-      writeText(fs, new Path(logDir, f"$deltaV%020d.json"),
-        lines.result().mkString("", "\n", "\n"))
+      // append-only log: a version already on disk is NEVER rewritten —
+      // its bytes are committed history readers may have cached. (The
+      // loop still replays it to carry prevFiles/prevDv/prevTxn forward;
+      // content determinism makes skip == rewrite for unexpired lineages.)
+      val target = new Path(logDir, f"$deltaV%020d.json")
+      if (!fs.exists(target))
+        writeText(fs, target, lines.result().mkString("", "\n", "\n"))
       prevFiles = cur
       prevDv = curDv.map { case (f, (digest, _)) => f -> digest }
     }
@@ -260,7 +294,9 @@ object DeltaExport {
     val schema = StructType(Seq(
       StructField("protocol", StructType(Seq(
         StructField("minReaderVersion", IntegerType),
-        StructField("minWriterVersion", IntegerType)))),
+        StructField("minWriterVersion", IntegerType),
+        StructField("readerFeatures", ArrayType(StringType)),
+        StructField("writerFeatures", ArrayType(StringType))))),
       StructField("metaData", StructType(Seq(
         StructField("id", StringType),
         StructField("name", StringType),
@@ -271,20 +307,45 @@ object DeltaExport {
         StructField("partitionColumns", ArrayType(StringType)),
         StructField("configuration", MapType(StringType, StringType)),
         StructField("createdTime", LongType)))),
+      StructField("txn", StructType(Seq(
+        StructField("appId", StringType),
+        StructField("version", LongType)))),
+      StructField("remove", StructType(Seq(
+        StructField("path", StringType),
+        StructField("deletionTimestamp", LongType),
+        StructField("dataChange", BooleanType)))),
       StructField("add", addType)))
-    val protoRow = Row.fromSeq(Seq(Row(1, 2), null, null))
+    // the protocol rides VERBATIM from the log (ADVICE r11: a hardcoded
+    // (1,2) here let external readers treat a deletion-vector table as
+    // base-protocol and silently resurrect deleted rows); a feature-less
+    // protocol writes null arrays, a (3,7) log carries its feature lists
+    val pr = state.protocol.getOrElse(DeltaImport.ProtocolState(1, 2, Nil, Nil))
+    def featOrNull(fs: Seq[String]) = if (fs.isEmpty) null else fs
+    val protoRow = Row.fromSeq(Seq(
+      Row(pr.minReaderVersion, pr.minWriterVersion,
+        featOrNull(pr.readerFeatures), featOrNull(pr.writerFeatures)),
+      null, null, null, null))
     val metaRow = Row.fromSeq(Seq(null,
       Row(state.tableId, state.tableName, Row("parquet", Map.empty[String, String]),
         state.schemaJson, state.partitionColumns, Map.empty[String, String],
-        state.createdTime), null))
+        state.createdTime), null, null, null))
+    // spec: checkpoints preserve transaction identifiers and unexpired
+    // remove tombstones (in-flight older readers need tombstone
+    // visibility; VACUUM implementations replay them)
+    val txnRows = state.txns.toSeq.sortBy(_._1).map { case (app, ver) =>
+      Row.fromSeq(Seq(null, null, Row(app, ver), null, null))
+    }
+    val removeRows = state.removes.toSeq.sortBy(_._1).map { case (p, ts) =>
+      Row.fromSeq(Seq(null, null, null, Row(p, ts, true), null))
+    }
     val addRows = state.adds.toSeq.sortBy(_._1).map { case (p, a) =>
       val dvRow = a.dv.map(d =>
         Row(d.storageType, d.pathOrInlineDv, d.offset.map(Int.box).orNull,
           d.sizeInBytes, d.cardinality)).orNull
-      Row.fromSeq(Seq(null, null,
+      Row.fromSeq(Seq(null, null, null, null,
         Row(p, a.partitionValues, a.size, a.mtime, true, a.stats.orNull, dvRow)))
     }
-    val rows = protoRow +: metaRow +: addRows
+    val rows = (protoRow +: metaRow +: txnRows) ++ removeRows ++ addRows
     val df = spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1), schema)
     val tmp = new Path(dir, s".cp-${java.util.UUID.randomUUID()}.tmp")
@@ -328,7 +389,9 @@ object DeltaExport {
           .filter(_.contains("="))
           .map { seg =>
             val k = seg.takeWhile(_ != '=')
-            val v = java.net.URLDecoder.decode(seg.drop(k.length + 1), "UTF-8")
+            // Spark's partition escaping percent-encodes but never maps
+            // '+' to space — route through the RFC-2396 decode
+            val v = DeltaImport.decodePath(seg.drop(k.length + 1))
             k -> v
           }.toMap
         val reader = ParquetFileReader.open(HadoopInputFile.fromPath(st.getPath, conf))
@@ -389,7 +452,7 @@ object DeltaExport {
   }
 
   private def metaDataLine(id: String, name: String, schemaJson: String,
-      partCols: Seq[String], dvEnabled: Boolean): String = {
+      partCols: Seq[String], dvEnabled: Boolean, createdTime: Long): String = {
     val o = mapper.createObjectNode()
     val m = o.putObject("metaData")
     m.put("id", id)
@@ -402,7 +465,7 @@ object DeltaExport {
     partCols.foreach(pc.add)
     val cfg = m.putObject("configuration")
     if (dvEnabled) cfg.put("delta.enableDeletionVectors", "true")
-    m.put("createdTime", System.currentTimeMillis())
+    m.put("createdTime", createdTime)
     mapper.writeValueAsString(o)
   }
 

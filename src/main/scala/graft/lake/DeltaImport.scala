@@ -43,20 +43,55 @@ object DeltaImport {
   final case class AddState(partitionValues: Map[String, String], size: Long,
       mtime: Long, stats: Option[String], dv: Option[DvDescriptor] = None)
 
+  /** The table's protocol action (PROTOCOL.md §Protocol Evolution).
+    * Features lists are only present at (3, 7).
+    */
+  final case class ProtocolState(minReaderVersion: Int, minWriterVersion: Int,
+      readerFeatures: Seq[String], writerFeatures: Seq[String])
+
   final case class LogState(
       tableId: String,
       tableName: String,
       schemaJson: String,
       partitionColumns: Seq[String],
       createdTime: Long,
-      adds: Map[String, AddState]) {
+      adds: Map[String, AddState],
+      protocol: Option[ProtocolState] = None,
+      configuration: Map[String, String] = Map.empty,
+      // unexpired remove tombstones (path -> deletionTimestamp): the spec
+      // requires checkpoints to preserve them for in-flight older readers
+      removes: Map[String, Long] = Map.empty,
+      // latest txn action per appId — the spec requires checkpoints to
+      // preserve transaction identifiers
+      txns: Map[String, Long] = Map.empty) {
     def withMeta(id: String, name: String, schema: String, pc: Seq[String],
-        created: Long): LogState =
+        created: Long, conf: Map[String, String]): LogState =
       copy(tableId = id, tableName = name, schemaJson = schema,
-        partitionColumns = pc, createdTime = created)
+        partitionColumns = pc, createdTime = created, configuration = conf)
   }
 
   private[lake] val EmptyState = LogState("", "", null, Nil, 0L, Map.empty)
+
+  /** Reader features this importer actually implements. A foreign log
+    * requiring anything else is REJECTED loudly (the spec's mandate) —
+    * reading on anyway returns silently wrong data (e.g. an unsupported
+    * column-mapping mode resolves every logical column to null).
+    */
+  private val SupportedReaderFeatures = Set("deletionVectors", "columnMapping")
+
+  private def requireReadable(state: LogState): Unit = {
+    state.protocol.foreach { p =>
+      require(p.minReaderVersion <= 3,
+        s"unsupported Delta minReaderVersion ${p.minReaderVersion} (this reader speaks <= 3)")
+      val unsupported = p.readerFeatures.toSet -- SupportedReaderFeatures
+      require(unsupported.isEmpty,
+        s"unsupported Delta readerFeatures: ${unsupported.mkString(", ")} " +
+          s"(supported: ${SupportedReaderFeatures.mkString(", ")})")
+    }
+    val mode = state.configuration.getOrElse("delta.columnMapping.mode", "none")
+    require(mode == "none" || mode == "name",
+      s"unsupported delta.columnMapping.mode '$mode' (supported: none, name)")
+  }
 
   /** Read the table at `version` (default: latest committed). `location`
     * is the TABLE directory (the one holding `_delta_log`).
@@ -81,26 +116,69 @@ object DeltaImport {
     require(have.contains(v),
       s"no Delta version $v at $logDir (have ${have.head}..${have.last})")
 
-    val cp = lastCheckpointVersion(fs, logDir).filter(_ <= v)
-    val seed = cp.map(cv => stateFromCheckpoint(spark,
-      new Path(logDir, f"$cv%020d.checkpoint.parquet"))).getOrElse(EmptyState)
-    val state = replayJson(fs, logDir, cp.map(_ + 1).getOrElse(0L), v, seed)
+    // multi-part checkpoints: `_last_checkpoint.parts` names N part files;
+    // single-file checkpoints keep the classic name
+    val cp = lastCheckpoint(fs, logDir).filter(_._1 <= v)
+    // DRIVER-STATE BOUND: checkpoint seeding collects O(live files) rows;
+    // past the cap the adds stay a DataFrame — pruned (tail shadowing +
+    // partitionEq) distributively, and only the files the scan will
+    // actually read are ever collected. Planning cost then tracks the
+    // partition served, not the table.
+    val cap = maxDriverFiles
+    val (seed, bigAdds) = cp match {
+      case None => (EmptyState, None)
+      case Some((cv, parts)) =>
+        val files = checkpointFiles(logDir, cv, parts)
+        val cpDf = spark.read.parquet(files.map(_.toString): _*)
+        val addCount = cpDf.filter(col("add").isNotNull).count()
+        if (addCount <= cap) (stateFromCheckpointFiles(spark, files), None)
+        else {
+          org.slf4j.LoggerFactory.getLogger(getClass).info(
+            s"DeltaImport: checkpoint holds $addCount adds > driver cap $cap " +
+              "-> distributive planning (prune before collect)")
+          (metaStateFromCheckpoint(cpDf),
+            Some(cpDf.filter(col("add").isNotNull).select("add.*")))
+        }
+    }
+    val state = replayJson(fs, logDir, cp.map(_._1 + 1).getOrElse(0L), v, seed)
     require(state.schemaJson != null,
       s"no metaData action in the log up to version $v")
+    requireReadable(state)
     val schema = DataType.fromJson(state.schemaJson).asInstanceOf[StructType]
+    // column mapping (mode=name): data files carry PHYSICAL column names;
+    // schemaString fields carry the mapping in their metadata. Scan by
+    // physical name, rename to logical right after the scan. Per the
+    // spec partitionValues keys are physical too.
+    val mapping = columnMapping(state, schema)
+    val physByLogical: Map[String, String] = mapping.getOrElse(Map.empty)
+    def physOf(logical: String): String = physByLogical.getOrElse(logical, logical)
     if (partitionEq.nonEmpty) {
       val bad = partitionEq.keySet -- state.partitionColumns.toSet
       require(bad.isEmpty,
         s"partitionEq keys ${bad.mkString(", ")} are not partition columns " +
           s"of this table (${state.partitionColumns.mkString(", ")})")
     }
-    val live = state.adds.filter { case (_, a) =>
-      partitionEq.forall { case (k, x) => a.partitionValues.get(k).contains(x) }
-    }
+    def matchesEq(a: AddState): Boolean =
+      partitionEq.forall { case (k, x) => a.partitionValues.get(physOf(k)).contains(x) }
+    val tailLive: Seq[(String, AddState)] =
+      state.adds.filter { case (_, a) => matchesEq(a) }.toSeq
+    val live: Seq[(String, AddState)] = (bigAdds match {
+      case None => tailLive
+      case Some(df) =>
+        // tail adds/removes shadow their checkpoint rows; both sets are
+        // bounded by post-checkpoint churn, never by live-file count
+        val shadowed = (state.adds.keySet ++ state.removes.keySet).toSeq
+        var pruned = if (shadowed.isEmpty) df
+          else df.filter(!col("path").isin(shadowed: _*))
+        partitionEq.foreach { case (k, x) =>
+          pruned = pruned.filter(col("partitionValues").getItem(physOf(k)) === x)
+        }
+        pruned.collect().map(addStateOfRow).toSeq ++ tailLive
+    }).sortBy(_._1)
     if (live.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
 
-    val files = live.toSeq.sortBy(_._1).map { case (rel, a) =>
+    val files = live.map { case (rel, a) =>
       (new Path(tableDir, decodePath(rel)), a.partitionValues)
     }
     // DV resolution stays OUT of the driver's data path entirely: only the
@@ -109,7 +187,7 @@ object DeltaImport {
     // via the broadcast Hadoop conf) and expand positions inside the
     // flatMap — at 100 TB the driver never holds a byte of bitmap
     val dvRows: Seq[(String, String, String, Int, Int)] =
-      live.toSeq.sortBy(_._1).collect {
+      live.collect {
         case (rel, a) if a.dv.isDefined =>
           val d = a.dv.get
           (normalize(new Path(tableDir, decodePath(rel))),
@@ -119,10 +197,15 @@ object DeltaImport {
     // scan with the declared DATA schema (schemaString minus partition
     // columns): files below a schema evolution null-fill their missing
     // columns without a mergeSchema footer sweep — the spec's reader
-    // contract (schemaString is authoritative, not the files)
-    val dataSchema = StructType(
-      schema.fields.filterNot(f => state.partitionColumns.contains(f.name)))
-    val raw0 = spark.read.schema(dataSchema).parquet(files.map(_._1.toString): _*)
+    // contract (schemaString is authoritative, not the files). Under
+    // column mapping the scan schema uses PHYSICAL names, renamed back to
+    // logical immediately after.
+    val dataFields = schema.fields.filterNot(f => state.partitionColumns.contains(f.name))
+    val dataSchema = StructType(dataFields.map(f => f.copy(name = physOf(f.name))))
+    val rawPhys = spark.read.schema(dataSchema).parquet(files.map(_._1.toString): _*)
+    val raw0 =
+      if (physByLogical.isEmpty) rawPhys
+      else rawPhys.toDF(dataFields.map(_.name).toSeq: _*)
     val present = raw0.columns.toSet
     val missingPart = state.partitionColumns.filterNot(present.contains)
     // row identity must be captured ON the scan (the `_metadata`
@@ -140,7 +223,7 @@ object DeltaImport {
           StructField("__delta_fp", StringType) +:
             missingPart.map(StructField(_, StringType)))
         val mapRows = files.map { case (p, pv) =>
-          Row.fromSeq(normalize(p) +: missingPart.map(pv.get(_).orNull))
+          Row.fromSeq(normalize(p) +: missingPart.map(lp => pv.get(physOf(lp)).orNull))
         }
         val lookup = spark.createDataFrame(
           spark.sparkContext.parallelize(mapRows, 1), mapSchema)
@@ -212,6 +295,8 @@ object DeltaImport {
       from: Long, to: Long, seed: LogState): LogState = {
     var state = seed
     val adds = scala.collection.mutable.Map[String, AddState](seed.adds.toSeq: _*)
+    val removes = scala.collection.mutable.Map[String, Long](seed.removes.toSeq: _*)
+    val txns = scala.collection.mutable.Map[String, Long](seed.txns.toSeq: _*)
     (from to to).foreach { v =>
       val p = new Path(logDir, f"$v%020d.json")
       val in = fs.open(p)
@@ -219,14 +304,32 @@ object DeltaImport {
         java.nio.charset.StandardCharsets.UTF_8) finally in.close()
       text.split("\n").iterator.map(_.trim).filter(_.nonEmpty).foreach { line =>
         val n = mapper.readTree(line)
+        Option(n.get("protocol")).foreach { pr =>
+          def features(name: String): Seq[String] =
+            Option(pr.get(name)).filterNot(_.isNull).toSeq
+              .flatMap(a => (0 until a.size()).map(a.get(_).asText()))
+          state = state.copy(protocol = Some(ProtocolState(
+            pr.get("minReaderVersion").asInt(), pr.get("minWriterVersion").asInt(),
+            features("readerFeatures"), features("writerFeatures"))))
+        }
+        Option(n.get("txn")).foreach { t =>
+          txns(t.get("appId").asText()) = t.get("version").asLong()
+        }
         Option(n.get("metaData")).foreach { m =>
           val pc = m.get("partitionColumns")
+          val conf = Option(m.get("configuration")).filterNot(_.isNull).toSeq
+            .flatMap { node =>
+              import scala.jdk.CollectionConverters._
+              node.fieldNames().asScala.toSeq.flatMap(k =>
+                Option(node.get(k)).filterNot(_.isNull).map(v => k -> v.asText()))
+            }.toMap
           state = state.withMeta(
             m.get("id").asText(),
             Option(m.get("name")).map(_.asText()).getOrElse(""),
             m.get("schemaString").asText(),
             (0 until pc.size()).map(pc.get(_).asText()),
-            Option(m.get("createdTime")).map(_.asLong()).getOrElse(0L))
+            Option(m.get("createdTime")).map(_.asLong()).getOrElse(0L),
+            conf)
         }
         Option(n.get("add")).foreach { a =>
           val pv = Option(a.get("partitionValues")).toSeq.flatMap { node =>
@@ -242,54 +345,102 @@ object DeltaImport {
               d.get("sizeInBytes").asInt(),
               d.get("cardinality").asLong())
           }
-          adds(a.get("path").asText()) = AddState(pv,
+          val path = a.get("path").asText()
+          adds(path) = AddState(pv,
             Option(a.get("size")).map(_.asLong()).getOrElse(0L),
             Option(a.get("modificationTime")).map(_.asLong()).getOrElse(0L),
             Option(a.get("stats")).filterNot(_.isNull).map(_.asText()), dv)
+          removes.remove(path) // re-added: the tombstone is superseded
         }
-        Option(n.get("remove")).foreach(r => adds.remove(r.get("path").asText()))
+        Option(n.get("remove")).foreach { r =>
+          val path = r.get("path").asText()
+          adds.remove(path)
+          removes(path) =
+            Option(r.get("deletionTimestamp")).filterNot(_.isNull)
+              .map(_.asLong()).getOrElse(0L)
+        }
       }
     }
-    state.copy(adds = adds.toMap)
+    state.copy(adds = adds.toMap, removes = removes.toMap, txns = txns.toMap)
   }
 
-  /** Seed replay state from a checkpoint parquet — table STATE, O(live
-    * files): protocol + latest metaData + net adds, exactly what
-    * [[DeltaExport.checkpoint]] persists. One bounded Spark read.
+  /** One checkpoint `add` row → (path, AddState). Tolerant of checkpoints
+    * written without the optional columns.
     */
-  private def stateFromCheckpoint(spark: SparkSession, file: Path): LogState = {
-    val rows = spark.read.parquet(file.toString).collect()
+  private def addStateOfRow(a: Row): (String, AddState) = {
+    def has(n: String) = a.schema != null && a.schema.fieldNames.contains(n)
+    val pv = Option(a.getAs[scala.collection.Map[String, String]]("partitionValues"))
+      .map(_.toMap).getOrElse(Map.empty[String, String])
+    val dv = (if (has("deletionVector")) Option(a.getAs[Row]("deletionVector")) else None)
+      .map(d => DvDescriptor(
+        d.getAs[String]("storageType"), d.getAs[String]("pathOrInlineDv"),
+        Option(d.getAs[java.lang.Integer]("offset")).map(_.intValue()),
+        d.getAs[Int]("sizeInBytes"), d.getAs[Long]("cardinality")))
+    a.getAs[String]("path") -> AddState(pv,
+      a.getAs[Long]("size"), a.getAs[Long]("modificationTime"),
+      Option(a.getAs[String]("stats")), dv)
+  }
+
+  /** Seed the NON-add replay state (protocol, metaData, txns, remove
+    * tombstones) from the checkpoint frame — a driver collect bounded by
+    * metadata + churn, never by live-file count.
+    */
+  private def metaStateFromCheckpoint(cpDf: DataFrame): LogState = {
     var state = EmptyState
-    val adds = scala.collection.mutable.Map.empty[String, AddState]
-    rows.foreach { r =>
-      val mi = r.fieldIndex("metaData")
-      if (!r.isNullAt(mi)) {
-        val m = r.getStruct(mi)
-        state = state.withMeta(
-          m.getAs[String]("id"),
-          Option(m.getAs[String]("name")).getOrElse(""),
-          m.getAs[String]("schemaString"),
-          Option(m.getAs[scala.collection.Seq[String]]("partitionColumns"))
-            .map(_.toSeq).getOrElse(Nil),
-          Option(m.getAs[java.lang.Long]("createdTime")).map(_.longValue()).getOrElse(0L))
+    val removes = scala.collection.mutable.Map.empty[String, Long]
+    val txns = scala.collection.mutable.Map.empty[String, Long]
+    val metaCols = cpDf.schema.fieldNames.filterNot(_ == "add")
+    cpDf.filter(col("add").isNull).select(metaCols.map(col).toSeq: _*)
+      .collect().foreach { r =>
+        def struct(n: String): Option[Row] =
+          if (!r.schema.fieldNames.contains(n) || r.isNullAt(r.fieldIndex(n))) None
+          else Some(r.getStruct(r.fieldIndex(n)))
+        struct("protocol").foreach { p =>
+          def features(n: String): Seq[String] =
+            if (p.schema.fieldNames.contains(n))
+              Option(p.getAs[scala.collection.Seq[String]](n)).map(_.toSeq).getOrElse(Nil)
+            else Nil
+          state = state.copy(protocol = Some(ProtocolState(
+            p.getAs[Int]("minReaderVersion"), p.getAs[Int]("minWriterVersion"),
+            features("readerFeatures"), features("writerFeatures"))))
+        }
+        struct("metaData").foreach { m =>
+          val conf =
+            if (m.schema.fieldNames.contains("configuration"))
+              Option(m.getAs[scala.collection.Map[String, String]]("configuration"))
+                .map(_.toMap).getOrElse(Map.empty[String, String])
+            else Map.empty[String, String]
+          state = state.withMeta(
+            m.getAs[String]("id"),
+            Option(m.getAs[String]("name")).getOrElse(""),
+            m.getAs[String]("schemaString"),
+            Option(m.getAs[scala.collection.Seq[String]]("partitionColumns"))
+              .map(_.toSeq).getOrElse(Nil),
+            Option(m.getAs[java.lang.Long]("createdTime")).map(_.longValue()).getOrElse(0L),
+            conf)
+        }
+        struct("txn").foreach(t =>
+          txns(t.getAs[String]("appId")) = t.getAs[Long]("version"))
+        struct("remove").foreach(rm =>
+          removes(rm.getAs[String]("path")) =
+            Option(rm.getAs[java.lang.Long]("deletionTimestamp"))
+              .map(_.longValue()).getOrElse(0L))
       }
-      val ai = r.fieldIndex("add")
-      if (!r.isNullAt(ai)) {
-        val a = r.getStruct(ai)
-        val pv = Option(a.getAs[scala.collection.Map[String, String]]("partitionValues"))
-          .map(_.toMap).getOrElse(Map.empty[String, String])
-        val dv = (if (a.schema != null && a.schema.fieldNames.contains("deletionVector"))
-            Option(a.getAs[Row]("deletionVector")) else None)
-          .map(d => DvDescriptor(
-            d.getAs[String]("storageType"), d.getAs[String]("pathOrInlineDv"),
-            Option(d.getAs[java.lang.Integer]("offset")).map(_.intValue()),
-            d.getAs[Int]("sizeInBytes"), d.getAs[Long]("cardinality")))
-        adds(a.getAs[String]("path")) = AddState(pv,
-          a.getAs[Long]("size"), a.getAs[Long]("modificationTime"),
-          Option(a.getAs[String]("stats")), dv)
-      }
-    }
-    state.copy(adds = adds.toMap)
+    state.copy(removes = removes.toMap, txns = txns.toMap)
+  }
+
+  /** Full checkpoint seed — meta state + every add collected driver-side
+    * (the exact-replay path used while the add count fits
+    * [[maxDriverFiles]]; shared with [[DeltaExport.checkpoint]]).
+    */
+  private[lake] def stateFromCheckpoint(spark: SparkSession, file: Path): LogState =
+    stateFromCheckpointFiles(spark, Seq(file))
+
+  private def stateFromCheckpointFiles(spark: SparkSession, files: Seq[Path]): LogState = {
+    val cpDf = spark.read.parquet(files.map(_.toString): _*)
+    val adds = cpDf.filter(col("add").isNotNull).select("add.*")
+      .collect().map(addStateOfRow)
+    metaStateFromCheckpoint(cpDf).copy(adds = adds.toMap)
   }
 
   /** Versions with a JSON commit file, sorted. */
@@ -299,15 +450,66 @@ object DeltaImport {
       .filter(_.matches("\\d{20}\\.json"))
       .map(_.stripSuffix(".json").toLong).sorted
 
-  private def lastCheckpointVersion(fs: FileSystem, logDir: Path): Option[Long] = {
+  /** `_last_checkpoint` pointer: (version, parts — None for the classic
+    * single-file form).
+    */
+  private def lastCheckpoint(fs: FileSystem, logDir: Path): Option[(Long, Option[Int])] = {
     val p = new Path(logDir, "_last_checkpoint")
     if (!fs.exists(p)) None
     else {
       val in = fs.open(p)
       val text = try new String(in.readAllBytes(),
         java.nio.charset.StandardCharsets.UTF_8) finally in.close()
-      Some(mapper.readTree(text).get("version").asLong())
+      val n = mapper.readTree(text)
+      Some((n.get("version").asLong(),
+        Option(n.get("parts")).filterNot(_.isNull).map(_.asInt())))
     }
+  }
+
+  private def checkpointFiles(logDir: Path, v: Long, parts: Option[Int]): Seq[Path] =
+    parts match {
+      case None => Seq(new Path(logDir, f"$v%020d.checkpoint.parquet"))
+      case Some(n) =>
+        require(n >= 1, s"_last_checkpoint declares $n parts")
+        (1 to n).map(i =>
+          new Path(logDir, f"$v%020d.checkpoint.$i%010d.$n%010d.parquet"))
+    }
+
+  /** Checkpoint adds past this count are planned distributively instead of
+    * collected wholesale (graft.delta.import.maxDriverFiles).
+    */
+  private def maxDriverFiles: Long =
+    sys.props.get("graft.delta.import.maxDriverFiles").map(_.toLong)
+      .getOrElse(100000L)
+
+  /** logical -> physical top-level column names under
+    * delta.columnMapping.mode=name; None when mapping is off. Nested
+    * fields whose physical names differ from their logical names are
+    * rejected loudly — renaming inside nested types is not implemented,
+    * and reading on would resolve those fields to null.
+    */
+  private def columnMapping(state: LogState, schema: StructType): Option[Map[String, String]] = {
+    if (state.configuration.getOrElse("delta.columnMapping.mode", "none") != "name")
+      return None
+    val PhysKey = "delta.columnMapping.physicalName"
+    def assertNestedUnmapped(dt: DataType, at: String): Unit = dt match {
+      case st: StructType => st.fields.foreach { f =>
+        if (f.metadata.contains(PhysKey))
+          require(f.metadata.getString(PhysKey) == f.name,
+            s"nested column-mapping rename at $at.${f.name} is not supported")
+        assertNestedUnmapped(f.dataType, s"$at.${f.name}")
+      }
+      case ArrayType(et, _) => assertNestedUnmapped(et, s"$at[]")
+      case MapType(kt, vt, _) =>
+        assertNestedUnmapped(kt, s"$at.key"); assertNestedUnmapped(vt, s"$at.value")
+      case _ => ()
+    }
+    Some(schema.fields.map { f =>
+      assertNestedUnmapped(f.dataType, f.name)
+      val phys =
+        if (f.metadata.contains(PhysKey)) f.metadata.getString(PhysKey) else f.name
+      f.name -> phys
+    }.toMap)
   }
 
   private def normalize(p: Path): String = p.toUri.getPath
@@ -321,7 +523,13 @@ object DeltaImport {
       regexp_replace(c, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*", ""),
       "^[a-zA-Z][a-zA-Z0-9+.-]*:/", "/")
 
-  /** Spec: `add.path` is percent-encoded. */
-  private def decodePath(rel: String): String =
-    java.net.URLDecoder.decode(rel, "UTF-8")
+  /** Spec: `add.path` is percent-encoded per RFC 2396 — which has NO
+    * '+'-means-space rule (that is application/x-www-form-urlencoded).
+    * DeltaExport.encodePath (java.net.URI) leaves '+' literal, and Spark's
+    * partition escaping doesn't escape it either, so a bare URLDecoder
+    * would turn any path containing '+' into a wrong path (scan failure)
+    * or wrong partition value. Escape '+' before the decode.
+    */
+  private[lake] def decodePath(rel: String): String =
+    java.net.URLDecoder.decode(rel.replace("+", "%2B"), "UTF-8")
 }

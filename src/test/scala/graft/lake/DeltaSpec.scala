@@ -244,4 +244,253 @@ class DeltaSpec extends SparkSpec {
     assert(imported.filter(col("id") % 2 === 0).count() == 0)
     assert(rows(imported) == rows(cat.read("dl", "t").select("id", "x")))
   }
+
+  // ---- r12: protocol fidelity, determinism, column mapping, bounds ------
+
+  private def writeLog(loc: String, v: Long, lines: Seq[String]): Unit = {
+    val p = new Path(new Path(loc, "_delta_log"), f"$v%020d.json")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(p.getParent)
+    val out = fs.create(p, true)
+    try out.write(lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  test("checkpoint carries the log's REAL protocol (DV tables: 3/7 + features)") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    cat.write("dl", "t", (1 to 60).map(i => (i.toLong, i * 2.0)).toDF("id", "x"))
+    cat.deleteMoR("dl", "t", col("id") % 3 === 0)
+    val exp = DeltaExport.export(spark, cat, "dl", "t")
+    DeltaExport.checkpoint(spark, exp.logDir, exp.lastDeltaVersion)
+    val cp = spark.read.parquet(
+      new Path(exp.logDir, f"${exp.lastDeltaVersion}%020d.checkpoint.parquet").toString)
+    val proto = cp.filter(col("protocol").isNotNull).select("protocol.*").collect()
+    assert(proto.length == 1)
+    assert(proto(0).getAs[Int]("minReaderVersion") == 3 &&
+      proto(0).getAs[Int]("minWriterVersion") == 7,
+      "a deletion-vector table's checkpoint must not claim the base protocol")
+    assert(proto(0).getAs[scala.collection.Seq[String]]("readerFeatures")
+      .contains("deletionVectors"))
+    // and a checkpoint-seeded import still equals the lake
+    assert(rows(DeltaImport.read(spark, tableLoc(cat, "dl", "t"))) ==
+      rows(cat.read("dl", "t").select("id", "x")))
+  }
+
+  test("checkpoint preserves remove tombstones and txn identifiers") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    cat.writeTxn("dl", "t", "sinkApp", 7L, (1 to 50).map(i => (i.toLong, i * 2.0)).toDF("id", "x"))
+    cat.write("dl", "t", (51 to 100).map(i => (i.toLong, i * 2.0)).toDF("id", "x"),
+      SaveMode.Append)
+    cat.delete("dl", "t", col("id") <= 50) // CoW: tombstones the first commit
+    val exp = DeltaExport.export(spark, cat, "dl", "t")
+    // the txn action must be in the JSON log...
+    assert(logLines(tableLoc(cat, "dl", "t"), 0L)
+      .exists(l => l.contains("\"txn\"") && l.contains("sinkApp") && l.contains("\"version\":7")))
+    DeltaExport.checkpoint(spark, exp.logDir, exp.lastDeltaVersion)
+    val cp = spark.read.parquet(
+      new Path(exp.logDir, f"${exp.lastDeltaVersion}%020d.checkpoint.parquet").toString)
+    // ...and survive into the checkpoint (spec: txns + unexpired tombstones)
+    val txn = cp.filter(col("txn").isNotNull).select("txn.*").collect()
+    assert(txn.map(r => (r.getString(0), r.getLong(1))).toSet == Set(("sinkApp", 7L)))
+    assert(cp.filter(col("remove").isNotNull).count() >= 1,
+      "CoW-removed files must keep tombstone visibility in the checkpoint")
+  }
+
+  test("re-export never rewrites committed versions; bytes are deterministic") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    cat.write("dl", "t", (1 to 30).map(i => (i.toLong, s"v$i")).toDF("id", "v"))
+    cat.write("dl", "t", (31 to 60).map(i => (i.toLong, s"v$i")).toDF("id", "v"),
+      SaveMode.Append)
+    val loc = tableLoc(cat, "dl", "t")
+    DeltaExport.export(spark, cat, "dl", "t")
+    val before = (0L to 1L).map(v => v -> logLines(loc, v))
+    cat.write("dl", "t", (61 to 90).map(i => (i.toLong, s"v$i")).toDF("id", "v"),
+      SaveMode.Append)
+    val exp2 = DeltaExport.export(spark, cat, "dl", "t")
+    assert(exp2.lastDeltaVersion == 2L)
+    before.foreach { case (v, lines) =>
+      assert(logLines(loc, v) == lines,
+        s"re-export must not change committed Delta version $v")
+    }
+    // no wall-clock leak: createdTime identical across the lineage
+    assert(logLines(loc, 0L).find(_.contains("createdTime")).nonEmpty)
+  }
+
+  test("re-export refuses when snapshot expiry shifted the version mapping") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    cat.write("dl", "t", (1 to 20).map(i => (i.toLong, i * 1.0)).toDF("id", "x"))
+    cat.write("dl", "t", (21 to 40).map(i => (i.toLong, i * 1.0)).toDF("id", "x"),
+      SaveMode.Append)
+    DeltaExport.export(spark, cat, "dl", "t")
+    cat.expireSnapshots("dl", "t", keepLast = 1) // earliest graft version gone
+    val e = intercept[IllegalArgumentException] {
+      DeltaExport.export(spark, cat, "dl", "t")
+    }
+    assert(e.getMessage.contains("shifted the mapping"), e.getMessage)
+  }
+
+  test("'+' in partition values and paths survives the round trip (RFC 2396)") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    val df = Seq((1L, "a+b", 1.0), (2L, "a+b", 2.0), (3L, "plain", 3.0))
+      .toDF("id", "k", "x")
+    cat.write("dl", "t", df, partitionBy = Seq("k"))
+    DeltaExport.export(spark, cat, "dl", "t")
+    val loc = tableLoc(cat, "dl", "t")
+    val imported = DeltaImport.read(spark, loc)
+    assert(rows(imported.select("id", "k", "x")) == rows(df))
+    // and plan-time pruning on the '+' value selects exactly its rows
+    val pruned = DeltaImport.read(spark, loc, partitionEq = Map("k" -> "a+b"))
+    assert(pruned.count() == 2)
+  }
+
+  test("unsupported reader features / versions are rejected, not misread") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_foreign_").toString
+    val schemaJson = new org.apache.spark.sql.types.StructType()
+      .add("id", "long").add("v", "string").json
+    // a v2Checkpoint-requiring table: reading it with this importer would
+    // be wrong, so it must refuse
+    writeLog(dir, 0L, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["v2Checkpoint"],"writerFeatures":["v2Checkpoint"]}}""",
+      s"""{"metaData":{"id":"m","name":"t","format":{"provider":"parquet","options":{}},"schemaString":${com.fasterxml.jackson.databind.json.JsonMapper.builder().build().writeValueAsString(schemaJson)},"partitionColumns":[],"configuration":{},"createdTime":0}}"""))
+    val e = intercept[IllegalArgumentException] {
+      DeltaImport.read(spark, dir)
+    }
+    assert(e.getMessage.contains("v2Checkpoint"), e.getMessage)
+    // and a future minReaderVersion without features is equally loud
+    writeLog(dir, 0L, Seq(
+      """{"protocol":{"minReaderVersion":4,"minWriterVersion":7}}""",
+      s"""{"metaData":{"id":"m","name":"t","format":{"provider":"parquet","options":{}},"schemaString":${com.fasterxml.jackson.databind.json.JsonMapper.builder().build().writeValueAsString(schemaJson)},"partitionColumns":[],"configuration":{},"createdTime":0}}"""))
+    val e2 = intercept[IllegalArgumentException] {
+      DeltaImport.read(spark, dir)
+    }
+    assert(e2.getMessage.contains("minReaderVersion"), e2.getMessage)
+  }
+
+  test("column mapping mode=name: physical files read back as logical columns") {
+    import spark.implicits._
+    val mapper = com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+    val dir = Files.createTempDirectory("graft_cmap_").toString
+    // a foreign writer's table: parquet columns carry PHYSICAL names
+    val tmp = Files.createTempDirectory("graft_cmap_stage_").resolve("out")
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("col-9f1", "col-2ab")
+      .coalesce(1).write.parquet(tmp.toString)
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    val part = fs.listStatus(new Path(tmp.toString)).map(_.getPath)
+      .find(_.getName.endsWith(".parquet")).get
+    fs.rename(part, new Path(dir, "data-0.parquet"))
+    val schemaJson = new org.apache.spark.sql.types.StructType()
+      .add("id", org.apache.spark.sql.types.LongType, nullable = true,
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .putString("delta.columnMapping.physicalName", "col-9f1")
+          .putLong("delta.columnMapping.id", 1).build())
+      .add("v", org.apache.spark.sql.types.StringType, nullable = true,
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .putString("delta.columnMapping.physicalName", "col-2ab")
+          .putLong("delta.columnMapping.id", 2).build())
+      .json
+    writeLog(dir, 0L, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      s"""{"metaData":{"id":"m","name":"t","format":{"provider":"parquet","options":{}},"schemaString":${mapper.writeValueAsString(schemaJson)},"partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name"},"createdTime":0}}""",
+      """{"add":{"path":"data-0.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}"""))
+    val imported = DeltaImport.read(spark, dir)
+    assert(imported.columns.toSeq == Seq("id", "v"))
+    assert(rows(imported) == Set(Seq(1L, "a"), Seq(2L, "b"), Seq(3L, "c")))
+    // mode=id stays a loud rejection
+    writeLog(dir, 0L, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      s"""{"metaData":{"id":"m","name":"t","format":{"provider":"parquet","options":{}},"schemaString":${mapper.writeValueAsString(schemaJson)},"partitionColumns":[],"configuration":{"delta.columnMapping.mode":"id"},"createdTime":0}}""",
+      """{"add":{"path":"data-0.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}"""))
+    val e = intercept[IllegalArgumentException] { DeltaImport.read(spark, dir) }
+    assert(e.getMessage.contains("columnMapping.mode"), e.getMessage)
+  }
+
+  test("multi-part checkpoints seed exactly like single-file ones") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    cat.write("dl", "t", (1 to 40).map(i => (i.toLong, i * 2.0)).toDF("id", "x"))
+    cat.write("dl", "t", (41 to 80).map(i => (i.toLong, i * 2.0)).toDF("id", "x"),
+      SaveMode.Append)
+    val exp = DeltaExport.export(spark, cat, "dl", "t")
+    DeltaExport.checkpoint(spark, exp.logDir, exp.lastDeltaVersion)
+    val loc = tableLoc(cat, "dl", "t")
+    val expected = rows(DeltaImport.read(spark, loc))
+    // split the single checkpoint into two part files + a parts pointer
+    val fs = new Path(exp.logDir).getFileSystem(spark.sessionState.newHadoopConf())
+    val single = new Path(exp.logDir, f"${exp.lastDeltaVersion}%020d.checkpoint.parquet")
+    val cpDf = spark.read.parquet(single.toString)
+    val cpRows = cpDf.collect().toSeq
+    val n = cpRows.length.toLong
+    val (h1, h2) = cpRows.splitAt(cpRows.length / 2)
+    def writePart(part: Seq[org.apache.spark.sql.Row], i: Int): Unit = {
+      val tmp = new Path(exp.logDir, s".part$i.tmp")
+      spark.createDataFrame(spark.sparkContext.parallelize(part, 1), cpDf.schema)
+        .coalesce(1).write.parquet(tmp.toString)
+      val f = fs.listStatus(tmp).map(_.getPath)
+        .find(_.getName.endsWith(".parquet")).get
+      fs.rename(f, new Path(exp.logDir,
+        f"${exp.lastDeltaVersion}%020d.checkpoint.$i%010d.${2}%010d.parquet"))
+      fs.delete(tmp, true)
+    }
+    writePart(h1, 1)
+    writePart(h2, 2)
+    fs.delete(single, false)
+    val out = fs.create(new Path(exp.logDir, "_last_checkpoint"), true)
+    try out.write(
+      s"""{"version":${exp.lastDeltaVersion},"size":$n,"parts":2}""".getBytes("UTF-8"))
+    finally out.close()
+    assert(rows(DeltaImport.read(spark, loc)) == expected)
+  }
+
+  test("driver-state cap: distributive planning equals the collect path") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    val df = (1 to 90).map(i => (i.toLong, s"p${i % 3}", i * 1.0)).toDF("id", "k", "x")
+    cat.write("dl", "t", df, partitionBy = Seq("k"))
+    cat.write("dl", "t",
+      (91 to 120).map(i => (i.toLong, s"p${i % 3}", i * 1.0)).toDF("id", "k", "x"),
+      SaveMode.Append, partitionBy = Seq("k"))
+    val exp = DeltaExport.export(spark, cat, "dl", "t")
+    DeltaExport.checkpoint(spark, exp.logDir, exp.lastDeltaVersion)
+    // a post-checkpoint JSON tail ADD, so the fallback merges tail state
+    cat.write("dl", "t",
+      (121 to 150).map(i => (i.toLong, s"p${i % 3}", i * 1.0)).toDF("id", "k", "x"),
+      SaveMode.Append, partitionBy = Seq("k"))
+    DeltaExport.export(spark, cat, "dl", "t")
+    val loc = tableLoc(cat, "dl", "t")
+    val full = rows(DeltaImport.read(spark, loc))
+    val part = rows(DeltaImport.read(spark, loc, partitionEq = Map("k" -> "p1")))
+    val prop = "graft.delta.import.maxDriverFiles"
+    sys.props(prop) = "1" // force the distributive path
+    try {
+      assert(rows(DeltaImport.read(spark, loc)) == full)
+      assert(rows(DeltaImport.read(spark, loc, partitionEq = Map("k" -> "p1"))) == part)
+    } finally sys.props.remove(prop)
+  }
+
+  test("driver-state cap: tail REMOVES shadow checkpoint adds distributively") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    cat.write("dl", "t", (1 to 60).map(i => (i.toLong, i * 1.0)).toDF("id", "x"))
+    cat.write("dl", "t", (61 to 120).map(i => (i.toLong, i * 1.0)).toDF("id", "x"),
+      SaveMode.Append)
+    val exp = DeltaExport.export(spark, cat, "dl", "t")
+    DeltaExport.checkpoint(spark, exp.logDir, exp.lastDeltaVersion)
+    // post-checkpoint CoW delete: the tail REMOVES a checkpoint file and
+    // re-ADDS the rewritten one — both must shadow the checkpoint row
+    cat.delete("dl", "t", col("id") <= 30)
+    DeltaExport.export(spark, cat, "dl", "t")
+    val loc = tableLoc(cat, "dl", "t")
+    val full = rows(DeltaImport.read(spark, loc))
+    assert(!full.exists(r => r.head.asInstanceOf[Long] <= 30))
+    val prop = "graft.delta.import.maxDriverFiles"
+    sys.props(prop) = "1"
+    try assert(rows(DeltaImport.read(spark, loc)) == full)
+    finally sys.props.remove(prop)
+  }
 }
