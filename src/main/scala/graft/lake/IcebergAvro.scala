@@ -76,13 +76,24 @@ final class IcebergAvro(partitionFields: Seq[(String, DataType)]) {
       fieldNode(name, 1000L + i, t(avroTypeOf(dt)), optional = true)
     })
 
+  private val equalityIdsNode: ObjectNode = {
+    val a = mapper.createObjectNode()
+    a.put("type", "array")
+    a.put("items", "int")
+    a.put("element-id", 136L)
+    a
+  }
+
   private val dataFileSchemaNode: ObjectNode = record("r2", Seq(
     fieldNode("content", 134L, t("int"), optional = false),
     fieldNode("file_path", 100L, t("string"), optional = false),
     fieldNode("file_format", 101L, t("string"), optional = false),
     fieldNode("partition", 102L, partitionSchemaNode, optional = false),
     fieldNode("record_count", 103L, t("long"), optional = false),
-    fieldNode("file_size_in_bytes", 104L, t("long"), optional = false)))
+    fieldNode("file_size_in_bytes", 104L, t("long"), optional = false),
+    // spec field 135: equality field ids — present only on equality
+    // delete files (content=2)
+    fieldNode("equality_ids", 135L, equalityIdsNode, optional = true)))
 
   private val manifestEntrySchemaNode: ObjectNode = record("manifest_entry", Seq(
     fieldNode("status", 0L, t("int"), optional = false),
@@ -117,7 +128,8 @@ final class IcebergAvro(partitionFields: Seq[(String, DataType)]) {
   def entryRecord(
       status: Int, snapshotId: Long, sequenceNumber: Long,
       content: Int, filePath: String, recordCount: Long, fileSize: Long,
-      partitionValues: Seq[(String, Option[String])]): GenericRecord = {
+      partitionValues: Seq[(String, Option[String])],
+      equalityIds: Seq[Int] = Nil): GenericRecord = {
     val part = new GenericData.Record(partitionSchema)
     partitionValues.foreach { case (k, ov) =>
       val dt = partitionFields.find(_._1 == k).map(_._2)
@@ -130,6 +142,11 @@ final class IcebergAvro(partitionFields: Seq[(String, DataType)]) {
     df.put("partition", part)
     df.put("record_count", recordCount)
     df.put("file_size_in_bytes", fileSize)
+    if (equalityIds.nonEmpty) {
+      val l = new java.util.ArrayList[Integer](equalityIds.length)
+      equalityIds.foreach(i => l.add(Int.box(i)))
+      df.put("equality_ids", l)
+    }
     val e = new GenericData.Record(manifestEntrySchema)
     e.put("status", status)
     e.put("snapshot_id", snapshotId)

@@ -304,6 +304,136 @@ object IcebergExport {
     fields
   }
 
+  /** Append an EQUALITY-DELETE snapshot (content=2, spec §Equality Delete
+    * Files) to an already-exported table: `deletes`' rows, projected to
+    * `eqCols`, become one delete file removing every matching data row in
+    * files whose sequence number is STRICTLY BELOW `deleteSequence`
+    * (default: the new snapshot's own sequence, covering everything
+    * committed so far). This is the CDC-writer shape — Flink upsert
+    * pipelines author exactly these — and [[IcebergImport]] applies them,
+    * closing the equality-delete half of the adoption pair in both
+    * directions. Returns the new snapshot id.
+    */
+  def exportEqualityDelete(
+      spark: SparkSession, location: String, deletes: org.apache.spark.sql.DataFrame,
+      eqCols: Seq[String], deleteSequence: Option[Long] = None): Long = {
+    import org.apache.spark.sql.functions.col
+    require(eqCols.nonEmpty, "need at least one equality column")
+    val tableDir = new Path(location)
+    val (fs, meta) = IcebergImport.loadMetadata(spark, location)
+    val metaDir = new Path(tableDir, "metadata")
+    val schemaId = meta.get("current-schema-id").asInt()
+    val schemasNode = meta.get("schemas")
+    val schemaNode = (0 until schemasNode.size()).map(schemasNode.get)
+      .find(_.get("schema-id").asInt() == schemaId)
+      .getOrElse(sys.error(s"current-schema-id $schemaId missing"))
+    val fieldsNode = schemaNode.get("fields")
+    val idByName = (0 until fieldsNode.size()).map(fieldsNode.get)
+      .map(f => f.get("name").asText() -> f.get("id").asInt()).toMap
+    eqCols.foreach(c => require(idByName.contains(c),
+      s"equality column $c is not a top-level schema column"))
+
+    // the delete file itself (one bounded parquet write)
+    val uuid = java.util.UUID.randomUUID().toString
+    val tmp = new Path(tableDir, s".eqdel-$uuid.tmp")
+    deletes.select(eqCols.map(col): _*).coalesce(1).write.parquet(tmp.toString)
+    val part = fs.listStatus(tmp).map(_.getPath)
+      .find(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+      .getOrElse(sys.error("equality-delete write produced no parquet part"))
+    val target = new Path(tableDir, s"eqdelete-$uuid.parquet")
+    fs.rename(part, target)
+    fs.delete(tmp, true)
+    val st = fs.getFileStatus(target)
+    val nRows = spark.read.parquet(target.toString).count()
+
+    val snaps = meta.get("snapshots")
+    val curId = meta.get("current-snapshot-id").asLong()
+    val newId = (0 until snaps.size()).map(snaps.get(_).get("snapshot-id").asLong()).max + 1
+    val lastSeq = meta.get("last-sequence-number").asLong()
+    val newSeq = lastSeq + 1
+    val fileSeq = deleteSequence.getOrElse(newSeq)
+
+    // manifest with the table's partition struct (empty tuple: the delete
+    // is global — kept for every partition by the import's pruning rule)
+    val partitionFields: Seq[(String, org.apache.spark.sql.types.DataType)] = {
+      val specId = meta.get("default-spec-id").asInt()
+      val specs = meta.get("partition-specs")
+      val spec = (0 until specs.size()).map(specs.get)
+        .find(_.get("spec-id").asInt() == specId)
+        .getOrElse(sys.error(s"default-spec-id $specId missing"))
+      val sf = spec.get("fields")
+      (0 until sf.size()).map(sf.get).filter(_.get("transform").asText() == "identity")
+        .map { f =>
+          val srcId = f.get("source-id").asInt()
+          val src = (0 until fieldsNode.size()).map(fieldsNode.get)
+            .find(_.get("id").asInt() == srcId)
+            .getOrElse(sys.error(s"partition source-id $srcId missing"))
+          src.get("name").asText() -> IcebergImport.sparkTypeOf(src.get("type"))
+        }
+    }
+    val avro = new IcebergAvro(partitionFields)
+    val entry = avro.entryRecord(
+      status = 1, snapshotId = newId, sequenceNumber = fileSeq,
+      content = 2, filePath = fs.makeQualified(target).toString,
+      recordCount = nRows, fileSize = st.getLen,
+      partitionValues = Nil, equalityIds = eqCols.map(idByName))
+    val specFieldsJson = {
+      val specId = meta.get("default-spec-id").asInt()
+      val specs = meta.get("partition-specs")
+      val spec = (0 until specs.size()).map(specs.get)
+        .find(_.get("spec-id").asInt() == specId).get
+      mapper.writeValueAsString(spec.get("fields"))
+    }
+    val mBytes = avro.manifestBytes(Seq(entry),
+      mapper.writeValueAsString(schemaNode), specFieldsJson, "deletes")
+    val mPath = new Path(metaDir, s"m-eqdel-$uuid.avro")
+    writeFile(fs, mPath, mBytes)
+
+    // manifest list: the current snapshot's manifests plus the delete one
+    val curSnap = (0 until snaps.size()).map(snaps.get)
+      .find(_.get("snapshot-id").asLong() == curId)
+      .getOrElse(sys.error(s"current snapshot $curId missing"))
+    val curList = new Path(new java.net.URI(curSnap.get("manifest-list").asText()))
+    val (oldRecs, _) = IcebergAvro.readContainer(fs, curList)
+    val newRec = avro.manifestFileRecord(
+      manifestPath = fs.makeQualified(mPath).toString,
+      manifestLength = mBytes.length.toLong, content = 1,
+      sequenceNumber = newSeq, minSequenceNumber = fileSeq,
+      addedSnapshotId = newId, addedFiles = 1, existingFiles = 0,
+      addedRows = nRows, existingRows = 0L)
+    val listPath = new Path(metaDir, s"snap-$newId.manifest-list.avro")
+    writeFile(fs, listPath,
+      avro.manifestListBytes(oldRecs :+ newRec, newId, Some(curId), newSeq))
+
+    // TableMetadata: new snapshot on top, pointers advanced, vN+1 written
+    val m = meta.asInstanceOf[ObjectNode]
+    val ts = st.getModificationTime
+    m.put("last-sequence-number", newSeq)
+    m.put("last-updated-ms", ts)
+    m.put("current-snapshot-id", newId)
+    val sn = m.withArray[ArrayNode]("snapshots").addObject()
+    sn.put("snapshot-id", newId)
+    sn.put("parent-snapshot-id", curId)
+    sn.put("sequence-number", newSeq)
+    sn.put("timestamp-ms", ts)
+    sn.put("manifest-list", fs.makeQualified(listPath).toString)
+    sn.put("schema-id", schemaId)
+    sn.putObject("summary").put("operation", "delete")
+    val lg = m.withArray[ArrayNode]("snapshot-log").addObject()
+    lg.put("timestamp-ms", ts)
+    lg.put("snapshot-id", newId)
+    Option(m.get("refs")).foreach(r =>
+      Option(r.get("main")).foreach(_.asInstanceOf[ObjectNode].put("snapshot-id", newId)))
+    val prior = Option(fs.globStatus(new Path(metaDir, "v*.metadata.json")))
+      .getOrElse(Array.empty).map(_.getPath).sortBy(versionOfMeta)
+    val nextN = prior.lastOption.map(p => versionOfMeta(p) + 1).getOrElse(1)
+    writeFile(fs, new Path(metaDir, s"v$nextN.metadata.json"),
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(m))
+    writeFile(fs, new Path(metaDir, "version-hint.text"),
+      nextN.toString.getBytes(StandardCharsets.UTF_8))
+    newId
+  }
+
   private def versionOfMeta(p: Path): Int =
     p.getName.stripPrefix("v").stripSuffix(".metadata.json").toInt
 

@@ -138,7 +138,7 @@ object IcebergImport {
     import IcebergAvro.{int => aInt, long => aLong, rec => aRec, str => aStr}
     val listPath = new Path(new java.net.URI(snap.get("manifest-list").asText()))
     final case class FileEntry(path: String, seq: Long, content: Int,
-        partition: Seq[(String, Option[String])])
+        partition: Seq[(String, Option[String])], eqIds: Seq[Int])
     val entries: Seq[FileEntry] =
       IcebergAvro.readContainer(fs, listPath)._1.flatMap { mf =>
         val mPath = new Path(new java.net.URI(aStr(mf, "manifest_path")))
@@ -160,13 +160,15 @@ object IcebergImport {
                   pr.getSchema.getFields.asScala.toSeq.map(f =>
                     f.name() -> Option(pr.get(f.name())).map(String.valueOf(_)))
               }).getOrElse(Nil)
-            Some(FileEntry(aStr(df, "file_path"), seq, aInt(df, "content"), part))
+            val eqIds = Option(df.get("equality_ids")).toSeq.flatMap { v =>
+              import scala.jdk.CollectionConverters._
+              v.asInstanceOf[java.util.Collection[_]].asScala.toSeq
+                .map(_.asInstanceOf[Number].intValue())
+            }
+            Some(FileEntry(aStr(df, "file_path"), seq, aInt(df, "content"), part, eqIds))
           }
         }
       }
-    val badEq = entries.filter(_.content == 2)
-    require(badEq.isEmpty,
-      s"equality deletes are not supported (content=2): ${badEq.head.path}")
     if (partitionEq.nonEmpty) {
       val bad = partitionEq.keySet -- partitionNames.toSet
       require(bad.isEmpty,
@@ -177,14 +179,25 @@ object IcebergImport {
       val pv = fe.partition.toMap
       if (partitionEq.isEmpty) true
       else if (pv.isEmpty) keepTupleless
-      else partitionEq.forall { case (k, v) => pv.get(k).flatten.contains(v) }
+      else if (keepTupleless) {
+        // DELETE file: prune only when its tuple POSITIVELY mismatches —
+        // an absent/null tuple value (a global delete rides an all-null
+        // struct of the table's spec) cannot disprove applicability
+        partitionEq.forall { case (k, v) =>
+          pv.get(k).flatten.forall(_ == v)
+        }
+      } else partitionEq.forall { case (k, v) => pv.get(k).flatten.contains(v) }
     }
-    val (deleteEntries, dataEntries) = entries.partition(_.content == 1) match {
-      case (dels, datas) =>
-        // planning-time pruning: pruned files never reach the scan
-        (dels.filter(tupleMatches(_, keepTupleless = true)),
-          datas.filter(tupleMatches(_, keepTupleless = false)))
-    }
+    // planning-time pruning: pruned files never reach the scan; a delete
+    // file with NO tuple (global delete) is always kept
+    val deleteEntries = entries.filter(_.content == 1)
+      .filter(tupleMatches(_, keepTupleless = true))
+    val eqDeleteEntries = entries.filter(_.content == 2)
+      .filter(tupleMatches(_, keepTupleless = true))
+    val dataEntries = entries.filter(_.content == 0)
+      .filter(tupleMatches(_, keepTupleless = false))
+    eqDeleteEntries.foreach(fe => require(fe.eqIds.nonEmpty,
+      s"equality delete file ${fe.path} carries no equality_ids"))
 
     if (dataEntries.isEmpty)
       return spark.createDataFrame(
@@ -198,7 +211,8 @@ object IcebergImport {
     val raw = spark.read.parquet(dataEntries.map(_.path): _*)
     val present = raw.columns.toSet
     val missingPart = partitionNames.filterNot(present.contains)
-    val needsKey = missingPart.nonEmpty || deleteEntries.nonEmpty
+    val needsKey = missingPart.nonEmpty || deleteEntries.nonEmpty ||
+      eqDeleteEntries.nonEmpty
     val keyed0 =
       if (!needsKey) raw
       else raw
@@ -223,9 +237,10 @@ object IcebergImport {
         keyed0.join(broadcast(lookup), "__ice_fp")
       }
 
-    // ---- merge-on-read: anti-join away position-deleted rows
-    val undeleted =
-      if (deleteEntries.isEmpty) withPart
+    // ---- merge-on-read: the data rows' sequence numbers, attached once
+    // for BOTH delete families (file-count-bounded broadcast map)
+    val withSeq =
+      if (deleteEntries.isEmpty && eqDeleteEntries.isEmpty) withPart
       else {
         val dataSeq = spark.createDataFrame(
           spark.sparkContext.parallelize(
@@ -233,6 +248,13 @@ object IcebergImport {
               org.apache.spark.sql.Row(normalize(fe.path), fe.seq)), 1),
           StructType(Seq(StructField("__ice_dfp", StringType),
             StructField("__ice_dseq", LongType))))
+        withPart.join(broadcast(dataSeq), col("__ice_fp") === col("__ice_dfp"))
+      }
+
+    // anti-join away position-deleted rows (applies at data seq <= del seq)
+    val afterPos =
+      if (deleteEntries.isEmpty) withSeq
+      else {
         val delSeq = spark.createDataFrame(
           spark.sparkContext.parallelize(
             deleteEntries.map(fe =>
@@ -246,15 +268,43 @@ object IcebergImport {
           .join(broadcast(delSeq), col("__del_src") === col("__ice_xfp"))
           .select(col("__del_fp"), col("__del_pos"),
             col("__ice_xseq").as("__del_seq"))
-        val keyed = withPart
-          .join(broadcast(dataSeq), col("__ice_fp") === col("__ice_dfp"))
         // delete side is scale-proportional: no broadcast hint — the
         // session policy (or AQE) decides
-        keyed.join(dels,
-          keyed("__ice_fp") === dels("__del_fp") &&
-            keyed("__ice_pos") === dels("__del_pos") &&
-            dels("__del_seq") >= keyed("__ice_dseq"),
+        withSeq.join(dels,
+          withSeq("__ice_fp") === dels("__del_fp") &&
+            withSeq("__ice_pos") === dels("__del_pos") &&
+            dels("__del_seq") >= withSeq("__ice_dseq"),
           "left_anti")
+      }
+
+    // ---- equality deletes (content=2, the Flink-CDC shape): a delete row
+    // removes every data row whose values match on the file's equality
+    // columns, in data files with sequence number STRICTLY LESS than the
+    // delete's (the spec's rule — a delete never applies to rows committed
+    // with or after it). Null-safe equality (<=>): a null in a delete row
+    // matches null, per the spec's equality semantics. Files group by
+    // their equality-id set; each group is one anti-join.
+    val nameById = fieldNamesById(meta)
+    val undeleted = eqDeleteEntries.groupBy(_.eqIds.sorted).toSeq
+      .sortBy(_._1.mkString(","))
+      .foldLeft(afterPos) { case (acc, (ids, files)) =>
+        val cols = ids.map(id => nameById.getOrElse(id, sys.error(
+          s"equality_ids field $id is not a top-level column of the schema " +
+            "(nested equality deletes are not supported)")))
+        val eqSeq = spark.createDataFrame(
+          spark.sparkContext.parallelize(
+            files.map(fe =>
+              org.apache.spark.sql.Row(normalize(fe.path), fe.seq)), 1),
+          StructType(Seq(StructField("__eq_src", StringType),
+            StructField("__eq_seq", LongType))))
+        val delRows = spark.read.parquet(files.map(_.path): _*)
+          .select(cols.map(c => col(c).as(s"__eq_$c")) :+
+            normPathCol(col("_metadata.file_path")).as("__eq_src"): _*)
+          .join(broadcast(eqSeq), "__eq_src")
+          .drop("__eq_src")
+        val cond = cols.map(c => acc(c) <=> delRows(s"__eq_$c")).reduce(_ && _) &&
+          delRows("__eq_seq") > acc("__ice_dseq")
+        acc.join(delRows, cond, "left_anti")
       }
 
     // ---- project to the declared Iceberg schema (order + types)
@@ -268,7 +318,7 @@ object IcebergImport {
 
   // ---- metadata resolution -----------------------------------------------
 
-  private def loadMetadata(spark: SparkSession, location: String): (FileSystem, JsonNode) = {
+  private[lake] def loadMetadata(spark: SparkSession, location: String): (FileSystem, JsonNode) = {
     val conf = spark.sessionState.newHadoopConf()
     val tableDir = new Path(location)
     val fs = tableDir.getFileSystem(conf)
@@ -303,6 +353,21 @@ object IcebergImport {
       .find(_.get("schema-id").asInt() == id)
       .getOrElse(sys.error(s"current-schema-id $id missing from schemas"))
     structOf(node)
+  }
+
+  /** field id -> name of the current schema's TOP-LEVEL columns (what
+    * equality_ids reference; nested ids are absent, so they fail loudly
+    * at the call site).
+    */
+  private def fieldNamesById(meta: JsonNode): Map[Int, String] = {
+    val id = meta.get("current-schema-id").asInt()
+    val schemas = meta.get("schemas")
+    val node = (0 until schemas.size()).map(schemas.get)
+      .find(_.get("schema-id").asInt() == id)
+      .getOrElse(sys.error(s"current-schema-id $id missing from schemas"))
+    val fields = node.get("fields")
+    (0 until fields.size()).map(fields.get)
+      .map(f => f.get("id").asInt() -> f.get("name").asText()).toMap
   }
 
   private def structOf(node: JsonNode): StructType = {

@@ -1291,6 +1291,55 @@ object IngestLake {
     ORDER BY o_orderstatus""")
   )
 
+  /** B35b (r12): Iceberg EQUALITY DELETES, both directions — the Flink-CDC
+    * shape a real v2 table carries. Two commits (sequence 1: even keys,
+    * sequence 2: odd keys) export, then two equality-delete snapshots land
+    * through `IcebergExport.exportEqualityDelete`: the first is PINNED to
+    * data-sequence 2, so it removes its matching keys only from the
+    * sequence-1 commit (the spec's strict `<` rule — keys that also match
+    * in the sequence-2 commit survive); the second uses the default
+    * sequence and removes its keys everywhere. The aggregate is computed
+    * READING EXCLUSIVELY through `IcebergImport`, so one hash covers the
+    * delete-file writer, manifest/list/metadata chaining, the per-file
+    * sequence scoping inside one equality-id group, and the anti-join
+    * semantics.
+    */
+  val lakeIcebergEqDelete: Q = Q(
+    "lake_iceberg_eqdelete",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val cat = LakeCatalog(s, scratch("ice_eqdel"))
+      val orders = t.orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
+      cat.write("ice", "orders", orders.filter(col("o_orderkey") % 2 === 0)) // seq 1
+      cat.write("ice", "orders", orders.filter(col("o_orderkey") % 2 === 1),
+        SaveMode.Append) // seq 2
+      graft.lake.IcebergExport.export(s, cat, "ice", "orders")
+      val loc = new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(
+          new org.apache.hadoop.fs.Path(cat.root), "ice"), "orders").toString
+      // CDC tombstones scoped to sequence 2: %10==0 keys are even (seq-1
+      // data -> removed); %10==5 keys are odd (seq-2 data -> SURVIVE)
+      graft.lake.IcebergExport.exportEqualityDelete(s, loc,
+        orders.filter(col("o_orderkey") % 10 === 0 || col("o_orderkey") % 10 === 5)
+          .select("o_orderkey"),
+        Seq("o_orderkey"), deleteSequence = Some(2L))
+      // a later global delete: covers both commits
+      graft.lake.IcebergExport.exportEqualityDelete(s, loc,
+        orders.filter(col("o_orderkey") % 9 === 0).select("o_orderkey"),
+        Seq("o_orderkey"))
+      graft.lake.IcebergImport.read(s, loc)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy("o_orderstatus")
+    },
+    Some(s"""SELECT o_orderstatus, COUNT(*) AS n,
+      CAST(SUM(CAST(o_totalprice AS $D)) AS DOUBLE) AS total
+    FROM orders
+    WHERE NOT (o_orderkey % 2 = 0 AND o_orderkey % 10 = 0)
+      AND o_orderkey % 9 <> 0
+    GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+  )
+
   /** B36/B37 (r11): DELTA LAKE adoption round-trip — the other open table
     * format's public protocol (delta-io/delta PROTOCOL.md), no Delta jar.
     * A PARTITIONED two-commit table takes a CoW DELETE (so the lineage
@@ -1507,5 +1556,5 @@ object IngestLake {
     lakeDeleteMor, lakeCdcApply, lakeIcebergExport, lakeIcebergImport, ingestDocxReal,
     ingestJdbcRoundtrip, lakeTimeTravel, lakeExpiry, lakeTags, ingestWideSchema,
     lakeExportNested, lakeWriteModes, ingestAvroRoundtrip, lakeDeltaExport,
-    ingestXlsxReal, lakeDeltaDv, lakeBranches)
+    ingestXlsxReal, lakeDeltaDv, lakeBranches, lakeIcebergEqDelete)
 }

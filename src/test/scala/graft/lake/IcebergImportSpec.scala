@@ -185,4 +185,69 @@ class IcebergImportSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("unsupported Iceberg type"))
   }
+
+  // ---- r12: equality deletes (content=2) ---------------------------------
+
+  test("equality deletes: matching rows vanish; the strict sequence rule holds") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    cat.write("ice", "eq", (1 to 100).map(i => (i.toLong, s"v$i", i * 1.5)).toDF("id", "v", "x"))
+    cat.write("ice", "eq", (101 to 200).map(i => (i.toLong, s"v$i", i * 1.5)).toDF("id", "v", "x"),
+      SaveMode.Append)
+    val loc = tableLoc(cat, "ice", "eq")
+    IcebergExport.export(spark, cat, "ice", "eq")
+    // a delete at data-sequence 2: applies ONLY to files with seq < 2 —
+    // id 5 (commit 1, seq 1) is removed; id 150 (commit 2, seq 2) SURVIVES
+    // even though its key is in the delete file (the spec's strict rule)
+    IcebergExport.exportEqualityDelete(spark, loc,
+      Seq(5L, 150L).toDF("id"), Seq("id"), deleteSequence = Some(2L))
+    val afterFirst = IcebergImport.read(spark, loc)
+    assert(afterFirst.filter(col("id") === 5L).count() == 0)
+    assert(afterFirst.filter(col("id") === 150L).count() == 1,
+      "a delete must never apply to rows committed at or after its sequence")
+    assert(afterFirst.count() == 199)
+    // a second delete group over a DIFFERENT equality column set, covering
+    // everything committed so far (default sequence)
+    IcebergExport.exportEqualityDelete(spark, loc, Seq("v7").toDF("v"), Seq("v"))
+    val afterSecond = IcebergImport.read(spark, loc)
+    assert(afterSecond.filter(col("v") === "v7").count() == 0)
+    assert(afterSecond.count() == 198)
+    // the PREVIOUS snapshot still time-travels to the pre-delete state
+    val snaps = IcebergImport.snapshots(spark, loc).map(_.snapshotId).sorted
+    assert(IcebergImport.read(spark, loc, snapshotId = Some(snaps.head)).count() == 100)
+  }
+
+  test("equality deletes compose with position deletes and partitions") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    val df = (1 to 90).map(i => (i.toLong, s"p${i % 3}", i * 2.0)).toDF("id", "k", "x")
+    cat.write("ice", "eqp", df, partitionBy = Seq("k"))
+    cat.deleteMoR("ice", "eqp", col("id") % 10 === 0) // position deletes
+    val loc = tableLoc(cat, "ice", "eqp")
+    IcebergExport.export(spark, cat, "ice", "eqp")
+    IcebergExport.exportEqualityDelete(spark, loc,
+      Seq(7L, 20L).toDF("id"), Seq("id")) // 20 already position-deleted
+    val imported = IcebergImport.read(spark, loc)
+    val expected = rows(cat.read("ice", "eqp")
+      .filter(col("id") =!= 7L).select("id", "k", "x"))
+    assert(rows(imported.select("id", "k", "x")) == expected)
+    // pruning still holds with a global (tupleless) equality delete around
+    val pruned = IcebergImport.read(spark, loc, partitionEq = Map("k" -> "p1"))
+    assert(rows(pruned.select("id", "k", "x")) ==
+      expected.filter(_(1) == "p1"))
+  }
+
+  test("null-safe equality: a null delete value matches null data rows") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    val df = Seq((1L, "a"), (2L, null.asInstanceOf[String]), (3L, "c"), (4L, null.asInstanceOf[String]))
+      .toDF("id", "v")
+    cat.write("ice", "eqn", df)
+    val loc = tableLoc(cat, "ice", "eqn")
+    IcebergExport.export(spark, cat, "ice", "eqn")
+    IcebergExport.exportEqualityDelete(spark, loc,
+      Seq(null.asInstanceOf[String]).toDF("v"), Seq("v"))
+    val imported = IcebergImport.read(spark, loc)
+    assert(rows(imported) == Set(Seq(1L, "a"), Seq(3L, "c")))
+  }
 }
