@@ -352,9 +352,17 @@ object ScaleProbe {
       val (nFull, fFull, tFull) = timed(lake.IcebergImport.read(spark, loc))
       val (nOne, fOne, tOne) = timed(lake.IcebergImport.read(spark, loc,
         partitionEq = Map("o_orderstatus" -> "F")))
+      // r12: the driver-state cap's distributive walk — planning cost must
+      // stay flat per partition served when the manifest walk fans out
+      sys.props("graft.iceberg.import.maxDriverFiles") = "1"
+      val (nCap, fCap, tCap) =
+        try timed(lake.IcebergImport.read(spark, loc,
+          partitionEq = Map("o_orderstatus" -> "F")))
+        finally sys.props.remove("graft.iceberg.import.maxDriverFiles")
       println(f"[scale] ice-import full rows=$nFull%d files=$fFull%d " +
         f"time=$tFull%.1fs; pruned(F) rows=$nOne%d files=$fOne%d " +
-        f"time=$tOne%.1fs time_ratio=${tOne / tFull}%.2f")
+        f"time=$tOne%.1fs time_ratio=${tOne / tFull}%.2f; " +
+        f"pruned-capped rows=$nCap%d files=$fCap%d time=$tCap%.1fs")
     }
 
     // Delta-log import economics, mirroring the iceimport probe: replay is
@@ -383,9 +391,17 @@ object ScaleProbe {
       val (nFull, fFull, tFull) = timed(lake.DeltaImport.read(spark, loc))
       val (nOne, fOne, tOne) = timed(lake.DeltaImport.read(spark, loc,
         partitionEq = Map("o_orderstatus" -> "F")))
+      // r12: checkpoint adds past the driver cap plan distributively —
+      // prune before collect, cost tracking the partition served
+      sys.props("graft.delta.import.maxDriverFiles") = "1"
+      val (nCap, fCap, tCap) =
+        try timed(lake.DeltaImport.read(spark, loc,
+          partitionEq = Map("o_orderstatus" -> "F")))
+        finally sys.props.remove("graft.delta.import.maxDriverFiles")
       println(f"[scale] delta-import full rows=$nFull%d files=$fFull%d " +
         f"time=$tFull%.1fs; pruned(F) rows=$nOne%d files=$fOne%d " +
-        f"time=$tOne%.1fs time_ratio=${tOne / tFull}%.2f")
+        f"time=$tOne%.1fs time_ratio=${tOne / tFull}%.2f; " +
+        f"pruned-capped rows=$nCap%d files=$fCap%d time=$tCap%.1fs")
     }
 
     if (on("width")) for (cols <- Seq(1000, 2000, 4450)) {

@@ -137,37 +137,41 @@ object IcebergImport {
     // ---- plan: manifest list → manifests → (data files, delete files)
     import IcebergAvro.{int => aInt, long => aLong, rec => aRec, str => aStr}
     val listPath = new Path(new java.net.URI(snap.get("manifest-list").asText()))
-    final case class FileEntry(path: String, seq: Long, content: Int,
-        partition: Seq[(String, Option[String])], eqIds: Seq[Int])
+    // DRIVER-STATE BOUND: the manifest walk materializes one FileEntry per
+    // live file. The manifest list's per-manifest file counts say up front
+    // how many that is; past the cap, the per-manifest parse fans out to
+    // executors with the partition pruning applied BEFORE the collect, so
+    // driver planning state tracks the partition served, not the table.
+    val listRecs = IcebergAvro.readContainer(fs, listPath)._1
+    val manifestInfos: Seq[(String, Long, Long)] = listRecs.map { mf =>
+      val files = aInt(mf, "added_files_count").toLong +
+        aInt(mf, "existing_files_count").toLong
+      (aStr(mf, "manifest_path"), aLong(mf, "sequence_number"), files)
+    }
+    val cap = maxDriverFiles
     val entries: Seq[FileEntry] =
-      IcebergAvro.readContainer(fs, listPath)._1.flatMap { mf =>
-        val mPath = new Path(new java.net.URI(aStr(mf, "manifest_path")))
-        val mSeq = aLong(mf, "sequence_number")
-        IcebergAvro.readContainer(fs, mPath)._1.flatMap { e =>
-          if (aInt(e, "status") == 2) None // DELETED in this snapshot
-          else {
-            val df = aRec(e, "data_file")
-            // v2 inheritance: a null entry sequence number inherits the
-            // manifest's (spec: "inherited when null")
-            val seq = Option(e.get("sequence_number"))
-              .map(_.asInstanceOf[Number].longValue()).getOrElse(mSeq)
-            val part = Option(df.get("partition"))
-              .map(_.asInstanceOf[org.apache.avro.generic.GenericRecord])
-              .map(pr => pr.getSchema.getFields.size match {
-                case 0 => Nil
-                case _ =>
-                  import scala.jdk.CollectionConverters._
-                  pr.getSchema.getFields.asScala.toSeq.map(f =>
-                    f.name() -> Option(pr.get(f.name())).map(String.valueOf(_)))
-              }).getOrElse(Nil)
-            val eqIds = Option(df.get("equality_ids")).toSeq.flatMap { v =>
-              import scala.jdk.CollectionConverters._
-              v.asInstanceOf[java.util.Collection[_]].asScala.toSeq
-                .map(_.asInstanceOf[Number].intValue())
-            }
-            Some(FileEntry(aStr(df, "file_path"), seq, aInt(df, "content"), part, eqIds))
-          }
+      if (manifestInfos.map(_._3).sum <= cap)
+        manifestInfos.flatMap { case (p, mSeq, _) =>
+          entriesOfManifest(fs, new Path(new java.net.URI(p)), mSeq)
         }
+      else {
+        org.slf4j.LoggerFactory.getLogger(getClass).info(
+          s"IcebergImport: ${manifestInfos.map(_._3).sum} manifest entries > " +
+            s"driver cap $cap -> distributive planning (prune before collect)")
+        val confB = spark.sparkContext.broadcast(
+          new org.apache.spark.util.SerializableConfiguration(
+            spark.sessionState.newHadoopConf()))
+        val pe = partitionEq
+        spark.sparkContext
+          .parallelize(manifestInfos.map(m => (m._1, m._2)),
+            math.max(1, math.min(manifestInfos.size, 64)))
+          .flatMap { case (p, mSeq) =>
+            val mp = new Path(new java.net.URI(p))
+            val tfs = mp.getFileSystem(confB.value.value)
+            entriesOfManifest(tfs, mp, mSeq).filter(fe =>
+              tupleMatchesEq(fe, pe, keepTupleless = fe.content != 0))
+          }
+          .collect().toSeq
       }
     if (partitionEq.nonEmpty) {
       val bad = partitionEq.keySet -- partitionNames.toSet
@@ -175,19 +179,8 @@ object IcebergImport {
         s"partitionEq keys ${bad.mkString(", ")} are not identity partition " +
           s"columns of the default spec (${partitionNames.mkString(", ")})")
     }
-    def tupleMatches(fe: FileEntry, keepTupleless: Boolean): Boolean = {
-      val pv = fe.partition.toMap
-      if (partitionEq.isEmpty) true
-      else if (pv.isEmpty) keepTupleless
-      else if (keepTupleless) {
-        // DELETE file: prune only when its tuple POSITIVELY mismatches —
-        // an absent/null tuple value (a global delete rides an all-null
-        // struct of the table's spec) cannot disprove applicability
-        partitionEq.forall { case (k, v) =>
-          pv.get(k).flatten.forall(_ == v)
-        }
-      } else partitionEq.forall { case (k, v) => pv.get(k).flatten.contains(v) }
-    }
+    def tupleMatches(fe: FileEntry, keepTupleless: Boolean): Boolean =
+      tupleMatchesEq(fe, partitionEq, keepTupleless)
     // planning-time pruning: pruned files never reach the scan; a delete
     // file with NO tuple (global delete) is always kept
     val deleteEntries = entries.filter(_.content == 1)
@@ -314,6 +307,69 @@ object IcebergImport {
           "the data files nor the partition tuples")
       col(f.name).cast(f.dataType).as(f.name)
     }: _*)
+  }
+
+  // ---- planning helpers (shared by the driver and distributive walks) ----
+
+  /** one live file of a snapshot, as planned from the manifests */
+  private[lake] final case class FileEntry(path: String, seq: Long, content: Int,
+      partition: Seq[(String, Option[String])], eqIds: Seq[Int])
+
+  /** Manifest entries past this count are planned distributively instead
+    * of walked driver-side (graft.iceberg.import.maxDriverFiles).
+    */
+  private def maxDriverFiles: Long =
+    sys.props.get("graft.iceberg.import.maxDriverFiles").map(_.toLong)
+      .getOrElse(100000L)
+
+  /** Parse one manifest's LIVE entries (status != DELETED), with v2
+    * sequence-number inheritance. Runs on the driver under the cap and
+    * inside executor tasks past it.
+    */
+  private[lake] def entriesOfManifest(fs: FileSystem, mPath: Path,
+      mSeq: Long): Seq[FileEntry] = {
+    import IcebergAvro.{int => aInt, rec => aRec, str => aStr}
+    IcebergAvro.readContainer(fs, mPath)._1.flatMap { e =>
+      if (aInt(e, "status") == 2) None // DELETED in this snapshot
+      else {
+        val df = aRec(e, "data_file")
+        // v2 inheritance: a null entry sequence number inherits the
+        // manifest's (spec: "inherited when null")
+        val seq = Option(e.get("sequence_number"))
+          .map(_.asInstanceOf[Number].longValue()).getOrElse(mSeq)
+        val part = Option(df.get("partition"))
+          .map(_.asInstanceOf[org.apache.avro.generic.GenericRecord])
+          .map(pr => pr.getSchema.getFields.size match {
+            case 0 => Nil
+            case _ =>
+              import scala.jdk.CollectionConverters._
+              pr.getSchema.getFields.asScala.toSeq.map(f =>
+                f.name() -> Option(pr.get(f.name())).map(String.valueOf(_)))
+          }).getOrElse(Nil)
+        val eqIds = Option(df.get("equality_ids")).toSeq.flatMap { v =>
+          import scala.jdk.CollectionConverters._
+          v.asInstanceOf[java.util.Collection[_]].asScala.toSeq
+            .map(_.asInstanceOf[Number].intValue())
+        }
+        Some(FileEntry(aStr(df, "file_path"), seq, aInt(df, "content"), part, eqIds))
+      }
+    }
+  }
+
+  /** Partition-tuple pruning. Data files (`keepTupleless = false`) must
+    * POSITIVELY match every queried value; delete files are pruned only on
+    * a positive MISMATCH — an absent/all-null tuple (a global delete rides
+    * an all-null struct of the table's spec) cannot disprove
+    * applicability.
+    */
+  private[lake] def tupleMatchesEq(fe: FileEntry,
+      partitionEq: Map[String, String], keepTupleless: Boolean): Boolean = {
+    val pv = fe.partition.toMap
+    if (partitionEq.isEmpty) true
+    else if (pv.isEmpty) keepTupleless
+    else if (keepTupleless)
+      partitionEq.forall { case (k, v) => pv.get(k).flatten.forall(_ == v) }
+    else partitionEq.forall { case (k, v) => pv.get(k).flatten.contains(v) }
   }
 
   // ---- metadata resolution -----------------------------------------------

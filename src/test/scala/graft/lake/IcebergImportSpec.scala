@@ -237,6 +237,28 @@ class IcebergImportSpec extends SparkSpec {
       expected.filter(_(1) == "p1"))
   }
 
+  test("driver cap: distributive manifest planning equals the driver walk") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    val df = (1 to 120).map(i => (i.toLong, s"p${i % 4}", i * 2.0)).toDF("id", "k", "x")
+    cat.write("ice", "cap", df, partitionBy = Seq("k"))
+    cat.write("ice", "cap",
+      (121 to 160).map(i => (i.toLong, s"p${i % 4}", i * 2.0)).toDF("id", "k", "x"),
+      SaveMode.Append, partitionBy = Seq("k"))
+    cat.deleteMoR("ice", "cap", col("id") % 11 === 0)
+    val loc = tableLoc(cat, "ice", "cap")
+    IcebergExport.export(spark, cat, "ice", "cap")
+    IcebergExport.exportEqualityDelete(spark, loc, Seq(3L).toDF("id"), Seq("id"))
+    val full = rows(IcebergImport.read(spark, loc))
+    val part = rows(IcebergImport.read(spark, loc, partitionEq = Map("k" -> "p2")))
+    val prop = "graft.iceberg.import.maxDriverFiles"
+    sys.props(prop) = "1" // force the executor-side walk
+    try {
+      assert(rows(IcebergImport.read(spark, loc)) == full)
+      assert(rows(IcebergImport.read(spark, loc, partitionEq = Map("k" -> "p2"))) == part)
+    } finally sys.props.remove(prop)
+  }
+
   test("null-safe equality: a null delete value matches null data rows") {
     import spark.implicits._
     val cat = freshCatalog()
