@@ -62,11 +62,24 @@ object DeltaExport {
 
   /** Render `ns.t`'s whole lineage as `_delta_log` JSON commits; returns
     * the log location and the highest Delta version written. Idempotent
-    * per version content: re-exporting after new graft commits rewrites
-    * the same deterministic files plus the new tail versions.
+    * per version content: re-exporting after new graft commits writes only
+    * the new tail versions (committed files are never rewritten).
+    *
+    * `changeDataFeed = true` additionally renders the spec's CHANGE DATA
+    * FEED (PROTOCOL.md §Change Data Files): `delta.enableChangeDataFeed`
+    * in the table configuration, and — for every commit whose row-level
+    * changes are NOT inferable from its add/remove actions alone (any
+    * commit carrying removes or DV changes: CoW rewrites, MoR deletes,
+    * compactions) — a `_change_data/cdc-<v>.parquet` file holding the
+    * exact row diff (graft's snapshot changelog) with `_change_type`, plus
+    * the `cdc` action referencing it. Add-only commits need no cdc file:
+    * the spec lets readers derive pure inserts from the add actions.
+    * CDF export costs data IO proportional to CHANGED rows per rewriting
+    * commit — the spec's own economics.
     */
   def export(spark: SparkSession, catalog: LakeCatalog, ns: String, t: String,
-      inlineDvMax: Int = DefaultInlineDvMax): Export = {
+      inlineDvMax: Int = DefaultInlineDvMax,
+      changeDataFeed: Boolean = false): Export = {
     val tableDir = new Path(new Path(new Path(catalog.root), ns), t)
     val conf = spark.sessionState.newHadoopConf()
     val fs = tableDir.getFileSystem(conf)
@@ -122,6 +135,7 @@ object DeltaExport {
     var prevFiles = Map.empty[String, FileInfo]
     var prevDv = Map.empty[String, String] // file -> blob digest
     var prevTxn = Map.empty[String, Long] // appId -> last emitted batch id
+    var prevGraftV = -1 // graft version behind the previous Delta version
     var prevMeta: Option[(String, Seq[String])] = None
     var deltaV = -1L
     versions.foreach { v =>
@@ -153,14 +167,22 @@ object DeltaExport {
         if (deltaV == 0L) {
           // merge-on-read lineages need the deletionVectors table feature;
           // vector-free tables stay on the widely-readable base protocol
+          // (legacy writer 4 when only CDF is needed — CDF is included in
+          // that legacy version, no feature lists required)
           lines +=
-            (if (anyDv)
+            (if (anyDv && changeDataFeed)
+              """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+                """"readerFeatures":["deletionVectors"],""" +
+                """"writerFeatures":["deletionVectors","changeDataFeed"]}}"""
+            else if (anyDv)
               """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
                 """"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}"""
+            else if (changeDataFeed)
+              """{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}"""
             else """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""")
         }
         lines += metaDataLine(tableId, s"$ns.$t", schemaJson, partCols, anyDv,
-          createdTime)
+          createdTime, changeDataFeed)
         prevMeta = Some((schemaJson, partCols))
       }
       // serialize + place this snapshot's DVs; digest change (not dv-dir
@@ -191,6 +213,28 @@ object DeltaExport {
       (added ++ dvChanged).toSeq.sorted.foreach { a =>
         lines += addLine(cur(a), curDv.get(a).map(_._2))
       }
+      // CDF: a commit with removes or DV changes has row-level changes no
+      // reader can infer from its actions — render the exact snapshot diff
+      // as a _change_data file + cdc action. (Add-only commits derive as
+      // pure inserts per the spec; a no-row-change rewrite, e.g. a
+      // compaction, yields an EMPTY cdc file — also per the spec.)
+      if (changeDataFeed && deltaV > 0L && (removed.nonEmpty || dvChanged.nonEmpty)) {
+        val cdcRel = f"_change_data/cdc-$deltaV%020d.parquet"
+        val cdcTarget = new Path(tableDir, cdcRel)
+        if (!fs.exists(cdcTarget)) {
+          val changes = catalog.changelog(ns, t, prevGraftV, v)
+            .withColumnRenamed("_change", "_change_type")
+          val tmp = new Path(tableDir, s"._cdc-$deltaV.tmp")
+          changes.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val partF = fs.listStatus(tmp).map(_.getPath)
+            .find(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+            .getOrElse(sys.error("cdc write produced no parquet part"))
+          fs.mkdirs(cdcTarget.getParent)
+          fs.rename(partF, cdcTarget)
+          fs.delete(tmp, true)
+        }
+        lines += cdcLine(cdcRel, fs.getFileStatus(cdcTarget).getLen)
+      }
       // append-only log: a version already on disk is NEVER rewritten —
       // its bytes are committed history readers may have cached. (The
       // loop still replays it to carry prevFiles/prevDv/prevTxn forward;
@@ -200,6 +244,7 @@ object DeltaExport {
         writeText(fs, target, lines.result().mkString("", "\n", "\n"))
       prevFiles = cur
       prevDv = curDv.map { case (f, (digest, _)) => f -> digest }
+      prevGraftV = v
     }
     Export(logDir.toString, deltaV)
   }
@@ -451,8 +496,19 @@ object DeltaExport {
     mapper.writeValueAsString(o)
   }
 
+  private def cdcLine(rel: String, size: Long): String = {
+    val o = mapper.createObjectNode()
+    val c = o.putObject("cdc")
+    c.put("path", encodePath(rel))
+    c.putObject("partitionValues")
+    c.put("size", size)
+    c.put("dataChange", false)
+    mapper.writeValueAsString(o)
+  }
+
   private def metaDataLine(id: String, name: String, schemaJson: String,
-      partCols: Seq[String], dvEnabled: Boolean, createdTime: Long): String = {
+      partCols: Seq[String], dvEnabled: Boolean, createdTime: Long,
+      cdfEnabled: Boolean = false): String = {
     val o = mapper.createObjectNode()
     val m = o.putObject("metaData")
     m.put("id", id)
@@ -465,6 +521,7 @@ object DeltaExport {
     partCols.foreach(pc.add)
     val cfg = m.putObject("configuration")
     if (dvEnabled) cfg.put("delta.enableDeletionVectors", "true")
+    if (cdfEnabled) cfg.put("delta.enableChangeDataFeed", "true")
     m.put("createdTime", createdTime)
     mapper.writeValueAsString(o)
   }

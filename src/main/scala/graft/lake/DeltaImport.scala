@@ -257,6 +257,121 @@ object DeltaImport {
     }: _*)
   }
 
+  /** CHANGE DATA FEED reader (PROTOCOL.md §Change Data Files): row-level
+    * changes between Delta versions `fromVersion..toVersion` inclusive,
+    * as (table columns…, _change_type, _commit_version). Per commit:
+    * explicit `cdc` actions are the complete feed when present; otherwise
+    * an ADD-ONLY commit derives pure inserts from its add actions (the
+    * spec's rule). A commit carrying removes WITHOUT cdc actions is
+    * reconstructable only for unpartitioned tables (removed files are
+    * re-read as deletes); on a partitioned table that shape fails loudly —
+    * remove actions carry no partition values in this log dialect.
+    * Requires `delta.enableChangeDataFeed`; column-mapping CDF reads are
+    * not supported (loud).
+    */
+  def readChangeFeed(spark: SparkSession, location: String,
+      fromVersion: Long, toVersion: Long): DataFrame = {
+    require(fromVersion >= 0 && fromVersion <= toVersion,
+      s"bad CDF version range [$fromVersion, $toVersion]")
+    val conf = spark.sessionState.newHadoopConf()
+    val tableDir = new Path(location)
+    val fs = tableDir.getFileSystem(conf)
+    val logDir = new Path(tableDir, "_delta_log")
+    val have = jsonVersions(fs, logDir)
+    require(have.nonEmpty, s"no Delta log at $logDir")
+    require(have.contains(toVersion),
+      s"no Delta version $toVersion at $logDir (have ${have.head}..${have.last})")
+    val state = replayJson(fs, logDir, 0L, toVersion, EmptyState)
+    requireReadable(state)
+    require(state.configuration.get("delta.enableChangeDataFeed").contains("true"),
+      "delta.enableChangeDataFeed is not set on this table")
+    require(state.configuration.getOrElse("delta.columnMapping.mode", "none") == "none",
+      "CDF reads under column mapping are not supported")
+    val schema = DataType.fromJson(state.schemaJson).asInstanceOf[StructType]
+    val dataSchema = StructType(
+      schema.fields.filterNot(f => state.partitionColumns.contains(f.name)))
+    val cdcSchema = StructType(schema.fields :+ StructField("_change_type", StringType))
+
+    val frames = (fromVersion to toVersion).flatMap { v =>
+      val p = new Path(logDir, f"$v%020d.json")
+      val in = fs.open(p)
+      val text = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      var cdcPaths = Vector.empty[String]
+      var addPaths = Vector.empty[(String, Map[String, String])]
+      var removePaths = Vector.empty[String]
+      text.split("\n").iterator.map(_.trim).filter(_.nonEmpty).foreach { line =>
+        val n = mapper.readTree(line)
+        Option(n.get("cdc")).foreach(c => cdcPaths :+= c.get("path").asText())
+        Option(n.get("add")).filter(a =>
+          Option(a.get("dataChange")).forall(_.asBoolean(true))).foreach { a =>
+          val pv = Option(a.get("partitionValues")).toSeq.flatMap { node =>
+            import scala.jdk.CollectionConverters._
+            node.fieldNames().asScala.toSeq.flatMap(k =>
+              Option(node.get(k)).filterNot(_.isNull).map(x => k -> x.asText()))
+          }.toMap
+          addPaths :+= (a.get("path").asText(), pv)
+        }
+        Option(n.get("remove")).filter(r =>
+          Option(r.get("dataChange")).forall(_.asBoolean(true)))
+          .foreach(r => removePaths :+= r.get("path").asText())
+      }
+      if (cdcPaths.nonEmpty) {
+        // cdc actions are the COMPLETE feed for this commit
+        val abs = cdcPaths.sorted.map(rel =>
+          new Path(tableDir, decodePath(rel)).toString)
+        Seq(spark.read.schema(cdcSchema).parquet(abs: _*)
+          .withColumn("_commit_version", lit(v)))
+      } else {
+        require(removePaths.isEmpty || state.partitionColumns.isEmpty,
+          s"Delta version $v removes files on a partitioned CDF table " +
+            "without cdc actions — the change feed cannot be reconstructed")
+        val inserts =
+          if (addPaths.isEmpty) Nil
+          else {
+            val raw = spark.read.schema(dataSchema)
+              .parquet(addPaths.map(x =>
+                new Path(tableDir, decodePath(x._1)).toString): _*)
+            // identity partition columns reattach from add.partitionValues
+            val missing = state.partitionColumns.filterNot(raw.columns.contains)
+            val withPart =
+              if (missing.isEmpty) raw
+              else {
+                val mapSchema = StructType(
+                  StructField("__cdf_fp", StringType) +:
+                    missing.map(StructField(_, StringType)))
+                val mapRows = addPaths.map { case (rel, pv) =>
+                  Row.fromSeq(
+                    normalize(new Path(tableDir, decodePath(rel))) +:
+                      missing.map(pv.get(_).orNull))
+                }
+                val lookup = spark.createDataFrame(
+                  spark.sparkContext.parallelize(mapRows, 1), mapSchema)
+                raw.withColumn("__cdf_fp", normPathCol(col("_metadata.file_path")))
+                  .join(broadcast(lookup), "__cdf_fp").drop("__cdf_fp")
+              }
+            Seq(withPart.withColumn("_change_type", lit("insert"))
+              .withColumn("_commit_version", lit(v)))
+          }
+        val deletes =
+          if (removePaths.isEmpty) Nil
+          else Seq(spark.read.schema(dataSchema)
+            .parquet(removePaths.map(rel =>
+              new Path(tableDir, decodePath(rel)).toString): _*)
+            .withColumn("_change_type", lit("delete"))
+            .withColumn("_commit_version", lit(v)))
+        inserts ++ deletes
+      }
+    }
+    val outCols = schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name)) ++
+      Seq(col("_change_type"), col("_commit_version"))
+    if (frames.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        StructType(schema.fields ++ Seq(StructField("_change_type", StringType),
+          StructField("_commit_version", LongType))))
+    else frames.map(_.select(outCols.toSeq: _*)).reduce(_ unionByName _)
+  }
+
   /** Resolve a descriptor to its bitmap bytes: Z85-decode inline data, or
     * fetch the `deletion_vector_<uuid>.bin` sidecar (seek to `offset`,
     * read the i32-BE size-prefixed blob, verify the trailing CRC32).

@@ -1340,6 +1340,50 @@ object IngestLake {
     GROUP BY o_orderstatus ORDER BY o_orderstatus""")
   )
 
+  /** B41 (r12): DELTA CHANGE DATA FEED, both directions. A two-commit
+    * table takes a CoW DELETE; the export (changeDataFeed=true) renders
+    * `delta.enableChangeDataFeed`, the spec's `cdc` action and a
+    * `_change_data` file holding the EXACT row diff for the rewriting
+    * commit (derived from graft's snapshot changelog); add-only commits
+    * carry no cdc file, so the reader's derive-inserts-from-adds rule is
+    * exercised on v0/v1 and the explicit-cdc rule on v2. The aggregate
+    * groups the whole feed by (version, change type) — a wrong diff, a
+    * mis-derived insert, or a version misattribution each break a row.
+    */
+  val lakeDeltaCdf: Q = Q(
+    "lake_delta_cdf",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val cat = LakeCatalog(s, scratch("delta_cdf"))
+      val orders = t.orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
+      cat.write("dl", "orders", orders.filter(col("o_orderkey") % 2 === 0)) // Delta v0
+      cat.write("dl", "orders", orders.filter(col("o_orderkey") % 2 === 1),
+        SaveMode.Append) // Delta v1
+      cat.delete("dl", "orders", col("o_orderkey") % 7 === 0) // Delta v2: CoW
+      graft.lake.DeltaExport.export(s, cat, "dl", "orders", changeDataFeed = true)
+      val loc = new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(
+          new org.apache.hadoop.fs.Path(cat.root), "dl"), "orders").toString
+      graft.lake.DeltaImport.readChangeFeed(s, loc, 0L, 2L)
+        .groupBy("_commit_version", "_change_type")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy("_commit_version", "_change_type")
+    },
+    Some(s"""SELECT * FROM (
+      SELECT CAST(0 AS BIGINT) AS _commit_version, 'insert' AS _change_type,
+        COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS $D)) AS DOUBLE) AS total
+      FROM orders WHERE o_orderkey % 2 = 0
+      UNION ALL
+      SELECT CAST(1 AS BIGINT), 'insert', COUNT(*),
+        CAST(SUM(CAST(o_totalprice AS $D)) AS DOUBLE)
+      FROM orders WHERE o_orderkey % 2 = 1
+      UNION ALL
+      SELECT CAST(2 AS BIGINT), 'delete', COUNT(*),
+        CAST(SUM(CAST(o_totalprice AS $D)) AS DOUBLE)
+      FROM orders WHERE o_orderkey % 7 = 0
+    ) ORDER BY _commit_version, _change_type""")
+  )
+
   /** B36/B37 (r11): DELTA LAKE adoption round-trip — the other open table
     * format's public protocol (delta-io/delta PROTOCOL.md), no Delta jar.
     * A PARTITIONED two-commit table takes a CoW DELETE (so the lineage
@@ -1556,5 +1600,5 @@ object IngestLake {
     lakeDeleteMor, lakeCdcApply, lakeIcebergExport, lakeIcebergImport, ingestDocxReal,
     ingestJdbcRoundtrip, lakeTimeTravel, lakeExpiry, lakeTags, ingestWideSchema,
     lakeExportNested, lakeWriteModes, ingestAvroRoundtrip, lakeDeltaExport,
-    ingestXlsxReal, lakeDeltaDv, lakeBranches, lakeIcebergEqDelete)
+    ingestXlsxReal, lakeDeltaDv, lakeBranches, lakeIcebergEqDelete, lakeDeltaCdf)
 }

@@ -473,6 +473,53 @@ class DeltaSpec extends SparkSpec {
     } finally sys.props.remove(prop)
   }
 
+  test("CDF: explicit cdc diffs, derived inserts, MoR + compaction commits") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    cat.write("dl", "t", (1 to 60).map(i => (i.toLong, i * 2.0)).toDF("id", "x"))
+    cat.write("dl", "t", (61 to 120).map(i => (i.toLong, i * 2.0)).toDF("id", "x"),
+      SaveMode.Append)
+    cat.deleteMoR("dl", "t", col("id") % 10 === 0) // v2: DV change -> cdc
+    cat.compact("dl", "t") // v3: full rewrite, NO row change -> empty cdc
+    val loc = tableLoc(cat, "dl", "t")
+    DeltaExport.export(spark, cat, "dl", "t", changeDataFeed = true)
+    val feed = DeltaImport.readChangeFeed(spark, loc, 0L, 3L)
+    assert(feed.columns.takeRight(2).toSeq == Seq("_change_type", "_commit_version"))
+    val byVt = feed.groupBy("_commit_version", "_change_type").count()
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(byVt((0L, "insert")) == 60)
+    assert(byVt((1L, "insert")) == 60)
+    assert(byVt((2L, "delete")) == 12, "MoR delete diff must ride the cdc file")
+    assert(!byVt.keySet.exists(_._1 == 3L),
+      "a compaction changes no rows - its cdc file must be empty")
+    // deleted IDS are the right ones, and a subrange reads only its versions
+    val v2 = DeltaImport.readChangeFeed(spark, loc, 2L, 2L)
+    assert(v2.select("id").collect().map(_.getLong(0)).toSet ==
+      (1 to 120).filter(_ % 10 == 0).map(_.toLong).toSet)
+    // the protocol carries BOTH features for a DV+CDF table
+    assert(logLines(loc, 0L).exists(l =>
+      l.contains("changeDataFeed") && l.contains("deletionVectors")))
+    // a non-CDF export refuses the feed read loudly
+    val cat2 = freshCatalog()
+    cat2.write("dl", "t", (1 to 5).map(i => (i.toLong, i * 1.0)).toDF("id", "x"))
+    DeltaExport.export(spark, cat2, "dl", "t")
+    val e = intercept[IllegalArgumentException] {
+      DeltaImport.readChangeFeed(spark, tableLoc(cat2, "dl", "t"), 0L, 0L)
+    }
+    assert(e.getMessage.contains("enableChangeDataFeed"), e.getMessage)
+  }
+
+  test("CDF: derived inserts on a partitioned table reattach partition values") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    val df = (1 to 30).map(i => (i.toLong, s"p${i % 3}", i * 1.0)).toDF("id", "k", "x")
+    cat.write("dl", "t", df, partitionBy = Seq("k"))
+    DeltaExport.export(spark, cat, "dl", "t", changeDataFeed = true)
+    val feed = DeltaImport.readChangeFeed(spark, tableLoc(cat, "dl", "t"), 0L, 0L)
+    assert(rows(feed.select("id", "k", "x")) == rows(df))
+    assert(feed.filter(col("_change_type") =!= "insert").count() == 0)
+  }
+
   test("driver-state cap: tail REMOVES shadow checkpoint adds distributively") {
     import spark.implicits._
     val cat = freshCatalog()
