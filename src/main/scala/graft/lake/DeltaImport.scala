@@ -281,7 +281,11 @@ object DeltaImport {
     require(have.nonEmpty, s"no Delta log at $logDir")
     require(have.contains(toVersion),
       s"no Delta version $toVersion at $logDir (have ${have.head}..${have.last})")
-    val state = replayJson(fs, logDir, 0L, toVersion, EmptyState)
+    // metadata-only replay: the feed needs protocol/schema/config, never
+    // the add set — O(log lines) driver work with no per-file state
+    val state = replayMeta(fs, logDir, toVersion)
+    require(state.schemaJson != null,
+      s"no metaData action in the log up to version $toVersion")
     requireReadable(state)
     require(state.configuration.get("delta.enableChangeDataFeed").contains("true"),
       "delta.enableChangeDataFeed is not set on this table")
@@ -494,6 +498,50 @@ object DeltaImport {
     a.getAs[String]("path") -> AddState(pv,
       a.getAs[Long]("size"), a.getAs[Long]("modificationTime"),
       Option(a.getAs[String]("stats")), dv)
+  }
+
+  /** Metadata-only log replay: protocol + latest metaData, no add/remove
+    * accumulation — O(log lines) driver work for callers (the CDF reader)
+    * that never need the file set.
+    */
+  private def replayMeta(fs: FileSystem, logDir: Path, to: Long): LogState = {
+    var state = EmptyState
+    (0L to to).foreach { v =>
+      val p = new Path(logDir, f"$v%020d.json")
+      if (fs.exists(p)) {
+        val in = fs.open(p)
+        val text = try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+        text.split("\n").iterator.map(_.trim).filter(_.nonEmpty).foreach { line =>
+          val n = mapper.readTree(line)
+          Option(n.get("protocol")).foreach { pr =>
+            def features(name: String): Seq[String] =
+              Option(pr.get(name)).filterNot(_.isNull).toSeq
+                .flatMap(a => (0 until a.size()).map(a.get(_).asText()))
+            state = state.copy(protocol = Some(ProtocolState(
+              pr.get("minReaderVersion").asInt(), pr.get("minWriterVersion").asInt(),
+              features("readerFeatures"), features("writerFeatures"))))
+          }
+          Option(n.get("metaData")).foreach { m =>
+            val pc = m.get("partitionColumns")
+            val conf = Option(m.get("configuration")).filterNot(_.isNull).toSeq
+              .flatMap { node =>
+                import scala.jdk.CollectionConverters._
+                node.fieldNames().asScala.toSeq.flatMap(k =>
+                  Option(node.get(k)).filterNot(_.isNull).map(x => k -> x.asText()))
+              }.toMap
+            state = state.withMeta(
+              m.get("id").asText(),
+              Option(m.get("name")).map(_.asText()).getOrElse(""),
+              m.get("schemaString").asText(),
+              (0 until pc.size()).map(pc.get(_).asText()),
+              Option(m.get("createdTime")).map(_.asLong()).getOrElse(0L),
+              conf)
+          }
+        }
+      }
+    }
+    state
   }
 
   /** Seed the NON-add replay state (protocol, metaData, txns, remove
