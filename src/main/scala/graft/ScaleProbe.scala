@@ -19,7 +19,7 @@ object ScaleProbe {
     */
   private[graft] val knownSections = Set("minhash", "ann", "text",
     "mega-bucket", "rank", "merge", "mor", "pq", "skew", "sem", "stream",
-    "width", "streamparts", "iceimport", "deltaimport")
+    "width", "streamparts", "iceimport", "deltaimport", "annrank")
 
   /** Validates requested section names against the whitelist; throws on
     * any unknown name. Factored out of main so the contract is spec-pinned.
@@ -96,6 +96,30 @@ object ScaleProbe {
         .agg(max("s")).collect()
       val dt = (System.nanoTime() - t0) / 1e9
       println(f"[scale] ann-brute ${mult}x: vecs=$n%d time=$dt%.1fs maxcos=${scored(0).getDouble(0)}%.3f")
+    }
+
+    // ANN RANK-STAGE probe (r12): the bounded-heap TopKPerGroup cut that
+    // replaced the per-query row_number window (VERDICT r11 #2). The full
+    // top-k-per-query over the scored corpus must scale ~linearly in
+    // vectors: partial heaps reduce map-side, the exchange moves at most
+    // k x queries x partitions rows, and the only window sorts <=k rows
+    // per query — no single-reducer funnel at any multiple.
+    if (on("annrank")) for (mult <- Seq(1, 3, 10)) {
+      val loaded = spark.read.parquet(embCorpus(mult))
+      val n = loaded.count()
+      val queries = loaded.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      val corpus = loaded.select(col("vec_id").as("neighbor_id"), col("embedding"))
+      val t0 = System.nanoTime()
+      val scored = corpus
+        .join(broadcast(queries), col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          operators.Similarity.cosine(col("q_emb"), col("embedding")).as("score"))
+      val ranked = operators.Similarity.rankTopK(scored, "query_id",
+        Seq(desc("score"), asc("neighbor_id")), 5, "rank")
+      val out = ranked.count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] ann-rank ${mult}x: vecs=$n%d kept=$out%d time=$dt%.1fs")
     }
 
     // text-pipeline probe: tokenize -> bigram explode -> count (the shape of
