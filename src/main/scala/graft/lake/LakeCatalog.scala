@@ -733,6 +733,33 @@ final class LakeCatalog(
     sys.error("unreachable")
   }
 
+  /** Record a txn watermark as a METADATA-ONLY commit (no data entry) —
+    * for sinks whose data lands through CONVERGENT operations (MERGE /
+    * CDC APPLY): the watermark lets a replayed batch SKIP the work
+    * entirely, and a crash between the merge and this record costs one
+    * redundant-but-convergent merge, never a duplicate (exactly-once
+    * result, at-most-twice work). No-ops on tables that do not exist or
+    * hold no data yet (a version carrying only a watermark would be
+    * unreadable), and on batch ids at or below the recorded mark.
+    */
+  def recordTxn(ns: String, t: String, appId: String, batchId: Long): Option[Int] = {
+    var attempts = 0
+    while (true) {
+      if (!tableExists(ns, t)) return None
+      val (base, entries) = latestEntries(ns, t)
+      if (dataRels(entries).isEmpty) return None
+      if (txnWatermarks(entries).get(appId).exists(_ >= batchId)) return None
+      val keep = entries.filterNot(_.startsWith(s"txn/${enc(appId)}="))
+      try return Some(commit(ns, t, keep :+ txnLine(appId, batchId), Some(base)))
+      catch {
+        case e: CommitConflictException =>
+          attempts += 1
+          if (attempts >= 8) throw e
+      }
+    }
+    sys.error("unreachable")
+  }
+
   /** [[writeTxn]] onto a BRANCH lineage (the audited-streaming sink): the
     * watermark lives in the branch manifest and flows to main with the
     * fast-forward merge, so a replay is a no-op whether the restart lands

@@ -261,11 +261,20 @@ object EventStreams {
       key: String,
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
     val merger = new graft.lake.TableMerger(catalog)
+    // MERGE converges under replay by construction (same keys upsert to
+    // the same rows), so correctness never needed a guard — the watermark
+    // makes a replayed batch SKIP the merge entirely (exactly-once result
+    // was already true; this buys at-most-twice WORK, the crash window
+    // being one redundant convergent merge before the record lands)
+    val appId = sinkAppId(ns, table, checkpoint)
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        if (!batch.isEmpty) { merger.mergeTable(batch.toDF(), ns, table, Some(key)); () }
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!catalog.txnVersion(ns, table, appId).exists(_ >= batchId)) {
+          if (!batch.isEmpty) { merger.mergeTable(batch.toDF(), ns, table, Some(key)); () }
+          catalog.recordTxn(ns, table, appId, batchId)
+        }
         (): Unit
       }
       .start()
@@ -295,12 +304,18 @@ object EventStreams {
       checkpoint: String,
       orderCol: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
     val merger = new graft.lake.TableMerger(catalog)
+    // same replay-skip watermark as streamUpsertIntoLake: applyCdc
+    // converges under replay (latest-event-wins), the guard skips the work
+    val appId = sinkAppId(ns, table, checkpoint)
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        if (!batch.isEmpty) {
-          merger.applyCdc(batch.toDF(), ns, table, Some(key), orderCol = orderCol); ()
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!catalog.txnVersion(ns, table, appId).exists(_ >= batchId)) {
+          if (!batch.isEmpty) {
+            merger.applyCdc(batch.toDF(), ns, table, Some(key), orderCol = orderCol); ()
+          }
+          catalog.recordTxn(ns, table, appId, batchId)
         }
         (): Unit
       }

@@ -202,6 +202,32 @@ class IdempotentSinkSpec extends SparkSpec {
     } finally rmrf(root)
   }
 
+  test("E9 merge sink kill/replay: replayed batch SKIPS the merge (no new version)") {
+    val root = Files.createTempDirectory("graft_sink_")
+    try {
+      val src = root.resolve("src"); Files.createDirectories(src)
+      val cp = root.resolve("cp")
+      val cat = LakeCatalog(spark, root.resolve("lake").toString)
+      def start(s: DataFrame) =
+        EventStreams.streamUpsertIntoLake(s, cat, "st", "up", "id", cp.toString)
+      // batch 0: ids 0..49; batch 1: corrections for 25..74 (upserts+inserts)
+      runRounds(src, cp, start, root, 0,
+        Seq(frame(0 until 50), frame(25 until 75)))
+      assert(cat.read("st", "up").count() == 75)
+      val vBefore = cat.versions("st", "up").last
+      dropLastCommit(cp)
+      runRounds(src, cp, start, root, 2, Seq.empty)
+      // merge WOULD converge anyway; the watermark means the replay did
+      // not even publish a version (skip, not re-merge)
+      assert(cat.versions("st", "up").last == vBefore,
+        "replayed batch must skip the merge entirely")
+      assert(cat.read("st", "up").count() == 75)
+      // a genuinely new batch still lands
+      runRounds(src, cp, start, root, 3, Seq(frame(75 until 90)))
+      assert(cat.read("st", "up").count() == 90)
+    } finally rmrf(root)
+  }
+
   test("writeBranchTxn: direct replay no-op on the branch lineage") {
     val root = Files.createTempDirectory("graft_txn_")
     try {
