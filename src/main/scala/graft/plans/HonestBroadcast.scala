@@ -61,9 +61,15 @@ case class HonestBroadcastRule(spark: SparkSession) extends Rule[LogicalPlan] {
         def hintFor(side: LogicalPlan, existing: Option[HintInfo],
             canBuild: Boolean): Option[HintInfo] =
           existing.orElse {
-            if (canBuild && provenSmall(side, threshold))
+            if (canBuild && provenSmall(side, threshold)) {
+              // observable decision: scale soaks must be able to SEE what
+              // was footer-proven, not infer it from plan diffs
+              org.slf4j.LoggerFactory.getLogger(getClass).info(
+                s"honest-broadcast: proven small under $threshold B -> " +
+                  s"BROADCAST hint on ${side.nodeName} " +
+                  side.output.map(_.name).mkString("(", ",", ")"))
               Some(HintInfo(strategy = Some(BROADCAST)))
-            else None
+            } else None
           }
         val lh = hintFor(left, hint.leftHint, canBuildLeft(joinType))
         val rh = hintFor(right, hint.rightHint, canBuildRight(joinType))
