@@ -1340,6 +1340,38 @@ object IngestLake {
     GROUP BY o_orderstatus ORDER BY o_orderstatus""")
   )
 
+  /** B39 (r12): IDEMPOTENT TRANSACTIONAL APPENDS under the oracle. Three
+    * batches land through `writeTxn`, with batch 1 REPLAYED verbatim and a
+    * STALE id re-sent after later progress — both must no-op — and a
+    * compaction between batches must not reopen the replay window. The
+    * final aggregate equals the plain three-batch union exactly: a sink
+    * that applied any replay doubles rows and hash-mismatches; one that
+    * lost the watermark to maintenance does too.
+    */
+  val lakeTxnAppend: Q = Q(
+    "lake_txn_append",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val cat = LakeCatalog(s, scratch("txn_append"))
+      val orders = t.orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
+      def part(i: Int) = orders.filter(col("o_orderkey") % 3 === i)
+      val app = "ingest-pipeline"
+      cat.writeTxn("lake", "orders", app, 0L, part(0))
+      cat.writeTxn("lake", "orders", app, 1L, part(1))
+      cat.writeTxn("lake", "orders", app, 1L, part(1)) // micro-batch retry: no-op
+      cat.compactSmall("lake", "orders", Long.MaxValue) // maintenance mid-stream
+      cat.writeTxn("lake", "orders", app, 0L, part(0)) // stale replay: no-op
+      cat.writeTxn("lake", "orders", app, 2L, part(2))
+      cat.read("lake", "orders")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy("o_orderstatus")
+    },
+    Some(s"""SELECT o_orderstatus, COUNT(*) AS n,
+      CAST(SUM(CAST(o_totalprice AS $D)) AS DOUBLE) AS total
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+  )
+
   /** B41 (r12): DELTA CHANGE DATA FEED, both directions. A two-commit
     * table takes a CoW DELETE; the export (changeDataFeed=true) renders
     * `delta.enableChangeDataFeed`, the spec's `cdc` action and a
@@ -1600,5 +1632,6 @@ object IngestLake {
     lakeDeleteMor, lakeCdcApply, lakeIcebergExport, lakeIcebergImport, ingestDocxReal,
     ingestJdbcRoundtrip, lakeTimeTravel, lakeExpiry, lakeTags, ingestWideSchema,
     lakeExportNested, lakeWriteModes, ingestAvroRoundtrip, lakeDeltaExport,
-    ingestXlsxReal, lakeDeltaDv, lakeBranches, lakeIcebergEqDelete, lakeDeltaCdf)
+    ingestXlsxReal, lakeDeltaDv, lakeBranches, lakeIcebergEqDelete, lakeDeltaCdf,
+    lakeTxnAppend)
 }
