@@ -223,8 +223,12 @@ class EventStreamsSpec extends SparkSpec {
       val rows = cat.read("cdc", "t").orderBy("id")
         .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
       assert(rows == Seq((1L, "a"), (2L, "B"), (3L, "c")), rows.toString)
-      // versions: CTAS then one MERGE commit per non-empty batch
-      assert(cat.versions("cdc", "t") == Seq(1, 2))
+      // versions: (CTAS + its txn watermark) then (one MERGE commit + its
+      // watermark) per non-empty batch — the r12 replay-skip guard records
+      // a metadata-only version after each applied batch
+      assert(cat.versions("cdc", "t") == Seq(1, 2, 3, 4))
+      assert(cat.txnVersion("cdc", "t",
+        EventStreams.sinkAppId("cdc", "t", ckpt)).contains(1L))
     } finally q.stop()
   }
 
@@ -249,8 +253,11 @@ class EventStreamsSpec extends SparkSpec {
       val rows = cat.read("cdc", "t").orderBy("id")
         .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
       assert(rows == Seq((1L, "a"), (2L, "B"), (4L, "d")), rows.toString)
-      // versions: CDC-create then ONE apply commit for the mixed batch
-      assert(cat.versions("cdc", "t") == Seq(1, 2))
+      // versions: (CDC-create + watermark) then (ONE apply commit for the
+      // mixed batch + watermark) — r12 replay-skip accounting
+      assert(cat.versions("cdc", "t") == Seq(1, 2, 3, 4))
+      assert(cat.txnVersion("cdc", "t",
+        EventStreams.sinkAppId("cdc", "t", ckpt)).contains(1L))
     } finally q.stop()
   }
 
