@@ -981,15 +981,134 @@ final class LakeCatalog(
     * "incremental loading (change data capture)"): full-row diff — a row
     * counts as inserted if present in `toV` but not `fromV`, deleted if the
     * reverse; an update is a delete+insert pair. EXCEPT ALL keeps duplicate
-    * multiplicity honest. Both sides shuffle once on the full row hash.
+    * multiplicity honest.
+    *
+    * FILE-SCOPED (r12): commit dirs present in BOTH manifests hold
+    * physically identical rows, which cancel in the diff — so the diff is
+    * computed over only the dirs each side holds EXCLUSIVELY, plus the
+    * rows whose deletion-vector mark CHANGED in shared dirs (a MoR delete
+    * adds marks without touching any data dir; a rollback can remove
+    * them). At 100 TB a CoW delete's changelog then costs the rewritten
+    * commits' IO, a MoR delete's costs the marked dirs' — never the
+    * table's. Multiset subtraction decomposes exactly because the shared
+    * part is identical on both sides. Falls back to the whole-snapshot
+    * diff when the two versions' schemas differ (post-evolution windows
+    * genuinely need the full unified read).
     */
   def changelog(ns: String, t: String, fromV: Int, toV: Int): DataFrame = {
-    import org.apache.spark.sql.functions.lit
-    val before = read(ns, t, Some(fromV))
-    val after = read(ns, t, Some(toV))
-    after.exceptAll(before).withColumn("_change", lit("insert"))
-      .unionByName(before.exceptAll(after).withColumn("_change", lit("delete")))
+    import org.apache.spark.sql.functions.{col, lit}
+    val beforeEntries = manifestEntries(ns, t, fromV)
+    val afterEntries = manifestEntries(ns, t, toV)
+    val beforeData = dataRels(beforeEntries)
+    val afterData = dataRels(afterEntries)
+    val shared = beforeData.toSet intersect afterData.toSet
+    val remData = beforeData.filterNot(shared)
+    val addData = afterData.filterNot(shared)
+
+    def full(): DataFrame = {
+      val before = read(ns, t, Some(fromV))
+      val after = read(ns, t, Some(toV))
+      after.exceptAll(before).withColumn("_change", lit("insert"))
+        .unionByName(before.exceptAll(after).withColumn("_change", lit("delete")))
+    }
+
+    // exclusive-dir rows, each side under ITS OWN deletion vectors
+    def sideRows(v: Int, entries: Seq[String], rels: Seq[String]): DataFrame =
+      readDirsClean(ns, t, entries, rels)
+    val beforeSide =
+      if (remData.isEmpty) None else Some(sideRows(fromV, beforeEntries, remData))
+    val afterSide =
+      if (addData.isEmpty) None else Some(sideRows(toV, afterEntries, addData))
+    // schema-evolution guard: the scoped subsets must agree with each
+    // other; the full path owns the unified-read semantics otherwise
+    val schemasAgree = (beforeSide, afterSide) match {
+      case (Some(b), Some(a)) => b.schema == a.schema
+      case _ => true
+    }
+    if (!schemasAgree) return full()
+
+    // deletion-vector DELTA on shared dirs: (file, pos) marked on exactly
+    // one side = a row-level delete (newly marked in `to`) or insert
+    // (unmarked by a rollback). Vector rows referencing exclusive dirs are
+    // already accounted by the side reads.
+    val beforeDvs = dvRels(beforeEntries)
+    val afterDvs = dvRels(afterEntries)
+    def marksIn(dvs: Seq[String]): Option[DataFrame] =
+      if (dvs.isEmpty) None else Some(dvFrame(ns, t, dvs))
+    def sharedOnly(df: DataFrame): DataFrame = {
+      // a mark belongs to a shared dir when its file sits under one
+      import org.apache.spark.sql.functions.substring_index
+      if (shared.isEmpty) df.limit(0)
+      else df.filter(
+        substring_index(col("_dv_file"), "/", 2).isin(shared.toSeq: _*) ||
+          substring_index(col("_dv_file"), "/", 3).isin(shared.toSeq: _*))
+    }
+    val dvDelta: Option[(DataFrame, DataFrame)] =
+      if (beforeDvs == afterDvs) None
+      else {
+        val b = marksIn(beforeDvs).map(sharedOnly)
+        val a = marksIn(afterDvs).map(sharedOnly)
+        val newlyMarked = (a, b) match {
+          case (Some(am), Some(bm)) => am.exceptAll(bm)
+          case (Some(am), None) => am
+          case _ => am0(ns, t) // no after marks: nothing newly marked
+        }
+        val unmarked = (b, a) match {
+          case (Some(bm), Some(am)) => bm.exceptAll(am)
+          case (Some(bm), None) => bm
+          case _ => am0(ns, t)
+        }
+        Some((newlyMarked, unmarked))
+      }
+    def rowsAtMarks(marks: DataFrame): DataFrame = {
+      // rows of the marked files only: collect the affected dirs (bounded
+      // by file count, same economics as markedDirs) and key-join
+      val dirs = marks.select("_dv_file").distinct()
+        .collect().map(_.getString(0))
+        .map(f => f.substring(0, f.lastIndexOf('/'))).toSet
+      val touched = shared.toSeq.filter(e => entryMarked(dirs, e))
+      if (touched.isEmpty) return read(ns, t, Some(toV)).limit(0)
+      readDirsWithKey(ns, t, touched)
+        .join(marks,
+          col("__graft_file") === col("_dv_file") &&
+            col("__graft_pos") === col("_dv_pos"))
+        .drop("__graft_file", "__graft_pos", "_dv_file", "_dv_pos")
+    }
+
+    val inserts0 = (afterSide, beforeSide) match {
+      case (Some(a), Some(b)) => Some(a.exceptAll(b))
+      case (Some(a), None) => Some(a)
+      case _ => None
+    }
+    val deletes0 = (beforeSide, afterSide) match {
+      case (Some(b), Some(a)) => Some(b.exceptAll(a))
+      case (Some(b), None) => Some(b)
+      case _ => None
+    }
+    val dvDeletes = dvDelta.map { case (newly, _) => rowsAtMarks(newly) }
+    val dvInserts = dvDelta.map { case (_, unmarked) => rowsAtMarks(unmarked) }
+
+    val inserts = (inserts0.toSeq ++ dvInserts.toSeq)
+    val deletes = (deletes0.toSeq ++ dvDeletes.toSeq)
+    val tagged =
+      inserts.map(_.withColumn("_change", lit("insert"))) ++
+        deletes.map(_.withColumn("_change", lit("delete")))
+    if (tagged.isEmpty)
+      read(ns, t, Some(toV)).limit(0).withColumn("_change", lit(""))
+    // column-set mismatch across scoped branches (odd layouts): the full
+    // unified diff owns those semantics
+    else if (tagged.map(_.columns.toSet).distinct.length > 1) full()
+    else tagged.reduce(_ unionByName _)
   }
+
+  // an empty (file,pos) frame in the dv-mark shape
+  private def am0(ns: String, t: String): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("_dv_file",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("_dv_pos",
+          org.apache.spark.sql.types.LongType))))
 
   /** The commit dirs ADDED between two snapshots when the history is
     * append-only in that window (the old entry list survives intact into
