@@ -136,6 +136,15 @@ object GraftSession {
     // accumulates 56 GB of write-once scratch and fills the device
     graft.operators.IngestLake.reclaimScratch()
     spark.catalog.clearCache()
+    // Terminated StreamingQuery handles stay registered with the query
+    // manager until resetTerminated() — each pins its final
+    // IncrementalExecution (full physical plan, state-store RDD lineage,
+    // progress buffers). A session replaying many twins accumulates every
+    // twin's last micro-batch that way (r12 VERDICT #2: stream entries
+    // measured ~1.8x their solo medians by the time six predecessors had
+    // run). Family boundaries never have an active query, so dropping the
+    // terminated set is safe.
+    spark.streams.resetTerminated()
     // Stateful streaming twins leave their state-store providers (and the
     // providers' in-memory version maps) cached after the query completes;
     // at the sf10 soak those maps held GBs and starved later aggregations

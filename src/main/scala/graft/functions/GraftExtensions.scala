@@ -25,6 +25,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // honest-statistics broadcast hints: recover stage-free dim broadcasts
     // from EXACT parquet footer row counts (estimates lie; footers don't)
     ext.injectOptimizerRule(s => graft.plans.HonestBroadcastRule(s))
+    // thin SQL façade over the lake engine: MERGE INTO graft.ns.t,
+    // CREATE TABLE graft.ns.t AS ..., and graft.ns.t [VERSION AS OF n]
+    // reads inside any query — everything else delegates verbatim
+    ext.injectParser((_, delegate) => new graft.sql.GraftSqlParser(delegate))
     ext.injectFunction((
       new FunctionIdentifier("graft_shingle_hashes"),
       new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingle_hashes"),

@@ -99,8 +99,9 @@ object DeltaExport {
       val in = fs.open(v0json)
       val text = try new String(in.readAllBytes(), StandardCharsets.UTF_8)
         finally in.close()
-      val marker = text.split("\n").iterator.map(_.trim).filter(_.nonEmpty)
-        .map(mapper.readTree).flatMap(n => Option(n.get("commitInfo")))
+      val v0lines = text.split("\n").iterator.map(_.trim).filter(_.nonEmpty)
+        .map(mapper.readTree).toSeq
+      val marker = v0lines.iterator.flatMap(n => Option(n.get("commitInfo")))
         .flatMap(ci => Option(ci.get("operationParameters")))
         .flatMap(op => Option(op.get("graftVersion"))).map(_.asText())
         .nextOption()
@@ -109,6 +110,20 @@ object DeltaExport {
           s"graft v$m but the earliest surviving graft snapshot is now " +
           s"v${versions.head} (snapshot expiry shifted the mapping); " +
           "export to a fresh location instead"))
+      // CDF-mode consistency: committed v0 is never rewritten and metaData
+      // only re-emits on schema change, so flipping changeDataFeed across
+      // re-exports would append cdc actions under a protocol/configuration
+      // that never declared the feature (readers reject or silently ignore
+      // the feed) — refuse loudly instead (ADVICE r12)
+      val v0Cdf = v0lines.iterator.flatMap(n => Option(n.get("metaData")))
+        .flatMap(m => Option(m.get("configuration")))
+        .flatMap(c => Option(c.get("delta.enableChangeDataFeed")))
+        .map(_.asText()).nextOption().contains("true")
+      require(v0Cdf == changeDataFeed,
+        s"cannot re-export $ns.$t with changeDataFeed=$changeDataFeed: the " +
+          s"existing Delta log at $logDir was cut with " +
+          s"changeDataFeed=$v0Cdf, and committed versions are never " +
+          "rewritten — export to a fresh location instead")
     }
     // deterministic createdTime: the first surviving manifest's publish
     // mtime — constant across re-exports (a wall-clock stamp made every

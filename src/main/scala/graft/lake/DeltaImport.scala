@@ -89,8 +89,8 @@ object DeltaImport {
           s"(supported: ${SupportedReaderFeatures.mkString(", ")})")
     }
     val mode = state.configuration.getOrElse("delta.columnMapping.mode", "none")
-    require(mode == "none" || mode == "name",
-      s"unsupported delta.columnMapping.mode '$mode' (supported: none, name)")
+    require(mode == "none" || mode == "name" || mode == "id",
+      s"unsupported delta.columnMapping.mode '$mode' (supported: none, name, id)")
   }
 
   /** Read the table at `version` (default: latest committed). `location`
@@ -119,11 +119,16 @@ object DeltaImport {
     // multi-part checkpoints: `_last_checkpoint.parts` names N part files;
     // single-file checkpoints keep the classic name
     val cp = lastCheckpoint(fs, logDir).filter(_._1 <= v)
-    // DRIVER-STATE BOUND: checkpoint seeding collects O(live files) rows;
-    // past the cap the adds stay a DataFrame — pruned (tail shadowing +
-    // partitionEq) distributively, and only the files the scan will
-    // actually read are ever collected. Planning cost then tracks the
-    // partition served, not the table.
+    // DRIVER-STATE BOUND: checkpoint seeding collects O(live files) rows
+    // INCLUDING their stats blobs; past the cap the adds stay a DataFrame
+    // — pruned (tail shadowing + partitionEq) distributively, and only the
+    // files the scan will actually read are ever collected, slimmed to
+    // (path, partitionValues, deletionVector). With a partition filter,
+    // planning cost then tracks the partition served; WITHOUT one the
+    // collect is still O(live files) — irreducibly, since the driver must
+    // hand the scan its file list — but carries no stats/size payload
+    // (ADVICE r12: the cap bounds driver BYTES, not file count, on
+    // unfiltered over-cap reads).
     val cap = maxDriverFiles
     val (seed, bigAdds) = cp match {
       case None => (EmptyState, None)
@@ -145,12 +150,25 @@ object DeltaImport {
       s"no metaData action in the log up to version $v")
     requireReadable(state)
     val schema = DataType.fromJson(state.schemaJson).asInstanceOf[StructType]
-    // column mapping (mode=name): data files carry PHYSICAL column names;
-    // schemaString fields carry the mapping in their metadata. Scan by
-    // physical name, rename to logical right after the scan. Per the
-    // spec partitionValues keys are physical too.
-    val mapping = columnMapping(state, schema)
-    val physByLogical: Map[String, String] = mapping.getOrElse(Map.empty)
+    // column mapping: data files carry PHYSICAL column names, and under
+    // BOTH modes partitionValues keys are physical. mode=name scans by
+    // physical name and renames to logical right after the scan (nested
+    // renames rejected loudly); mode=id — the Databricks default for new
+    // mapped tables — resolves columns by PARQUET FIELD ID instead:
+    // the scan schema keeps LOGICAL names but carries `parquet.field.id`
+    // injected (recursively, so nested renames are handled) from each
+    // field's `delta.columnMapping.id`, and Spark's field-id matching
+    // does the resolution. Physical names are then irrelevant to the
+    // data path and no rename is needed.
+    val mappingMode = state.configuration.getOrElse("delta.columnMapping.mode", "none")
+    val physByLogical: Map[String, String] =
+      if (mappingMode == "name") columnMapping(state, schema).getOrElse(Map.empty)
+      else if (mappingMode == "id")
+        schema.fields.map { f =>
+          f.name -> (if (f.metadata.contains(PhysKey)) f.metadata.getString(PhysKey)
+                     else f.name)
+        }.toMap
+      else Map.empty
     def physOf(logical: String): String = physByLogical.getOrElse(logical, logical)
     if (partitionEq.nonEmpty) {
       val bad = partitionEq.keySet -- state.partitionColumns.toSet
@@ -173,7 +191,11 @@ object DeltaImport {
         partitionEq.foreach { case (k, x) =>
           pruned = pruned.filter(col("partitionValues").getItem(physOf(k)) === x)
         }
-        pruned.collect().map(addStateOfRow).toSeq ++ tailLive
+        // only what the scan needs: the stats JSON (the per-row memory
+        // hog) and size/mtime never ship to the driver on this path
+        val slim = Seq("path", "partitionValues", "deletionVector")
+          .filter(pruned.columns.contains)
+        pruned.select(slim.map(col): _*).collect().map(addStateOfRow).toSeq ++ tailLive
     }).sortBy(_._1)
     if (live.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
@@ -201,11 +223,25 @@ object DeltaImport {
     // column mapping the scan schema uses PHYSICAL names, renamed back to
     // logical immediately after.
     val dataFields = schema.fields.filterNot(f => state.partitionColumns.contains(f.name))
-    val dataSchema = StructType(dataFields.map(f => f.copy(name = physOf(f.name))))
+    val dataSchema = mappingMode match {
+      case "name" => StructType(dataFields.map(f => f.copy(name = physOf(f.name))))
+      case "id" =>
+        dataFields.foreach(f => require(f.metadata.contains(IdKey),
+          s"delta.columnMapping.mode=id but column '${f.name}' carries no " +
+            s"$IdKey — the file columns cannot be resolved"))
+        withParquetIds(StructType(dataFields)).asInstanceOf[StructType]
+      case _ => StructType(dataFields)
+    }
+    if (mappingMode == "id")
+      // field-id matching is opt-in session-wide; enabling it is inert for
+      // schemas without id metadata (they keep name matching), so leaving
+      // it set cannot change any other read's semantics
+      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     val rawPhys = spark.read.schema(dataSchema).parquet(files.map(_._1.toString): _*)
     val raw0 =
-      if (physByLogical.isEmpty) rawPhys
-      else rawPhys.toDF(dataFields.map(_.name).toSeq: _*)
+      if (mappingMode == "name" && physByLogical.nonEmpty)
+        rawPhys.toDF(dataFields.map(_.name).toSeq: _*)
+      else rawPhys
     val present = raw0.columns.toSet
     val missingPart = state.partitionColumns.filterNot(present.contains)
     // row identity must be captured ON the scan (the `_metadata`
@@ -262,10 +298,16 @@ object DeltaImport {
     * as (table columns…, _change_type, _commit_version). Per commit:
     * explicit `cdc` actions are the complete feed when present; otherwise
     * an ADD-ONLY commit derives pure inserts from its add actions (the
-    * spec's rule). A commit carrying removes WITHOUT cdc actions is
-    * reconstructable only for unpartitioned tables (removed files are
-    * re-read as deletes); on a partitioned table that shape fails loudly —
-    * remove actions carry no partition values in this log dialect.
+    * spec's rule), and a commit carrying removes reconstructs deletes by
+    * re-reading the removed files — on PARTITIONED tables the removed
+    * files' partition values (which remove actions do not carry) reattach
+    * from the LAST add action per path, replayed from version 0 (the log
+    * always added a file before removing it, so the mapping is total; a
+    * remove with no prior add fails loudly). A no-cdc commit whose
+    * add/remove actions carry DELETION VECTORS is refused loudly: the DV
+    * masks rows inside those files, so re-reading them whole would emit a
+    * silently wrong feed (ADVICE r12 — the unpartitioned+DV shape used to
+    * slip through).
     * Requires `delta.enableChangeDataFeed`; column-mapping CDF reads are
     * not supported (loud).
     */
@@ -296,7 +338,36 @@ object DeltaImport {
       schema.fields.filterNot(f => state.partitionColumns.contains(f.name)))
     val cdcSchema = StructType(schema.fields :+ StructField("_change_type", StringType))
 
-    val frames = (fromVersion to toVersion).flatMap { v =>
+    // last add's partition values per live path, replayed from version 0 —
+    // the source of truth for reconstructing partition columns of files a
+    // later commit removes (remove actions carry no partitionValues in
+    // this log dialect). Driver metadata work, O(log lines).
+    val pvByPath = scala.collection.mutable.Map.empty[String, Map[String, String]]
+    // re-read a commit's files with the DATA schema and reattach the
+    // partition columns from the given per-file tuples (broadcast lookup
+    // on the captured _metadata.file_path — file-count-bounded)
+    def readWithPartitions(paths: Seq[(String, Map[String, String])]): DataFrame = {
+      val raw = spark.read.schema(dataSchema)
+        .parquet(paths.map(x =>
+          new Path(tableDir, decodePath(x._1)).toString): _*)
+      val missing = state.partitionColumns.filterNot(raw.columns.contains)
+      if (missing.isEmpty) raw
+      else {
+        val mapSchema = StructType(
+          StructField("__cdf_fp", StringType) +:
+            missing.map(StructField(_, StringType)))
+        val mapRows = paths.map { case (rel, pv) =>
+          Row.fromSeq(
+            normalize(new Path(tableDir, decodePath(rel))) +:
+              missing.map(pv.get(_).orNull))
+        }
+        val lookup = spark.createDataFrame(
+          spark.sparkContext.parallelize(mapRows, 1), mapSchema)
+        raw.withColumn("__cdf_fp", normPathCol(col("_metadata.file_path")))
+          .join(broadcast(lookup), "__cdf_fp").drop("__cdf_fp")
+      }
+    }
+    val frames = (0L to toVersion).flatMap { v =>
       val p = new Path(logDir, f"$v%020d.json")
       val in = fs.open(p)
       val text = try new String(in.readAllBytes(),
@@ -304,66 +375,66 @@ object DeltaImport {
       var cdcPaths = Vector.empty[String]
       var addPaths = Vector.empty[(String, Map[String, String])]
       var removePaths = Vector.empty[String]
+      var anyDv = false
       text.split("\n").iterator.map(_.trim).filter(_.nonEmpty).foreach { line =>
         val n = mapper.readTree(line)
         Option(n.get("cdc")).foreach(c => cdcPaths :+= c.get("path").asText())
-        Option(n.get("add")).filter(a =>
-          Option(a.get("dataChange")).forall(_.asBoolean(true))).foreach { a =>
+        Option(n.get("add")).foreach { a =>
+          if (Option(a.get("deletionVector")).exists(!_.isNull)) anyDv = true
           val pv = Option(a.get("partitionValues")).toSeq.flatMap { node =>
             import scala.jdk.CollectionConverters._
             node.fieldNames().asScala.toSeq.flatMap(k =>
               Option(node.get(k)).filterNot(_.isNull).map(x => k -> x.asText()))
           }.toMap
-          addPaths :+= (a.get("path").asText(), pv)
+          // every add (dataChange or not — a compaction's re-add still
+          // names the file's tuple) feeds the path→tuple map; only
+          // dataChange adds feed the change feed itself
+          pvByPath(a.get("path").asText()) = pv
+          if (Option(a.get("dataChange")).forall(_.asBoolean(true)))
+            addPaths :+= (a.get("path").asText(), pv)
         }
-        Option(n.get("remove")).filter(r =>
-          Option(r.get("dataChange")).forall(_.asBoolean(true)))
-          .foreach(r => removePaths :+= r.get("path").asText())
+        Option(n.get("remove")).foreach { r =>
+          if (Option(r.get("deletionVector")).exists(!_.isNull)) anyDv = true
+          if (Option(r.get("dataChange")).forall(_.asBoolean(true)))
+            removePaths :+= r.get("path").asText()
+        }
       }
-      if (cdcPaths.nonEmpty) {
+      if (v < fromVersion) Nil
+      else if (cdcPaths.nonEmpty) {
         // cdc actions are the COMPLETE feed for this commit
         val abs = cdcPaths.sorted.map(rel =>
           new Path(tableDir, decodePath(rel)).toString)
         Seq(spark.read.schema(cdcSchema).parquet(abs: _*)
           .withColumn("_commit_version", lit(v)))
       } else {
-        require(removePaths.isEmpty || state.partitionColumns.isEmpty,
-          s"Delta version $v removes files on a partitioned CDF table " +
-            "without cdc actions — the change feed cannot be reconstructed")
+        // no-cdc reconstruction re-reads files WHOLE — a deletion vector
+        // on any action means some of those rows are masked, and a whole-
+        // file read would silently resurrect them into the feed
+        require(!anyDv,
+          s"Delta version $v carries deletion vectors without cdc actions " +
+            "— the change feed cannot be reconstructed from whole-file reads")
         val inserts =
           if (addPaths.isEmpty) Nil
-          else {
-            val raw = spark.read.schema(dataSchema)
-              .parquet(addPaths.map(x =>
-                new Path(tableDir, decodePath(x._1)).toString): _*)
-            // identity partition columns reattach from add.partitionValues
-            val missing = state.partitionColumns.filterNot(raw.columns.contains)
-            val withPart =
-              if (missing.isEmpty) raw
-              else {
-                val mapSchema = StructType(
-                  StructField("__cdf_fp", StringType) +:
-                    missing.map(StructField(_, StringType)))
-                val mapRows = addPaths.map { case (rel, pv) =>
-                  Row.fromSeq(
-                    normalize(new Path(tableDir, decodePath(rel))) +:
-                      missing.map(pv.get(_).orNull))
-                }
-                val lookup = spark.createDataFrame(
-                  spark.sparkContext.parallelize(mapRows, 1), mapSchema)
-                raw.withColumn("__cdf_fp", normPathCol(col("_metadata.file_path")))
-                  .join(broadcast(lookup), "__cdf_fp").drop("__cdf_fp")
-              }
-            Seq(withPart.withColumn("_change_type", lit("insert"))
-              .withColumn("_commit_version", lit(v)))
-          }
+          else Seq(readWithPartitions(addPaths)
+            .withColumn("_change_type", lit("insert"))
+            .withColumn("_commit_version", lit(v)))
         val deletes =
           if (removePaths.isEmpty) Nil
-          else Seq(spark.read.schema(dataSchema)
-            .parquet(removePaths.map(rel =>
-              new Path(tableDir, decodePath(rel)).toString): _*)
-            .withColumn("_change_type", lit("delete"))
-            .withColumn("_commit_version", lit(v)))
+          else {
+            // partition values of a removed file come from its last add —
+            // pvByPath already holds this commit's own adds too, so an
+            // add-then-remove of one path inside one commit resolves
+            val rm = removePaths.map { rel =>
+              require(pvByPath.contains(rel) || state.partitionColumns.isEmpty,
+                s"Delta version $v removes '$rel' on a partitioned CDF " +
+                  "table but no prior add action names that path — its " +
+                  "partition values cannot be reconstructed")
+              rel -> pvByPath.getOrElse(rel, Map.empty[String, String])
+            }
+            Seq(readWithPartitions(rm)
+              .withColumn("_change_type", lit("delete"))
+              .withColumn("_commit_version", lit(v)))
+          }
         inserts ++ deletes
       }
     }
@@ -484,7 +555,8 @@ object DeltaImport {
   }
 
   /** One checkpoint `add` row → (path, AddState). Tolerant of checkpoints
-    * written without the optional columns.
+    * written without the optional columns AND of the slimmed projection the
+    * over-cap distributive path collects (no size/mtime/stats).
     */
   private def addStateOfRow(a: Row): (String, AddState) = {
     def has(n: String) = a.schema != null && a.schema.fieldNames.contains(n)
@@ -496,8 +568,9 @@ object DeltaImport {
         Option(d.getAs[java.lang.Integer]("offset")).map(_.intValue()),
         d.getAs[Int]("sizeInBytes"), d.getAs[Long]("cardinality")))
     a.getAs[String]("path") -> AddState(pv,
-      a.getAs[Long]("size"), a.getAs[Long]("modificationTime"),
-      Option(a.getAs[String]("stats")), dv)
+      if (has("size")) a.getAs[Long]("size") else 0L,
+      if (has("modificationTime")) a.getAs[Long]("modificationTime") else 0L,
+      if (has("stats")) Option(a.getAs[String]("stats")) else None, dv)
   }
 
   /** Metadata-only log replay: protocol + latest metaData, no add/remove
@@ -645,16 +718,39 @@ object DeltaImport {
     sys.props.get("graft.delta.import.maxDriverFiles").map(_.toLong)
       .getOrElse(100000L)
 
+  private val PhysKey = "delta.columnMapping.physicalName"
+  private val IdKey = "delta.columnMapping.id"
+  private val ParquetIdKey = "parquet.field.id"
+
+  /** Recursively inject `parquet.field.id` (from each field's
+    * `delta.columnMapping.id`) so Spark's parquet field-id matching — the
+    * resolution rule mode=id mandates — resolves every column, nested ones
+    * included, regardless of the physical names in the files.
+    */
+  private def withParquetIds(dt: DataType): DataType = dt match {
+    case st: StructType => StructType(st.fields.map { f =>
+      val md =
+        if (f.metadata.contains(IdKey))
+          new MetadataBuilder().withMetadata(f.metadata)
+            .putLong(ParquetIdKey, f.metadata.getLong(IdKey)).build()
+        else f.metadata
+      f.copy(dataType = withParquetIds(f.dataType), metadata = md)
+    })
+    case ArrayType(et, n) => ArrayType(withParquetIds(et), n)
+    case MapType(kt, vt, n) => MapType(withParquetIds(kt), withParquetIds(vt), n)
+    case other => other
+  }
+
   /** logical -> physical top-level column names under
     * delta.columnMapping.mode=name; None when mapping is off. Nested
     * fields whose physical names differ from their logical names are
-    * rejected loudly — renaming inside nested types is not implemented,
-    * and reading on would resolve those fields to null.
+    * rejected loudly — renaming inside nested types is not implemented
+    * FOR NAME MODE (id mode handles them via field ids), and reading on
+    * would resolve those fields to null.
     */
   private def columnMapping(state: LogState, schema: StructType): Option[Map[String, String]] = {
     if (state.configuration.getOrElse("delta.columnMapping.mode", "none") != "name")
       return None
-    val PhysKey = "delta.columnMapping.physicalName"
     def assertNestedUnmapped(dt: DataType, at: String): Unit = dt match {
       case st: StructType => st.fields.foreach { f =>
         if (f.metadata.contains(PhysKey))

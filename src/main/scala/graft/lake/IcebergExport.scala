@@ -328,15 +328,25 @@ object IcebergExport {
       .find(_.get("schema-id").asInt() == schemaId)
       .getOrElse(sys.error(s"current-schema-id $schemaId missing"))
     val fieldsNode = schemaNode.get("fields")
-    val idByName = (0 until fieldsNode.size()).map(fieldsNode.get)
-      .map(f => f.get("name").asText() -> f.get("id").asInt()).toMap
+    // dotted paths allowed: a NESTED equality column (Flink CDC feeds
+    // keyed on a nested primary key) resolves by its struct path; the
+    // delete file is then written as a PROJECTION of the table schema
+    // (the spec's delete-file shape), preserving the nesting
+    val idByName = IcebergImport.fieldPathsById(meta).map(_.swap)
     eqCols.foreach(c => require(idByName.contains(c),
-      s"equality column $c is not a top-level schema column"))
+      s"equality column $c is not a struct-path-addressable schema column"))
+    def proj(prefix: String, paths: Seq[String]): Seq[org.apache.spark.sql.Column] =
+      paths.groupBy(_.split("\\.", 2)(0)).toSeq.sortBy(_._1).map { case (head, ps) =>
+        val full = if (prefix.isEmpty) head else s"$prefix.$head"
+        val subs = ps.filter(_.contains(".")).map(_.split("\\.", 2)(1))
+        if (subs.isEmpty) col(full).as(head)
+        else org.apache.spark.sql.functions.struct(proj(full, subs): _*).as(head)
+      }
 
     // the delete file itself (one bounded parquet write)
     val uuid = java.util.UUID.randomUUID().toString
     val tmp = new Path(tableDir, s".eqdel-$uuid.tmp")
-    deletes.select(eqCols.map(col): _*).coalesce(1).write.parquet(tmp.toString)
+    deletes.select(proj("", eqCols): _*).coalesce(1).write.parquet(tmp.toString)
     val part = fs.listStatus(tmp).map(_.getPath)
       .find(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
       .getOrElse(sys.error("equality-delete write produced no parquet part"))

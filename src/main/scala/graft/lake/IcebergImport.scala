@@ -73,7 +73,8 @@ object IcebergImport {
     (0 until arr.size()).map(arr.get).map { s =>
       SnapshotInfo(
         s.get("snapshot-id").asLong(),
-        s.get("sequence-number").asLong(),
+        Option(s.get("sequence-number")).filterNot(_.isNull)
+          .map(_.asLong()).getOrElse(0L), // absent on format-version 1
         s.get("timestamp-ms").asLong(),
         Option(s.get("summary")).flatMap(x => Option(x.get("operation")))
           .map(_.asText()).getOrElse(""),
@@ -136,17 +137,31 @@ object IcebergImport {
 
     // ---- plan: manifest list → manifests → (data files, delete files)
     import IcebergAvro.{int => aInt, long => aLong, rec => aRec, str => aStr}
-    val listPath = new Path(new java.net.URI(snap.get("manifest-list").asText()))
+    // v1 tolerance: ancient v1 snapshots may inline a `manifests` path
+    // array instead of pointing at a manifest-list file
+    val inlineManifests = Option(snap.get("manifests")).filterNot(_.isNull)
+      .map(m => (0 until m.size()).map(m.get(_).asText()))
+    require(inlineManifests.isDefined || snap.get("manifest-list") != null,
+      s"snapshot $wantId has neither manifest-list nor manifests")
     // DRIVER-STATE BOUND: the manifest walk materializes one FileEntry per
     // live file. The manifest list's per-manifest file counts say up front
     // how many that is; past the cap, the per-manifest parse fans out to
     // executors with the partition pruning applied BEFORE the collect, so
     // driver planning state tracks the partition served, not the table.
-    val listRecs = IcebergAvro.readContainer(fs, listPath)._1
-    val manifestInfos: Seq[(String, Long, Long)] = listRecs.map { mf =>
-      val files = aInt(mf, "added_files_count").toLong +
-        aInt(mf, "existing_files_count").toLong
-      (aStr(mf, "manifest_path"), aLong(mf, "sequence_number"), files)
+    val manifestInfos: Seq[(String, Long, Long)] = inlineManifests match {
+      case Some(paths) => paths.map(p => (p, 0L, 0L))
+      case None =>
+        val listPath = new Path(new java.net.URI(snap.get("manifest-list").asText()))
+        IcebergAvro.readContainer(fs, listPath)._1.map { mf =>
+          // v1 tolerance: v1 manifest lists carry no sequence numbers (the
+          // whole table is sequence 0 — every delete-less read is correct
+          // at seq 0) and older writers may omit the file counts (0 then
+          // routes the walk driver-side, the safe default for legacy
+          // tables)
+          val files = intOr(mf, "added_files_count", 0).toLong +
+            intOr(mf, "existing_files_count", 0).toLong
+          (aStr(mf, "manifest_path"), longOr(mf, "sequence_number", 0L), files)
+        }
     }
     val cap = maxDriverFiles
     val entries: Seq[FileEntry] =
@@ -277,13 +292,18 @@ object IcebergImport {
     // with or after it). Null-safe equality (<=>): a null in a delete row
     // matches null, per the spec's equality semantics. Files group by
     // their equality-id set; each group is one anti-join.
-    val nameById = fieldNamesById(meta)
+    val pathById = fieldPathsById(meta)
     val undeleted = eqDeleteEntries.groupBy(_.eqIds.sorted).toSeq
       .sortBy(_._1.mkString(","))
       .foldLeft(afterPos) { case (acc, (ids, files)) =>
-        val cols = ids.map(id => nameById.getOrElse(id, sys.error(
-          s"equality_ids field $id is not a top-level column of the schema " +
-            "(nested equality deletes are not supported)")))
+        // dotted paths: a NESTED equality id resolves as struct-field
+        // extraction on both sides (the delete file's schema is a
+        // projection of the table schema, so the same path extracts the
+        // same leaf); ids inside lists/maps have no such path and fail
+        val cols = ids.map(id => pathById.getOrElse(id, sys.error(
+          s"equality_ids field $id is not a struct-path-addressable column " +
+            "of the schema (ids inside lists/maps are not supported)")))
+        def aliasOf(c: String) = "__eq_" + c.replace('.', '_')
         val eqSeq = spark.createDataFrame(
           spark.sparkContext.parallelize(
             files.map(fe =>
@@ -291,11 +311,11 @@ object IcebergImport {
           StructType(Seq(StructField("__eq_src", StringType),
             StructField("__eq_seq", LongType))))
         val delRows = spark.read.parquet(files.map(_.path): _*)
-          .select(cols.map(c => col(c).as(s"__eq_$c")) :+
+          .select(cols.map(c => col(c).as(aliasOf(c))) :+
             normPathCol(col("_metadata.file_path")).as("__eq_src"): _*)
           .join(broadcast(eqSeq), "__eq_src")
           .drop("__eq_src")
-        val cond = cols.map(c => acc(c) <=> delRows(s"__eq_$c")).reduce(_ && _) &&
+        val cond = cols.map(c => acc(c) <=> delRows(aliasOf(c))).reduce(_ && _) &&
           delRows("__eq_seq") > acc("__ice_dseq")
         acc.join(delRows, cond, "left_anti")
       }
@@ -334,10 +354,12 @@ object IcebergImport {
       else {
         val df = aRec(e, "data_file")
         // v2 inheritance: a null entry sequence number inherits the
-        // manifest's (spec: "inherited when null")
-        val seq = Option(e.get("sequence_number"))
+        // manifest's (spec: "inherited when null"); a v1 manifest has no
+        // such FIELD at all (GenericData.Record.get throws on unknown
+        // fields, so presence is schema-checked first)
+        val seq = fieldOpt(e, "sequence_number")
           .map(_.asInstanceOf[Number].longValue()).getOrElse(mSeq)
-        val part = Option(df.get("partition"))
+        val part = fieldOpt(df, "partition")
           .map(_.asInstanceOf[org.apache.avro.generic.GenericRecord])
           .map(pr => pr.getSchema.getFields.size match {
             case 0 => Nil
@@ -346,12 +368,13 @@ object IcebergImport {
               pr.getSchema.getFields.asScala.toSeq.map(f =>
                 f.name() -> Option(pr.get(f.name())).map(String.valueOf(_)))
           }).getOrElse(Nil)
-        val eqIds = Option(df.get("equality_ids")).toSeq.flatMap { v =>
+        val eqIds = fieldOpt(df, "equality_ids").toSeq.flatMap { v =>
           import scala.jdk.CollectionConverters._
           v.asInstanceOf[java.util.Collection[_]].asScala.toSeq
             .map(_.asInstanceOf[Number].intValue())
         }
-        Some(FileEntry(aStr(df, "file_path"), seq, aInt(df, "content"), part, eqIds))
+        // v1 data_file records have no `content` field: everything is DATA
+        Some(FileEntry(aStr(df, "file_path"), seq, intOr(df, "content", 0), part, eqIds))
       }
     }
   }
@@ -396,34 +419,49 @@ object IcebergImport {
       }
     val in = fs.open(metaFile)
     val node = try mapper.readTree(in.readAllBytes()) finally in.close()
-    require(node.get("format-version").asInt() == 2,
-      s"only Iceberg format-version 2 is supported, " +
+    val fv = node.get("format-version").asInt()
+    require(fv == 1 || fv == 2,
+      s"only Iceberg format-version 1 and 2 are supported, " +
         s"got ${node.get("format-version")}")
     (fs, node)
   }
 
-  private def tableSchema(meta: JsonNode): StructType = {
-    val id = meta.get("current-schema-id").asInt()
-    val schemas = meta.get("schemas")
-    val node = (0 until schemas.size()).map(schemas.get)
-      .find(_.get("schema-id").asInt() == id)
-      .getOrElse(sys.error(s"current-schema-id $id missing from schemas"))
-    structOf(node)
-  }
-
-  /** field id -> name of the current schema's TOP-LEVEL columns (what
-    * equality_ids reference; nested ids are absent, so they fail loudly
-    * at the call site).
+  /** The current schema node — `schemas`/`current-schema-id` on v2 (and
+    * modern v1 writers); the singular `schema` field on classic v1.
     */
-  private def fieldNamesById(meta: JsonNode): Map[Int, String] = {
-    val id = meta.get("current-schema-id").asInt()
-    val schemas = meta.get("schemas")
-    val node = (0 until schemas.size()).map(schemas.get)
-      .find(_.get("schema-id").asInt() == id)
-      .getOrElse(sys.error(s"current-schema-id $id missing from schemas"))
-    val fields = node.get("fields")
-    (0 until fields.size()).map(fields.get)
-      .map(f => f.get("id").asInt() -> f.get("name").asText()).toMap
+  private def currentSchemaNode(meta: JsonNode): JsonNode =
+    Option(meta.get("schemas")).filterNot(_.isNull) match {
+      case Some(schemas) =>
+        val id = meta.get("current-schema-id").asInt()
+        (0 until schemas.size()).map(schemas.get)
+          .find(_.get("schema-id").asInt() == id)
+          .getOrElse(sys.error(s"current-schema-id $id missing from schemas"))
+      case None =>
+        Option(meta.get("schema")).filterNot(_.isNull)
+          .getOrElse(sys.error("table metadata has neither schemas nor schema"))
+    }
+
+  private def tableSchema(meta: JsonNode): StructType =
+    structOf(currentSchemaNode(meta))
+
+  /** field id -> dotted access path of every STRUCT-NESTED column of the
+    * current schema (what equality_ids reference — a Flink CDC feed keyed
+    * on a nested primary key names the nested field's id). Fields inside
+    * lists/maps have no row-addressable path, so their ids are absent and
+    * fail loudly at the call site.
+    */
+  private[lake] def fieldPathsById(meta: JsonNode): Map[Int, String] = {
+    val acc = scala.collection.mutable.Map.empty[Int, String]
+    def walk(fields: JsonNode, prefix: String): Unit =
+      (0 until fields.size()).map(fields.get).foreach { f =>
+        val path = prefix + f.get("name").asText()
+        acc(f.get("id").asInt()) = path
+        val t = f.get("type")
+        if (!t.isTextual && t.get("type").asText() == "struct")
+          walk(t.get("fields"), path + ".")
+      }
+    walk(currentSchemaNode(meta).get("fields"), "")
+    acc.toMap
   }
 
   private def structOf(node: JsonNode): StructType = {
@@ -474,16 +512,39 @@ object IcebergImport {
     * transforms read their source columns from the data pages).
     */
   private def identityPartitionNames(meta: JsonNode, schema: StructType): Seq[String] = {
-    val specId = meta.get("default-spec-id").asInt()
-    val specs = meta.get("partition-specs")
-    val spec = (0 until specs.size()).map(specs.get)
-      .find(_.get("spec-id").asInt() == specId)
-      .getOrElse(sys.error(s"default-spec-id $specId missing"))
-    val fields = spec.get("fields")
-    (0 until fields.size()).map(fields.get)
+    // v2 (and modern v1): partition-specs/default-spec-id; classic v1:
+    // the singular partition-spec array; neither present: unpartitioned
+    val fields = Option(meta.get("partition-specs")).filterNot(_.isNull) match {
+      case Some(specs) =>
+        val specId = meta.get("default-spec-id").asInt()
+        (0 until specs.size()).map(specs.get)
+          .find(_.get("spec-id").asInt() == specId)
+          .getOrElse(sys.error(s"default-spec-id $specId missing"))
+          .get("fields")
+      case None =>
+        Option(meta.get("partition-spec")).filterNot(_.isNull).orNull
+    }
+    if (fields == null) Nil
+    else (0 until fields.size()).map(fields.get)
       .filter(_.get("transform").asText() == "identity")
       .map(_.get("name").asText())
   }
+
+  /** Schema-checked field access (GenericData.Record.get throws on fields
+    * the writer schema never declared — the v1-vs-v2 difference).
+    */
+  private def fieldOpt(r: org.apache.avro.generic.GenericRecord,
+      field: String): Option[AnyRef] =
+    Option(r.getSchema.getField(field)).flatMap(_ => Option(r.get(field)))
+
+  /** Tolerant numeric accessors for fields absent on format-version 1. */
+  private def longOr(r: org.apache.avro.generic.GenericRecord,
+      field: String, dflt: Long): Long =
+    fieldOpt(r, field).map(_.asInstanceOf[Number].longValue()).getOrElse(dflt)
+
+  private def intOr(r: org.apache.avro.generic.GenericRecord,
+      field: String, dflt: Int): Int =
+    fieldOpt(r, field).map(_.asInstanceOf[Number].intValue()).getOrElse(dflt)
 
   // ---- path normalization --------------------------------------------------
   // Manifest paths are fully qualified; `_metadata.file_path` qualifies

@@ -1623,6 +1623,50 @@ object IngestLake {
        FROM range($WideCols) j) AS names_md5""")
   )
 
+  /** The SQL FAÇADE end to end (SURVEY §2 B42; VERDICT r12 #9): CTAS,
+    * MERGE INTO, and a time-travel self-join — all through `spark.sql`
+    * against `graft.<ns>.<table>` names (graft.sql.GraftSqlParser). The
+    * scenario is lake_merge_upsert's (base = even orders, corrections =
+    * multiples of 3), so the oracle replays the same merge semantics and
+    * then diffs the two versions the way the SQL statement does.
+    */
+  val lakeSqlSurface: Q = Q(
+    "lake_sql_surface",
+    (s, dir) => {
+      val root = scratch("sqlsurface")
+      val prev = s.conf.getOption(graft.sql.GraftSqlParser.RootConf)
+      s.conf.set(graft.sql.GraftSqlParser.RootConf, root)
+      try {
+        val t = Tables(s, dir)
+        t.orders.filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey").as("id"), col("o_totalprice"))
+          .createOrReplaceTempView("sql_base")
+        s.sql("CREATE TABLE graft.sqlq.orders AS SELECT * FROM sql_base").collect()
+        t.orders.filter(col("o_orderkey") % 3 === 0)
+          .select(col("o_orderkey").as("id"),
+            (col("o_totalprice") + lit(1000)).as("o_totalprice"))
+          .createOrReplaceTempView("sql_delta")
+        s.sql("MERGE INTO graft.sqlq.orders USING sql_delta ON id").collect()
+        s.sql("""SELECT cur.id, cur.o_totalprice, old.o_totalprice AS before_price
+          FROM graft.sqlq.orders cur
+          JOIN graft.sqlq.orders VERSION AS OF 1 old ON cur.id = old.id
+          ORDER BY cur.id""")
+      } finally prev.fold(s.conf.unset(graft.sql.GraftSqlParser.RootConf))(
+        s.conf.set(graft.sql.GraftSqlParser.RootConf, _))
+    },
+    Some("""WITH base AS (
+      SELECT o_orderkey AS id, o_totalprice FROM orders WHERE o_orderkey % 2 = 0),
+    updates AS (
+      SELECT o_orderkey AS id, o_totalprice + 1000 AS o_totalprice FROM orders WHERE o_orderkey % 3 = 0),
+    merged AS (
+      SELECT id, o_totalprice FROM updates
+      UNION ALL
+      SELECT id, o_totalprice FROM base WHERE id NOT IN (SELECT id FROM updates))
+    SELECT m.id, m.o_totalprice, b.o_totalprice AS before_price
+    FROM merged m JOIN base b ON m.id = b.id
+    ORDER BY m.id""")
+  )
+
   val all: Seq[Q] = Seq(
     ingestCsvRoundtrip, ingestJsonRoundtrip, ingestParquet, ingestTextLines,
     ingestOrcRoundtrip, ingestXmlRoundtrip, ingestSchemaEvolution, ingestJsonProps,
@@ -1633,5 +1677,5 @@ object IngestLake {
     ingestJdbcRoundtrip, lakeTimeTravel, lakeExpiry, lakeTags, ingestWideSchema,
     lakeExportNested, lakeWriteModes, ingestAvroRoundtrip, lakeDeltaExport,
     ingestXlsxReal, lakeDeltaDv, lakeBranches, lakeIcebergEqDelete, lakeDeltaCdf,
-    lakeTxnAppend)
+    lakeTxnAppend, lakeSqlSurface)
 }

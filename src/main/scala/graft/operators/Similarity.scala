@@ -245,8 +245,11 @@ object Similarity {
               .sorted.mkString(",")
           else s"${st.getLen}:${st.getModificationTime}"
         } catch { case _: java.io.IOException => "absent" }
+        // the digest also names the TRAINING ALGORITHM: a stored index cut
+        // by a previous algorithm version (r12's Spark-ML KMeans) must not
+        // be silently reused under the deterministic-Lloyd oracle
         val digest = java.security.MessageDigest.getInstance("MD5")
-          .digest(s"$dir|$fp".getBytes("UTF-8")).map("%02x".format(_)).mkString
+          .digest(s"$dir|$fp|lloyd-fp20".getBytes("UTF-8")).map("%02x".format(_)).mkString
         // scratch is scoped PER USER (or to an explicit GRAFT_SCRATCH
         // root): a world-shared deterministic tmpdir path would let
         // another local user pre-create the dir (createDirectories
@@ -272,18 +275,22 @@ object Similarity {
       })._2
   }
 
-  /** IVF (inverted-file) ANN: a KMeans coarse quantizer partitions the
+  /** IVF (inverted-file) ANN: a k-means coarse quantizer partitions the
     * corpus into `NumCells` cells; each query probes its `NProbe` nearest
     * cells and ranks only those candidates — the classic recall/cost dial.
-    * At 100 TB the cell assignment is a narrow map (model broadcast by
-    * Spark ML), the probe join shuffles only on cell id, and candidate
-    * scoring touches NProbe/NumCells of the corpus.
+    * At 100 TB the cell assignment is a narrow map (centroids broadcast),
+    * the probe join shuffles only on cell id, and candidate scoring
+    * touches NProbe/NumCells of the corpus.
     *
     * This registered query exercises the PERSISTED-model path end to end:
     * build-if-absent into a lake table, then cold-start search from the
     * stored centroids — the amortized economics a 100 TB corpus demands
-    * (SimilaritySpec pins that the second invocation runs zero KMeans
-    * fits and returns identical rows).
+    * (SimilaritySpec pins that the second invocation runs zero quantizer
+    * fits and returns identical rows). r13: the fit is the deterministic
+    * Lloyd of [[IvfIndex.trainCentroids]], so the WHOLE operator — fit,
+    * persistence round-trip, assignment, probing, ranking — is now under
+    * the bit-exact DuckDB oracle ([[ivfLloydOracleSql]]), closing the
+    * last rows-only entry whose escape was non-fundamental.
     */
   val annIvf: Q = Q(
     "ann_ivf",
@@ -301,8 +308,82 @@ object Similarity {
       IvfIndex.searchTopK(emb, "vec_id", "embedding", centroids, queries,
         k = TopK, nProbe = IvfIndex.DefaultNProbe)
     },
-    None // approximate + KMeans-trained — recall pinned in SimilaritySpec
+    Some(ivfLloydOracleSql)
   )
+
+  /** Bit-exact DuckDB twin of the FULL KMeans-IVF pipeline, fit included:
+    * md5-ordered init (the ann_ivf_det recipe) → `maxIter` unrolled Lloyd
+    * passes over the 25% md5 hash-sample, each one L2-argmin assignment
+    * (same left-to-right double fold, lowest-cell tie-break) + per-(cell,
+    * dim) means in EXACT fixed-point longs (floor(x·2^20 + 0.5) — the same
+    * integer sums [[IvfIndex.trainCentroids]] shuffles, so the doubles
+    * divide out bit-identically and CAST AS REAL mirrors `.toFloat`; an
+    * empty cell COALESCEs to its previous centroid) → the proven
+    * ann_ivf_det search SQL over the fitted centroids.
+    */
+  private def ivfLloydOracleSql: String = {
+    def l2(a: String, b: String): String =
+      s"""list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len($a)+1),
+          i -> ($a[i]::DOUBLE - $b[i]::DOUBLE) * ($a[i]::DOUBLE - $b[i]::DOUBLE))), (x,y) -> x+y)"""
+    val iters = (1 to 5).map { k =>
+      val prev = s"cent${k - 1}"
+      s"""a$k AS (
+      SELECT embedding, cell FROM (
+        SELECT t.embedding, c.cell,
+          row_number() OVER (PARTITION BY t.vec_id ORDER BY ${l2("t.embedding", "c.c_emb")}, c.cell) AS rn
+        FROM train t, $prev c) z WHERE rn = 1),
+    s$k AS (
+      SELECT cell,
+        unnest(range(0, len(embedding))) AS pos,
+        unnest(list_transform(embedding, v -> CAST(floor(v::DOUBLE * 1048576.0 + 0.5) AS BIGINT))) AS fp
+      FROM a$k),
+    m$k AS (
+      SELECT cell, list(CAST(CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 1048576.0) AS REAL) ORDER BY pos) AS emb
+      FROM (SELECT cell, pos, SUM(fp) AS s, COUNT(*) AS n FROM s$k GROUP BY cell, pos) g
+      GROUP BY cell),
+    cent$k AS (
+      SELECT c.cell, COALESCE(m.emb, c.c_emb) AS c_emb
+      FROM $prev c LEFT JOIN m$k m USING (cell))"""
+    }.mkString(",\n    ")
+    s"""WITH ordered AS (
+      SELECT vec_id, embedding,
+        row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid
+      FROM embeddings),
+    cent0 AS (SELECT cid AS cell, embedding AS c_emb FROM ordered WHERE cid < 16),
+    train AS (
+      SELECT vec_id, embedding FROM embeddings
+      WHERE substring(md5(CAST(vec_id AS VARCHAR)), 1, 1) IN ('0','1','2','3')),
+    $iters,
+    cdists AS (
+      SELECT e.vec_id, c.cell, ${l2("e.embedding", "c.c_emb")} AS d
+      FROM embeddings e, cent5 c),
+    assigned AS (
+      SELECT vec_id AS neighbor_id, cell FROM (
+        SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+        FROM cdists) t WHERE rn = 1),
+    probes AS (
+      SELECT vec_id AS query_id, cell FROM (
+        SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS crank
+        FROM cdists WHERE vec_id < 10) t WHERE crank <= 4),
+    scored AS (
+      SELECT p.query_id, a.neighbor_id,
+        list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(q.embedding)+1),
+          i -> q.embedding[i]::DOUBLE * n.embedding[i]::DOUBLE)), (x,y) -> x+y)
+        / (sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(q.embedding)+1),
+            i -> q.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE)), (x,y) -> x+y))
+         * sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(n.embedding)+1),
+            i -> n.embedding[i]::DOUBLE * n.embedding[i]::DOUBLE)), (x,y) -> x+y))) AS score
+      FROM probes p JOIN assigned a USING (cell)
+      JOIN embeddings q ON q.vec_id = p.query_id
+      JOIN embeddings n ON n.vec_id = a.neighbor_id
+      WHERE a.neighbor_id <> p.query_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, score,
+        row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS "rank"
+      FROM scored)
+    SELECT query_id, "rank", neighbor_id, score FROM ranked
+    WHERE "rank" <= 5 ORDER BY query_id, "rank" """
+  }
 
   /** DETERMINISTIC IVF (r8): the exact [[IvfIndex.searchTopK]] pipeline —
     * cell assignment, nProbe nearest-cell probing, cosine ranking — under
@@ -751,11 +832,15 @@ object Similarity {
     annPq, annJlSketch)
 }
 
-/** IVF (inverted-file) ANN with a PERSISTABLE coarse quantizer: a KMeans
-  * model trains ONCE, its centroids are stored as an ordinary lake table
-  * (16 rows of (cell, centroid) — a data artifact, not a pickled model),
-  * and every later job cold-starts by reading the table and assigning /
-  * probing declaratively, with no ML library at query time.
+/** IVF (inverted-file) ANN with a PERSISTABLE coarse quantizer: a
+  * k-means (deterministic Lloyd) model trains ONCE, its centroids are
+  * stored as an ordinary lake table (16 rows of (cell, centroid) — a data
+  * artifact, not a pickled model), and every later job cold-starts by
+  * reading the table and assigning / probing declaratively, with no ML
+  * library anywhere — the fit itself is DataFrame ops (r13: replaced
+  * Spark ML KMeans, whose partition-order-dependent double sums made the
+  * fit irreproducible; the Lloyd loop below is bit-deterministic and
+  * oracle-checked end to end).
   *
   * At 100 TB the economics demand exactly this split: training touches a
   * hash-sample once (amortized), while assignment is a narrow broadcast
@@ -768,38 +853,85 @@ object IvfIndex {
   val DefaultNumCells = 16
   val DefaultNProbe = 4
 
-  /** KMeans fits performed by this JVM — observability for the amortized-
-    * cost contract (SimilaritySpec asserts a repeat invocation fits zero
-    * times; a production deployment would surface this as a metric).
+  /** Quantizer fits performed by this JVM — observability for the
+    * amortized-cost contract (SimilaritySpec asserts a repeat invocation
+    * fits zero times; a production deployment would surface this as a
+    * metric). Name kept from the KMeans era for API stability.
     */
   val kmeansFits = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Fixed-point scale for Lloyd's per-cell means: float inputs scale
+    * EXACTLY by a power of two, the scaled values round to longs, and long
+    * sums are associative+commutative-exact — so the mean is independent
+    * of partitioning and row order (a plain double sum is not: IEEE
+    * addition reorders across partitions), which is what makes the whole
+    * fit bit-reproducible on any cluster AND replayable by the DuckDB
+    * oracle in integer arithmetic.
+    */
+  val MeanScale = 1048576.0 // 2^20
+
   /** Train the coarse quantizer on a deterministic 25% hash-sample
-    * (reproducible across partitionings/cluster sizes, unlike rand()) with
-    * random init and few iterations: IVF needs roughly balanced cells, not
-    * a converged clustering, and every Lloyd pass is a full scan of the
-    * training set. Returns the (cell, centroid) frame — the whole model.
+    * (reproducible across partitionings/cluster sizes, unlike rand())
+    * with DETERMINISTIC Lloyd iterations — no ML library:
+    *
+    *  - init: the md5-ordered first `numCells` corpus vectors (the
+    *    [[Similarity.sampledVectors]] recipe SemDeDup, the PQ codebook and
+    *    ann_ivf_det already prove under oracle);
+    *  - assign: codegen'd least-of-structs L2 argmin, ties to the lowest
+    *    cell (one narrow map over the sample — no shuffle);
+    *  - update: per-(cell, dim) means via EXACT fixed-point long sums
+    *    ([[MeanScale]]) — one shuffle of numCells × dim groups per pass;
+    *    an empty cell keeps its previous centroid.
+    *
+    * Every stage is partition-order-free, so the FIT (not just the
+    * search) is bit-reproducible: ann_ivf carries a full DuckDB oracle
+    * (VERDICT r12 #8 — the last rows-only escape with a non-fundamental
+    * reason is closed). IVF needs roughly balanced cells, not a converged
+    * clustering, so few iterations suffice; each Lloyd pass scans the
+    * sample once. Returns the (cell, centroid) frame — the whole model.
     */
   def trainCentroids(
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
       numCells: Int = DefaultNumCells,
-      seed: Long = 42L,
       maxIter: Int = 5): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val trainSet = corpus
-      .filter(substring(md5(col(idCol).cast("string")), 1, 1).isin("0", "1", "2", "3"))
-      .select(array_to_vector(col(vecCol)).as("features"))
     kmeansFits.incrementAndGet()
-    val model = new KMeans().setK(numCells).setSeed(seed).setMaxIter(maxIter)
-      .setInitMode("random")
-      .fit(trainSet)
-    corpus.sparkSession.createDataFrame(
-      model.clusterCenters.zipWithIndex.map { case (c, i) =>
-        (i, c.toArray.map(_.toFloat))
-      }.toIndexedSeq).toDF("cell", "centroid")
+    var cents: IndexedSeq[(Int, Array[Float])] =
+      Similarity.sampledVectors(corpus, idCol, vecCol, numCells)
+        .zipWithIndex.map { case (c, i) => (i, c) }.toIndexedSeq
+    val train = corpus
+      .filter(substring(md5(col(idCol).cast("string")), 1, 1).isin("0", "1", "2", "3"))
+      .select(col(vecCol).as("__v"))
+    (1 to maxIter).foreach { _ =>
+      val cands = cents.map { case (cell, c) =>
+        struct(Similarity.l2sq(col("__v"), lit(c)).as("d"), lit(cell).as("cell"))
+      }
+      // floor(x*2^20 + 0.5): half-up in BOTH engines (Spark round() and
+      // DuckDB round() disagree on halves of negative doubles; floor+0.5
+      // does not), and every step is IEEE-exact at this scale
+      val sums = train
+        .withColumn("__cell", least(cands: _*).getField("cell"))
+        .select(col("__cell"), posexplode(col("__v")).as(Seq("__pos", "__x")))
+        .groupBy("__cell", "__pos")
+        .agg(sum(floor(col("__x").cast("double") * MeanScale + 0.5).cast("long")).as("__s"),
+          count(lit(1)).as("__n"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      val byCell = sums.groupBy(_._1)
+      cents = cents.map { case (cell, prev) =>
+        byCell.get(cell) match {
+          case None => (cell, prev) // empty cell: keep its centroid
+          case Some(rows) =>
+            val arr = prev.clone()
+            rows.foreach { case (_, pos, s, n) =>
+              arr(pos) = (s.toDouble / (n.toDouble * MeanScale)).toFloat
+            }
+            (cell, arr)
+        }
+      }
+    }
+    corpus.sparkSession.createDataFrame(cents).toDF("cell", "centroid")
   }
 
   /** Train and persist the model into the lake — one commit of a tiny

@@ -94,14 +94,19 @@ case class HonestBroadcastRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * exact footer statistics bound the in-memory build size under
     * `threshold` — honest in BOTH dimensions: rows are the footer's exact
     * record count, and variable-width columns (strings, binaries, nested)
-    * are costed from the footer's per-column `total_uncompressed_size`
-    * instead of a fixed per-type default (defaultSize counts every string
-    * at 20 bytes — a 400k-row dim of KB-sized strings would pass a 32 MB
-    * "proof" yet build a multi-hundred-MB hash relation). Fixed-width
-    * columns keep defaultSize, which is exact for them. A variable-width
-    * output column that cannot be traced to a scan column (a computed
-    * expression — its width is unbounded by the scan) disqualifies the
-    * side: not provable, so it stays with the static/AQE policy.
+    * are costed from the footer's per-column EXPANDED byte bound
+    * ([[graft.sources.ParquetMeta.columnStatsOfFiles]]: SizeStatistics
+    * unencoded bytes when written, valueCount×width for fixed primitives,
+    * `total_uncompressed_size` only for dictionary-free chunks) instead of
+    * a fixed per-type default (defaultSize counts every string at 20 bytes
+    * — a 400k-row dim of KB-sized strings would pass a 32 MB "proof" yet
+    * build a multi-hundred-MB hash relation). Fixed-width columns keep
+    * defaultSize, which is exact for them. A variable-width output column
+    * that cannot be traced to a scan column (a computed expression — its
+    * width is unbounded by the scan), or whose chunks the footer cannot
+    * prove (dictionary-encoded with no size statistics — the ADVICE r12
+    * repetitive-wide-string hole), disqualifies the side: not provable, so
+    * it stays with the static/AQE policy.
     */
   private def provenSmall(side: LogicalPlan, threshold: Long): Boolean = {
     if (side.isStreaming) return false
@@ -114,8 +119,9 @@ case class HonestBroadcastRule(spark: SparkSession) extends Rule[LogicalPlan] {
           val perRow = side.output.map { a =>
             if (isFixedWidth(a.dataType)) Some(a.dataType.defaultSize.toLong)
             else originName(side, a).flatMap(colBytes.get)
+              // ceiling division (an integer floor would shave a byte/row)
               // +8: UnsafeRow's offset-and-size word per variable field
-              .map(total => total / rows + 8L)
+              .map(total => (total + rows - 1) / rows + 8L)
           }
           perRow.forall(_.isDefined) &&
             rows * (perRow.flatten.sum + RowOverhead) <= threshold

@@ -1,0 +1,147 @@
+package graft.sql
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{LongType, StringType, StructType}
+
+/** THIN SQL ENTRYPOINT over the lake engine (SURVEY §2 B-layer; VERDICT
+  * r12 #9) — the SQL-first surface a user of the reference drives its
+  * merges through (reference merge_utils.py:69-104 builds `MERGE INTO`
+  * strings and spark.sql()s them against its catalog). Injected via
+  * `SparkSessionExtensions.injectParser` (GraftExtensions), so plain
+  * `spark.sql(...)` speaks it with no imports:
+  *
+  *  - `MERGE INTO graft.<ns>.<table> USING <viewOrTable> [ON <keyCol>]`
+  *    — lands the source through [[graft.lake.TableMerger]] (strategy
+  *    auto-selected, key auto-detected when ON is omitted — the
+  *    reference's own semantics);
+  *  - `CREATE TABLE graft.<ns>.<table> AS <select…>` — CTAS into a
+  *    versioned lake table;
+  *  - any query referencing `graft.<ns>.<table>` — optionally followed by
+  *    `VERSION AS OF <n>` for time travel — reads the lake table: the
+  *    reference is rewritten to a temp view backed by the catalog read,
+  *    and the REST of the statement stays Spark SQL (joins, CTEs,
+  *    filters, whatever), so the façade composes with the full language
+  *    instead of re-implementing a dialect.
+  *
+  * The lake root comes from the session conf `spark.graft.sql.root`
+  * (loud when unset). Everything else — including every statement that
+  * never mentions `graft.` — delegates verbatim to Spark's parser: the
+  * façade is a prefix filter, not a fork.
+  */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+
+  import GraftSqlParser._
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    interceptStatement(sqlText) match {
+      case Some(cmd) => cmd
+      case None => delegate.parsePlan(rewriteReads(sqlText))
+    }
+
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(rewriteReads(sqlText))
+
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): org.apache.spark.sql.types.DataType =
+    delegate.parseDataType(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+}
+
+object GraftSqlParser {
+
+  /** Session conf naming the lake root the SQL surface operates on. */
+  val RootConf = "spark.graft.sql.root"
+
+  private val Merge =
+    """(?is)\s*MERGE\s+INTO\s+graft\.(\w+)\.(\w+)\s+USING\s+([\w.]+)(?:\s+ON\s+(\w+))?\s*;?\s*""".r
+  private val Ctas =
+    """(?is)\s*CREATE\s+TABLE\s+graft\.(\w+)\.(\w+)\s+AS\s+(.+?)\s*;?\s*""".r
+  // a lake-table reference in TABLE POSITION (after FROM/JOIN), with
+  // optional time travel. Anchoring on the keyword keeps the rewrite away
+  // from string literals and identifiers that merely CONTAIN `graft.x.y`
+  // (e.g. a `graft.bucketed.src` table property) — SQL the façade must
+  // pass through untouched.
+  private val TableRef =
+    """(?is)\b(FROM|JOIN)(\s+)graft\.(\w+)\.(\w+)(\s+VERSION\s+AS\s+OF\s+(\d+))?""".r
+
+  private def interceptStatement(sqlText: String): Option[LogicalPlan] =
+    sqlText match {
+      case Merge(ns, t, source, key) =>
+        Some(GraftMergeCommand(ns, t, source, Option(key)))
+      case Ctas(ns, t, select) => Some(GraftCtasCommand(ns, t, select))
+      case _ => None
+    }
+
+  /** Swap every `graft.ns.t [VERSION AS OF n]` reference for a temp view
+    * backed by the catalog read — parse-time resolution, so the delegate
+    * parser (and the analyzer) see ordinary SQL. Deterministic view names
+    * make re-parsing idempotent.
+    */
+  private def rewriteReads(sqlText: String): String = {
+    if (!TableRef.findFirstIn(sqlText).isDefined) return sqlText
+    val spark = SparkSession.getActiveSession.getOrElse(
+      return sqlText) // no session (shouldn't happen mid-sql): leave as-is
+    TableRef.replaceAllIn(sqlText, m => {
+      val (ns, t) = (m.group(3), m.group(4))
+      val version = Option(m.group(6)).map(_.toLong)
+      val view = s"graft_${ns}_${t}" + version.fold("")(v => s"_v$v")
+      catalogOf(spark).read(ns, t, version.map(_.toInt))
+        .createOrReplaceTempView(view)
+      m.group(1) + m.group(2) + view
+    })
+  }
+
+  private[sql] def catalogOf(spark: SparkSession): graft.lake.LakeCatalog = {
+    val root = spark.conf.getOption(RootConf).getOrElse(sys.error(
+      s"set $RootConf to the lake root before using graft.<ns>.<table> SQL"))
+    graft.lake.LakeCatalog(spark, root)
+  }
+
+  private def outCols: Seq[Attribute] = Seq(
+    AttributeReference("table", StringType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)())
+
+  /** `MERGE INTO graft.ns.t USING src [ON key]` — the reference's
+    * SQL-first merge surface over [[graft.lake.TableMerger]] (strategy
+    * auto-selection and key auto-detection included). Returns
+    * (table, new version).
+    */
+  case class GraftMergeCommand(ns: String, table: String, source: String,
+      key: Option[String]) extends LeafRunnableCommand {
+    override def output: Seq[Attribute] = outCols
+    override def run(spark: SparkSession): Seq[Row] = {
+      val cat = catalogOf(spark)
+      val merger = new graft.lake.TableMerger(cat)
+      merger.mergeTable(spark.table(source), ns, table, key)
+      Seq(Row(s"$ns.$table", cat.versions(ns, table).last.toLong))
+    }
+  }
+
+  /** `CREATE TABLE graft.ns.t AS <select>` — CTAS into a versioned lake
+    * table. Returns (table, version 1).
+    */
+  case class GraftCtasCommand(ns: String, table: String, select: String)
+      extends LeafRunnableCommand {
+    override def output: Seq[Attribute] = outCols
+    override def run(spark: SparkSession): Seq[Row] = {
+      val cat = catalogOf(spark)
+      val v = cat.write(ns, table, spark.sql(select))
+      Seq(Row(s"$ns.$table", v.toLong))
+    }
+  }
+}

@@ -208,10 +208,29 @@ object EventStreams {
   /** Stable idempotence key of a streaming sink: one query (one checkpoint
     * lineage) must map to one appId forever, two different queries
     * appending to the same table must never share one.
+    *
+    * The checkpoint location is NORMALIZED before hashing (trailing slash,
+    * duplicate separators, `.`/`..` segments, relative-vs-absolute, bare
+    * path vs `file:` qualification all collapse to one spelling): the
+    * appId is the replay guard's identity, and a restart script that
+    * spells the SAME checkpoint lineage cosmetically differently would
+    * otherwise mint a fresh appId and silently reopen the replay window.
+    * Non-file schemes keep their scheme+authority (two object-store
+    * buckets must never collide) with only path normalization applied.
     */
-  private[graft] def sinkAppId(ns: String, table: String, checkpoint: String): String =
+  private[graft] def sinkAppId(ns: String, table: String, checkpoint: String): String = {
+    val p = new org.apache.hadoop.fs.Path(checkpoint) // collapses //, ., trailing /
+    val uri = p.toUri
+    val canonical =
+      if (uri.getScheme == null || uri.getScheme == "file")
+        // local lineage: absolute filesystem path, scheme-free — the one
+        // spelling `file:/x`, `file:///x`, `/x` and `x` (from cwd) share
+        new org.apache.hadoop.fs.Path(
+          new java.io.File(uri.getPath).getAbsolutePath).toString
+      else p.toString
     s"graft-stream:$ns.$table:" + java.util.UUID.nameUUIDFromBytes(
-      checkpoint.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      canonical.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
 
   /** E21: AUDITED streaming ingestion — every micro-batch commits onto a
     * BRANCH (invisible to main readers), so a whole streaming session

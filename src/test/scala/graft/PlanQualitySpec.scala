@@ -511,6 +511,58 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("honest broadcast: dictionary-compressed repetitive wide strings are not under-counted") {
+    // ADVICE r12: one KB-sized value repeated across many rows dictionary-
+    // encodes to ~1-2 B/row ON PAGE (total_uncompressed_size counts dict +
+    // indices), while the hash relation holds the EXPANDED 1 KB/row. The
+    // bound must come from size statistics or the dictionary page
+    // (valueCount x longest entry) — never the on-page figure. Size
+    // statistics are DISABLED on the write so the dictionary-page path is
+    // what this pins; Spark's default write (size stats on) is covered by
+    // being strictly more informative.
+    val dir = java.nio.file.Files.createTempDirectory("graft_dict_")
+    try {
+      import spark.implicits._
+      val payload = "x" * 1024
+      (0 until 200000).map(i => (i.toLong % 1000, payload))
+        .toDF("fk", "fat").write.mode("overwrite")
+        .option("parquet.size.statistics.enabled", "false")
+        .parquet(dir.resolve("fat").toString)
+      val fat = spark.read.parquet(dir.resolve("fat").toString)
+      val t = Tables(spark, sfDir)
+      val probe = t.lineitem.groupBy("l_partkey").agg(count(lit(1)).as("n"))
+      val thr = "spark.sql.autoBroadcastJoinThreshold"
+      val aqeThr = "spark.sql.adaptive.autoBroadcastJoinThreshold"
+      val prev = spark.conf.get(thr)
+      val prevAqe = spark.conf.getOption(aqeThr)
+      spark.conf.set(thr, "-1"); spark.conf.set(aqeThr, "-1")
+      try {
+        val joined = probe.join(fat, col("l_partkey") === col("fk"))
+        val p = joined.queryExecution.executedPlan.toString
+        assert(!p.contains("BroadcastHashJoin"),
+          s"a dict-compressed 200MB-expanded side must not be proven small:\n$p")
+        // control: the same shape with a repetitive THIN value stays
+        // provable through the dictionary bound — common dims (every
+        // low-cardinality string column) must not lose their broadcast
+        (0 until 200000).map(i => (i.toLong % 1000, s"c${i % 7}"))
+          .toDF("fk", "thin").write.mode("overwrite")
+          .option("parquet.size.statistics.enabled", "false")
+          .parquet(dir.resolve("thin").toString)
+        val thin = spark.read.parquet(dir.resolve("thin").toString)
+        val joined2 = probe.join(thin, col("l_partkey") === col("fk"))
+        assert(joined2.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+          "repetitive thin-string control must still broadcast")
+      } finally {
+        spark.conf.set(thr, prev)
+        prevAqe.fold(spark.conf.unset(aqeThr))(spark.conf.set(aqeThr, _))
+      }
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
+  }
+
   test("honest broadcast: computed variable-width outputs are not provable") {
     val t = Tables(spark, sfDir)
     val thr = "spark.sql.autoBroadcastJoinThreshold"

@@ -401,13 +401,47 @@ class DeltaSpec extends SparkSpec {
     val imported = DeltaImport.read(spark, dir)
     assert(imported.columns.toSeq == Seq("id", "v"))
     assert(rows(imported) == Set(Seq(1L, "a"), Seq(2L, "b"), Seq(3L, "c")))
-    // mode=id stays a loud rejection
+  }
+
+  test("column mapping mode=id: columns resolve by parquet FIELD ID, not name") {
+    import org.apache.spark.sql.types._
+    val mapper = com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+    val dir = Files.createTempDirectory("graft_cmapid_").toString
+    // a foreign id-mode writer's file: parquet column NAMES are arbitrary
+    // (deliberately different from the log's physicalName metadata, which
+    // id mode must ignore for the data path) — only the FIELD IDS bind
+    val fileSchema = StructType(Seq(
+      StructField("whatever_1", LongType, nullable = true,
+        new MetadataBuilder().putLong("parquet.field.id", 1L).build()),
+      StructField("whatever_2", StringType, nullable = true,
+        new MetadataBuilder().putLong("parquet.field.id", 2L).build())))
+    val data = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(1L, "a"), org.apache.spark.sql.Row(2L, "b"),
+        org.apache.spark.sql.Row(3L, "c")), 1), fileSchema)
+    val tmp = Files.createTempDirectory("graft_cmapid_stage_").resolve("out")
+    data.coalesce(1).write.parquet(tmp.toString)
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    val part = fs.listStatus(new Path(tmp.toString)).map(_.getPath)
+      .find(_.getName.endsWith(".parquet")).get
+    fs.rename(part, new Path(dir, "data-0.parquet"))
+    val schemaJson = new StructType()
+      .add("id", LongType, nullable = true,
+        new MetadataBuilder()
+          .putString("delta.columnMapping.physicalName", "col-9f1")
+          .putLong("delta.columnMapping.id", 1).build())
+      .add("v", StringType, nullable = true,
+        new MetadataBuilder()
+          .putString("delta.columnMapping.physicalName", "col-2ab")
+          .putLong("delta.columnMapping.id", 2).build())
+      .json
     writeLog(dir, 0L, Seq(
       """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
       s"""{"metaData":{"id":"m","name":"t","format":{"provider":"parquet","options":{}},"schemaString":${mapper.writeValueAsString(schemaJson)},"partitionColumns":[],"configuration":{"delta.columnMapping.mode":"id"},"createdTime":0}}""",
       """{"add":{"path":"data-0.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}"""))
-    val e = intercept[IllegalArgumentException] { DeltaImport.read(spark, dir) }
-    assert(e.getMessage.contains("columnMapping.mode"), e.getMessage)
+    val imported = DeltaImport.read(spark, dir)
+    assert(imported.columns.toSeq == Seq("id", "v"))
+    assert(rows(imported) == Set(Seq(1L, "a"), Seq(2L, "b"), Seq(3L, "c")))
   }
 
   test("multi-part checkpoints seed exactly like single-file ones") {
@@ -518,6 +552,89 @@ class DeltaSpec extends SparkSpec {
     val feed = DeltaImport.readChangeFeed(spark, tableLoc(cat, "dl", "t"), 0L, 0L)
     assert(rows(feed.select("id", "k", "x")) == rows(df))
     assert(feed.filter(col("_change_type") =!= "insert").count() == 0)
+  }
+
+  test("CDF: partitioned remove-without-cdc reconstructs deletes with partition values") {
+    import spark.implicits._
+    val mapper = com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+    val dir = Files.createTempDirectory("graft_cdfpart_").toString
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    // two hive-less data files, one per partition value — a foreign CDF
+    // writer's CoW delete drops one of them WITHOUT a cdc action
+    def placeFile(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val tmp = Files.createTempDirectory("graft_cdfpart_stage_").resolve("out")
+      df.coalesce(1).write.parquet(tmp.toString)
+      val part = fs.listStatus(new Path(tmp.toString)).map(_.getPath)
+        .find(_.getName.endsWith(".parquet")).get
+      fs.rename(part, new Path(dir, name))
+    }
+    placeFile("f-a.parquet", Seq((1L, 1.0), (2L, 2.0)).toDF("id", "x"))
+    placeFile("f-b.parquet", Seq((3L, 3.0), (4L, 4.0)).toDF("id", "x"))
+    val schemaJson = new org.apache.spark.sql.types.StructType()
+      .add("id", "long").add("x", "double").add("k", "string").json
+    writeLog(dir, 0L, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}""",
+      s"""{"metaData":{"id":"m","name":"t","format":{"provider":"parquet","options":{}},"schemaString":${mapper.writeValueAsString(schemaJson)},"partitionColumns":["k"],"configuration":{"delta.enableChangeDataFeed":"true"},"createdTime":0}}""",
+      """{"add":{"path":"f-a.parquet","partitionValues":{"k":"pa"},"size":1,"modificationTime":0,"dataChange":true}}""",
+      """{"add":{"path":"f-b.parquet","partitionValues":{"k":"pb"},"size":1,"modificationTime":0,"dataChange":true}}"""))
+    writeLog(dir, 1L, Seq(
+      """{"remove":{"path":"f-b.parquet","deletionTimestamp":1,"dataChange":true}}"""))
+    val feed = DeltaImport.readChangeFeed(spark, dir, 0L, 1L)
+    val dels = feed.filter(col("_change_type") === "delete")
+      .select("id", "k", "_commit_version").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    // the removed file's partition value reattaches from its v0 add
+    assert(dels == Set((3L, "pb", 1L), (4L, "pb", 1L)))
+    assert(feed.filter(col("_change_type") === "insert").count() == 4)
+    // a remove naming a path no add ever declared fails loudly
+    writeLog(dir, 2L, Seq(
+      """{"remove":{"path":"f-ghost.parquet","deletionTimestamp":2,"dataChange":true}}"""))
+    val e = intercept[IllegalArgumentException] {
+      DeltaImport.readChangeFeed(spark, dir, 0L, 2L)
+    }
+    assert(e.getMessage.contains("no prior add"), e.getMessage)
+  }
+
+  test("CDF: a no-cdc commit carrying deletion vectors is refused, not misread") {
+    import spark.implicits._
+    val mapper = com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+    val dir = Files.createTempDirectory("graft_cdfdv_").toString
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    val tmp = Files.createTempDirectory("graft_cdfdv_stage_").resolve("out")
+    Seq((1L, 1.0), (2L, 2.0)).toDF("id", "x").coalesce(1).write.parquet(tmp.toString)
+    val part = fs.listStatus(new Path(tmp.toString)).map(_.getPath)
+      .find(_.getName.endsWith(".parquet")).get
+    fs.rename(part, new Path(dir, "f-a.parquet"))
+    val schemaJson = new org.apache.spark.sql.types.StructType()
+      .add("id", "long").add("x", "double").json
+    writeLog(dir, 0L, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors","changeDataFeed"]}}""",
+      s"""{"metaData":{"id":"m","name":"t","format":{"provider":"parquet","options":{}},"schemaString":${mapper.writeValueAsString(schemaJson)},"partitionColumns":[],"configuration":{"delta.enableChangeDataFeed":"true"},"createdTime":0}}""",
+      """{"add":{"path":"f-a.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}"""))
+    // a MoR-style commit: re-add with a DV, no cdc action — whole-file
+    // reconstruction would silently resurrect the DV-masked rows
+    writeLog(dir, 1L, Seq(
+      """{"add":{"path":"f-a.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true,"deletionVector":{"storageType":"i","pathOrInlineDv":"x","sizeInBytes":1,"cardinality":1}}}"""))
+    val e = intercept[IllegalArgumentException] {
+      DeltaImport.readChangeFeed(spark, dir, 1L, 1L)
+    }
+    assert(e.getMessage.contains("deletion vectors"), e.getMessage)
+  }
+
+  test("re-export with a flipped changeDataFeed mode refuses loudly") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    cat.write("dl", "t", (1 to 10).map(i => (i.toLong, i * 1.0)).toDF("id", "x"))
+    DeltaExport.export(spark, cat, "dl", "t") // cut WITHOUT the feed
+    cat.write("dl", "t", (11 to 20).map(i => (i.toLong, i * 1.0)).toDF("id", "x"),
+      SaveMode.Append)
+    val e = intercept[IllegalArgumentException] {
+      DeltaExport.export(spark, cat, "dl", "t", changeDataFeed = true)
+    }
+    assert(e.getMessage.contains("changeDataFeed"), e.getMessage)
+    // the honest direction still works
+    val exp = DeltaExport.export(spark, cat, "dl", "t")
+    assert(exp.lastDeltaVersion == 1L)
   }
 
   test("driver-state cap: tail REMOVES shadow checkpoint adds distributively") {

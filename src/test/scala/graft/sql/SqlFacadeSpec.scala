@@ -1,0 +1,98 @@
+package graft.sql
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The thin SQL entrypoint (GraftSqlParser via SparkSessionExtensions):
+  * MERGE INTO / CTAS / time-travel reads must drive the SAME lake
+  * machinery the DataFrame API does, and every statement that never
+  * mentions `graft.` must reach Spark's parser untouched.
+  */
+class SqlFacadeSpec extends SparkSpec {
+
+  private def withRoot[T](f: String => T): T = {
+    val root = Files.createTempDirectory("graft_sqlroot_").toString
+    val prev = spark.conf.getOption(GraftSqlParser.RootConf)
+    spark.conf.set(GraftSqlParser.RootConf, root)
+    try f(root)
+    finally prev.fold(spark.conf.unset(GraftSqlParser.RootConf))(
+      spark.conf.set(GraftSqlParser.RootConf, _))
+  }
+
+  test("CTAS + MERGE INTO + time travel, all through spark.sql") {
+    import spark.implicits._
+    withRoot { root =>
+      (1 to 10).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+        .createOrReplaceTempView("src0")
+      // CTAS into a versioned lake table
+      val made = spark.sql("CREATE TABLE graft.sqlns.t AS SELECT * FROM src0")
+        .collect()
+      assert(made.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+        Seq(("sqlns.t", 1L)))
+      // MERGE: one correction + one new key, key auto-detected from `id`
+      Seq((3L, "V3"), (11L, "v11")).toDF("id", "v")
+        .createOrReplaceTempView("delta0")
+      val merged = spark.sql("MERGE INTO graft.sqlns.t USING delta0")
+        .collect()
+      assert(merged.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+        Seq(("sqlns.t", 2L)))
+      // current state reads through plain SQL — filters, aggregates, the
+      // works — against the rewritten view
+      val now = spark.sql(
+        "SELECT id, v FROM graft.sqlns.t WHERE id IN (3, 11) ORDER BY id")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(now == Seq((3L, "V3"), (11L, "v11")))
+      assert(spark.sql("SELECT count(*) AS n FROM graft.sqlns.t")
+        .head().getLong(0) == 11L)
+      // time travel to the pre-merge snapshot
+      val before = spark.sql(
+        "SELECT v FROM graft.sqlns.t VERSION AS OF 1 WHERE id = 3")
+        .head().getString(0)
+      assert(before == "v3")
+      // an explicit ON key works too
+      Seq((5L, "V5")).toDF("id", "v").createOrReplaceTempView("delta1")
+      spark.sql("MERGE INTO graft.sqlns.t USING delta1 ON id").collect()
+      assert(spark.sql("SELECT v FROM graft.sqlns.t WHERE id = 5")
+        .head().getString(0) == "V5")
+    }
+  }
+
+  test("lake reads compose with full Spark SQL (join of two versions)") {
+    import spark.implicits._
+    withRoot { root =>
+      (1 to 5).map(i => (i.toLong, i * 10L)).toDF("id", "n")
+        .createOrReplaceTempView("src1")
+      spark.sql("CREATE TABLE graft.sqlns.j AS SELECT * FROM src1").collect()
+      Seq((2L, 999L)).toDF("id", "n").createOrReplaceTempView("delta2")
+      spark.sql("MERGE INTO graft.sqlns.j USING delta2 ON id").collect()
+      // join current vs v1 in ONE statement: both refs rewrite
+      val changed = spark.sql(
+        """SELECT cur.id FROM graft.sqlns.j cur
+           JOIN graft.sqlns.j VERSION AS OF 1 old ON cur.id = old.id
+           WHERE cur.n <> old.n""")
+        .collect().map(_.getLong(0)).toSeq
+      assert(changed == Seq(2L))
+    }
+  }
+
+  test("non-graft SQL delegates verbatim; unset root fails loudly") {
+    assert(spark.sql("SELECT 1 + 1 AS x").head().getInt(0) == 2)
+    // `graft.x.y` OUTSIDE table position (a string literal, a property
+    // name) must pass through untouched — the q_bucketed_join regression:
+    // ALTER TABLE ... TBLPROPERTIES ('graft.bucketed.src' = ...) was
+    // hijacked by an unanchored rewrite
+    assert(spark.sql("SELECT 'graft.some.prop' AS s").head().getString(0) ==
+      "graft.some.prop")
+    // a graft reference without the root conf set must be loud
+    val prev = spark.conf.getOption(GraftSqlParser.RootConf)
+    spark.conf.unset(GraftSqlParser.RootConf)
+    try {
+      val e = intercept[RuntimeException] {
+        spark.sql("SELECT * FROM graft.nope.t").collect()
+      }
+      assert(e.getMessage.contains(GraftSqlParser.RootConf), e.getMessage)
+    } finally prev.foreach(spark.conf.set(GraftSqlParser.RootConf, _))
+  }
+}

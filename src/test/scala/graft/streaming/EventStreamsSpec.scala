@@ -527,4 +527,28 @@ class EventStreamsSpec extends SparkSpec {
         .select("dup_of").as[Long].collect().toSeq == Seq(10L))
     } finally q.stop()
   }
+
+  test("sinkAppId: cosmetic checkpoint respellings share one appId (replay guard identity)") {
+    // the appId IS the exactly-once guard's identity: a restart that spells
+    // the same checkpoint lineage differently must not mint a new one
+    val base = "/tmp/graft_ck/q1"
+    val canonical = EventStreams.sinkAppId("ns", "t", base)
+    assert(EventStreams.sinkAppId("ns", "t", base + "/") == canonical)
+    assert(EventStreams.sinkAppId("ns", "t", "/tmp//graft_ck/q1") == canonical)
+    assert(EventStreams.sinkAppId("ns", "t", "/tmp/graft_ck/./q1") == canonical)
+    assert(EventStreams.sinkAppId("ns", "t", s"file:$base") == canonical)
+    assert(EventStreams.sinkAppId("ns", "t", s"file://$base") == canonical)
+    // a RELATIVE spelling resolves against the working directory — same
+    // lineage as its absolute spelling from that directory
+    val cwd = new java.io.File(".").getAbsoluteFile.getParentFile.getPath
+    assert(EventStreams.sinkAppId("ns", "t", "ck/q2") ==
+      EventStreams.sinkAppId("ns", "t", s"$cwd/ck/q2"))
+    // DIFFERENT lineages keep different ids
+    assert(EventStreams.sinkAppId("ns", "t", "/tmp/graft_ck/q2") != canonical)
+    assert(EventStreams.sinkAppId("ns", "t", "s3a://bucket-a/ck") !=
+      EventStreams.sinkAppId("ns", "t", "s3a://bucket-b/ck"))
+    // and non-file schemes still normalize their PATH component
+    assert(EventStreams.sinkAppId("ns", "t", "s3a://bucket-a/ck/") ==
+      EventStreams.sinkAppId("ns", "t", "s3a://bucket-a/ck"))
+  }
 }
