@@ -34,8 +34,11 @@ class BenchBoundarySpec extends SparkSpec {
     val root = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), s"graft_scratch_$user")
     // per-invocation dirs are <root>/<name>/<uuid>; the digest-keyed IVF
-    // centroid cache (<root>/ivf/...) is deliberately exempt from reclaim,
-    // so scope the check to dirs that APPEAR during the lake query
+    // centroid cache (<root>/ivf/...), the bench canary, and the memoized
+    // CDC scenario (<root>/cdc/...) are deliberately exempt from reclaim
+    // (reclaimScratch's documented contract), so scope the check to dirs
+    // that APPEAR during the lake query and are not exempt
+    val exempt = Set("ivf", "cdc", "bench_canary_v1")
     def uuidDirs: Set[java.nio.file.Path] =
       if (!java.nio.file.Files.exists(root)) Set.empty
       else {
@@ -44,7 +47,8 @@ class BenchBoundarySpec extends SparkSpec {
           import scala.jdk.CollectionConverters._
           w.iterator().asScala
             .filter(p => p.getParent != null && p.getParent.getParent != null &&
-              p.getParent.getParent == root && p.getParent.getFileName.toString != "ivf")
+              p.getParent.getParent == root &&
+              !exempt.contains(p.getParent.getFileName.toString))
             .toSet
         } finally w.close()
       }
