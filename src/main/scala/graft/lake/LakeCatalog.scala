@@ -243,6 +243,20 @@ final class LakeCatalog(
     read(ns, t, Some(at.last))
   }
 
+  /** Snapshot HISTORY: (version, publish epoch-ms, manifest entry count)
+    * per surviving snapshot, oldest first — metadata-only (manifest mtimes
+    * + line counts; the Delta `DESCRIBE HISTORY` analog the SQL façade
+    * serves). Publish times are the manifest mtimes [[readAsOf]] travels
+    * by, so history and time travel agree by construction.
+    */
+  def history(ns: String, t: String): Seq[(Int, Long, Int)] = {
+    val vs = versions(ns, t)
+    require(vs.nonEmpty, s"no such table: $ns.$t")
+    vs.map(v => (v,
+      backend.mtime(manifestFile(ns, t, v)).getOrElse(0L),
+      manifestEntries(ns, t, v).size))
+  }
+
   /** Latest committed version and its manifest entries (relative data
     * dirs) — the read side of a file-scoped rewrite: callers stage against
     * this version and pass it to [[commitRewrite]] as the CAS base.

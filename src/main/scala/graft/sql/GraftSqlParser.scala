@@ -21,6 +21,10 @@ import org.apache.spark.sql.types.{LongType, StringType, StructType}
   *    reference's own semantics);
   *  - `CREATE TABLE graft.<ns>.<table> AS <select…>` — CTAS into a
   *    versioned lake table;
+  *  - `INSERT INTO graft.<ns>.<table> <select|VALUES …>` — an append
+  *    commit; `DELETE FROM graft.<ns>.<table> WHERE <pred>` — the
+  *    file-scoped CoW delete; `DESCRIBE HISTORY graft.<ns>.<table>` —
+  *    snapshot versions with publish times (the Delta idiom);
   *  - any query referencing `graft.<ns>.<table>` — optionally followed by
   *    `VERSION AS OF <n>` for time travel — reads the lake table: the
   *    reference is rewritten to a temp view backed by the catalog read,
@@ -71,6 +75,12 @@ object GraftSqlParser {
     """(?is)\s*MERGE\s+INTO\s+graft\.(\w+)\.(\w+)\s+USING\s+([\w.]+)(?:\s+ON\s+(\w+))?\s*;?\s*""".r
   private val Ctas =
     """(?is)\s*CREATE\s+TABLE\s+graft\.(\w+)\.(\w+)\s+AS\s+(.+?)\s*;?\s*""".r
+  private val Insert =
+    """(?is)\s*INSERT\s+INTO\s+graft\.(\w+)\.(\w+)\s+(.+?)\s*;?\s*""".r
+  private val Delete =
+    """(?is)\s*DELETE\s+FROM\s+graft\.(\w+)\.(\w+)\s+WHERE\s+(.+?)\s*;?\s*""".r
+  private val History =
+    """(?is)\s*DESCRIBE\s+HISTORY\s+graft\.(\w+)\.(\w+)\s*;?\s*""".r
   // a lake-table reference in TABLE POSITION (after FROM/JOIN), with
   // optional time travel. Anchoring on the keyword keeps the rewrite away
   // from string literals and identifiers that merely CONTAIN `graft.x.y`
@@ -84,6 +94,9 @@ object GraftSqlParser {
       case Merge(ns, t, source, key) =>
         Some(GraftMergeCommand(ns, t, source, Option(key)))
       case Ctas(ns, t, select) => Some(GraftCtasCommand(ns, t, select))
+      case Insert(ns, t, select) => Some(GraftInsertCommand(ns, t, select))
+      case Delete(ns, t, where) => Some(GraftDeleteCommand(ns, t, where))
+      case History(ns, t) => Some(GraftHistoryCommand(ns, t))
       case _ => None
     }
 
@@ -143,5 +156,50 @@ object GraftSqlParser {
       val v = cat.write(ns, table, spark.sql(select))
       Seq(Row(s"$ns.$table", v.toLong))
     }
+  }
+
+  /** `INSERT INTO graft.ns.t <select|VALUES …>` — one APPEND commit (no
+    * rewrite; manifest-reuse append). The inner query goes back through
+    * the session parser, so it may itself read `graft.<ns>.<t>` tables.
+    */
+  case class GraftInsertCommand(ns: String, table: String, select: String)
+      extends LeafRunnableCommand {
+    override def output: Seq[Attribute] = outCols
+    override def run(spark: SparkSession): Seq[Row] = {
+      val cat = catalogOf(spark)
+      val v = cat.write(ns, table, spark.sql(select),
+        org.apache.spark.sql.SaveMode.Append)
+      Seq(Row(s"$ns.$table", v.toLong))
+    }
+  }
+
+  /** `DELETE FROM graft.ns.t WHERE <predicate>` — the FILE-SCOPED CoW
+    * delete (only commits holding matches rewrite); the predicate string
+    * parses through the session's expression parser.
+    */
+  case class GraftDeleteCommand(ns: String, table: String, where: String)
+      extends LeafRunnableCommand {
+    override def output: Seq[Attribute] = outCols
+    override def run(spark: SparkSession): Seq[Row] = {
+      val cat = catalogOf(spark)
+      val v = cat.delete(ns, table, org.apache.spark.sql.functions.expr(where))
+      Seq(Row(s"$ns.$table", v.toLong))
+    }
+  }
+
+  /** `DESCRIBE HISTORY graft.ns.t` — (version, publish timestamp,
+    * entry count) per surviving snapshot, the Delta idiom over
+    * [[graft.lake.LakeCatalog.history]]. Metadata-only.
+    */
+  case class GraftHistoryCommand(ns: String, table: String)
+      extends LeafRunnableCommand {
+    override def output: Seq[Attribute] = Seq(
+      AttributeReference("version", LongType, nullable = false)(),
+      AttributeReference("published_at_ms", LongType, nullable = false)(),
+      AttributeReference("entries", LongType, nullable = false)())
+    override def run(spark: SparkSession): Seq[Row] =
+      catalogOf(spark).history(ns, table).map { case (v, ts, n) =>
+        Row(v.toLong, ts, n.toLong)
+      }
   }
 }

@@ -77,6 +77,29 @@ class SqlFacadeSpec extends SparkSpec {
     }
   }
 
+  test("INSERT INTO / DELETE FROM / DESCRIBE HISTORY round out the surface") {
+    import spark.implicits._
+    withRoot { root =>
+      (1 to 4).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+        .createOrReplaceTempView("src2")
+      spark.sql("CREATE TABLE graft.sqlns.k AS SELECT * FROM src2").collect()
+      // INSERT INTO appends one commit (no rewrite)
+      spark.sql("INSERT INTO graft.sqlns.k SELECT 5L AS id, 'v5' AS v").collect()
+      assert(spark.sql("SELECT count(*) AS n FROM graft.sqlns.k")
+        .head().getLong(0) == 5L)
+      // DELETE FROM is the file-scoped CoW delete with a parsed predicate
+      spark.sql("DELETE FROM graft.sqlns.k WHERE id <= 2").collect()
+      assert(spark.sql("SELECT id FROM graft.sqlns.k ORDER BY id")
+        .collect().map(_.getLong(0)).toSeq == Seq(3L, 4L, 5L))
+      // DESCRIBE HISTORY: CTAS + append + delete = versions 1..3, with
+      // publish times agreeing with readAsOf's clock (monotone)
+      val hist = spark.sql("DESCRIBE HISTORY graft.sqlns.k")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(hist.map(_._1).toSeq == Seq(1L, 2L, 3L))
+      assert(hist.map(_._2).toSeq == hist.map(_._2).sorted.toSeq)
+    }
+  }
+
   test("non-graft SQL delegates verbatim; unset root fails loudly") {
     assert(spark.sql("SELECT 1 + 1 AS x").head().getInt(0) == 2)
     // `graft.x.y` OUTSIDE table position (a string literal, a property
