@@ -308,8 +308,12 @@ object DeltaImport {
     * masks rows inside those files, so re-reading them whole would emit a
     * silently wrong feed (ADVICE r12 — the unpartitioned+DV shape used to
     * slip through).
-    * Requires `delta.enableChangeDataFeed`; column-mapping CDF reads are
-    * not supported (loud).
+    * Requires `delta.enableChangeDataFeed`. COLUMN-MAPPED tables read too
+    * (r13): under mode=name the data/cdc scans run by physical names and
+    * rename back; under mode=id by injected parquet field ids — the same
+    * resolution [[read]] uses — with `_change_type` matched by its literal
+    * name (CDF's metadata column is not subject to mapping), and partition
+    * reattachment keyed by physical partitionValues keys.
     */
   def readChangeFeed(spark: SparkSession, location: String,
       fromVersion: Long, toVersion: Long): DataFrame = {
@@ -331,12 +335,38 @@ object DeltaImport {
     requireReadable(state)
     require(state.configuration.get("delta.enableChangeDataFeed").contains("true"),
       "delta.enableChangeDataFeed is not set on this table")
-    require(state.configuration.getOrElse("delta.columnMapping.mode", "none") == "none",
-      "CDF reads under column mapping are not supported")
     val schema = DataType.fromJson(state.schemaJson).asInstanceOf[StructType]
-    val dataSchema = StructType(
-      schema.fields.filterNot(f => state.partitionColumns.contains(f.name)))
-    val cdcSchema = StructType(schema.fields :+ StructField("_change_type", StringType))
+    // column mapping: same resolution as [[read]] — physical names (name)
+    // or injected field ids (id) for TABLE columns; `_change_type` is
+    // CDF's own metadata column, matched by literal name in both modes
+    val mappingMode = state.configuration.getOrElse("delta.columnMapping.mode", "none")
+    val physByLogical: Map[String, String] =
+      if (mappingMode == "none") Map.empty
+      else schema.fields.map { f =>
+        f.name -> (if (f.metadata.contains(PhysKey)) f.metadata.getString(PhysKey)
+                   else f.name)
+      }.toMap
+    def physOf(logical: String): String = physByLogical.getOrElse(logical, logical)
+    def scanSchema(fields: Array[StructField]): StructType = mappingMode match {
+      case "name" => StructType(fields.map(f =>
+        if (f.name == "_change_type") f else f.copy(name = physOf(f.name))))
+      case "id" =>
+        fields.filterNot(_.name == "_change_type").foreach(f =>
+          require(f.metadata.contains(IdKey),
+            s"delta.columnMapping.mode=id but column '${f.name}' carries no " +
+              s"$IdKey — the file columns cannot be resolved"))
+        withParquetIds(StructType(fields)).asInstanceOf[StructType]
+      case _ => StructType(fields)
+    }
+    // rename a physically-scanned frame back to the logical names
+    def renameBack(df: DataFrame, fields: Array[StructField]): DataFrame =
+      if (mappingMode == "name") df.toDF(fields.map(_.name).toSeq: _*) else df
+    if (mappingMode == "id")
+      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    val dataFields = schema.fields.filterNot(f => state.partitionColumns.contains(f.name))
+    val dataSchema = scanSchema(dataFields)
+    val cdcFields = schema.fields :+ StructField("_change_type", StringType)
+    val cdcSchema = scanSchema(cdcFields)
 
     // last add's partition values per live path, replayed from version 0 —
     // the source of truth for reconstructing partition columns of files a
@@ -347,9 +377,9 @@ object DeltaImport {
     // partition columns from the given per-file tuples (broadcast lookup
     // on the captured _metadata.file_path — file-count-bounded)
     def readWithPartitions(paths: Seq[(String, Map[String, String])]): DataFrame = {
-      val raw = spark.read.schema(dataSchema)
+      val raw = renameBack(spark.read.schema(dataSchema)
         .parquet(paths.map(x =>
-          new Path(tableDir, decodePath(x._1)).toString): _*)
+          new Path(tableDir, decodePath(x._1)).toString): _*), dataFields)
       val missing = state.partitionColumns.filterNot(raw.columns.contains)
       if (missing.isEmpty) raw
       else {
@@ -357,9 +387,10 @@ object DeltaImport {
           StructField("__cdf_fp", StringType) +:
             missing.map(StructField(_, StringType)))
         val mapRows = paths.map { case (rel, pv) =>
+          // spec: partitionValues keys are PHYSICAL under column mapping
           Row.fromSeq(
             normalize(new Path(tableDir, decodePath(rel))) +:
-              missing.map(pv.get(_).orNull))
+              missing.map(lp => pv.get(physOf(lp)).orNull))
         }
         val lookup = spark.createDataFrame(
           spark.sparkContext.parallelize(mapRows, 1), mapSchema)
@@ -404,7 +435,7 @@ object DeltaImport {
         // cdc actions are the COMPLETE feed for this commit
         val abs = cdcPaths.sorted.map(rel =>
           new Path(tableDir, decodePath(rel)).toString)
-        Seq(spark.read.schema(cdcSchema).parquet(abs: _*)
+        Seq(renameBack(spark.read.schema(cdcSchema).parquet(abs: _*), cdcFields)
           .withColumn("_commit_version", lit(v)))
       } else {
         // no-cdc reconstruction re-reads files WHOLE — a deletion vector

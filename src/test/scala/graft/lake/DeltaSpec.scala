@@ -621,6 +621,72 @@ class DeltaSpec extends SparkSpec {
     assert(e.getMessage.contains("deletion vectors"), e.getMessage)
   }
 
+  test("CDF reads under column mapping: name mode (derived + explicit cdc) and id mode") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val mapper = com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+    def place(dir: String, name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+      val tmp = Files.createTempDirectory("graft_cdfmap_stage_").resolve("out")
+      df.coalesce(1).write.parquet(tmp.toString)
+      val part = fs.listStatus(new Path(tmp.toString)).map(_.getPath)
+        .find(_.getName.endsWith(".parquet")).get
+      fs.rename(part, new Path(dir, name))
+    }
+    def mappedSchemaJson: String = new StructType()
+      .add("id", LongType, nullable = true,
+        new MetadataBuilder()
+          .putString("delta.columnMapping.physicalName", "col-9f1")
+          .putLong("delta.columnMapping.id", 1).build())
+      .add("v", StringType, nullable = true,
+        new MetadataBuilder()
+          .putString("delta.columnMapping.physicalName", "col-2ab")
+          .putLong("delta.columnMapping.id", 2).build())
+      .json
+    // ---- mode=name: physical-name files; derived inserts, reconstructed
+    // deletes, and an explicit cdc file all rename back to logical
+    val dirN = Files.createTempDirectory("graft_cdfmap_name_").toString
+    place(dirN, "f-a.parquet", Seq((1L, "a"), (2L, "b")).toDF("col-9f1", "col-2ab"))
+    place(dirN, "cdc-2.parquet",
+      Seq((2L, "b", "delete"), (2L, "B", "insert"))
+        .toDF("col-9f1", "col-2ab", "_change_type"))
+    writeLog(dirN, 0L, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      s"""{"metaData":{"id":"m","name":"t","format":{"provider":"parquet","options":{}},"schemaString":${mapper.writeValueAsString(mappedSchemaJson)},"partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name","delta.enableChangeDataFeed":"true"},"createdTime":0}}""",
+      """{"add":{"path":"f-a.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}"""))
+    writeLog(dirN, 1L, Seq(
+      """{"remove":{"path":"f-a.parquet","deletionTimestamp":1,"dataChange":true}}"""))
+    writeLog(dirN, 2L, Seq(
+      """{"cdc":{"path":"cdc-2.parquet","partitionValues":{},"size":1,"dataChange":false}}"""))
+    val feedN = DeltaImport.readChangeFeed(spark, dirN, 0L, 2L)
+    assert(feedN.columns.toSeq == Seq("id", "v", "_change_type", "_commit_version"))
+    val got = feedN.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    assert(got == Set(
+      (1L, "a", "insert", 0L), (2L, "b", "insert", 0L),
+      (1L, "a", "delete", 1L), (2L, "b", "delete", 1L),
+      (2L, "b", "delete", 2L), (2L, "B", "insert", 2L)))
+    // ---- mode=id: arbitrary file names, FIELD IDS do the resolution
+    val dirI = Files.createTempDirectory("graft_cdfmap_id_").toString
+    val fileSchema = StructType(Seq(
+      StructField("whatever_1", LongType, nullable = true,
+        new MetadataBuilder().putLong("parquet.field.id", 1L).build()),
+      StructField("whatever_2", StringType, nullable = true,
+        new MetadataBuilder().putLong("parquet.field.id", 2L).build())))
+    place(dirI, "f-a.parquet", spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(1L, "a"), org.apache.spark.sql.Row(2L, "b")), 1),
+      fileSchema))
+    writeLog(dirI, 0L, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      s"""{"metaData":{"id":"m","name":"t","format":{"provider":"parquet","options":{}},"schemaString":${mapper.writeValueAsString(mappedSchemaJson)},"partitionColumns":[],"configuration":{"delta.columnMapping.mode":"id","delta.enableChangeDataFeed":"true"},"createdTime":0}}""",
+      """{"add":{"path":"f-a.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}"""))
+    val feedI = DeltaImport.readChangeFeed(spark, dirI, 0L, 0L)
+    assert(feedI.columns.toSeq == Seq("id", "v", "_change_type", "_commit_version"))
+    assert(feedI.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet ==
+      Set((1L, "a", "insert"), (2L, "b", "insert")))
+  }
+
   test("re-export with a flipped changeDataFeed mode refuses loudly") {
     import spark.implicits._
     val cat = freshCatalog()
