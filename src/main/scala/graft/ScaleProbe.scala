@@ -19,7 +19,7 @@ object ScaleProbe {
     */
   private[graft] val knownSections = Set("minhash", "ann", "text",
     "mega-bucket", "rank", "merge", "mor", "pq", "skew", "sem", "stream",
-    "width", "streamparts", "iceimport", "deltaimport", "annrank")
+    "width", "streamparts", "iceimport", "deltaimport", "annrank", "lloyd")
 
   /** Validates requested section names against the whitelist; throws on
     * any unknown name. Factored out of main so the contract is spec-pinned.
@@ -120,6 +120,29 @@ object ScaleProbe {
       val out = ranked.count()
       val dt = (System.nanoTime() - t0) / 1e9
       println(f"[scale] ann-rank ${mult}x: vecs=$n%d kept=$out%d time=$dt%.1fs")
+    }
+
+    // DETERMINISTIC LLOYD probe (r13): the IVF quantizer fit that replaced
+    // Spark ML KMeans. Each pass is one scan of the 25% md5 sample (narrow
+    // argmin) plus a numCells x dim fixed-point-sum shuffle (tiny), so fit
+    // time must scale ~linearly in vectors at any multiple — and the
+    // centroids must be IDENTICAL for identical data regardless of
+    // partitioning (the bit-reproducibility the oracle relies on).
+    if (on("lloyd")) for (mult <- Seq(1, 3, 10)) {
+      val loaded = spark.read.parquet(embCorpus(mult))
+      val n = loaded.count()
+      val t0 = System.nanoTime()
+      val cents = operators.IvfIndex.trainCentroids(loaded, "vec_id", "embedding")
+      val k = cents.count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      // partitioning invariance: a repartitioned fit yields the same bytes
+      val again = operators.IvfIndex.trainCentroids(
+        loaded.repartition(7), "vec_id", "embedding")
+      val same = cents.orderBy("cell").collect().map(_.toString) sameElements
+        again.orderBy("cell").collect().map(_.toString)
+      println(f"[scale] lloyd ${mult}x: vecs=$n%d cells=$k%d time=$dt%.1fs " +
+        s"partition-invariant=$same")
+      require(same, "Lloyd fit must be partition-order-free")
     }
 
     // text-pipeline probe: tokenize -> bigram explode -> count (the shape of
