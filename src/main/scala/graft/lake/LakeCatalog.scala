@@ -257,6 +257,24 @@ final class LakeCatalog(
       manifestEntries(ns, t, v).size))
   }
 
+  /** Streaming-source seam: one snapshot's manifest split into (data dirs,
+    * deletion-vector dirs) — metadata-only, the unit the lake stream
+    * source plans micro-batch windows from (txn watermark entries are
+    * invisible here, as on every read path).
+    */
+  def snapshotEntries(ns: String, t: String, version: Int): (Seq[String], Seq[String]) = {
+    val e = manifestEntries(ns, t, version)
+    (dataRels(e), dvRels(e))
+  }
+
+  /** Streaming-source seam: raw scan over specific commit dirs with NO
+    * deletion-vector subtraction — callers must know the dirs are
+    * vector-free (append-window deltas are: a DV change makes the window
+    * non-append and the source refuses or opts into ignoreChanges).
+    */
+  def readCommitDirs(ns: String, t: String, rels: Seq[String]): DataFrame =
+    readDirs(ns, t, rels)
+
   /** Latest committed version and its manifest entries (relative data
     * dirs) — the read side of a file-scoped rewrite: callers stage against
     * this version and pass it to [[commitRewrite]] as the CAS base.
@@ -1262,6 +1280,50 @@ final class LakeCatalog(
     if (touched.isEmpty) commit(ns, t, rels, Some(base))
     else commitRewrite(ns, t, base, touched,
       readDirsClean(ns, t, rels, rels.filter(touched)).filter(!hit))
+  }
+
+  /** Predicate UPDATE, FILE-SCOPED copy-on-write (the Delta/Iceberg
+    * `UPDATE … SET … WHERE …` DML verb — between DELETE and MERGE in the
+    * DML triangle): the same scan-to-plan pass as [[delete]] finds the
+    * commits that actually contain matching rows, then ONLY those commits
+    * are rewritten with the SET assignments applied to their matching
+    * rows; every other commit keeps its manifest entry verbatim. All SET
+    * right-hand sides evaluate against the PRE-update row (standard SQL
+    * UPDATE semantics — `SET a = b, b = a` swaps), each assignment is cast
+    * back to its column's declared type (an UPDATE never mutates the
+    * schema), and NULL-predicate rows are left unchanged. Prior snapshots
+    * still time-travel to the pre-update data; a no-match update publishes
+    * a metadata-only snapshot. At 100 TB an update hitting one day's
+    * commit costs that commit's IO, not the table's.
+    */
+  def update(ns: String, t: String,
+      set: Seq[(String, org.apache.spark.sql.Column)],
+      predicate: org.apache.spark.sql.Column): Int = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, when}
+    require(set.nonEmpty, "UPDATE needs at least one SET assignment")
+    require(set.map(_._1).distinct.size == set.size,
+      s"duplicate SET column in: ${set.map(_._1).mkString(", ")}")
+    val hit = coalesce(predicate, lit(false))
+    val (base, rels) = latestEntries(ns, t)
+    val (tagged, tag) = readTagged(ns, t, dataRels(rels))
+    val touched = tagged
+      .filter(hit).select(tag).distinct()
+      .collect().map(_.getString(0)).toSet
+    if (touched.isEmpty) commit(ns, t, rels, Some(base))
+    else {
+      val src = readDirsClean(ns, t, rels, rels.filter(touched))
+      val assigned = set.toMap
+      val missing = assigned.keySet -- src.columns.toSet
+      require(missing.isEmpty,
+        s"UPDATE $ns.$t: no such column(s): ${missing.mkString(", ")}")
+      val updated = src.select(src.schema.fields.toIndexedSeq.map { f =>
+        assigned.get(f.name) match {
+          case Some(e) => when(hit, e.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+          case None => col(f.name)
+        }
+      }: _*)
+      commitRewrite(ns, t, base, touched, updated)
+    }
   }
 
   /** Incremental read: rows ADDED between two snapshots — the consumer-side

@@ -458,6 +458,38 @@ object IngestLake {
     ORDER BY o_orderkey""")
   )
 
+  /** Predicate UPDATE (B43): the file-scoped CoW `UPDATE … SET … WHERE`
+    * DML verb. The table lands as TWO commits (even/odd order keys) and
+    * the update hits keys in both, so the rewrite is exercised across
+    * commit boundaries; one SET assignment reads a column the same UPDATE
+    * also writes (o_orderstatus), pinning pre-update RHS semantics under
+    * the oracle.
+    */
+  val lakeUpdate: Q = Q(
+    "lake_update",
+    (s, dir) => {
+      val t = Tables(s, dir)
+      val cat = LakeCatalog(s, scratch("upd"))
+      val base = t.orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
+      cat.write("lake", "orders_u", base.filter(col("o_orderkey") % 2 === 0))
+      cat.write("lake", "orders_u", base.filter(col("o_orderkey") % 2 =!= 0),
+        SaveMode.Append)
+      cat.update("lake", "orders_u",
+        Seq(
+          "o_totalprice" -> (graft.Num.m(col("o_totalprice")) + 500).cast(DoubleType),
+          "o_orderstatus" -> concat(lit("U"), col("o_orderstatus"))),
+        col("o_orderstatus") === "O" && col("o_orderkey") % 5 === 0)
+      cat.read("lake", "orders_u").orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey,
+      CASE WHEN o_orderstatus = 'O' AND o_orderkey % 5 = 0
+        THEN 'U' || o_orderstatus ELSE o_orderstatus END AS o_orderstatus,
+      CASE WHEN o_orderstatus = 'O' AND o_orderkey % 5 = 0
+        THEN CAST(CAST(o_totalprice AS DECIMAL(12,2)) + 500 AS DOUBLE)
+        ELSE o_totalprice END AS o_totalprice
+    FROM orders ORDER BY o_orderkey""")
+  )
+
   /** Incremental read: a downstream consumer resumes from its last-seen
     * snapshot and reads only the rows ADDED since — here the rows the
     * MERGE upsert introduced or updated between v1 and v2.
@@ -1671,7 +1703,7 @@ object IngestLake {
     ingestCsvRoundtrip, ingestJsonRoundtrip, ingestParquet, ingestTextLines,
     ingestOrcRoundtrip, ingestXmlRoundtrip, ingestSchemaEvolution, ingestJsonProps,
     lakeCtas, lakeMergeUpsert, lakeChangelog, lakeDataProfile,
-    lakeScd2, lakeDelete, lakeIncrementalRead, lakeConstraints, lakeDataSkipping,
+    lakeScd2, lakeDelete, lakeUpdate, lakeIncrementalRead, lakeConstraints, lakeDataSkipping,
     lakeZorder, lakeMaintenance, lakePointLookup, lakeMvRefresh, lakeWap,
     lakeDeleteMor, lakeCdcApply, lakeIcebergExport, lakeIcebergImport, ingestDocxReal,
     ingestJdbcRoundtrip, lakeTimeTravel, lakeExpiry, lakeTags, ingestWideSchema,

@@ -22,11 +22,17 @@ import org.apache.spark.sql.types.{LongType, StringType, StructType}
   *  - `CREATE TABLE graft.<ns>.<table> AS <select…>` — CTAS into a
   *    versioned lake table;
   *  - `INSERT INTO graft.<ns>.<table> <select|VALUES …>` — an append
-  *    commit; `DELETE FROM graft.<ns>.<table> WHERE <pred>` — the
-  *    file-scoped CoW delete; `DESCRIBE HISTORY graft.<ns>.<table>` —
-  *    snapshot versions with publish times (the Delta idiom);
+  *    commit; `UPDATE graft.<ns>.<table> SET <col>=<expr>… [WHERE <pred>]`
+  *    and `DELETE FROM graft.<ns>.<table> WHERE <pred>` — the file-scoped
+  *    CoW DML pair; `DESCRIBE HISTORY graft.<ns>.<table>` — snapshot
+  *    versions with publish times (the Delta idiom);
+  *  - maintenance verbs: `OPTIMIZE graft.<ns>.<t> [ZORDER BY (cols)]`
+  *    (bin-pack small commits / re-cluster), `VACUUM graft.<ns>.<t>
+  *    [RETAIN n VERSIONS]` (snapshot expiry + reclaim), `RESTORE
+  *    graft.<ns>.<t> TO VERSION AS OF <n>` (metadata-only rollback);
   *  - any query referencing `graft.<ns>.<table>` — optionally followed by
-  *    `VERSION AS OF <n>` for time travel — reads the lake table: the
+  *    `VERSION AS OF <n>` or `TIMESTAMP AS OF '<ts>'` for time travel —
+  *    reads the lake table: the
   *    reference is rewritten to a temp view backed by the catalog read,
   *    and the REST of the statement stays Spark SQL (joins, CTEs,
   *    filters, whatever), so the façade composes with the full language
@@ -81,22 +87,39 @@ object GraftSqlParser {
     """(?is)\s*DELETE\s+FROM\s+graft\.(\w+)\.(\w+)\s+WHERE\s+(.+?)\s*;?\s*""".r
   private val History =
     """(?is)\s*DESCRIBE\s+HISTORY\s+graft\.(\w+)\.(\w+)\s*;?\s*""".r
+  private val Update =
+    """(?is)\s*UPDATE\s+graft\.(\w+)\.(\w+)\s+SET\s+(.+?)(?:\s+WHERE\s+(.+?))?\s*;?\s*""".r
+  private val Optimize =
+    """(?is)\s*OPTIMIZE\s+graft\.(\w+)\.(\w+)(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*""".r
+  private val Vacuum =
+    """(?is)\s*VACUUM\s+graft\.(\w+)\.(\w+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*""".r
+  private val Restore =
+    """(?is)\s*RESTORE\s+graft\.(\w+)\.(\w+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
   // a lake-table reference in TABLE POSITION (after FROM/JOIN), with
-  // optional time travel. Anchoring on the keyword keeps the rewrite away
-  // from string literals and identifiers that merely CONTAIN `graft.x.y`
-  // (e.g. a `graft.bucketed.src` table property) — SQL the façade must
-  // pass through untouched.
+  // optional time travel (by version or wall clock). Anchoring on the
+  // keyword keeps the rewrite away from string literals and identifiers
+  // that merely CONTAIN `graft.x.y` (e.g. a `graft.bucketed.src` table
+  // property) — SQL the façade must pass through untouched.
   private val TableRef =
-    """(?is)\b(FROM|JOIN)(\s+)graft\.(\w+)\.(\w+)(\s+VERSION\s+AS\s+OF\s+(\d+))?""".r
+    ("""(?is)\b(FROM|JOIN)(\s+)graft\.(\w+)\.(\w+)""" +
+      """(\s+VERSION\s+AS\s+OF\s+(\d+)|\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)')?""").r
 
   private def interceptStatement(sqlText: String): Option[LogicalPlan] =
     sqlText match {
       case Merge(ns, t, source, key) =>
         Some(GraftMergeCommand(ns, t, source, Option(key)))
       case Ctas(ns, t, select) => Some(GraftCtasCommand(ns, t, select))
+      case Update(ns, t, set, where) =>
+        Some(GraftUpdateCommand(ns, t, set, Option(where)))
       case Insert(ns, t, select) => Some(GraftInsertCommand(ns, t, select))
       case Delete(ns, t, where) => Some(GraftDeleteCommand(ns, t, where))
       case History(ns, t) => Some(GraftHistoryCommand(ns, t))
+      case Optimize(ns, t, zorder) =>
+        Some(GraftOptimizeCommand(ns, t,
+          Option(zorder).map(_.split(",").map(_.trim).toSeq)))
+      case Vacuum(ns, t, retain) =>
+        Some(GraftVacuumCommand(ns, t, Option(retain).map(_.toInt)))
+      case Restore(ns, t, v) => Some(GraftRestoreCommand(ns, t, v.toInt))
       case _ => None
     }
 
@@ -112,11 +135,55 @@ object GraftSqlParser {
     TableRef.replaceAllIn(sqlText, m => {
       val (ns, t) = (m.group(3), m.group(4))
       val version = Option(m.group(6)).map(_.toLong)
-      val view = s"graft_${ns}_${t}" + version.fold("")(v => s"_v$v")
-      catalogOf(spark).read(ns, t, version.map(_.toInt))
-        .createOrReplaceTempView(view)
+      val asOf = Option(m.group(7))
+      val view = s"graft_${ns}_${t}" + version.fold("")(v => s"_v$v") +
+        asOf.fold("")(s => "_t" + java.lang.Integer.toHexString(s.hashCode))
+      val df = (version, asOf) match {
+        case (Some(v), _) => catalogOf(spark).read(ns, t, Some(v.toInt))
+        case (_, Some(ts)) => catalogOf(spark).readAsOf(ns, t, parseAsOf(ts))
+        case _ => catalogOf(spark).read(ns, t)
+      }
+      df.createOrReplaceTempView(view)
       m.group(1) + m.group(2) + view
     })
+  }
+
+  /** `TIMESTAMP AS OF` literal: epoch millis when all digits, else the SQL
+    * timestamp format (`yyyy-MM-dd[ HH:mm:ss[.f…]]`), interpreted in UTC —
+    * the engine's session timezone (GraftSession pins UTC), so SQL time
+    * travel and `readAsOf` agree.
+    */
+  private def parseAsOf(ts: String): Long = {
+    val s = ts.trim
+    if (s.forall(_.isDigit)) s.toLong
+    else {
+      val full = if (s.contains(" ") || s.contains("T")) s else s + " 00:00:00"
+      java.time.LocalDateTime.parse(full.replace(' ', 'T'))
+        .atZone(java.time.ZoneOffset.UTC).toInstant.toEpochMilli
+    }
+  }
+
+  /** Split on TOP-LEVEL commas only (parens and single-quoted strings are
+    * opaque), so `SET a = greatest(b, c), d = 'x,y'` parses as two
+    * assignments.
+    */
+  private[sql] def splitTop(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0
+    var inStr = false
+    s.foreach { c =>
+      if (inStr) { if (c == '\'') inStr = false; cur += c }
+      else c match {
+        case '\'' => inStr = true; cur += c
+        case '(' => depth += 1; cur += c
+        case ')' => depth -= 1; cur += c
+        case ',' if depth == 0 => out += cur.result(); cur.clear()
+        case _ => cur += c
+      }
+    }
+    out += cur.result()
+    out.result().map(_.trim).filter(_.nonEmpty)
   }
 
   private[sql] def catalogOf(spark: SparkSession): graft.lake.LakeCatalog = {
@@ -183,6 +250,76 @@ object GraftSqlParser {
     override def run(spark: SparkSession): Seq[Row] = {
       val cat = catalogOf(spark)
       val v = cat.delete(ns, table, org.apache.spark.sql.functions.expr(where))
+      Seq(Row(s"$ns.$table", v.toLong))
+    }
+  }
+
+  /** `UPDATE graft.ns.t SET a = expr[, b = expr…] [WHERE pred]` — the
+    * FILE-SCOPED CoW UPDATE ([[graft.lake.LakeCatalog.update]]: only
+    * commits holding matches rewrite; RHS evaluate against the pre-update
+    * row). No WHERE updates every row.
+    */
+  case class GraftUpdateCommand(ns: String, table: String, set: String,
+      where: Option[String]) extends LeafRunnableCommand {
+    override def output: Seq[Attribute] = outCols
+    override def run(spark: SparkSession): Seq[Row] = {
+      import org.apache.spark.sql.functions.{expr, lit}
+      val assignments = splitTop(set).map { a =>
+        val i = a.indexOf('=')
+        require(i > 0, s"bad SET assignment (need <col> = <expr>): $a")
+        (a.take(i).trim, expr(a.drop(i + 1).trim))
+      }
+      val v = catalogOf(spark).update(ns, table, assignments,
+        where.map(expr).getOrElse(lit(true)))
+      Seq(Row(s"$ns.$table", v.toLong))
+    }
+  }
+
+  /** `OPTIMIZE graft.ns.t [ZORDER BY (a, b)]` — table maintenance: plain
+    * form bin-packs small commits ([[graft.lake.LakeCatalog.compactSmall]];
+    * threshold from `spark.graft.sql.optimize.smallRows`, default 1M rows),
+    * ZORDER form re-clusters the snapshot (the Delta OPTIMIZE idioms).
+    */
+  case class GraftOptimizeCommand(ns: String, table: String,
+      zorder: Option[Seq[String]]) extends LeafRunnableCommand {
+    override def output: Seq[Attribute] = outCols
+    override def run(spark: SparkSession): Seq[Row] = {
+      val cat = catalogOf(spark)
+      val v = zorder match {
+        case Some(cols) => cat.recluster(ns, table, cols)
+        case None => cat.compactSmall(ns, table,
+          spark.conf.getOption("spark.graft.sql.optimize.smallRows")
+            .map(_.toLong).getOrElse(1000000L))
+      }
+      Seq(Row(s"$ns.$table", v.toLong))
+    }
+  }
+
+  /** `VACUUM graft.ns.t [RETAIN n VERSIONS]` — snapshot expiry + storage
+    * reclaim ([[graft.lake.LakeCatalog.expireSnapshots]], default keep the
+    * latest version only). Returns the number of data dirs removed.
+    */
+  case class GraftVacuumCommand(ns: String, table: String,
+      retain: Option[Int]) extends LeafRunnableCommand {
+    override def output: Seq[Attribute] = Seq(
+      AttributeReference("table", StringType, nullable = false)(),
+      AttributeReference("removed_dirs", LongType, nullable = false)())
+    override def run(spark: SparkSession): Seq[Row] = {
+      val removed = catalogOf(spark)
+        .expireSnapshots(ns, table, retain.getOrElse(1))
+      Seq(Row(s"$ns.$table", removed.toLong))
+    }
+  }
+
+  /** `RESTORE graft.ns.t TO VERSION AS OF n` — metadata-only rollback
+    * ([[graft.lake.LakeCatalog.rollback]]): republishes version n's file
+    * list as a NEW version, CAS'd against the latest.
+    */
+  case class GraftRestoreCommand(ns: String, table: String, toVersion: Int)
+      extends LeafRunnableCommand {
+    override def output: Seq[Attribute] = outCols
+    override def run(spark: SparkSession): Seq[Row] = {
+      val v = catalogOf(spark).rollback(ns, table, toVersion)
       Seq(Row(s"$ns.$table", v.toLong))
     }
   }

@@ -232,6 +232,23 @@ object EventStreams {
       canonical.getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 
+  /** E22: a lake table as a STREAMING SOURCE — the inverse of
+    * [[streamIntoLake]]: tail a table's snapshot lineage as micro-batches
+    * (offset = snapshot version; see
+    * [[org.apache.spark.sql.graft.LakeStreamSource]] for window
+    * semantics). Composed with [[streamIntoLake]]'s txn watermark this is
+    * an end-to-end exactly-once lake→lake incremental pipeline.
+    */
+  def readLakeStream(
+      spark: SparkSession,
+      root: String,
+      ns: String,
+      table: String,
+      options: Map[String, String] = Map.empty): DataFrame =
+    spark.readStream.format("graft-lake")
+      .option("root", root).option("table", s"$ns.$table")
+      .options(options).load()
+
   /** E21: AUDITED streaming ingestion — every micro-batch commits onto a
     * BRANCH (invisible to main readers), so a whole streaming session
     * publishes to main ATOMICALLY via one fast-forward after an

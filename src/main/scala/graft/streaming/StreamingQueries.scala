@@ -717,6 +717,104 @@ object StreamingQueries {
     FROM events GROUP BY event_type ORDER BY event_type""")
   )
 
+  /** E22 end-to-end: a LAKE TABLE AS A STREAMING SOURCE
+    * ([[org.apache.spark.sql.graft.LakeStreamSource]]), composed with the
+    * txn-watermark lake sink — lake→lake incremental replication with
+    * exactly-once semantics and SNAPSHOT VERSIONS as offsets. The source
+    * table is built as three append commits (event_id quarters 0-2); a
+    * first pass streams the INITIAL SNAPSHOT into the sink table; a
+    * fourth quarter is appended and a RESTART from the same checkpoint
+    * streams ONLY that delta (the version offset rides the checkpoint).
+    * The final aggregate reads the SINK table, so a source that
+    * re-emitted the snapshot on restart, missed the delta window, or a
+    * sink that double-committed a replay each hash-mismatch the
+    * whole-events oracle.
+    */
+  val streamLakeSource: Q = Q(
+    "stream_lake_source",
+    (s, dir) => {
+      val feed = Tables(s, dir).events
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      def quarter(q: Int): DataFrame =
+        feed.filter(pmod(col("event_id"), lit(4)) === q)
+      val root = java.nio.file.Files.createTempDirectory("graft_lksrc_")
+      try {
+        val cat = graft.lake.LakeCatalog(s, root.resolve("lake").toString)
+        cat.write("st", "src", quarter(0))
+        cat.write("st", "src", quarter(1), org.apache.spark.sql.SaveMode.Append)
+        cat.write("st", "src", quarter(2), org.apache.spark.sql.SaveMode.Append)
+        val cp = root.resolve("cp").toString
+        def pass(): Unit = {
+          val q = EventStreams.streamIntoLake(
+            EventStreams.readLakeStream(s, cat.root, "st", "src"),
+            cat, "st", "out", cp)
+          try q.processAllAvailable() finally q.stop()
+        }
+        pass() // initial snapshot (everything up to v3)
+        cat.write("st", "src", quarter(3), org.apache.spark.sql.SaveMode.Append)
+        pass() // restart: only the (v3, v4] append window
+        cat.read("st", "out")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"), graft.Num.dsum(col("value")).as("total_value"))
+          .orderBy("event_type")
+          .localCheckpoint(true)
+      } finally rmrf(root)
+    },
+    Some("""SELECT event_type, COUNT(*) AS n_events,
+      CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY event_type ORDER BY event_type""")
+  )
+
+  /** E23 end-to-end: the lake streaming source in CHANGE-FEED mode — the
+    * windows E22 refuses (non-append commits) stream faithfully as
+    * snapshot diffs with a `_change` column. Pass 1 streams the initial
+    * two-commit snapshot as inserts; a CoW DELETE then lands and a
+    * RESTART from the same checkpoint streams exactly that window's
+    * deletes. The feed aggregates by change type, so a missed delete
+    * window, a re-emitted snapshot, or wrongly-derived diff rows each
+    * hash-mismatch.
+    */
+  val streamCdfSource: Q = Q(
+    "stream_cdf_source",
+    (s, dir) => {
+      val base = Tables(s, dir).orders
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val root = java.nio.file.Files.createTempDirectory("graft_cdfsrc_")
+      try {
+        val cat = graft.lake.LakeCatalog(s, root.resolve("lake").toString)
+        cat.write("st", "src", base.filter(col("o_orderkey") % 2 === 0))
+        cat.write("st", "src", base.filter(col("o_orderkey") % 2 =!= 0),
+          org.apache.spark.sql.SaveMode.Append)
+        val cp = root.resolve("cp").toString
+        val outDir = root.resolve("out").toString
+        def pass(): Unit = {
+          val q = EventStreams.readLakeStream(s, cat.root, "st", "src",
+            Map("changefeed" -> "true"))
+            .writeStream.format("parquet").option("path", outDir)
+            .option("checkpointLocation", cp).start()
+          try q.processAllAvailable() finally q.stop()
+        }
+        pass() // initial snapshot: every row as an insert
+        cat.delete("st", "src", col("o_orderkey") % 7 === 0)
+        pass() // restart: the CoW-delete window streams as deletes
+        s.read.parquet(outDir)
+          .groupBy("_change")
+          .agg(count(lit(1)).as("n"), graft.Num.dsum(col("o_totalprice")).as("total"))
+          .orderBy("_change")
+          .localCheckpoint(true)
+      } finally rmrf(root)
+    },
+    Some("""SELECT * FROM (
+      SELECT 'delete' AS _change, COUNT(*) AS n,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+      FROM orders WHERE o_orderkey % 7 = 0
+      UNION ALL
+      SELECT 'insert' AS _change, COUNT(*) AS n,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+      FROM orders) f ORDER BY _change""")
+  )
+
   /** E9 end-to-end: streaming CDC UPSERT sink — micro-batch 1 lands every
     * event, micro-batch 2 re-sends corrections for 1-in-10 keys (+1000),
     * and the LAKE TABLE must converge to one row per key with the latest
@@ -848,5 +946,5 @@ object StreamingQueries {
     streamJoinTwin, streamEnrichTwin, streamSemanticTwin, streamLakeSink,
     streamUpsertSink, streamCdcSink, streamNeardupRocks, streamBucketsRocks,
     streamSessionsRocks, streamJoinRocks, streamSemanticRocks, streamCdcRocks,
-    streamDeltaSink, streamBranchSink)
+    streamDeltaSink, streamBranchSink, streamLakeSource, streamCdfSource)
 }

@@ -58,6 +58,23 @@ object GraftBridge {
   def unloadStateStores(): Unit =
     execution.streaming.state.StateStore.unloadAll()
 
+  /** TEST seam for v1 streaming sources: strip the streaming tag from a
+    * `Source.getBatch` frame so specs can execute it as a plain batch
+    * (the analyzer otherwise demands writeStream.start()). Handles both
+    * batch shapes the lake source emits — declarative scans
+    * (LogicalRelation) and the RDD-wrapped initial snapshot (LogicalRDD).
+    */
+  def asBatch(df: Dataset[Row]): Dataset[Row] = {
+    val plan = df.queryExecution.logical.transform {
+      case lr: execution.datasources.LogicalRelation if lr.isStreaming =>
+        lr.copy(isStreaming = false)
+      case r: execution.LogicalRDD if r.isStreaming =>
+        r.copy(isStreaming = false)(
+          df.sparkSession.asInstanceOf[classic.SparkSession], None, None)
+    }
+    ofRows(df.sparkSession, plan)
+  }
+
   /** Dataset → Arrow IPC record batches, one RDD element per batch (the
     * `private[sql]` seam PySpark's own toPandas path uses).
     */

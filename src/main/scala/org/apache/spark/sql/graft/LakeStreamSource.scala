@@ -1,0 +1,278 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.{DataFrame, GraftBridge, SQLContext, SparkSession}
+import org.apache.spark.sql.classic
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
+
+/** A graft lake table as a STRUCTURED STREAMING SOURCE (SURVEY §2 E22) —
+  * the missing direction of the streaming surface: the engine has had
+  * stream→lake sinks (E4/E9/E11/E20/E21) since r7; this makes any lake
+  * table itself tailable, so one table can feed the next stage of a
+  * pipeline continuously (lake→lake incremental replication, the Delta
+  * `readStream` shape; reference merge_utils.py stages-then-merges in
+  * batch — this is that handoff as a continuous flow).
+  *
+  * Offsets are SNAPSHOT VERSIONS — the natural exactly-once cursor of a
+  * manifest-versioned table: a micro-batch is the half-open version window
+  * `(start, end]`, planned purely from MANIFESTS (KB-sized metadata; no
+  * data IO until the batch's own scan runs). Batch contents:
+  *
+  *   - first batch, no `startingVersion`: the full snapshot at `end`
+  *     (deletion vectors applied) — the "initial snapshot" semantics of
+  *     the Delta source;
+  *   - subsequent windows: the data dirs ADDED in the window, scanned
+  *     raw. Append commits are the streamable shape; a window that
+  *     REMOVES dirs (overwrite / CoW delete / compaction) or changes
+  *     deletion vectors is not expressible as an append stream and fails
+  *     loudly unless `ignoreChanges=true` (then: added dirs stream,
+  *     removed rows are silently absent — the documented Delta
+  *     `ignoreChanges` trade, caller opts in);
+  *   - `startingVersion=N` skips the initial snapshot and streams from
+  *     version N's delta on; `startingVersion=latest` streams only
+  *     commits published after the source starts.
+  *
+  * Scale: planning is two manifest reads per trigger (set difference of
+  * relative dir names); the batch scan is Spark's parquet source over
+  * exactly the new commit dirs, so a 100 TB table with KB-sized appends
+  * costs per-trigger IO proportional to the APPENDED data, never the
+  * table. Append-window batches keep their declarative parquet relations
+  * (the streaming tag is applied to the scan leaves, not an RDD barrier),
+  * so downstream filters/pruning still push into the scan; only the
+  * one-time DV-bearing initial snapshot pays an opaque-plan wrap (its
+  * anti-join must not be re-planned as a stream-stream join).
+  *
+  * Composed with the txn-watermark lake sink (B39) the pair is an
+  * end-to-end exactly-once lake→lake pipeline: versions in, idempotent
+  * commits out. V1 `Source` API deliberately (its `getBatch` returns a
+  * DataFrame, keeping the whole plan declarative — the DSv2 MicroBatch
+  * path would force a hand-rolled parquet PartitionReader under the
+  * engine's scan).
+  */
+final class LakeStreamSource(
+    spark: SparkSession,
+    root: String,
+    ns: String,
+    table: String,
+    params: Map[String, String]) extends Source {
+
+  private val catalog = graft.lake.LakeCatalog(spark, root)
+  private val ignoreChanges =
+    params.get("ignorechanges").exists(_.trim.toBoolean)
+
+  /** CHANGE-FEED mode (the Delta CDF `readChangeFeed` shape, streaming):
+    * each window emits the FILE-SCOPED snapshot diff between its versions
+    * (`LakeCatalog.changelog`) with a `_change` column — inserts AND
+    * deletes — so non-append commits (CoW delete/UPDATE, MoR deletes,
+    * overwrites) stream faithfully instead of refusing: an UPDATE arrives
+    * as its delete/insert pair, a delete as deletes. The initial snapshot
+    * streams as inserts. Per-window IO is the changelog's: exclusive dirs
+    * + DV-mark deltas, zero scan for identical snapshots.
+    */
+  private val changeFeed =
+    params.get("changefeed").exists(_.trim.toBoolean)
+
+  /** Exclusive base version of the FIRST window: None = initial snapshot;
+    * Some(v) = stream deltas from version v+1 on.
+    */
+  private val startingBase: Option[Int] = params.get("startingversion").map {
+    case "latest" => catalog.versions(ns, table).lastOption.getOrElse(0)
+    case n =>
+      val v = n.trim.toInt
+      require(v >= 1, s"startingVersion must be >= 1 or 'latest', got $n")
+      v - 1
+  }
+
+  /** Rate limit (the Delta `maxFilesPerTrigger` idiom at this source's
+    * natural granularity): at most this many VERSIONS advance per trigger,
+    * so a consumer catching up on a long-idle 100 TB table processes the
+    * backlog as bounded micro-batches instead of one giant one. Also caps
+    * the initial snapshot's version.
+    */
+  private val maxVersionsPerTrigger: Option[Int] =
+    params.get("maxversionspertrigger").map(_.trim.toInt)
+  maxVersionsPerTrigger.foreach(n =>
+    require(n >= 1, s"maxVersionsPerTrigger must be >= 1, got $n"))
+
+  /** Highest version the ENGINE has shown us (getBatch end / commit) —
+    * the rate-limit base. In-memory only: on restart it re-learns from
+    * the recovery calls (the engine replays the pending batch's getBatch,
+    * or commits the restored offset) before the next getOffset, so a
+    * capped offset can never regress below the checkpoint.
+    */
+  @volatile private var highWater: Int = 0
+
+  override val schema: StructType = {
+    val base = catalog.read(ns, table).schema
+    if (changeFeed)
+      base.add(org.apache.spark.sql.types.StructField(
+        "_change", org.apache.spark.sql.types.StringType, nullable = false))
+    else base
+  }
+
+  private def ver(o: OffsetV1): Int = o.json.trim.toInt
+
+  override def getOffset: Option[OffsetV1] = {
+    val latest = catalog.versions(ns, table).lastOption.getOrElse(0)
+    if (latest == 0) None
+    else {
+      val v = maxVersionsPerTrigger match {
+        case Some(n) =>
+          val base = math.max(highWater, startingBase.getOrElse(0))
+          math.max(math.min(latest, base + n), highWater)
+        case None => latest
+      }
+      Some(LongOffset(v.toLong))
+    }
+  }
+
+  override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
+    val endV = ver(end)
+    highWater = math.max(highWater, endV)
+    start.map(ver).orElse(startingBase) match {
+      case None if changeFeed =>
+        // CDF initial snapshot: the full table at endV, all rows as inserts
+        wrapOpaque(align(catalog.read(ns, table, Some(endV))
+          .withColumn("_change", lit("insert"))))
+      case None =>
+        // initial snapshot: the full table at endV, DVs applied
+        val (_, dvs) = catalog.snapshotEntries(ns, table, endV)
+        val df = align(catalog.read(ns, table, Some(endV)))
+        if (dvs.isEmpty) tagStreaming(df) else wrapOpaque(df)
+      case Some(sv) if sv >= endV => emptyBatch
+      case Some(sv) =>
+        val vs = catalog.versions(ns, table)
+        require(vs.contains(endV),
+          s"snapshot v$endV of $ns.$table no longer exists (have ${vs.mkString(",")})")
+        require(sv == 0 || vs.contains(sv),
+          s"stream checkpoint points at snapshot v$sv of $ns.$table which has " +
+            "been expired; restart from a fresh checkpoint (and align snapshot " +
+            "retention with the longest consumer downtime)")
+        if (changeFeed)
+          // windows of any shape stream as the file-scoped snapshot diff
+          // (the changelog plan carries exceptAll/anti-joins — opaque wrap,
+          // like the DV initial snapshot; cost = changed commits' IO)
+          return wrapOpaque(align(
+            if (sv == 0) catalog.read(ns, table, Some(endV))
+              .withColumn("_change", lit("insert"))
+            else catalog.changelog(ns, table, sv, endV)))
+        val (oldData, oldDvs) =
+          if (sv == 0) (Seq.empty[String], Seq.empty[String])
+          else catalog.snapshotEntries(ns, table, sv)
+        val (newData, newDvs) = catalog.snapshotEntries(ns, table, endV)
+        val removed = oldData.filterNot(newData.toSet)
+        val dvChanged = oldDvs.toSet != newDvs.toSet
+        if ((removed.nonEmpty || dvChanged) && !ignoreChanges)
+          throw new IllegalStateException(
+            s"$ns.$table window (v$sv, v$endV] is not append-only " +
+              s"(${removed.size} dirs removed, dvChanged=$dvChanged): an " +
+              "overwrite/delete/compaction cannot stream as appends. Set " +
+              "ignoreChanges=true to stream added dirs anyway (removed rows " +
+              "will be silently absent), or stream from a snapshot boundary.")
+        val added = newData.filterNot(oldData.toSet)
+        if (added.isEmpty) emptyBatch
+        else tagStreaming(align(catalog.readCommitDirs(ns, table, added)))
+    }
+  }
+
+  /** Project onto the source's declared schema: later commits may carry
+    * evolved schemas (extra columns dropped, missing columns null-filled,
+    * widened types cast back) — the stream's contract is the schema it
+    * declared at start.
+    */
+  private def align(df: DataFrame): DataFrame = {
+    val have = df.columns.toSet
+    df.select(schema.fields.toIndexedSeq.map { f =>
+      if (have(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+  }
+
+  /** Mark the plan's scan leaves streaming (MicroBatchExecution asserts
+    * `isStreaming` on every v1 batch). The relations stay DECLARATIVE —
+    * parquet pushdown/pruning still applies — which is why this is
+    * preferred over the RDD wrap wherever the plan is join-free.
+    */
+  private def tagStreaming(df: DataFrame): DataFrame = {
+    val analyzed = df.queryExecution.analyzed
+    val tagged = analyzed.transform {
+      case lr: LogicalRelation if !lr.isStreaming => lr.copy(isStreaming = true)
+    }
+    GraftBridge.ofRows(spark, tagged)
+  }
+
+  /** RDD-wrap a plan whose INTERIOR must not be re-planned under streaming
+    * rules (the DV anti-join of an initial snapshot: tagging both scan
+    * leaves would make the incremental planner treat it as a stream-stream
+    * join). One-time cost at stream start only.
+    */
+  private def wrapOpaque(df: DataFrame): DataFrame =
+    spark.asInstanceOf[classic.SparkSession]
+      .internalCreateDataFrame(df.queryExecution.toRdd, schema, isStreaming = true)
+
+  private def emptyBatch: DataFrame =
+    spark.asInstanceOf[classic.SparkSession].internalCreateDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema, isStreaming = true)
+
+  override def commit(end: OffsetV1): Unit =
+    highWater = math.max(highWater, ver(end))
+  override def stop(): Unit = ()
+  override def toString: String = s"LakeStreamSource($ns.$table @ $root)"
+}
+
+/** `spark.readStream.format("graft-lake")` provider. Options (lowercased
+  * by Spark): `root` (lake warehouse root), `table` ("ns.table"),
+  * `startingVersion` (int or "latest"), `ignoreChanges` (bool),
+  * `maxVersionsPerTrigger` (int — backlog rate limit), `changeFeed`
+  * (bool — emit the snapshot diff per window with a `_change` column,
+  * inserts AND deletes, so non-append commits stream faithfully).
+  */
+final class LakeStreamProvider extends StreamSourceProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-lake"
+
+  private def resolve(params: Map[String, String]): (String, String, String) = {
+    val root = params.getOrElse("root",
+      throw new IllegalArgumentException("graft-lake source requires option 'root'"))
+    val tbl = params.getOrElse("table",
+      throw new IllegalArgumentException("graft-lake source requires option 'table' (\"ns.table\")"))
+    tbl.split("\\.", 2) match {
+      case Array(ns, t) if ns.nonEmpty && t.nonEmpty => (root, ns, t)
+      case _ => throw new IllegalArgumentException(
+        s"option 'table' must be \"ns.table\", got: $tbl")
+    }
+  }
+
+  override def sourceSchema(
+      ctx: SQLContext,
+      schemaOpt: Option[StructType],
+      providerName: String,
+      params: Map[String, String]): (String, StructType) = {
+    val (root, ns, t) = resolve(params)
+    val base = schemaOpt.getOrElse(
+      graft.lake.LakeCatalog(ctx.sparkSession, root).read(ns, t).schema)
+    // must agree with LakeStreamSource.schema: change-feed batches carry
+    // the extra `_change` column
+    val schema =
+      if (params.get("changefeed").exists(_.trim.toBoolean))
+        base.add(org.apache.spark.sql.types.StructField(
+          "_change", org.apache.spark.sql.types.StringType, nullable = false))
+      else base
+    (s"graft-lake:$ns.$t", schema)
+  }
+
+  override def createSource(
+      ctx: SQLContext,
+      metadataPath: String,
+      schemaOpt: Option[StructType],
+      providerName: String,
+      params: Map[String, String]): Source = {
+    val (root, ns, t) = resolve(params)
+    new LakeStreamSource(ctx.sparkSession, root, ns, t, params)
+  }
+}

@@ -488,6 +488,54 @@ class LakeSpec extends SparkSpec {
     assert(cat.read("ns", "fd", Some(2)).count() == 20) // time travel intact
   }
 
+  test("UPDATE is file-scoped with pre-update RHS semantics; NULL predicate keeps rows") {
+    val cat = freshCatalog()
+    import spark.implicits._
+    cat.write("ns", "fu", (1 to 10).map(i => (i, i * 10, i * 100)).toDF("id", "a", "b"))
+    cat.write("ns", "fu", (11 to 20).map(i => (i, i * 10, i * 100)).toDF("id", "a", "b"),
+      SaveMode.Append)
+    val (_, rels) = cat.latestEntries("ns", "fu")
+    val before = rels.map(r => r -> dirFingerprint(cat, "ns", "fu", r)).toMap
+    // SET a = b, b = a swaps (all RHS read the PRE-update row); only the
+    // first commit holds matches, so the second stays byte-identical
+    cat.update("ns", "fu",
+      Seq("a" -> col("b"), "b" -> col("a")), col("id") <= 5)
+    val (_, after) = cat.latestEntries("ns", "fu")
+    assert(after.contains(rels(1)) && !after.contains(rels(0)))
+    assert(dirFingerprint(cat, "ns", "fu", rels(1)) == before(rels(1)))
+    val got = cat.read("ns", "fu").orderBy("id").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSeq
+    assert(got.take(5) == (1 to 5).map(i => (i, i * 100, i * 10)))
+    assert(got.drop(5) == (6 to 20).map(i => (i, i * 10, i * 100)))
+    // prior snapshot still time-travels to pre-update values
+    assert(cat.read("ns", "fu", Some(2)).filter(col("id") === 1)
+      .head().getInt(1) == 10)
+    // NULL predicate rows stay unchanged; type preservation casts back
+    cat.write("ns", "fu2", Seq((1, Some(5), "x"), (2, None, "y"))
+      .toDF("id", "k", "v"))
+    cat.update("ns", "fu2", Seq("v" -> lit(7)), col("k") > 0) // 7 cast to string
+    val vs = cat.read("ns", "fu2").orderBy("id").collect().map(_.getString(2)).toSeq
+    assert(vs == Seq("7", "y"))
+    // unknown SET column fails loudly
+    val e = intercept[IllegalArgumentException] {
+      cat.update("ns", "fu2", Seq("nope" -> lit(1)), lit(true))
+    }
+    assert(e.getMessage.contains("no such column"))
+  }
+
+  test("UPDATE with no matches publishes a metadata-only snapshot") {
+    val cat = freshCatalog()
+    import spark.implicits._
+    cat.write("ns", "un", Seq((1, "a"), (2, "b")).toDF("id", "v"))
+    val (_, rels) = cat.latestEntries("ns", "un")
+    val before = dirFingerprint(cat, "ns", "un", rels.head)
+    cat.update("ns", "un", Seq("v" -> lit("z")), col("id") > 99)
+    assert(cat.versions("ns", "un") == Seq(1, 2))
+    val (_, after) = cat.latestEntries("ns", "un")
+    assert(after == rels)
+    assert(dirFingerprint(cat, "ns", "un", rels.head) == before)
+  }
+
   test("DELETE with no matches publishes a metadata-only snapshot") {
     val cat = freshCatalog()
     import spark.implicits._

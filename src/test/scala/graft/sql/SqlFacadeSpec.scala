@@ -100,6 +100,61 @@ class SqlFacadeSpec extends SparkSpec {
     }
   }
 
+  test("UPDATE: file-scoped SET with pre-update RHS semantics, optional WHERE") {
+    import spark.implicits._
+    withRoot { root =>
+      (1 to 6).map(i => (i.toLong, i * 10L, s"s$i")).toDF("id", "n", "s")
+        .createOrReplaceTempView("src3")
+      spark.sql("CREATE TABLE graft.sqlns.u AS SELECT * FROM src3").collect()
+      // multi-assignment with a function call containing a comma, plus a
+      // RHS reading a column the same UPDATE writes (pre-update semantics)
+      spark.sql("""UPDATE graft.sqlns.u
+        SET n = greatest(n, 35), s = concat(s, '!') WHERE id <= 4""").collect()
+      val rows = spark.sql("SELECT id, n, s FROM graft.sqlns.u ORDER BY id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+      assert(rows == Seq((1L, 35L, "s1!"), (2L, 35L, "s2!"), (3L, 35L, "s3!"),
+        (4L, 40L, "s4!"), (5L, 50L, "s5"), (6L, 60L, "s6")))
+      // no WHERE: every row; and the pre-update snapshot still time-travels
+      spark.sql("UPDATE graft.sqlns.u SET n = n + 1").collect()
+      assert(spark.sql("SELECT sum(n) AS t FROM graft.sqlns.u").head().getLong(0)
+        == 35 + 35 + 35 + 40 + 50 + 60 + 6)
+      assert(spark.sql("SELECT n FROM graft.sqlns.u VERSION AS OF 1 WHERE id = 1")
+        .head().getLong(0) == 10L)
+    }
+  }
+
+  test("OPTIMIZE / VACUUM / RESTORE / TIMESTAMP AS OF maintenance verbs") {
+    import spark.implicits._
+    withRoot { root =>
+      val cat = graft.lake.LakeCatalog(spark, root)
+      (1 to 4).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+        .createOrReplaceTempView("src4")
+      spark.sql("CREATE TABLE graft.sqlns.m AS SELECT * FROM src4").collect()
+      spark.sql("INSERT INTO graft.sqlns.m SELECT 5L AS id, 'v5' AS v").collect()
+      spark.sql("INSERT INTO graft.sqlns.m SELECT 6L AS id, 'v6' AS v").collect()
+      // OPTIMIZE bin-packs the three small commits into one entry
+      assert(cat.latestEntries("sqlns", "m")._2.size == 3)
+      spark.sql("OPTIMIZE graft.sqlns.m").collect()
+      assert(cat.latestEntries("sqlns", "m")._2.size == 1)
+      assert(spark.sql("SELECT count(*) AS n FROM graft.sqlns.m")
+        .head().getLong(0) == 6L)
+      // TIMESTAMP AS OF now (epoch-ms literal) reads the latest snapshot
+      val now = System.currentTimeMillis() + 1000
+      assert(spark.sql(
+        s"SELECT count(*) AS n FROM graft.sqlns.m TIMESTAMP AS OF '$now'")
+        .head().getLong(0) == 6L)
+      // RESTORE back to version 1 (metadata-only), then VACUUM reclaims
+      spark.sql("RESTORE graft.sqlns.m TO VERSION AS OF 1").collect()
+      assert(spark.sql("SELECT count(*) AS n FROM graft.sqlns.m")
+        .head().getLong(0) == 4L)
+      val removed = spark.sql("VACUUM graft.sqlns.m RETAIN 1 VERSIONS")
+        .head().getLong(1)
+      assert(removed >= 1L, s"vacuum should reclaim unreferenced dirs, got $removed")
+      assert(spark.sql("SELECT count(*) AS n FROM graft.sqlns.m")
+        .head().getLong(0) == 4L)
+    }
+  }
+
   test("non-graft SQL delegates verbatim; unset root fails loudly") {
     assert(spark.sql("SELECT 1 + 1 AS x").head().getInt(0) == 2)
     // `graft.x.y` OUTSIDE table position (a string literal, a property

@@ -1,0 +1,225 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.lake.LakeCatalog
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.graft.LakeStreamSource
+
+/** E22: a lake table as a streaming source. getBatch is exercised both
+  * DIRECTLY (window semantics, plan shape — deterministic, no streaming
+  * engine) and through a real MicroBatchExecution run (offset checkpoint
+  * round-trip + the isStreaming contract).
+  */
+class LakeStreamSourceSpec extends SparkSpec {
+
+  private def tmp(): java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory("graft_lss_")
+
+  private def rows(n: Int, from: Int = 0): DataFrame = {
+    import spark.implicits._
+    (from until from + n).map(i => (i.toLong, s"r$i", i * 2.0)).toDF("id", "name", "v")
+  }
+
+  /** Execute a getBatch frame as a batch (strip the streaming tag). */
+  private def exec(df: DataFrame): DataFrame = GraftBridge.asBatch(df)
+
+  private def src(cat: LakeCatalog, ns: String, t: String,
+      opts: Map[String, String] = Map.empty): LakeStreamSource =
+    new LakeStreamSource(spark, cat.root, ns, t, opts)
+
+  test("initial snapshot batch equals the table; appends stream only the delta") {
+    val root = tmp()
+    val cat = LakeCatalog(spark, root.toString)
+    cat.write("s", "t", rows(10))
+    cat.write("s", "t", rows(5, 10), SaveMode.Append)
+    val s = src(cat, "s", "t")
+    assert(s.getOffset.contains(LongOffset(2L)))
+
+    val initial = s.getBatch(None, LongOffset(2L))
+    assert(initial.isStreaming, "v1 batches must carry isStreaming")
+    assert(exec(initial).count() === 15)
+
+    cat.write("s", "t", rows(3, 15), SaveMode.Append)
+    assert(s.getOffset.contains(LongOffset(3L)))
+    val delta = s.getBatch(Some(LongOffset(2L)), LongOffset(3L))
+    assert(delta.isStreaming)
+    assert(exec(delta).select("id").collect().map(_.getLong(0)).sorted.toSeq
+      === (15L until 18L))
+  }
+
+  test("append-window batches stay declarative: filters push into the parquet scan") {
+    val root = tmp()
+    val cat = LakeCatalog(spark, root.toString)
+    cat.write("s", "p", rows(10))
+    cat.write("s", "p", rows(10, 10), SaveMode.Append)
+    val s = src(cat, "s", "p")
+    val delta = exec(s.getBatch(Some(LongOffset(1L)), LongOffset(2L)))
+      .filter(col("id") === 12L)
+    val physical = delta.queryExecution.executedPlan.toString
+    assert(physical.contains("PushedFilters: [IsNotNull(id), EqualTo(id,12)"),
+      s"expected pushed filter in:\n$physical")
+    assert(delta.count() === 1)
+  }
+
+  test("non-append windows fail loudly; ignoreChanges streams the added dirs") {
+    val root = tmp()
+    val cat = LakeCatalog(spark, root.toString)
+    cat.write("s", "c", rows(10))
+    val s = src(cat, "s", "c")
+    // overwrite removes v1's dir
+    cat.write("s", "c", rows(4, 100))
+    val e = intercept[IllegalStateException] {
+      s.getBatch(Some(LongOffset(1L)), LongOffset(2L))
+    }
+    assert(e.getMessage.contains("not append-only"))
+    val tolerant = src(cat, "s", "c", Map("ignorechanges" -> "true"))
+    assert(exec(tolerant.getBatch(Some(LongOffset(1L)), LongOffset(2L)))
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq === (100L until 104L))
+  }
+
+  test("a deletion-vector change is a non-append window") {
+    val root = tmp()
+    val cat = LakeCatalog(spark, root.toString)
+    cat.write("s", "d", rows(10))
+    val s = src(cat, "s", "d")
+    cat.deleteMoR("s", "d", col("id") < 3)
+    val e = intercept[IllegalStateException] {
+      s.getBatch(Some(LongOffset(1L)), LongOffset(2L))
+    }
+    assert(e.getMessage.contains("dvChanged=true"))
+  }
+
+  test("initial snapshot applies deletion vectors") {
+    val root = tmp()
+    val cat = LakeCatalog(spark, root.toString)
+    cat.write("s", "dv", rows(10))
+    cat.deleteMoR("s", "dv", col("id") < 4)
+    val s = src(cat, "s", "dv")
+    val initial = s.getBatch(None, LongOffset(2L))
+    assert(initial.isStreaming)
+    assert(exec(initial).select("id").collect().map(_.getLong(0)).sorted.toSeq
+      === (4L until 10L))
+  }
+
+  test("startingVersion=latest streams only post-start commits; int starts at that version's delta") {
+    val root = tmp()
+    val cat = LakeCatalog(spark, root.toString)
+    cat.write("s", "sv", rows(10))
+    cat.write("s", "sv", rows(5, 10), SaveMode.Append)
+    val fromLatest = src(cat, "s", "sv", Map("startingversion" -> "latest"))
+    cat.write("s", "sv", rows(2, 15), SaveMode.Append)
+    val b = exec(fromLatest.getBatch(None, LongOffset(3L)))
+    assert(b.select("id").collect().map(_.getLong(0)).sorted.toSeq === Seq(15L, 16L))
+    // startingVersion=2: deltas from version 2 on (not the v1 snapshot)
+    val fromV2 = src(cat, "s", "sv", Map("startingversion" -> "2"))
+    assert(exec(fromV2.getBatch(None, LongOffset(3L)))
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq === (10L until 17L))
+  }
+
+  test("an expired start version fails loudly") {
+    val root = tmp()
+    val cat = LakeCatalog(spark, root.toString)
+    cat.write("s", "ex", rows(4))
+    val s = src(cat, "s", "ex")
+    cat.write("s", "ex", rows(4, 4), SaveMode.Append)
+    cat.write("s", "ex", rows(4, 8), SaveMode.Append)
+    cat.expireSnapshots("s", "ex", keepLast = 1)
+    val e = intercept[IllegalArgumentException] {
+      s.getBatch(Some(LongOffset(1L)), LongOffset(3L))
+    }
+    assert(e.getMessage.contains("expired"))
+  }
+
+  test("end-to-end through the engine: initial snapshot, then a restart consumes only the appended window") {
+    val root = tmp()
+    val cat = LakeCatalog(spark, root.toString)
+    cat.write("s", "e2e", rows(20))
+    val cp = root.resolve("cp").toString
+    val outDir = root.resolve("out").toString
+    def runOnce(): Unit = {
+      val q = EventStreams.readLakeStream(spark, cat.root, "s", "e2e")
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", cp)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    runOnce()
+    assert(spark.read.parquet(outDir).count() === 20)
+    cat.write("s", "e2e", rows(7, 20), SaveMode.Append)
+    runOnce()
+    val all = spark.read.parquet(outDir)
+    assert(all.count() === 27, "restart must consume exactly the delta, not re-emit the snapshot")
+    assert(all.select("id").distinct().count() === 27)
+  }
+
+  test("maxVersionsPerTrigger bounds each window; a restart learns the committed position") {
+    val root = tmp()
+    val cat = LakeCatalog(spark, root.toString)
+    cat.write("s", "rl", rows(2))
+    cat.write("s", "rl", rows(2, 2), SaveMode.Append)
+    cat.write("s", "rl", rows(2, 4), SaveMode.Append)
+    val s = src(cat, "s", "rl", Map("maxversionspertrigger" -> "1"))
+    // trigger 1: the capped initial snapshot (v1 only)
+    assert(s.getOffset.contains(LongOffset(1L)))
+    assert(exec(s.getBatch(None, LongOffset(1L))).count() === 2)
+    // triggers 2/3: one version per window
+    assert(s.getOffset.contains(LongOffset(2L)))
+    assert(exec(s.getBatch(Some(LongOffset(1L)), LongOffset(2L)))
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq === Seq(2L, 3L))
+    assert(s.getOffset.contains(LongOffset(3L)))
+    // a fresh instance (restart) re-learns the committed position from the
+    // engine's recovery commit — the capped offset never regresses
+    val restarted = src(cat, "s", "rl", Map("maxversionspertrigger" -> "1"))
+    restarted.commit(LongOffset(2L))
+    assert(restarted.getOffset.contains(LongOffset(3L)))
+  }
+
+  test("changeFeed mode: initial snapshot as inserts; append/delete/update windows as diffs") {
+    val root = tmp()
+    val cat = LakeCatalog(spark, root.toString)
+    cat.write("s", "cf", rows(6))
+    val s = src(cat, "s", "cf", Map("changefeed" -> "true"))
+    assert(s.schema.fieldNames.last === "_change")
+    val initial = exec(s.getBatch(None, LongOffset(1L)))
+    assert(initial.groupBy("_change").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap === Map("insert" -> 6L))
+    // append window: inserts only
+    cat.write("s", "cf", rows(2, 6), SaveMode.Append)
+    val app = exec(s.getBatch(Some(LongOffset(1L)), LongOffset(2L)))
+      .collect().map(r => (r.getLong(0), r.getString(3))).sorted.toSeq
+    assert(app === Seq((6L, "insert"), (7L, "insert")))
+    // CoW delete window: deletes only — no refusal in CDF mode
+    cat.delete("s", "cf", col("id") < 2)
+    val del = exec(s.getBatch(Some(LongOffset(2L)), LongOffset(3L)))
+      .collect().map(r => (r.getLong(0), r.getString(3))).sorted.toSeq
+    assert(del === Seq((0L, "delete"), (1L, "delete")))
+    // UPDATE window: the delete/insert pair for each touched row
+    cat.update("s", "cf", Seq("v" -> lit(99.0)), col("id") === 5L)
+    val upd = exec(s.getBatch(Some(LongOffset(3L)), LongOffset(4L)))
+      .collect().map(r => (r.getLong(0), r.getDouble(2), r.getString(3))).sorted.toSeq
+    assert(upd === Seq((5L, 10.0, "delete"), (5L, 99.0, "insert")))
+    // MoR delete window: DV-mark delta surfaces as deletes
+    cat.deleteMoR("s", "cf", col("id") === 4L)
+    val mor = exec(s.getBatch(Some(LongOffset(4L)), LongOffset(5L)))
+      .collect().map(r => (r.getLong(0), r.getString(3))).toSeq
+    assert(mor === Seq((4L, "delete")))
+  }
+
+  test("schema evolution in later commits aligns to the declared stream schema") {
+    import spark.implicits._
+    val root = tmp()
+    val cat = LakeCatalog(spark, root.toString)
+    cat.write("s", "ev", rows(3))
+    val s = src(cat, "s", "ev")
+    // a later commit drops `v` and adds an extra column
+    val evolved = Seq((100L, "x", 9)).toDF("id", "name", "extra")
+    cat.write("s", "ev", evolved, SaveMode.Append)
+    val delta = s.getBatch(Some(LongOffset(1L)), LongOffset(2L))
+    assert(delta.schema.fieldNames.toSeq === Seq("id", "name", "v"))
+    val r = exec(delta).collect().head
+    assert(r.getLong(0) === 100L && r.isNullAt(2))
+  }
+}
