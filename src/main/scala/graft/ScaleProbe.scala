@@ -19,7 +19,8 @@ object ScaleProbe {
     */
   private[graft] val knownSections = Set("minhash", "ann", "text",
     "mega-bucket", "rank", "merge", "mor", "pq", "skew", "sem", "stream",
-    "width", "streamparts", "iceimport", "deltaimport", "annrank", "lloyd")
+    "width", "streamparts", "iceimport", "deltaimport", "annrank", "lloyd",
+    "lakestream")
 
   /** Validates requested section names against the whitelist; throws on
     * any unknown name. Factored out of main so the contract is spec-pinned.
@@ -128,6 +129,48 @@ object ScaleProbe {
     // time must scale ~linearly in vectors at any multiple — and the
     // centroids must be IDENTICAL for identical data regardless of
     // partitioning (the bit-reproducibility the oracle relies on).
+    // Lake streaming source economics: an append-window micro-batch must
+    // cost the APPENDED commit's IO regardless of how big the base table
+    // is — the planner diffs two manifests (KB metadata), and the batch
+    // scans only the window's new dirs (inputFiles-pinned). A window cost
+    // that grows with the base means the source is re-reading the table
+    // per trigger and the 100 TB tail-read story is broken.
+    if (on("lakestream")) {
+      val root = "/tmp/graft_scale_lakestream"
+      org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(root), true)
+      val cat = lake.LakeCatalog(spark, root)
+      val ev = Tables(spark, dir).events
+        .select("event_id", "user_id", "event_type", "value")
+      // the appended commit is the SAME fixed slice at every base size
+      val fixedAppend = ev.filter(col("event_id") % 97 === 0)
+      def window(mult: Int): (Long, Int, Double) = {
+        val t = s"t$mult"
+        val base = (0 until mult).map(m =>
+          ev.select((col("event_id") + lit(m * 1000000000L)).as("event_id"),
+            col("user_id"), col("event_type"), col("value")))
+          .reduce(_ unionByName _)
+        cat.write("ls", t, base)
+        cat.write("ls", t, fixedAppend, SaveMode.Append)
+        val src = new org.apache.spark.sql.graft.LakeStreamSource(
+          spark, root, "ls", t, Map.empty)
+        val t0 = System.nanoTime()
+        val batch = org.apache.spark.sql.GraftBridge.asBatch(src.getBatch(
+          Some(new org.apache.spark.sql.execution.streaming.runtime.LongOffset(1L)),
+          new org.apache.spark.sql.execution.streaming.runtime.LongOffset(2L)))
+        val n = batch.count()
+        (n, batch.inputFiles.length, (System.nanoTime() - t0) / 1e9)
+      }
+      val (n1, f1, t1) = window(1)
+      val (n10, f10, t10) = window(10)
+      require(n1 == n10,
+        s"append window must be the fixed slice at every base size: $n1 vs $n10")
+      println(f"[scale] lakestream append-window rows=$n1%d: base 1x " +
+        f"files=$f1%d time=$t1%.2fs; base 10x files=$f10%d time=$t10%.2fs " +
+        f"time_ratio=${t10 / t1}%.2f (flat = window cost tracks the append, " +
+        "not the table)")
+    }
+
     if (on("lloyd")) for (mult <- Seq(1, 3, 10)) {
       val loaded = spark.read.parquet(embCorpus(mult))
       val n = loaded.count()

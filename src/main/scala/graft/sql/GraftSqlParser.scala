@@ -83,6 +83,8 @@ object GraftSqlParser {
     """(?is)\s*CREATE\s+TABLE\s+graft\.(\w+)\.(\w+)\s+AS\s+(.+?)\s*;?\s*""".r
   private val Insert =
     """(?is)\s*INSERT\s+INTO\s+graft\.(\w+)\.(\w+)\s+(.+?)\s*;?\s*""".r
+  private val InsertOverwrite =
+    """(?is)\s*INSERT\s+OVERWRITE\s+graft\.(\w+)\.(\w+)\s+(.+?)\s*;?\s*""".r
   private val Delete =
     """(?is)\s*DELETE\s+FROM\s+graft\.(\w+)\.(\w+)\s+WHERE\s+(.+?)\s*;?\s*""".r
   private val History =
@@ -111,6 +113,8 @@ object GraftSqlParser {
       case Ctas(ns, t, select) => Some(GraftCtasCommand(ns, t, select))
       case Update(ns, t, set, where) =>
         Some(GraftUpdateCommand(ns, t, set, Option(where)))
+      case InsertOverwrite(ns, t, select) =>
+        Some(GraftInsertCommand(ns, t, select, overwrite = true))
       case Insert(ns, t, select) => Some(GraftInsertCommand(ns, t, select))
       case Delete(ns, t, where) => Some(GraftDeleteCommand(ns, t, where))
       case History(ns, t) => Some(GraftHistoryCommand(ns, t))
@@ -226,16 +230,20 @@ object GraftSqlParser {
   }
 
   /** `INSERT INTO graft.ns.t <select|VALUES …>` — one APPEND commit (no
-    * rewrite; manifest-reuse append). The inner query goes back through
-    * the session parser, so it may itself read `graft.<ns>.<t>` tables.
+    * rewrite; manifest-reuse append) — or `INSERT OVERWRITE` — a fresh
+    * snapshot replacing the file list (the reference's merge strategy 2,
+    * merge_utils.py:46-54), prior versions still time-travelable. The
+    * inner query goes back through the session parser, so it may itself
+    * read `graft.<ns>.<t>` tables.
     */
-  case class GraftInsertCommand(ns: String, table: String, select: String)
-      extends LeafRunnableCommand {
+  case class GraftInsertCommand(ns: String, table: String, select: String,
+      overwrite: Boolean = false) extends LeafRunnableCommand {
     override def output: Seq[Attribute] = outCols
     override def run(spark: SparkSession): Seq[Row] = {
       val cat = catalogOf(spark)
       val v = cat.write(ns, table, spark.sql(select),
-        org.apache.spark.sql.SaveMode.Append)
+        if (overwrite) org.apache.spark.sql.SaveMode.Overwrite
+        else org.apache.spark.sql.SaveMode.Append)
       Seq(Row(s"$ns.$table", v.toLong))
     }
   }

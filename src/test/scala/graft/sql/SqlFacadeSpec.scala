@@ -91,11 +91,18 @@ class SqlFacadeSpec extends SparkSpec {
       spark.sql("DELETE FROM graft.sqlns.k WHERE id <= 2").collect()
       assert(spark.sql("SELECT id FROM graft.sqlns.k ORDER BY id")
         .collect().map(_.getLong(0)).toSeq == Seq(3L, 4L, 5L))
-      // DESCRIBE HISTORY: CTAS + append + delete = versions 1..3, with
-      // publish times agreeing with readAsOf's clock (monotone)
+      // INSERT OVERWRITE replaces the snapshot (reference merge strategy 2);
+      // the pre-overwrite version still time-travels
+      spark.sql("INSERT OVERWRITE graft.sqlns.k SELECT 9L AS id, 'v9' AS v").collect()
+      assert(spark.sql("SELECT id FROM graft.sqlns.k").collect()
+        .map(_.getLong(0)).toSeq == Seq(9L))
+      assert(spark.sql("SELECT count(*) AS n FROM graft.sqlns.k VERSION AS OF 3")
+        .head().getLong(0) == 3L)
+      // DESCRIBE HISTORY: CTAS + append + delete + overwrite = versions
+      // 1..4, with publish times agreeing with readAsOf's clock (monotone)
       val hist = spark.sql("DESCRIBE HISTORY graft.sqlns.k")
         .collect().map(r => (r.getLong(0), r.getLong(1)))
-      assert(hist.map(_._1).toSeq == Seq(1L, 2L, 3L))
+      assert(hist.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L))
       assert(hist.map(_._2).toSeq == hist.map(_._2).sorted.toSeq)
     }
   }
