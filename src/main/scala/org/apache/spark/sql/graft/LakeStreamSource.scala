@@ -108,7 +108,7 @@ final class LakeStreamSource(
 
   override val schema: StructType = {
     val base = catalog.read(ns, table).schema
-    if (changeFeed)
+    if (changeFeed && !base.fieldNames.contains("_change"))
       base.add(org.apache.spark.sql.types.StructField(
         "_change", org.apache.spark.sql.types.StringType, nullable = false))
     else base
@@ -257,9 +257,10 @@ final class LakeStreamProvider extends StreamSourceProvider with DataSourceRegis
     val base = schemaOpt.getOrElse(
       graft.lake.LakeCatalog(ctx.sparkSession, root).read(ns, t).schema)
     // must agree with LakeStreamSource.schema: change-feed batches carry
-    // the extra `_change` column
+    // the extra `_change` column (unless the supplied schema already has it)
     val schema =
-      if (params.get("changefeed").exists(_.trim.toBoolean))
+      if (params.get("changefeed").exists(_.trim.toBoolean) &&
+          !base.fieldNames.contains("_change"))
         base.add(org.apache.spark.sql.types.StructField(
           "_change", org.apache.spark.sql.types.StringType, nullable = false))
       else base
