@@ -57,19 +57,22 @@ final class TableMerger(
     * dropDuplicates. No-op shuffle-wise when keys are already unique —
     * the window shares the anti-join's hash partitioning on the key.
     */
-  private def dedupeOnKey(src: DataFrame, k: String): DataFrame = {
+  private def dedupeOnKey(src: DataFrame, ks: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val orderable = src.schema.fields
-      .filter(f => f.name != k &&
+      .filter(f => !ks.contains(f.name) &&
         org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(f.dataType))
       .map(f => col(f.name).desc_nulls_last)
-    if (orderable.isEmpty) src.dropDuplicates(Seq(k))
+    if (orderable.isEmpty) src.dropDuplicates(ks)
     else {
-      val w = Window.partitionBy(col(k)).orderBy(orderable.toSeq: _*)
+      val w = Window.partitionBy(ks.map(col): _*).orderBy(orderable.toSeq: _*)
       src.withColumn("__graft_rn", org.apache.spark.sql.functions.row_number().over(w))
         .filter(col("__graft_rn") === 1).drop("__graft_rn")
     }
   }
+
+  private def dedupeOnKey(src: DataFrame, k: String): DataFrame =
+    dedupeOnKey(src, Seq(k))
 
   def mergeTable(
       src: DataFrame,
@@ -89,7 +92,7 @@ final class TableMerger(
         // winner deterministically (max over the orderable non-key columns)
         // rather than dropDuplicates' partition-order lottery.
         val deduped = dedupeOnKey(src, k)
-        mergeScoped(deduped, ns, table, k, sourceRows)
+        mergeScoped(deduped, ns, table, Seq(k), sourceRows)
         s"MERGE (upsert) using key `$k`"
       case (None, true) =>
         catalog.write(ns, table, src, SaveMode.Overwrite)
@@ -174,7 +177,7 @@ final class TableMerger(
           s"CDC CREATE from upserts (key `$k`)"
         }
       } else {
-        mergeScoped(ups, ns, table, k, sourceRows, tombstones = Some(dels))
+        mergeScoped(ups, ns, table, Seq(k), sourceRows, tombstones = Some(dels))
         s"CDC apply (upsert + delete) using key `$k`"
       }
     val finalRows =
@@ -182,14 +185,43 @@ final class TableMerger(
     MergeResult(strategy, sourceRows, finalRows)
   }
 
+  /** Composite-key upsert (`MERGE … ON t.a = s.a AND t.b = s.b` through
+    * the SQL façade): the same PRUNE → PLAN → REWRITE cycle keyed on the
+    * column TUPLE. Stats pruning degrades gracefully — the per-column
+    * sidecars can't test tuple membership, so a commit survives pruning
+    * iff EVERY key column's [min, max] overlaps the delta's (conjunctive
+    * bounds; still file-scoped, just coarser than the single-key exact
+    * key-set test) — and the PLAN semi-join then scopes the rewrite to
+    * commits holding true tuple matches.
+    */
+  def mergeTableKeys(
+      src: DataFrame, ns: String, table: String, keys: Seq[String]): MergeResult = {
+    require(keys.nonEmpty, "mergeTableKeys needs at least one key column")
+    require(keys.forall(src.columns.contains),
+      s"merge keys ${keys.mkString(",")} not all present in source columns " +
+        src.columns.mkString(","))
+    val sourceRows = src.count()
+    val strategy =
+      if (catalog.tableExists(ns, table)) {
+        mergeScoped(dedupeOnKey(src, keys), ns, table, keys, sourceRows)
+        s"MERGE (upsert) using keys `${keys.mkString("`, `")}`"
+      } else {
+        catalog.write(ns, table, src, SaveMode.Overwrite)
+        "CREATE TABLE AS SELECT"
+      }
+    MergeResult(strategy, sourceRows, catalog.rowCount(ns, table))
+  }
+
   /** The file-scoped upsert itself (steps PRUNE → PLAN → REWRITE of the
-    * class doc). `deduped` must already be one row per key; `tombstones`
-    * (CDC) contributes keys whose rows are removed without replacement.
+    * class doc). `deduped` must already be one row per key tuple;
+    * `tombstones` (CDC) contributes keys whose rows are removed without
+    * replacement.
     */
   private def mergeScoped(
-      dedupedRaw: DataFrame, ns: String, table: String, k: String,
+      dedupedRaw: DataFrame, ns: String, table: String, ks: Seq[String],
       sourceRows: Long, tombstones: Option[DataFrame] = None): Unit = {
     import org.apache.spark.sql.functions.{max => fmax, min => fmin}
+    val k = ks.head // stats pruning is per-column; `k` drives the exact test
     val (base, entries) = catalog.latestEntries(ns, table)
     // deletion-vector entries are not data: candidates come from the data
     // dirs only, and the plan/rewrite reads subtract the vectors so a
@@ -201,9 +233,10 @@ final class TableMerger(
     val deduped = dedupedRaw.persist()
     // PRUNE/PLAN/anti-join all operate on upsert keys PLUS tombstone
     // keys (CDC); only the upsert rows land in the rewrite union
+    val keyCols = ks.map(col)
     val allKeys = tombstones
-      .map(tb => deduped.select(col(k)).unionByName(tb.select(col(k))))
-      .getOrElse(deduped.select(col(k)))
+      .map(tb => deduped.select(keyCols: _*).unionByName(tb.select(keyCols: _*)))
+      .getOrElse(deduped.select(keyCols: _*))
     try {
       // PRUNE: commits whose key range can't contain any delta key. For a
       // small delta (the daily-upsert shape) the key set itself is
@@ -216,7 +249,8 @@ final class TableMerger(
       val numericKey = deduped.schema(k).dataType
         .isInstanceOf[org.apache.spark.sql.types.NumericType]
       val deltaKeys: Option[(Array[String], Array[java.math.BigDecimal])] =
-        if (sourceRows > DeltaKeyCollectCap) {
+        if (ks.size > 1) None // composite key: conjunctive bounds prune below
+        else if (sourceRows > DeltaKeyCollectCap) {
           // observable cap: a scale soak must SEE the exact-key prune give
           // way to the bounds fallback, not infer it
           org.slf4j.LoggerFactory.getLogger(getClass).info(
@@ -258,14 +292,29 @@ final class TableMerger(
       // timestamp probe via JVM toString would render '…10:00:00.0'
       // where the sidecar strips trailing zeros, and the lexicographic
       // compare would falsely prune a commit holding an equal key)
-      lazy val b = allKeys
-        .agg(fmin(col(k)).cast("string"), fmax(col(k)).cast("string")).head()
+      lazy val b = {
+        val aggs = ks.flatMap(c =>
+          Seq(fmin(col(c)).cast("string"), fmax(col(c)).cast("string")))
+        allKeys.agg(aggs.head, aggs.tail: _*).head()
+      }
       val noPrune = deltaKeys match {
         case Some((strs, nums)) => strs.isEmpty && nums.isEmpty
-        case None => b.isNullAt(0) || b.isNullAt(1)
+        case None => (0 until ks.size).forall(i =>
+          b.isNullAt(2 * i) || b.isNullAt(2 * i + 1))
       }
       val candidates =
         if (noPrune) rels
+        else if (ks.size > 1)
+          // composite key: a commit survives iff EVERY key column's
+          // sidecar range overlaps the delta's — conjunctive, so one
+          // non-overlapping column prunes the commit
+          rels.filter { rel =>
+            ks.zipWithIndex.forall { case (kc, i) =>
+              b.isNullAt(2 * i) || b.isNullAt(2 * i + 1) ||
+                catalog.statsMayOverlap(ns, table, rel, kc,
+                  b.get(2 * i), b.get(2 * i + 1))
+            }
+          }
         else rels.filter { rel =>
           catalog.commitColumnRange(ns, table, rel, k) match {
             case None => true // pre-stats commit or uncovered key: keep
@@ -284,7 +333,7 @@ final class TableMerger(
         if (candidates.isEmpty) Set.empty
         else {
           val (tagged, tag) = catalog.readTagged(ns, table, candidates)
-          tagged.join(keys, Seq(k), "left_semi")
+          tagged.join(keys, ks, "left_semi")
             .select(tag).distinct().collect().map(_.getString(0)).toSet
         }
 
@@ -294,7 +343,7 @@ final class TableMerger(
       val kept =
         if (touched.isEmpty) deduped.limit(0) // pure insert: delta's schema
         else catalog.readDirsClean(ns, table, entries, rels.filter(touched))
-          .join(keys, Seq(k), "left_anti")
+          .join(keys, ks, "left_anti")
       val merged = kept.unionByName(deduped, allowMissingColumns = true)
       catalog.commitRewrite(ns, table, base, touched, merged)
       ()

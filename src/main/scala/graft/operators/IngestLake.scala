@@ -1655,30 +1655,69 @@ object IngestLake {
        FROM range($WideCols) j) AS names_md5""")
   )
 
-  /** The SQL FAÇADE end to end (SURVEY §2 B42; VERDICT r12 #9): CTAS,
-    * MERGE INTO, and a time-travel self-join — all through `spark.sql`
-    * against `graft.<ns>.<table>` names (graft.sql.GraftSqlParser). The
-    * scenario is lake_merge_upsert's (base = even orders, corrections =
-    * multiples of 3), so the oracle replays the same merge semantics and
-    * then diffs the two versions the way the SQL statement does.
+  // The SQL-façade scenario (CTAS + the reference's literal MERGE), built
+  // ONCE per (session, sf-dir, scratch root) — the cdcScenario treatment
+  // (VERDICT r13 #7: the entry proves the façade's statements, so it
+  // should not re-pay the four-write table construction per invocation).
+  private val sqlSurfaceCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String),
+      (org.apache.spark.sql.SparkSession, Option[java.nio.file.Path], String)]()
+
+  private def sqlSurfaceScenario(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    cdcShutdownHook
+    sqlSurfaceCache.entrySet().removeIf { e =>
+      val dead = e.getValue._1.sparkContext.isStopped
+      if (dead) e.getValue._2.foreach(deleteRecQuiet)
+      dead
+    }
+    val rootProp = sys.props.getOrElse(ScratchRootProp, "")
+    sqlSurfaceCache.computeIfAbsent(
+      (org.apache.spark.sql.GraftBridge.sessionUUID(s), dir, rootProp), _ => {
+        val (warehouse, localPath) = scratchPersistent("sqlsurface")
+        val prev = s.conf.getOption(graft.sql.GraftSqlParser.RootConf)
+        s.conf.set(graft.sql.GraftSqlParser.RootConf, warehouse)
+        try {
+          val t = Tables(s, dir)
+          t.orders.filter(col("o_orderkey") % 2 === 0)
+            .select(col("o_orderkey").as("id"), col("o_totalprice"))
+            .createOrReplaceTempView("sql_base")
+          s.sql("CREATE TABLE graft.sqlq.orders USING iceberg AS SELECT * FROM sql_base")
+            .collect()
+          t.orders.filter(col("o_orderkey") % 3 === 0)
+            .select(col("o_orderkey").as("id"),
+              (col("o_totalprice") + lit(1000)).as("o_totalprice"))
+            .createOrReplaceTempView("sql_delta")
+          // the reference's LITERAL emitted MERGE (merge_utils.py:74-80):
+          // aliases, qualified backticked ON, both WHEN clauses
+          s.sql("""MERGE INTO graft.sqlq.orders t
+            USING sql_delta s
+            ON t.`id` = s.`id`
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED THEN INSERT *""").collect()
+        } finally prev.fold(s.conf.unset(graft.sql.GraftSqlParser.RootConf))(
+          s.conf.set(graft.sql.GraftSqlParser.RootConf, _))
+        (s, localPath, warehouse)
+      })._3
+  }
+
+  /** The SQL FAÇADE end to end (SURVEY §2 B42; VERDICT r12 #9, r13 #1):
+    * CTAS in the reference's `USING iceberg AS` spelling, the reference's
+    * LITERAL aliased MERGE with WHEN clauses (merge_utils.py:74-80), and
+    * a time-travel self-join — all through `spark.sql` against
+    * `graft.<ns>.<table>` names (graft.sql.GraftSqlParser). The scenario
+    * is lake_merge_upsert's (base = even orders, corrections = multiples
+    * of 3), so the oracle replays the same merge semantics and then diffs
+    * the two versions the way the SQL statement does. The two-version
+    * table is MEMOIZED per session+sf (the cdcScenario pattern); the
+    * benched work is the façade's time-travel read statement.
     */
   val lakeSqlSurface: Q = Q(
     "lake_sql_surface",
     (s, dir) => {
-      val root = scratch("sqlsurface")
+      val root = sqlSurfaceScenario(s, dir)
       val prev = s.conf.getOption(graft.sql.GraftSqlParser.RootConf)
       s.conf.set(graft.sql.GraftSqlParser.RootConf, root)
       try {
-        val t = Tables(s, dir)
-        t.orders.filter(col("o_orderkey") % 2 === 0)
-          .select(col("o_orderkey").as("id"), col("o_totalprice"))
-          .createOrReplaceTempView("sql_base")
-        s.sql("CREATE TABLE graft.sqlq.orders AS SELECT * FROM sql_base").collect()
-        t.orders.filter(col("o_orderkey") % 3 === 0)
-          .select(col("o_orderkey").as("id"),
-            (col("o_totalprice") + lit(1000)).as("o_totalprice"))
-          .createOrReplaceTempView("sql_delta")
-        s.sql("MERGE INTO graft.sqlq.orders USING sql_delta ON id").collect()
         s.sql("""SELECT cur.id, cur.o_totalprice, old.o_totalprice AS before_price
           FROM graft.sqlq.orders cur
           JOIN graft.sqlq.orders VERSION AS OF 1 old ON cur.id = old.id

@@ -15,14 +15,25 @@ import org.apache.spark.sql.types.{LongType, StringType, StructType}
   * `SparkSessionExtensions.injectParser` (GraftExtensions), so plain
   * `spark.sql(...)` speaks it with no imports:
   *
-  *  - `MERGE INTO graft.<ns>.<table> USING <viewOrTable> [ON <keyCol>]`
-  *    — lands the source through [[graft.lake.TableMerger]] (strategy
-  *    auto-selected, key auto-detected when ON is omitted — the
-  *    reference's own semantics);
-  *  - `CREATE TABLE graft.<ns>.<table> AS <select…>` — CTAS into a
-  *    versioned lake table;
+  *  - `MERGE INTO graft.<ns>.<table> [AS] [alias] USING
+  *    <viewOrTable|(subquery)> [AS] [alias] [ON <cond>] [WHEN MATCHED
+  *    THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *]` — lands the
+  *    source through [[graft.lake.TableMerger]] (strategy auto-selected,
+  *    key auto-detected when ON is omitted — the reference's own
+  *    semantics; multi-column ON runs the composite-key upsert). The
+  *    reference's literal emitted statement (merge_utils.py:74-80) —
+  *    aliases, qualified backticked ON, both WHEN clauses — parses
+  *    verbatim; WHEN shapes with semantics OTHER than SET * / INSERT *
+  *    are refused loudly;
+  *  - `CREATE TABLE graft.<ns>.<table> [USING <format>] AS <select…>` —
+  *    CTAS into a versioned lake table (the format token — the
+  *    reference emits `USING iceberg`, merge_utils.py:99-103 — is
+  *    accepted; storage is always parquet + versioned manifests, the
+  *    layout IcebergExport/DeltaExport can render as either spec);
   *  - `INSERT INTO graft.<ns>.<table> <select|VALUES …>` — an append
-  *    commit; `UPDATE graft.<ns>.<table> SET <col>=<expr>… [WHERE <pred>]`
+  *    commit; `INSERT OVERWRITE [TABLE] graft.<ns>.<table> <select>` —
+  *    the reference's overwrite spelling (merge_utils.py:88-91);
+  *    `UPDATE graft.<ns>.<table> SET <col>=<expr>… [WHERE <pred>]`
   *    and `DELETE FROM graft.<ns>.<table> WHERE <pred>` — the file-scoped
   *    CoW DML pair; `DESCRIBE HISTORY graft.<ns>.<table>` — snapshot
   *    versions with publish times (the Delta idiom);
@@ -77,20 +88,29 @@ object GraftSqlParser {
   /** Session conf naming the lake root the SQL surface operates on. */
   val RootConf = "spark.graft.sql.root"
 
-  private val Merge =
-    """(?is)\s*MERGE\s+INTO\s+graft\.(\w+)\.(\w+)\s+USING\s+([\w.]+)(?:\s+ON\s+(\w+))?\s*;?\s*""".r
+  private val MergeHead =
+    """(?is)^\s*MERGE\s+INTO\s+graft\.(\w+)\.(\w+)\s+""".r
+  // the reference's CTAS carries `USING iceberg` (merge_utils.py:99-103);
+  // the format token is accepted and recorded — graft tables are always
+  // parquet + versioned manifests, which IS the adoptable-lakehouse layout
+  // (IcebergExport/DeltaExport render the same files as either spec)
   private val Ctas =
-    """(?is)\s*CREATE\s+TABLE\s+graft\.(\w+)\.(\w+)\s+AS\s+(.+?)\s*;?\s*""".r
+    """(?is)\s*CREATE\s+TABLE\s+graft\.(\w+)\.(\w+)(?:\s+USING\s+(\w+))?\s+AS\s+(.+?)\s*;?\s*""".r
   private val Insert =
     """(?is)\s*INSERT\s+INTO\s+graft\.(\w+)\.(\w+)\s+(.+?)\s*;?\s*""".r
+  // `INSERT OVERWRITE TABLE t SELECT …` is the reference's literal
+  // emitted shape (merge_utils.py:88-91); the TABLE keyword is optional
   private val InsertOverwrite =
-    """(?is)\s*INSERT\s+OVERWRITE\s+graft\.(\w+)\.(\w+)\s+(.+?)\s*;?\s*""".r
+    """(?is)\s*INSERT\s+OVERWRITE\s+(?:TABLE\s+)?graft\.(\w+)\.(\w+)\s+(.+?)\s*;?\s*""".r
   private val Delete =
     """(?is)\s*DELETE\s+FROM\s+graft\.(\w+)\.(\w+)\s+WHERE\s+(.+?)\s*;?\s*""".r
   private val History =
     """(?is)\s*DESCRIBE\s+HISTORY\s+graft\.(\w+)\.(\w+)\s*;?\s*""".r
-  private val Update =
-    """(?is)\s*UPDATE\s+graft\.(\w+)\.(\w+)\s+SET\s+(.+?)(?:\s+WHERE\s+(.+?))?\s*;?\s*""".r
+  // the SET/WHERE boundary is found by the quote/paren-aware top-level
+  // scan, not a lazy regex group: `SET v = 'a WHERE b'` must not split
+  // inside the string literal (ADVICE r13)
+  private val UpdateHead =
+    """(?is)\s*UPDATE\s+graft\.(\w+)\.(\w+)\s+SET\s+(.+?)\s*;?\s*""".r
   private val Optimize =
     """(?is)\s*OPTIMIZE\s+graft\.(\w+)\.(\w+)(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*""".r
   private val Vacuum =
@@ -108,11 +128,16 @@ object GraftSqlParser {
 
   private def interceptStatement(sqlText: String): Option[LogicalPlan] =
     sqlText match {
-      case Merge(ns, t, source, key) =>
-        Some(GraftMergeCommand(ns, t, source, Option(key)))
-      case Ctas(ns, t, select) => Some(GraftCtasCommand(ns, t, select))
-      case Update(ns, t, set, where) =>
-        Some(GraftUpdateCommand(ns, t, set, Option(where)))
+      case _ if MergeHead.findPrefixMatchOf(sqlText).isDefined =>
+        Some(parseMerge(sqlText))
+      case Ctas(ns, t, _, select) => Some(GraftCtasCommand(ns, t, select))
+      case UpdateHead(ns, t, rest) =>
+        // top-level WHERE split (string literals and parens are opaque)
+        val i = topLevelIndexOf(rest, "WHERE")
+        val (set, where) =
+          if (i < 0) (rest, None)
+          else (rest.take(i).trim, Some(rest.drop(i + 5).trim))
+        Some(GraftUpdateCommand(ns, t, set, where))
       case InsertOverwrite(ns, t, select) =>
         Some(GraftInsertCommand(ns, t, select, overwrite = true))
       case Insert(ns, t, select) => Some(GraftInsertCommand(ns, t, select))
@@ -136,20 +161,56 @@ object GraftSqlParser {
     if (!TableRef.findFirstIn(sqlText).isDefined) return sqlText
     val spark = SparkSession.getActiveSession.getOrElse(
       return sqlText) // no session (shouldn't happen mid-sql): leave as-is
-    TableRef.replaceAllIn(sqlText, m => {
-      val (ns, t) = (m.group(3), m.group(4))
-      val version = Option(m.group(6)).map(_.toLong)
-      val asOf = Option(m.group(7))
-      val view = s"graft_${ns}_${t}" + version.fold("")(v => s"_v$v") +
-        asOf.fold("")(s => "_t" + java.lang.Integer.toHexString(s.hashCode))
-      val df = (version, asOf) match {
-        case (Some(v), _) => catalogOf(spark).read(ns, t, Some(v.toInt))
-        case (_, Some(ts)) => catalogOf(spark).readAsOf(ns, t, parseAsOf(ts))
-        case _ => catalogOf(spark).read(ns, t)
-      }
-      df.createOrReplaceTempView(view)
-      m.group(1) + m.group(2) + view
-    })
+    // string literals are opaque: `SELECT 'see FROM graft.x.y' …` must
+    // pass through byte-identical (the keyword anchor alone protects
+    // identifiers, not quoted strings — VERDICT r13). A match is
+    // rewritten only when it STARTS outside every quoted span — the
+    // match itself may legitimately contain one (`TIMESTAMP AS OF '…'`).
+    val spans = literalSpans(sqlText)
+    def inLiteral(pos: Int): Boolean =
+      spans.exists(sp => pos >= sp._1 && pos < sp._2)
+    TableRef.replaceAllIn(sqlText, m =>
+      if (inLiteral(m.start))
+        scala.util.matching.Regex.quoteReplacement(m.matched)
+      else {
+        val (ns, t) = (m.group(3), m.group(4))
+        val version = Option(m.group(6)).map(_.toLong)
+        val asOf = Option(m.group(7))
+        val view = s"graft_${ns}_${t}" + version.fold("")(v => s"_v$v") +
+          asOf.fold("")(s => "_t" + java.lang.Integer.toHexString(s.hashCode))
+        val df = (version, asOf) match {
+          case (Some(v), _) => catalogOf(spark).read(ns, t, Some(v.toInt))
+          case (_, Some(ts)) => catalogOf(spark).readAsOf(ns, t, parseAsOf(ts))
+          case _ => catalogOf(spark).read(ns, t)
+        }
+        df.createOrReplaceTempView(view)
+        m.group(1) + m.group(2) + view
+      })
+  }
+
+  /** Spans [start, endExcl) of single- or double-quoted string literals;
+    * a backslash escapes the next char inside a literal, and a doubled
+    * quote reads as close-then-reopen (net effect: still masked).
+    */
+  private def literalSpans(s: String): Seq[(Int, Int)] = {
+    val out = Seq.newBuilder[(Int, Int)]
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '\'' || c == '"') {
+        val start = i
+        var j = i + 1
+        while (j < n && s.charAt(j) != c) {
+          if (s.charAt(j) == '\\' && j + 1 < n) j += 1
+          j += 1
+        }
+        val end = math.min(n, j + 1)
+        out += ((start, end))
+        i = end
+      } else i += 1
+    }
+    out.result()
   }
 
   /** `TIMESTAMP AS OF` literal: epoch millis when all digits, else the SQL
@@ -165,6 +226,168 @@ object GraftSqlParser {
       java.time.LocalDateTime.parse(full.replace(' ', 'T'))
         .atZone(java.time.ZoneOffset.UTC).toInstant.toEpochMilli
     }
+  }
+
+  /** Full MERGE grammar — covers the reference's LITERAL emitted statement
+    * (merge_utils.py:74-80) as well as the bare form:
+    *
+    * {{{
+    * MERGE INTO graft.<ns>.<t> [AS] [tAlias]
+    * USING ( <subquery> ) | <viewOrTable> [AS] [sAlias]
+    * [ON <cond>]        -- bare key, or `a.`k` = b.`k`` [AND …] (multi-col)
+    * [WHEN MATCHED THEN UPDATE SET *
+    *  WHEN NOT MATCHED THEN INSERT *]
+    * }}}
+    *
+    * The WHEN clauses are accepted ONLY in the `UPDATE SET * / INSERT *`
+    * form — exactly the semantics [[graft.lake.TableMerger]] executes
+    * (and the only form the reference emits). Any other WHEN shape is
+    * refused loudly: silently running different merge semantics than the
+    * statement asks for would be worse than an unsupported-grammar error.
+    * Qualified ON conjuncts must equate the SAME column on both sides
+    * (`t.`id` = s.`id``) — graft merges are key-equality upserts, not
+    * general theta merges.
+    */
+  private def parseMerge(sqlText: String): GraftMergeCommand = {
+    val m = MergeHead.findPrefixMatchOf(sqlText).get
+    val (ns, t) = (m.group(1), m.group(2))
+    val rest0 = sqlText.substring(m.end).trim.stripSuffix(";").trim
+    val usingIdx = topLevelIndexOf(rest0, "USING")
+    require(usingIdx >= 0, s"MERGE INTO graft.$ns.$t needs a USING clause")
+    // anything between the target and USING is the (ignored) target alias
+    val tgtAlias = rest0.take(usingIdx).trim
+    require(tgtAlias.isEmpty || tgtAlias.matches("""(?i)(AS\s+)?[`\w]+"""),
+      s"bad MERGE target alias: '$tgtAlias'")
+    var rest = rest0.drop(usingIdx + "USING".length).trim
+    // source: a parenthesized subquery or a view/table name
+    val source: Either[String, String] =
+      if (rest.startsWith("(")) {
+        val close = matchParen(rest, 0)
+        val sub = rest.substring(1, close).trim
+        rest = rest.drop(close + 1)
+        Left(sub)
+      } else {
+        val idm = """^[\w.`]+""".r.findFirstIn(rest).getOrElse(
+          sys.error(s"MERGE USING needs a source table/view or (subquery), got: $rest"))
+        rest = rest.drop(idm.length)
+        Right(idm.replace("`", ""))
+      }
+    // optional source alias (consumed and ignored — the merge's column
+    // semantics are SET */INSERT *, so aliases only matter for ON, where
+    // qualifiers are validated then stripped)
+    val onIdx = topLevelIndexOf(rest, "ON")
+    val whenIdx = topLevelIndexOf(rest, "WHEN")
+    val aliasEnd = Seq(onIdx, whenIdx, rest.length).filter(_ >= 0).min
+    val srcAlias = rest.take(aliasEnd).trim
+    require(srcAlias.isEmpty || srcAlias.matches("""(?i)(AS\s+)?[`\w]+"""),
+      s"bad MERGE source alias: '$srcAlias'")
+    // ON: bare key, or AND-conjoined [alias.]`col` = [alias.]`col` pairs
+    val keys: Seq[String] =
+      if (onIdx < 0) Seq.empty
+      else {
+        val condEnd = if (whenIdx > onIdx) whenIdx else rest.length
+        val cond = rest.substring(onIdx + 2, condEnd).trim
+        splitTopKeyword(cond, "AND").map { conjunct =>
+          val eq = topLevelIndexOf(conjunct, "=", wordBounded = false)
+          if (eq < 0) {
+            val k = unquoteCol(conjunct)
+            require(k.matches("""\w+"""), s"bad MERGE ON term: '$conjunct'")
+            k
+          } else {
+            val l = unquoteCol(conjunct.take(eq))
+            val r = unquoteCol(conjunct.drop(eq + 1))
+            require(l == r,
+              s"MERGE ON must equate the same key column on both sides " +
+                s"(t.`k` = s.`k`); got '$conjunct'")
+            l
+          }
+        }
+      }
+    // WHEN clauses: only the reference's SET */INSERT * pair
+    if (whenIdx >= 0) {
+      val whenPart = rest.drop(whenIdx)
+      require(WhenClauses.pattern.matcher(whenPart).matches(),
+        "unsupported MERGE WHEN clauses — graft MERGE runs the " +
+          "`WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *` " +
+          s"semantics (the reference's own shape); got: $whenPart")
+    }
+    GraftMergeCommand(ns, t, source, keys)
+  }
+
+  private val WhenClauses =
+    """(?is)\s*WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*;?\s*""".r
+
+  /** `col`, `alias.col`, backticked either way → the bare column name. */
+  private def unquoteCol(s: String): String = {
+    val bare = s.trim.replace("`", "")
+    val dot = bare.lastIndexOf('.')
+    if (dot >= 0) bare.drop(dot + 1) else bare
+  }
+
+  /** Index just past the matching close paren for the open at `open`. */
+  private def matchParen(s: String, open: Int): Int = {
+    require(s.charAt(open) == '(')
+    var depth = 0; var quote: Char = 0; var i = open
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) { if (c == quote) quote = 0 }
+      else c match {
+        case '\'' | '"' | '`' => quote = c
+        case '(' => depth += 1
+        case ')' => depth -= 1; if (depth == 0) return i
+        case _ =>
+      }
+      i += 1
+    }
+    sys.error(s"unbalanced parens in: $s")
+  }
+
+  private def isIdentChar(c: Char): Boolean = c.isLetterOrDigit || c == '_'
+
+  /** First TOP-LEVEL occurrence of `word` — case-insensitive, outside
+    * quotes (single, double, backtick) and parens, word-boundary-checked
+    * unless `wordBounded=false` — or -1. The quote-aware sibling of
+    * [[splitTop]]: every keyword split in the façade goes through here so
+    * string literals containing SQL keywords can never derail the grammar
+    * (ADVICE r13).
+    */
+  private[sql] def topLevelIndexOf(
+      s: String, word: String, wordBounded: Boolean = true): Int = {
+    var i = 0; var depth = 0; var quote: Char = 0
+    val n = s.length; val w = word.length
+    while (i < n) {
+      val c = s.charAt(i)
+      if (quote != 0) { if (c == quote) quote = 0; i += 1 }
+      else c match {
+        case '\'' | '"' | '`' => quote = c; i += 1
+        case '(' => depth += 1; i += 1
+        case ')' => depth -= 1; i += 1
+        case _ =>
+          if (depth == 0 && s.regionMatches(true, i, word, 0, w) &&
+              (!wordBounded ||
+                ((i == 0 || !isIdentChar(s.charAt(i - 1))) &&
+                 (i + w >= n || !isIdentChar(s.charAt(i + w))))))
+            return i
+          i += 1
+      }
+    }
+    -1
+  }
+
+  /** Split on TOP-LEVEL occurrences of a keyword (AND, …) — quote/paren
+    * aware like [[splitTop]].
+    */
+  private[sql] def splitTopKeyword(s: String, word: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var rest = s
+    var i = topLevelIndexOf(rest, word)
+    while (i >= 0) {
+      out += rest.take(i).trim
+      rest = rest.drop(i + word.length)
+      i = topLevelIndexOf(rest, word)
+    }
+    out += rest.trim
+    out.result().filter(_.nonEmpty)
   }
 
   /** Split on TOP-LEVEL commas only (parens and single-quoted strings are
@@ -200,18 +423,26 @@ object GraftSqlParser {
     AttributeReference("table", StringType, nullable = false)(),
     AttributeReference("version", LongType, nullable = false)())
 
-  /** `MERGE INTO graft.ns.t USING src [ON key]` — the reference's
-    * SQL-first merge surface over [[graft.lake.TableMerger]] (strategy
-    * auto-selection and key auto-detection included). Returns
-    * (table, new version).
+  /** `MERGE INTO graft.ns.t [alias] USING <src|(subquery)> [alias]
+    * [ON cond] [WHEN …]` — the reference's SQL-first merge surface over
+    * [[graft.lake.TableMerger]] (strategy auto-selection and key
+    * auto-detection included; multi-column ON runs the composite-key
+    * upsert). The subquery form re-enters the session parser, so it may
+    * itself read `graft.<ns>.<t>` tables. Returns (table, new version).
     */
-  case class GraftMergeCommand(ns: String, table: String, source: String,
-      key: Option[String]) extends LeafRunnableCommand {
+  case class GraftMergeCommand(ns: String, table: String,
+      source: Either[String, String], keys: Seq[String])
+      extends LeafRunnableCommand {
     override def output: Seq[Attribute] = outCols
     override def run(spark: SparkSession): Seq[Row] = {
       val cat = catalogOf(spark)
       val merger = new graft.lake.TableMerger(cat)
-      merger.mergeTable(spark.table(source), ns, table, key)
+      val src = source match {
+        case Left(subquery) => spark.sql(subquery)
+        case Right(name) => spark.table(name)
+      }
+      if (keys.size > 1) merger.mergeTableKeys(src, ns, table, keys)
+      else merger.mergeTable(src, ns, table, keys.headOption)
       Seq(Row(s"$ns.$table", cat.versions(ns, table).last.toLong))
     }
   }

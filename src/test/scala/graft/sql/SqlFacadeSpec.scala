@@ -162,6 +162,103 @@ class SqlFacadeSpec extends SparkSpec {
     }
   }
 
+  test("the reference's LITERAL emitted statements parse and run (merge_utils.py:74-103)") {
+    import spark.implicits._
+    withRoot { root =>
+      // 1. CREATE TABLE … USING iceberg AS SELECT … (merge_utils.py:99-103)
+      (1 to 6).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+        .createOrReplaceTempView("source_data")
+      spark.sql("""
+            CREATE TABLE graft.refsql.t
+            USING iceberg
+            AS SELECT * FROM source_data
+        """).collect()
+      assert(spark.sql("SELECT count(*) AS n FROM graft.refsql.t")
+        .head().getLong(0) == 6L)
+      // 2. aliased MERGE with qualified backticked ON + WHEN clauses
+      //    (merge_utils.py:74-80, byte-for-byte shape)
+      Seq((2L, "V2"), (7L, "v7")).toDF("id", "v")
+        .createOrReplaceTempView("source_changes")
+      spark.sql("""
+            MERGE INTO graft.refsql.t t
+            USING source_changes s
+            ON t.`id` = s.`id`
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED THEN INSERT *
+        """).collect()
+      assert(spark.sql("SELECT v FROM graft.refsql.t WHERE id = 2")
+        .head().getString(0) == "V2")
+      assert(spark.sql("SELECT count(*) AS n FROM graft.refsql.t")
+        .head().getLong(0) == 7L)
+      // 3. INSERT OVERWRITE TABLE … (merge_utils.py:88-91)
+      spark.sql("""
+            INSERT OVERWRITE TABLE graft.refsql.t
+            SELECT * FROM source_data
+        """).collect()
+      assert(spark.sql("SELECT count(*) AS n FROM graft.refsql.t")
+        .head().getLong(0) == 6L)
+      // the pre-overwrite snapshot still time-travels
+      assert(spark.sql("SELECT count(*) AS n FROM graft.refsql.t VERSION AS OF 2")
+        .head().getLong(0) == 7L)
+    }
+  }
+
+  test("MERGE USING (subquery) and multi-column ON") {
+    import spark.implicits._
+    withRoot { root =>
+      Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 10L, "c"))
+        .toDF("id", "sub", "v").createOrReplaceTempView("mk_src")
+      spark.sql("CREATE TABLE graft.refsql.mk AS SELECT * FROM mk_src").collect()
+      // subquery USING + composite ON: only the (1, 20) tuple matches
+      Seq((1L, 20L, "B!"), (3L, 30L, "new"))
+        .toDF("id", "sub", "v").createOrReplaceTempView("mk_delta")
+      spark.sql("""MERGE INTO graft.refsql.mk AS t
+        USING (SELECT * FROM mk_delta WHERE id < 99) AS s
+        ON t.id = s.id AND t.sub = s.sub
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *""").collect()
+      val rows = spark.sql(
+        "SELECT id, sub, v FROM graft.refsql.mk ORDER BY id, sub")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+      assert(rows == Seq((1L, 10L, "a"), (1L, 20L, "B!"), (2L, 10L, "c"),
+        (3L, 30L, "new")))
+      // a WHEN shape with different semantics must refuse loudly, not
+      // silently run SET */INSERT *
+      val e = intercept[Exception] {
+        spark.sql("""MERGE INTO graft.refsql.mk t USING mk_delta s
+          ON t.id = s.id WHEN MATCHED THEN DELETE""").collect()
+      }
+      assert(e.getMessage.contains("unsupported MERGE WHEN"), e.getMessage)
+      // ON equating DIFFERENT columns is not a key-equality upsert
+      val e2 = intercept[Exception] {
+        spark.sql("""MERGE INTO graft.refsql.mk t USING mk_delta s
+          ON t.id = s.sub""").collect()
+      }
+      assert(e2.getMessage.contains("same key column"), e2.getMessage)
+    }
+  }
+
+  test("string literals are opaque to the grammar (UPDATE WHERE split, read rewrite)") {
+    import spark.implicits._
+    withRoot { root =>
+      (1 to 3).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+        .createOrReplaceTempView("lit_src")
+      spark.sql("CREATE TABLE graft.refsql.lit AS SELECT * FROM lit_src").collect()
+      // a SET literal containing ' WHERE ' must not split there (ADVICE r13)
+      spark.sql("UPDATE graft.refsql.lit SET v = 'a WHERE b' WHERE id = 2").collect()
+      val vals = spark.sql("SELECT v FROM graft.refsql.lit ORDER BY id")
+        .collect().map(_.getString(0)).toSeq
+      assert(vals == Seq("v1", "a WHERE b", "v3"))
+      // a string literal containing `FROM graft.x.y` survives the read
+      // rewrite byte-identical, even in a statement that ALSO reads a
+      // real graft table (the rewrite must fire for the real ref only)
+      val r = spark.sql(
+        "SELECT 'FROM graft.refsql.lit' AS s, count(*) AS n FROM graft.refsql.lit")
+        .head()
+      assert(r.getString(0) == "FROM graft.refsql.lit" && r.getLong(1) == 3L)
+    }
+  }
+
   test("non-graft SQL delegates verbatim; unset root fails loudly") {
     assert(spark.sql("SELECT 1 + 1 AS x").head().getInt(0) == 2)
     // `graft.x.y` OUTSIDE table position (a string literal, a property
