@@ -20,7 +20,7 @@ object ScaleProbe {
   private[graft] val knownSections = Set("minhash", "ann", "text",
     "mega-bucket", "rank", "merge", "mor", "pq", "skew", "sem", "stream",
     "width", "streamparts", "iceimport", "deltaimport", "annrank", "lloyd",
-    "lakestream")
+    "lakestream", "ivfsearch")
 
   /** Validates requested section names against the whitelist; throws on
     * any unknown name. Factored out of main so the contract is spec-pinned.
@@ -169,6 +169,37 @@ object ScaleProbe {
         f"files=$f1%d time=$t1%.2fs; base 10x files=$f10%d time=$t10%.2fs " +
         f"time_ratio=${t10 / t1}%.2f (flat = window cost tracks the append, " +
         "not the table)")
+    }
+
+    // SCALED-CELL IVF probe (r14, VERDICT r13 #4): numCells = ceil(n/2000)
+    // keeps PROBED CANDIDATES PER QUERY ~flat as the corpus grows — a
+    // fixed 16-cell quantizer's probe cost is linear in n (each probed
+    // cell holds n/16 vectors). The fit pays one 25%-sample scan per pass
+    // with the two-level argmin (codegen-friendly at any scaled K), and
+    // search time per query must track the ~nProbe x 2000 candidate
+    // bound, not the corpus.
+    if (on("ivfsearch")) {
+      val stats = Seq(10, 50).map { mult =>
+        val loaded = spark.read.parquet(embCorpus(mult))
+        val n = loaded.count()
+        val k = operators.IvfIndex.numCellsFor(n)
+        val cents = operators.IvfIndex.trainCentroids(loaded, "vec_id", "embedding", k)
+        val queries = loaded.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+        val t0 = System.nanoTime()
+        val kept = operators.IvfIndex.searchTopK(
+          loaded, "vec_id", "embedding", cents, queries, 5).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        val candPerQuery = 4.0 * n / k // nProbe cells x mean population
+        println(f"[scale] ivfsearch ${mult}x: vecs=$n%d cells=$k%d " +
+          f"cand/query=$candPerQuery%.0f kept=$kept%d time=$dt%.1fs")
+        (n, candPerQuery, dt)
+      }
+      val (n0, c0, _) = stats.head
+      val (n1, c1, _) = stats.last
+      require(c1 / c0 < (n1.toDouble / n0) / 2,
+        f"scaled K must hold candidates/query ~flat: ${c0}%.0f -> ${c1}%.0f " +
+          f"across a ${n1.toDouble / n0}%.1fx corpus step")
     }
 
     if (on("lloyd")) for (mult <- Seq(1, 3, 10)) {

@@ -275,6 +275,15 @@ final class LakeCatalog(
   def readCommitDirs(ns: String, t: String, rels: Seq[String]): DataFrame =
     readDirs(ns, t, rels)
 
+  /** Streaming-source seam: a DV-CLEAN scan restricted to `wanted` data
+    * dirs of snapshot `version` — the unit a file-granular initial
+    * snapshot streams (the snapshot's deletion vectors are applied to the
+    * slice, and only the slice's vectored dirs pay the anti-join).
+    */
+  def readSnapshotDirs(ns: String, t: String, version: Int,
+      wanted: Seq[String]): DataFrame =
+    readDirsClean(ns, t, manifestEntries(ns, t, version), wanted)
+
   /** Latest committed version and its manifest entries (relative data
     * dirs) — the read side of a file-scoped rewrite: callers stage against
     * this version and pass it to [[commitRewrite]] as the CAS base.

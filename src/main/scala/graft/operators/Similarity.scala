@@ -249,7 +249,10 @@ object Similarity {
         // by a previous algorithm version (r12's Spark-ML KMeans) must not
         // be silently reused under the deterministic-Lloyd oracle
         val digest = java.security.MessageDigest.getInstance("MD5")
-          .digest(s"$dir|$fp|lloyd-fp20".getBytes("UTF-8")).map("%02x".format(_)).mkString
+          // `-sk` = scaled cell count (r14): a stored K=16 index cut by
+          // the fixed-cell r13 code must not serve a corpus whose scaled
+          // K differs
+          .digest(s"$dir|$fp|lloyd-fp20-sk".getBytes("UTF-8")).map("%02x".format(_)).mkString
         // scratch is scoped PER USER (or to an explicit GRAFT_SCRATCH
         // root): a world-shared deterministic tmpdir path would let
         // another local user pre-create the dir (createDirectories
@@ -299,8 +302,12 @@ object Similarity {
       val cat = ivfIndexFor(s, dir)
       if (!cat.tableExists("ann", "ivf_centroids"))
         // two processes racing the shared index root: the CAS loser's
-        // build conflicts — fall through and read the winner's centroids
-        try IvfIndex.buildIndex(cat, "ann", "ivf_centroids", emb, "vec_id", "embedding")
+        // build conflicts — fall through and read the winner's centroids.
+        // K scales with the corpus (ceil(n/2000), the SemDeDup treatment —
+        // VERDICT r13 #4); the count is a parquet-footer read, and the
+        // DuckDB oracle recomputes the same K from the same COUNT(*)
+        try IvfIndex.buildIndex(cat, "ann", "ivf_centroids", emb, "vec_id",
+          "embedding", numCells = IvfIndex.numCellsFor(emb.count()))
         catch { case _: graft.lake.CommitConflictException => () }
       val centroids = IvfIndex.loadCentroids(cat, "ann", "ivf_centroids")
       val queries = emb.filter(col("vec_id") < NumQueries)
@@ -349,7 +356,9 @@ object Similarity {
       SELECT vec_id, embedding,
         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid
       FROM embeddings),
-    cent0 AS (SELECT cid AS cell, embedding AS c_emb FROM ordered WHERE cid < 16),
+    cent0 AS (SELECT cid AS cell, embedding AS c_emb FROM ordered
+      WHERE cid < (SELECT GREATEST(16, LEAST(4096,
+        CAST(CEIL(COUNT(*) / 2000.0) AS BIGINT))) FROM embeddings)),
     train AS (
       SELECT vec_id, embedding FROM embeddings
       WHERE substring(md5(CAST(vec_id AS VARCHAR)), 1, 1) IN ('0','1','2','3')),
@@ -402,7 +411,8 @@ object Similarity {
     "ann_ivf_det",
     (s, dir) => {
       val emb = Tables(s, dir).embeddings
-      val cents = sampledVectors(emb, "vec_id", "embedding", IvfIndex.DefaultNumCells)
+      val cents = sampledVectors(emb, "vec_id", "embedding",
+        IvfIndex.numCellsFor(emb.count()))
       val centroids = {
         import s.implicits._
         cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
@@ -423,7 +433,9 @@ object Similarity {
       SELECT vec_id, embedding,
         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid
       FROM embeddings),
-    cent AS (SELECT cid AS cell, embedding AS c_emb FROM ordered WHERE cid < 16),
+    cent AS (SELECT cid AS cell, embedding AS c_emb FROM ordered
+      WHERE cid < (SELECT GREATEST(16, LEAST(4096,
+        CAST(CEIL(COUNT(*) / 2000.0) AS BIGINT))) FROM embeddings)),
     cdists AS (
       SELECT e.vec_id, cent.cell,
         list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(e.embedding)+1),
@@ -853,6 +865,57 @@ object IvfIndex {
   val DefaultNumCells = 16
   val DefaultNProbe = 4
 
+  /** Target MEAN cell size — the knob that bounds per-query probe cost
+    * (a probe scans ~nProbe × TargetCellSize candidates regardless of
+    * corpus size). The SemDeDup `ceil(n/2000)` treatment (VERDICT r13
+    * #4): a FIXED cell count makes probe cost grow linearly with the
+    * corpus the moment it outgrows numCells × target.
+    */
+  val TargetCellSize = 2000
+
+  /** Hard cap on the cell count: the centroid table is a driver-side
+    * model artifact (collected for the broadcast argmin, summed per pass
+    * during the fit) — 4096 × dim floats stays KB-to-MB-scale. Past
+    * MaxCells × TargetCellSize (~8M vectors) cells grow linearly again;
+    * that is the documented bounded-model trade (a larger deployment
+    * raises the cap together with executor/driver memory).
+    */
+  val MaxCells = 4096
+
+  /** Data-scaled cell count: ceil(n / target), clamped to
+    * [DefaultNumCells, MaxCells] — small corpora (every sf≤0.1 oracle
+    * run) keep the historical K=16 verbatim, and the DuckDB oracles
+    * recompute the same K from the same COUNT(*).
+    */
+  def numCellsFor(n: Long): Int =
+    math.min(MaxCells.toLong, math.max(DefaultNumCells.toLong,
+      (n + TargetCellSize - 1) / TargetCellSize)).toInt
+
+  /** Chunk width of the two-level argmin: each level-1 `least(struct…)`
+    * folds at most this many candidates, and level 2 folds the chunk
+    * winners — ≤64+64 arguments per expression at MaxCells, so the
+    * generated code stays method-splittable and constant-pool-friendly
+    * where a single 4096-ary least is codegen-hostile (VERDICT r13 #4).
+    */
+  val ArgminChunk = 64
+
+  /** Nearest-centroid argmin as a codegen'd expression: min over
+    * (L2², cell) structs — ties to the lowest cell id — computed as a
+    * TWO-LEVEL least so the expression stays codegen-friendly at scaled
+    * cell counts. least over structs is associative, so the chunked fold
+    * picks the same global (d, cell) minimum as a flat fold.
+    */
+  def argminCell(vec: Column, cents: Seq[(Int, Array[Float])]): Column = {
+    require(cents.nonEmpty, "empty centroid set")
+    val cands = cents.map { case (cell, c) =>
+      struct(Similarity.l2sq(vec, lit(c)).as("d"), lit(cell).as("cell"))
+    }
+    val winners = cands.grouped(ArgminChunk).map(g =>
+      if (g.size == 1) g.head else least(g: _*)).toIndexedSeq
+    (if (winners.size == 1) winners.head else least(winners: _*))
+      .getField("cell")
+  }
+
   /** Quantizer fits performed by this JVM — observability for the
     * amortized-cost contract (SimilaritySpec asserts a repeat invocation
     * fits zero times; a production deployment would surface this as a
@@ -904,14 +967,11 @@ object IvfIndex {
       .filter(substring(md5(col(idCol).cast("string")), 1, 1).isin("0", "1", "2", "3"))
       .select(col(vecCol).as("__v"))
     (1 to maxIter).foreach { _ =>
-      val cands = cents.map { case (cell, c) =>
-        struct(Similarity.l2sq(col("__v"), lit(c)).as("d"), lit(cell).as("cell"))
-      }
       // floor(x*2^20 + 0.5): half-up in BOTH engines (Spark round() and
       // DuckDB round() disagree on halves of negative doubles; floor+0.5
       // does not), and every step is IEEE-exact at this scale
       val sums = train
-        .withColumn("__cell", least(cands: _*).getField("cell"))
+        .withColumn("__cell", argminCell(col("__v"), cents))
         .select(col("__cell"), posexplode(col("__v")).as(Seq("__pos", "__x")))
         .groupBy("__cell", "__pos")
         .agg(sum(floor(col("__x").cast("double") * MeanScale + 0.5).cast("long")).as("__s"),
@@ -961,10 +1021,7 @@ object IvfIndex {
     val cents = centroids.select("cell", "centroid").collect()
       .map(r => (r.getInt(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
     require(cents.nonEmpty, "empty centroid table")
-    val cands = cents.map { case (cell, c) =>
-      struct(Similarity.l2sq(col(vecCol), lit(c)).as("d"), lit(cell).as("cell"))
-    }
-    corpus.withColumn("cell", least(cands.toIndexedSeq: _*).getField("cell"))
+    corpus.withColumn("cell", argminCell(col(vecCol), cents.toIndexedSeq))
   }
 
   /** Probe-and-rank: each query probes its `nProbe` nearest cells (ranked

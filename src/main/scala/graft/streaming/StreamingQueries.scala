@@ -815,6 +815,59 @@ object StreamingQueries {
       FROM orders) f ORDER BY _change""")
   )
 
+  /** E24 end-to-end: LAKE→LAKE CHANGE-DATA REPLICATION
+    * ([[EventStreams.replicateLakeToLake]]) — the change-feed source
+    * FEEDING the CDC APPLY sink, so the replica converges to the source
+    * through NON-APPEND windows. Pass 1 replicates the two-commit initial
+    * snapshot; then a file-scoped UPDATE (+1000 on 1-in-10 keys) and a
+    * CoW DELETE (1-in-7 keys) land on the source and a RESTART from the
+    * same checkpoint streams the two diff windows (capped one version per
+    * trigger) through applyCdc: updates rewrite in place, tombstones
+    * remove. The aggregate reads the REPLICA, so a missed window, a
+    * re-applied snapshot, an update pair applied as delete-only or
+    * insert-only, or a non-convergent tie-break each hash-mismatch the
+    * oracle (= the source's final state recomputed from `orders`).
+    */
+  val streamLakeReplicate: Q = Q(
+    "stream_lake_replicate",
+    (s, dir) => {
+      val base = Tables(s, dir).orders
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val root = java.nio.file.Files.createTempDirectory("graft_lrep_")
+      try {
+        val cat = graft.lake.LakeCatalog(s, root.resolve("lake").toString)
+        cat.write("st", "src", base.filter(col("o_orderkey") % 2 === 0))
+        cat.write("st", "src", base.filter(col("o_orderkey") % 2 =!= 0),
+          org.apache.spark.sql.SaveMode.Append)
+        val cp = root.resolve("cp").toString
+        def pass(): Unit = {
+          val q = EventStreams.replicateLakeToLake(s, cat.root, "st", "src",
+            cat, "st", "replica", "o_orderkey", cp,
+            Map("maxversionspertrigger" -> "1"))
+          try q.processAllAvailable() finally q.stop()
+        }
+        pass() // initial snapshot: replica = source
+        cat.update("st", "src",
+          Seq("o_totalprice" ->
+            (graft.Num.m(col("o_totalprice")) + 1000).cast("double")),
+          col("o_orderkey") % 10 === 0)
+        cat.delete("st", "src", col("o_orderkey") % 7 === 0)
+        pass() // restart: the UPDATE and DELETE diff windows apply
+        cat.read("st", "replica")
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"), graft.Num.dsum(col("o_totalprice")).as("total"))
+          .orderBy("o_orderstatus")
+          .localCheckpoint(true)
+      } finally rmrf(root)
+    },
+    Some("""SELECT o_orderstatus, COUNT(*) AS n,
+      CAST(SUM(CASE WHEN o_orderkey % 10 = 0
+        THEN CAST(o_totalprice AS DECIMAL(12,2)) + 1000
+        ELSE CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS total
+    FROM orders WHERE o_orderkey % 7 <> 0
+    GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+  )
+
   /** E9 end-to-end: streaming CDC UPSERT sink — micro-batch 1 lands every
     * event, micro-batch 2 re-sends corrections for 1-in-10 keys (+1000),
     * and the LAKE TABLE must converge to one row per key with the latest
@@ -946,5 +999,6 @@ object StreamingQueries {
     streamJoinTwin, streamEnrichTwin, streamSemanticTwin, streamLakeSink,
     streamUpsertSink, streamCdcSink, streamNeardupRocks, streamBucketsRocks,
     streamSessionsRocks, streamJoinRocks, streamSemanticRocks, streamCdcRocks,
-    streamDeltaSink, streamBranchSink, streamLakeSource, streamCdfSource)
+    streamDeltaSink, streamBranchSink, streamLakeSource, streamCdfSource,
+    streamLakeReplicate)
 }

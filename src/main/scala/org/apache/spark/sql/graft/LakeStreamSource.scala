@@ -1,5 +1,6 @@
 package org.apache.spark.sql.graft
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, GraftBridge, SQLContext, SparkSession}
 import org.apache.spark.sql.classic
 import org.apache.spark.sql.execution.datasources.LogicalRelation
@@ -34,7 +35,34 @@ import org.apache.spark.sql.types.StructType
   *     `ignoreChanges` trade, caller opts in);
   *   - `startingVersion=N` skips the initial snapshot and streams from
   *     version N's delta on; `startingVersion=latest` streams only
-  *     commits published after the source starts.
+  *     commits published after the stream FIRST starts — the resolved
+  *     version is persisted under the checkpoint's metadata path, so a
+  *     crash between offset-log write and commit replays the original
+  *     window instead of silently re-resolving against a newer latest
+  *     (ADVICE r13).
+  *
+  * RATE LIMITS — two grains, composable:
+  *
+  *   - `maxVersionsPerTrigger`: at most N versions advance per window
+  *     (backlog catch-up as bounded batches);
+  *   - `maxFilesPerTrigger` (r14, VERDICT r13 #2): at most N COMMIT DIRS
+  *     per micro-batch. The initial snapshot — one un-checkpointable
+  *     mega-batch on a 100 TB single-CTAS table under version granularity
+  *     alone — splits into dir slices, each a resumable offset; and
+  *     over-sized append windows advance one version at a time, sliced
+  *     the same way. Mid-window positions serialize as
+  *     `{"v":V,"d":D,"snap":B}` (completed versions keep the plain
+  *     integer encoding, so pre-r14 checkpoints parse unchanged).
+  *     Change-feed windows are snapshot DIFFS, not dir unions, so the
+  *     file cap does not apply there (the version cap does).
+  *
+  * The source's POSITION (the rate-limit base) is persisted as marker
+  * files under the checkpoint's metadata path at every commit: a
+  * restarted source starts from the persisted position, so a capped
+  * getOffset can never regress below the checkpoint and re-emit
+  * delivered windows (ADVICE r13 — Spark only calls Source.commit after
+  * the first post-restart getOffset, so an in-memory high-water mark
+  * alone is not enough on the restart-from-committed-checkpoint path).
   *
   * Scale: planning is two manifest reads per trigger (set difference of
   * relative dir names); the batch scan is Spark's parquet source over
@@ -42,9 +70,9 @@ import org.apache.spark.sql.types.StructType
   * costs per-trigger IO proportional to the APPENDED data, never the
   * table. Append-window batches keep their declarative parquet relations
   * (the streaming tag is applied to the scan leaves, not an RDD barrier),
-  * so downstream filters/pruning still push into the scan; only the
-  * one-time DV-bearing initial snapshot pays an opaque-plan wrap (its
-  * anti-join must not be re-planned as a stream-stream join).
+  * so downstream filters/pruning still push into the scan; only
+  * DV-bearing snapshot batches pay an opaque-plan wrap (their anti-join
+  * must not be re-planned as a stream-stream join).
   *
   * Composed with the txn-watermark lake sink (B39) the pair is an
   * end-to-end exactly-once lake→lake pipeline: versions in, idempotent
@@ -58,7 +86,11 @@ final class LakeStreamSource(
     root: String,
     ns: String,
     table: String,
-    params: Map[String, String]) extends Source {
+    params: Map[String, String],
+    metadataPath: String = "",
+    schemaOpt: Option[StructType] = None) extends Source {
+
+  import LakeStreamSource._
 
   private val catalog = graft.lake.LakeCatalog(spark, root)
   private val ignoreChanges =
@@ -76,11 +108,41 @@ final class LakeStreamSource(
   private val changeFeed =
     params.get("changefeed").exists(_.trim.toBoolean)
 
+  private val tableSchema: StructType = catalog.read(ns, table).schema
+
+  // a table whose DATA already carries `_change` cannot stream a change
+  // feed: the feed's metadata column would clobber (or be confused with)
+  // real values — Delta likewise reserves the CDF column names (ADVICE
+  // r13; the provider's sourceSchema refuses the same way)
+  require(!(changeFeed && tableSchema.fieldNames.contains("_change")),
+    s"$ns.$table already has a `_change` column — changeFeed=true would " +
+      "clobber it with change-feed metadata; rename the column or stream " +
+      "without changeFeed")
+
+  private lazy val hadoopConf = spark.sessionState.newHadoopConf()
+  private def posDir: Path = new Path(metadataPath, "graft-pos")
+
   /** Exclusive base version of the FIRST window: None = initial snapshot;
-    * Some(v) = stream deltas from version v+1 on.
+    * Some(v) = stream deltas from version v+1 on. `latest` resolves ONCE
+    * per checkpoint (persisted under metadataPath) — re-resolving on
+    * restart would silently skip the (originalLatest, loggedEnd] window
+    * of an uncommitted batch-0 replay.
     */
   private val startingBase: Option[Int] = params.get("startingversion").map {
-    case "latest" => catalog.versions(ns, table).lastOption.getOrElse(0)
+    case "latest" =>
+      val resolve = () => catalog.versions(ns, table).lastOption.getOrElse(0)
+      if (metadataPath.isEmpty) resolve()
+      else {
+        val fs = posDir.getFileSystem(hadoopConf)
+        fs.mkdirs(posDir)
+        val existing = fs.listStatus(posDir).toSeq
+          .map(_.getPath.getName).collect { case StartMarker(v) => v.toInt }
+        existing.headOption.getOrElse {
+          val v = resolve()
+          fs.create(new Path(posDir, s"start-$v"), true).close()
+          v
+        }
+      }
     case n =>
       val v = n.trim.toInt
       require(v >= 1, s"startingVersion must be >= 1 or 'latest', got $n")
@@ -98,42 +160,130 @@ final class LakeStreamSource(
   maxVersionsPerTrigger.foreach(n =>
     require(n >= 1, s"maxVersionsPerTrigger must be >= 1, got $n"))
 
-  /** Highest version the ENGINE has shown us (getBatch end / commit) —
-    * the rate-limit base. In-memory only: on restart it re-learns from
-    * the recovery calls (the engine replays the pending batch's getBatch,
-    * or commits the restored offset) before the next getOffset, so a
-    * capped offset can never regress below the checkpoint.
+  /** Dir-granular rate limit: at most this many commit dirs per batch —
+    * splits the initial snapshot and over-sized append windows (see class
+    * doc). Named for the Delta option it mirrors; the graft unit is the
+    * commit DIR (one commit's data files).
     */
-  @volatile private var highWater: Int = 0
+  private val maxFilesPerTrigger: Option[Int] =
+    params.get("maxfilespertrigger").map(_.trim.toInt)
+  maxFilesPerTrigger.foreach(n =>
+    require(n >= 1, s"maxFilesPerTrigger must be >= 1, got $n"))
 
-  override val schema: StructType = {
-    val base = catalog.read(ns, table).schema
-    if (changeFeed && !base.fieldNames.contains("_change"))
-      base.add(org.apache.spark.sql.types.StructField(
-        "_change", org.apache.spark.sql.types.StringType, nullable = false))
-    else base
+  /** Highest position this source knows DELIVERED — max of the persisted
+    * checkpoint position (restart base) and what this incarnation has
+    * seen via getBatch/commit. The rate-limit base: getOffset never
+    * returns below it.
+    */
+  @volatile private var highPos: Pos = persistedPos().getOrElse(Pos.zero)
+
+  private def persistedPos(): Option[Pos] = {
+    if (metadataPath.isEmpty) return None
+    val fs = posDir.getFileSystem(hadoopConf)
+    if (!fs.exists(posDir)) return None
+    val all = fs.listStatus(posDir).toSeq.map(_.getPath.getName).collect {
+      case PosMarker(v, d, s) =>
+        Pos(v.toInt, if (d == "c") -1 else d.toInt, s == "1")
+    }
+    if (all.isEmpty) None else Some(all.max)
   }
 
-  private def ver(o: OffsetV1): Int = o.json.trim.toInt
+  private def persistPos(p: Pos): Unit = {
+    if (metadataPath.isEmpty) return
+    val fs = posDir.getFileSystem(hadoopConf)
+    fs.mkdirs(posDir)
+    val name = s"pos-${p.v}-${if (p.d < 0) "c" else p.d.toString}-${if (p.snap) "1" else "0"}"
+    fs.create(new Path(posDir, name), true).close()
+    // prune older markers best-effort (the read side takes the max, so a
+    // failed delete is cosmetic)
+    fs.listStatus(posDir).foreach { st =>
+      st.getPath.getName match {
+        case PosMarker(v, d, s)
+            if Pos(v.toInt, if (d == "c") -1 else d.toInt, s == "1") < p =>
+          try { fs.delete(st.getPath, false); () } catch { case _: java.io.IOException => () }
+        case _ => ()
+      }
+    }
+  }
+
+  override val schema: StructType = schemaOpt.getOrElse {
+    if (changeFeed)
+      tableSchema.add(org.apache.spark.sql.types.StructField(
+        "_change", org.apache.spark.sql.types.StringType, nullable = false))
+    else tableSchema
+  }
+
+  private def parsePos(o: OffsetV1): Pos = Pos.parse(o.json)
+
+  private def render(p: Pos): OffsetV1 =
+    if (p.d < 0) LongOffset(p.v.toLong) else SlicedOffset(p)
+
+  /** Sorted data dirs + DV presence of one full snapshot. */
+  private def snapshotDirs(v: Int): (Seq[String], Boolean) = {
+    val (data, dvs) = catalog.snapshotEntries(ns, table, v)
+    (data.sorted, dvs.nonEmpty)
+  }
+
+  /** Sorted dirs ADDED by version v over its predecessor. */
+  private def deltaDirs(v: Int): Seq[String] = {
+    val (oldData, _) = catalog.snapshotEntries(ns, table, v - 1)
+    val (newData, _) = catalog.snapshotEntries(ns, table, v)
+    newData.filterNot(oldData.toSet).sorted
+  }
 
   override def getOffset: Option[OffsetV1] = {
-    val latest = catalog.versions(ns, table).lastOption.getOrElse(0)
-    if (latest == 0) None
-    else {
-      val v = maxVersionsPerTrigger match {
-        case Some(n) =>
-          val base = math.max(highWater, startingBase.getOrElse(0))
-          math.max(math.min(latest, base + n), highWater)
-        case None => latest
+    val vs = catalog.versions(ns, table)
+    val latest = vs.lastOption.getOrElse(0)
+    if (latest == 0) return None
+    val cur =
+      if (highPos == Pos.zero && startingBase.isDefined)
+        Pos(startingBase.get, -1, snap = false)
+      else highPos
+    if (cur.d >= 0) {
+      // mid-window: advance the dir cursor within the SAME window
+      val dirs =
+        if (cur.snap) snapshotDirs(cur.v)._1 else deltaDirs(cur.v)
+      val step = maxFilesPerTrigger.getOrElse(Int.MaxValue)
+      val nd = math.min(cur.d.toLong + step, dirs.size.toLong).toInt
+      return Some(render(
+        if (nd >= dirs.size) Pos(cur.v, -1, snap = false) else Pos(cur.v, nd, cur.snap)))
+    }
+    if (cur == Pos.zero) {
+      // initial snapshot: version capped by maxVersionsPerTrigger, dirs
+      // split by maxFilesPerTrigger (not in changeFeed mode: a diff
+      // window is not a dir union)
+      val v0 = maxVersionsPerTrigger.fold(latest)(n => math.min(latest, n))
+      val split = maxFilesPerTrigger.filter(_ => !changeFeed).map { mf =>
+        val dirs = snapshotDirs(v0)._1
+        if (dirs.size > mf) Pos(v0, mf, snap = true) else Pos(v0, -1, snap = false)
       }
-      Some(LongOffset(v.toLong))
+      return Some(render(split.getOrElse(Pos(v0, -1, snap = false))))
+    }
+    if (cur.v >= latest) return Some(render(cur)) // nothing new
+    // append/CDF windows from a complete position
+    maxFilesPerTrigger.filter(_ => !changeFeed) match {
+      case Some(mf) =>
+        // dir-capped: one version at a time, sliced when over the cap
+        val nextV = cur.v + 1
+        val dirs = deltaDirs(nextV)
+        Some(render(
+          if (dirs.size > mf) Pos(nextV, mf, snap = false)
+          else Pos(nextV, -1, snap = false)))
+      case None =>
+        val nextV = maxVersionsPerTrigger
+          .fold(latest)(n => math.max(math.min(latest, cur.v + n), cur.v))
+        Some(render(Pos(nextV, -1, snap = false)))
     }
   }
 
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
-    val endV = ver(end)
-    highWater = math.max(highWater, endV)
-    start.map(ver).orElse(startingBase) match {
+    val endP = parsePos(end)
+    highPos = Seq(highPos, endP).max
+    val startP = start.map(parsePos)
+    // dir-sliced windows (maxFilesPerTrigger)
+    if (endP.d >= 0 || startP.exists(_.d >= 0)) return slicedBatch(startP, endP)
+    val endV = endP.v
+    startP.map(_.v).orElse(startingBase) match {
       case None if changeFeed =>
         // CDF initial snapshot: the full table at endV, all rows as inserts
         wrapOpaque(align(catalog.read(ns, table, Some(endV))
@@ -179,10 +329,56 @@ final class LakeStreamSource(
     }
   }
 
+  /** A batch whose start and/or end is a mid-window dir cursor: the slice
+    * (startD, endD] of the window's sorted dir list. Snapshot slices read
+    * DV-clean ([[graft.lake.LakeCatalog.readSnapshotDirs]]); delta slices
+    * first validate the whole version window is append-only (the same
+    * refusal contract as unsliced windows).
+    */
+  private def slicedBatch(startP: Option[Pos], endP: Pos): DataFrame = {
+    // the window this slice belongs to is named by the END offset when
+    // mid-window, else by the start offset's window (final slice)
+    val (v, snap) =
+      if (endP.d >= 0) (endP.v, endP.snap)
+      else (endP.v, startP.exists(p => p.v == endP.v && p.snap))
+    startP.foreach(p => require(p.d < 0 || p.v == v,
+      s"sliced offset window mismatch: start $p vs end $endP"))
+    val fromD = startP match {
+      case Some(p) if p.v == v && p.d >= 0 => p.d
+      case _ => 0
+    }
+    val (dirs, hasDvs) =
+      if (snap) snapshotDirs(v)
+      else {
+        val vs = catalog.versions(ns, table)
+        require(vs.contains(v) && (v == 1 || vs.contains(v - 1)),
+          s"snapshot window for v$v of $ns.$table has been expired; restart " +
+            "from a fresh checkpoint")
+        val (oldData, oldDvs) = catalog.snapshotEntries(ns, table, v - 1)
+        val (newData, newDvs) = catalog.snapshotEntries(ns, table, v)
+        val removed = oldData.filterNot(newData.toSet)
+        val dvChanged = oldDvs.toSet != newDvs.toSet
+        if ((removed.nonEmpty || dvChanged) && !ignoreChanges)
+          throw new IllegalStateException(
+            s"$ns.$table window (v${v - 1}, v$v] is not append-only " +
+              s"(${removed.size} dirs removed, dvChanged=$dvChanged): set " +
+              "ignoreChanges=true or stream from a snapshot boundary.")
+        (newData.filterNot(oldData.toSet).sorted, false)
+      }
+    val toD = if (endP.d >= 0) endP.d else dirs.size
+    val slice = dirs.slice(fromD, toD)
+    if (slice.isEmpty) emptyBatch
+    else if (snap) {
+      val df = align(catalog.readSnapshotDirs(ns, table, v, slice))
+      if (hasDvs) wrapOpaque(df) else tagStreaming(df)
+    } else tagStreaming(align(catalog.readCommitDirs(ns, table, slice)))
+  }
+
   /** Project onto the source's declared schema: later commits may carry
     * evolved schemas (extra columns dropped, missing columns null-filled,
     * widened types cast back) — the stream's contract is the schema it
-    * declared at start.
+    * declared at start. A user-supplied narrower/reordered schema
+    * (ADVICE r13) is honored the same way: every batch projects to it.
     */
   private def align(df: DataFrame): DataFrame = {
     val have = df.columns.toSet
@@ -219,18 +415,65 @@ final class LakeStreamSource(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.catalyst.InternalRow],
       schema, isStreaming = true)
 
-  override def commit(end: OffsetV1): Unit =
-    highWater = math.max(highWater, ver(end))
+  override def commit(end: OffsetV1): Unit = {
+    val p = parsePos(end)
+    highPos = Seq(highPos, p).max
+    persistPos(highPos)
+  }
   override def stop(): Unit = ()
   override def toString: String = s"LakeStreamSource($ns.$table @ $root)"
+}
+
+object LakeStreamSource {
+
+  /** A stream position. `v` names the window (a snapshot version); `d` is
+    * the dir cursor within that window (-1 = the whole version is
+    * consumed — the plain-integer offset encoding); `snap` marks the
+    * window as the initial snapshot at `v` (dir list = the full snapshot)
+    * rather than the single-version delta (dir list = dirs v adds over
+    * v-1). Total order: by version, completed > any cursor, cursors by
+    * position.
+    */
+  final case class Pos(v: Int, d: Int, snap: Boolean) extends Ordered[Pos] {
+    override def compare(that: Pos): Int = {
+      if (v != that.v) v.compare(that.v)
+      else if ((d < 0) != (that.d < 0)) { if (d < 0) 1 else -1 }
+      else d.compare(that.d)
+    }
+  }
+
+  object Pos {
+    val zero: Pos = Pos(0, -1, snap = false)
+
+    private val Sliced =
+      """\s*\{\s*"v"\s*:\s*(\d+)\s*,\s*"d"\s*:\s*(\d+)\s*,\s*"snap"\s*:\s*(true|false)\s*\}\s*""".r
+
+    def parse(json: String): Pos = json.trim match {
+      case Sliced(v, d, s) => Pos(v.toInt, d.toInt, s == "true")
+      case plain => Pos(plain.toInt, -1, snap = false)
+    }
+  }
+
+  /** Mid-window offset JSON (completed versions serialize as the plain
+    * integer [[LongOffset]] for checkpoint back-compat).
+    */
+  final case class SlicedOffset(p: Pos) extends OffsetV1 {
+    override val json: String = s"""{"v":${p.v},"d":${p.d},"snap":${p.snap}}"""
+  }
+
+  private val PosMarker = """pos-(\d+)-(c|\d+)-([01])""".r
+  private val StartMarker = """start-(\d+)""".r
 }
 
 /** `spark.readStream.format("graft-lake")` provider. Options (lowercased
   * by Spark): `root` (lake warehouse root), `table` ("ns.table"),
   * `startingVersion` (int or "latest"), `ignoreChanges` (bool),
-  * `maxVersionsPerTrigger` (int — backlog rate limit), `changeFeed`
-  * (bool — emit the snapshot diff per window with a `_change` column,
-  * inserts AND deletes, so non-append commits stream faithfully).
+  * `maxVersionsPerTrigger` (int — backlog rate limit),
+  * `maxFilesPerTrigger` (int — dir-granular rate limit: splits the
+  * initial snapshot and over-sized append windows across micro-batches),
+  * `changeFeed` (bool — emit the snapshot diff per window with a
+  * `_change` column, inserts AND deletes, so non-append commits stream
+  * faithfully).
   */
 final class LakeStreamProvider extends StreamSourceProvider with DataSourceRegister {
 
@@ -254,13 +497,19 @@ final class LakeStreamProvider extends StreamSourceProvider with DataSourceRegis
       providerName: String,
       params: Map[String, String]): (String, StructType) = {
     val (root, ns, t) = resolve(params)
-    val base = schemaOpt.getOrElse(
-      graft.lake.LakeCatalog(ctx.sparkSession, root).read(ns, t).schema)
+    val changeFeed = params.get("changefeed").exists(_.trim.toBoolean)
+    val tableSchema =
+      graft.lake.LakeCatalog(ctx.sparkSession, root).read(ns, t).schema
+    require(!(changeFeed && tableSchema.fieldNames.contains("_change")),
+      s"$ns.$t already has a `_change` column — changeFeed=true would " +
+        "clobber it with change-feed metadata; rename the column or stream " +
+        "without changeFeed")
+    val base = schemaOpt.getOrElse(tableSchema)
     // must agree with LakeStreamSource.schema: change-feed batches carry
-    // the extra `_change` column (unless the supplied schema already has it)
+    // the extra `_change` column (unless the supplied schema already
+    // names it — a user schema DESCRIBES the feed, so it may)
     val schema =
-      if (params.get("changefeed").exists(_.trim.toBoolean) &&
-          !base.fieldNames.contains("_change"))
+      if (changeFeed && !base.fieldNames.contains("_change"))
         base.add(org.apache.spark.sql.types.StructField(
           "_change", org.apache.spark.sql.types.StringType, nullable = false))
       else base
@@ -274,6 +523,11 @@ final class LakeStreamProvider extends StreamSourceProvider with DataSourceRegis
       providerName: String,
       params: Map[String, String]): Source = {
     val (root, ns, t) = resolve(params)
-    new LakeStreamSource(ctx.sparkSession, root, ns, t, params)
+    // hand the source the RESOLVED stream schema (sourceSchema's answer),
+    // so a user-supplied narrower/reordered schema becomes the align()
+    // projection target instead of a runtime frame/schema mismatch
+    val resolved = sourceSchema(ctx, schemaOpt, providerName, params)._2
+    new LakeStreamSource(ctx.sparkSession, root, ns, t, params, metadataPath,
+      Some(resolved))
   }
 }

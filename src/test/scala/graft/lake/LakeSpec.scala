@@ -379,6 +379,66 @@ class LakeSpec extends SparkSpec {
     assert(back.contains((14, "b")) && back.contains((1, "a")) && back.contains((30, "c")))
   }
 
+  test("composite-key MERGE (mergeTableKeys) is file-scoped via conjunctive bounds pruning") {
+    val cat = freshCatalog()
+    val merger = new TableMerger(cat)
+    import spark.implicits._
+    // three commits sharing the FIRST key value but disjoint in the second:
+    // single-column pruning on `id` alone could not prune any of them
+    cat.write("ns", "ck", (1 to 10).map(i => (1L, i.toLong, "a")).toDF("id", "sub", "v"))
+    cat.write("ns", "ck", (11 to 20).map(i => (1L, i.toLong, "b")).toDF("id", "sub", "v"),
+      SaveMode.Append)
+    cat.write("ns", "ck", (21 to 30).map(i => (1L, i.toLong, "c")).toDF("id", "sub", "v"),
+      SaveMode.Append)
+    val (v3, rels) = cat.latestEntries("ns", "ck")
+    assert(v3 == 3 && rels.length == 3)
+    val before = rels.map(r => r -> dirFingerprint(cat, "ns", "ck", r)).toMap
+    // delta: tuple (1,15) updates commit B; (2,15) is brand-new; a duplicate
+    // of (1,15) must collapse to one deterministic winner before the upsert
+    val delta = Seq((1L, 15L, "X"), (1L, 15L, "W"), (2L, 15L, "new"))
+      .toDF("id", "sub", "v")
+    val r = merger.mergeTableKeys(delta, "ns", "ck", Seq("id", "sub"))
+    assert(r.strategy.contains("keys `id`, `sub`"), r.strategy)
+    assert(r.finalRows == 31, r.toString)
+    val (v4, after) = cat.latestEntries("ns", "ck")
+    assert(v4 == 4)
+    // A and C prune on the `sub` column's [15,15] bounds (their `id`
+    // ranges all overlap) — manifest entries kept verbatim, bytes intact
+    val (bRel, others) = (rels(1), Seq(rels(0), rels(2)))
+    others.foreach { rel =>
+      assert(after.contains(rel), s"untouched commit $rel must stay in the manifest")
+      assert(dirFingerprint(cat, "ns", "ck", rel) == before(rel),
+        s"untouched commit $rel was rewritten")
+    }
+    assert(!after.contains(bRel), "matched commit must be replaced")
+    val back = cat.read("ns", "ck").orderBy("id", "sub")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getString(2)))
+    assert(back.length == 31)
+    // dedupe winner is deterministic: max over orderable non-key cols ("X" > "W")
+    assert(back.contains((1L, 15L, "X")) && !back.exists(_._3 == "W"))
+    assert(back.contains((2L, 15L, "new")))
+    assert(back.contains((1L, 14L, "b")) && back.contains((1L, 30L, "c")))
+    // a tuple match is NOT a per-column match: (1, 99) matches `id` of every
+    // row and `sub` of nothing — it must INSERT, touching no commit
+    val before4 = after.map(rel => rel -> dirFingerprint(cat, "ns", "ck", rel)).toMap
+    merger.mergeTableKeys(Seq((1L, 99L, "ins")).toDF("id", "sub", "v"),
+      "ns", "ck", Seq("id", "sub"))
+    val (_, after5) = cat.latestEntries("ns", "ck")
+    before4.keys.foreach { rel =>
+      assert(after5.contains(rel) &&
+        dirFingerprint(cat, "ns", "ck", rel) == before4(rel),
+        s"pure composite insert must rewrite nothing, but $rel changed")
+    }
+    assert(cat.rowCount("ns", "ck") == 32)
+    // missing target: CTAS; missing key column: loud
+    val r2 = merger.mergeTableKeys(delta, "ns", "ck_new", Seq("id", "sub"))
+    assert(r2.strategy.startsWith("CREATE TABLE"))
+    val e = intercept[IllegalArgumentException] {
+      merger.mergeTableKeys(delta, "ns", "ck", Seq("id", "nope"))
+    }
+    assert(e.getMessage.contains("nope"), e.getMessage)
+  }
+
   test("CDC apply: upserts + tombstones in ONE pass, untouched commits verbatim") {
     val cat = freshCatalog()
     val merger = new TableMerger(cat)

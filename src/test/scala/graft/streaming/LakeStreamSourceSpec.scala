@@ -30,6 +30,11 @@ class LakeStreamSourceSpec extends SparkSpec {
       opts: Map[String, String] = Map.empty): LakeStreamSource =
     new LakeStreamSource(spark, cat.root, ns, t, opts)
 
+  /** A source with a checkpoint metadata path (position persistence on). */
+  private def src2(cat: LakeCatalog, ns: String, t: String,
+      opts: Map[String, String], meta: String): LakeStreamSource =
+    new LakeStreamSource(spark, cat.root, ns, t, opts, meta)
+
   test("initial snapshot batch equals the table; appends stream only the delta") {
     val root = tmp()
     val cat = LakeCatalog(spark, root.toString)
@@ -175,6 +180,131 @@ class LakeStreamSourceSpec extends SparkSpec {
     val restarted = src(cat, "s", "rl", Map("maxversionspertrigger" -> "1"))
     restarted.commit(LongOffset(2L))
     assert(restarted.getOffset.contains(LongOffset(3L)))
+  }
+
+  test("maxFilesPerTrigger splits the initial snapshot into bounded dir slices; restart mid-snapshot resumes") {
+    import org.apache.spark.sql.graft.LakeStreamSource.{Pos, SlicedOffset}
+    val root = tmp()
+    val cat = LakeCatalog(spark, root.toString)
+    // 5 commits = 5 dirs, then ONE source sees them as a single v5 snapshot
+    (0 until 5).foreach(i =>
+      cat.write("s", "mf", rows(4, i * 4), if (i == 0) SaveMode.Overwrite else SaveMode.Append))
+    val s = src(cat, "s", "mf", Map("maxfilespertrigger" -> "2"))
+    // trigger 1: dirs (0, 2] of the snapshot at v5
+    val o1 = s.getOffset.get
+    assert(o1 === SlicedOffset(Pos(5, 2, snap = true)), s"got $o1")
+    val b1 = exec(s.getBatch(None, o1))
+    assert(b1.count() === 8)
+    // trigger 2: dirs (2, 4]
+    val o2 = s.getOffset.get
+    assert(o2 === SlicedOffset(Pos(5, 4, snap = true)))
+    val b2 = exec(s.getBatch(Some(o1), o2))
+    assert(b2.count() === 8)
+    // a RESTART mid-snapshot: a fresh source replays the pending window
+    // from the logged offsets alone (no in-memory state)
+    val restarted = src(cat, "s", "mf", Map("maxfilespertrigger" -> "2"))
+    val b2r = exec(restarted.getBatch(Some(o1), o2))
+    assert(b2r.select("id").collect().map(_.getLong(0)).sorted.toSeq ===
+      b2.select("id").collect().map(_.getLong(0)).sorted.toSeq)
+    // trigger 3: the final slice completes the snapshot -> plain offset
+    val o3 = restarted.getOffset.get
+    assert(o3 === LongOffset(5L), s"final slice must normalize, got $o3")
+    val b3 = exec(restarted.getBatch(Some(o2), o3))
+    assert(b3.count() === 4)
+    // all slices together = the table, no dup, no loss
+    val all = b1.select("id").union(b2.select("id")).union(b3.select("id"))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(all === (0L until 20L))
+    // post-snapshot appends stream as ordinary windows
+    cat.write("s", "mf", rows(3, 20), SaveMode.Append)
+    assert(restarted.getOffset.contains(LongOffset(6L)))
+    assert(exec(restarted.getBatch(Some(o3), LongOffset(6L))).count() === 3)
+  }
+
+  test("maxFilesPerTrigger slices apply deletion vectors (DV-bearing snapshot)") {
+    import org.apache.spark.sql.graft.LakeStreamSource.{Pos, SlicedOffset}
+    val root = tmp()
+    val cat = LakeCatalog(spark, root.toString)
+    cat.write("s", "mfdv", rows(6))
+    cat.write("s", "mfdv", rows(6, 6), SaveMode.Append)
+    cat.deleteMoR("s", "mfdv", col("id") % 3 === 0)
+    val s = src(cat, "s", "mfdv", Map("maxfilespertrigger" -> "1"))
+    val o1 = s.getOffset.get
+    val b1 = exec(s.getBatch(None, o1))
+    val o2 = s.getOffset.get
+    val b2 = exec(s.getBatch(Some(o1), o2))
+    val ids = (b1.select("id") union b2.select("id"))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids === (0L until 12L).filter(_ % 3 != 0), s"got $ids")
+  }
+
+  test("persisted position: a restarted rate-limited source never regresses below the committed checkpoint") {
+    val root = tmp()
+    val cat = LakeCatalog(spark, root.toString)
+    (0 until 3).foreach(i =>
+      cat.write("s", "pp", rows(2, i * 2), if (i == 0) SaveMode.Overwrite else SaveMode.Append))
+    val meta = root.resolve("meta").toString
+    val s = src2(cat, "s", "pp", Map("maxversionspertrigger" -> "1"), meta)
+    assert(s.getOffset.contains(LongOffset(1L)))
+    s.getBatch(None, LongOffset(1L))
+    s.commit(LongOffset(1L))
+    assert(s.getOffset.contains(LongOffset(2L)))
+    s.getBatch(Some(LongOffset(1L)), LongOffset(2L))
+    s.commit(LongOffset(2L))
+    // the ADVICE r13 scenario: restart from a FULLY COMMITTED checkpoint —
+    // the engine's first call is getOffset, with no recovery getBatch or
+    // commit to re-learn from. The persisted position is the base: the
+    // offset must be v3, never min(latest, 0+1)=v1 (a regression the
+    // engine would log, re-committing already-delivered windows).
+    val restarted = src2(cat, "s", "pp", Map("maxversionspertrigger" -> "1"), meta)
+    assert(restarted.getOffset.contains(LongOffset(3L)),
+      s"restart regressed: ${restarted.getOffset}")
+  }
+
+  test("startingVersion=latest resolves once per checkpoint (persisted), not per incarnation") {
+    val root = tmp()
+    val cat = LakeCatalog(spark, root.toString)
+    cat.write("s", "svp", rows(4))
+    cat.write("s", "svp", rows(4, 4), SaveMode.Append) // latest = 2 at first start
+    val meta = root.resolve("meta2").toString
+    val first = src2(cat, "s", "svp", Map("startingversion" -> "latest"), meta)
+    // batch 0 planned to v3 and logged, but the query dies BEFORE commit
+    cat.write("s", "svp", rows(4, 8), SaveMode.Append) // v3
+    assert(exec(first.getBatch(None, LongOffset(3L))).count() === 4)
+    // more commits land while the query is down
+    cat.write("s", "svp", rows(4, 12), SaveMode.Append) // v4
+    // restart replays batch 0 from the offset log: the persisted base (2)
+    // must be used — re-resolving latest (now 4) would return an empty
+    // batch and silently drop (2, 3]
+    val restarted = src2(cat, "s", "svp", Map("startingversion" -> "latest"), meta)
+    assert(exec(restarted.getBatch(None, LongOffset(3L)))
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq === (8L until 12L))
+  }
+
+  test("changeFeed refuses a table whose data already has a _change column") {
+    import spark.implicits._
+    val root = tmp()
+    val cat = LakeCatalog(spark, root.toString)
+    cat.write("s", "cfx", Seq((1L, "real")).toDF("id", "_change"))
+    val e = intercept[IllegalArgumentException] {
+      src(cat, "s", "cfx", Map("changefeed" -> "true")).schema
+    }
+    assert(e.getMessage.contains("_change"), e.getMessage)
+  }
+
+  test("a user-supplied narrower schema becomes the projection target") {
+    val root = tmp()
+    val cat = LakeCatalog(spark, root.toString)
+    cat.write("s", "us", rows(4))
+    val narrow = new org.apache.spark.sql.types.StructType()
+      .add("name", org.apache.spark.sql.types.StringType)
+      .add("id", org.apache.spark.sql.types.LongType)
+    val s = new org.apache.spark.sql.graft.LakeStreamSource(
+      spark, cat.root, "s", "us", Map.empty, "", Some(narrow))
+    val b = s.getBatch(None, LongOffset(1L))
+    assert(b.schema.fieldNames.toSeq === Seq("name", "id"))
+    val r = exec(b).orderBy("id").collect().head
+    assert(r.getString(0) === "r0" && r.getLong(1) === 0L)
   }
 
   test("changeFeed mode: initial snapshot as inserts; append/delete/update windows as diffs") {
