@@ -47,7 +47,13 @@ import org.apache.spark.sql.types.{LongType, StringType, StructType}
   *    reference is rewritten to a temp view backed by the catalog read,
   *    and the REST of the statement stays Spark SQL (joins, CTEs,
   *    filters, whatever), so the façade composes with the full language
-  *    instead of re-implementing a dialect.
+  *    instead of re-implementing a dialect;
+  *  - `FROM STREAM graft.<ns>.<table>` (r14, the Databricks STREAM
+  *    idiom) — the reference becomes a `graft-lake` readStream view, so
+  *    the statement plans as a STREAMING DataFrame the caller hands to
+  *    `writeStream`: SQL-first continuous reads with snapshot-version
+  *    offsets. Source options (changeFeed, maxFilesPerTrigger, …) come
+  *    from session confs under `spark.graft.sql.streamOptions.`.
   *
   * The lake root comes from the session conf `spark.graft.sql.root`
   * (loud when unset). Everything else — including every statement that
@@ -117,14 +123,22 @@ object GraftSqlParser {
     """(?is)\s*VACUUM\s+graft\.(\w+)\.(\w+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*""".r
   private val Restore =
     """(?is)\s*RESTORE\s+graft\.(\w+)\.(\w+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
-  // a lake-table reference in TABLE POSITION (after FROM/JOIN), with
-  // optional time travel (by version or wall clock). Anchoring on the
-  // keyword keeps the rewrite away from string literals and identifiers
-  // that merely CONTAIN `graft.x.y` (e.g. a `graft.bucketed.src` table
-  // property) — SQL the façade must pass through untouched.
+  // a lake-table reference in TABLE POSITION (after FROM/JOIN), with an
+  // optional STREAM prefix (continuous read) or time travel (by version
+  // or wall clock). Anchoring on the keyword keeps the rewrite away from
+  // string literals and identifiers that merely CONTAIN `graft.x.y`
+  // (e.g. a `graft.bucketed.src` table property) — SQL the façade must
+  // pass through untouched.
   private val TableRef =
-    ("""(?is)\b(FROM|JOIN)(\s+)graft\.(\w+)\.(\w+)""" +
+    ("""(?is)\b(FROM|JOIN)(\s+)(STREAM\s+)?graft\.(\w+)\.(\w+)""" +
       """(\s+VERSION\s+AS\s+OF\s+(\d+)|\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)')?""").r
+
+  /** Session-conf prefix for options forwarded to `FROM STREAM` reads
+    * (`spark.graft.sql.streamOptions.changeFeed=true`,
+    * `….maxFilesPerTrigger=64`, …) — the graft-lake source's option
+    * surface, SQL-reachable without code.
+    */
+  val StreamOptionPrefix = "spark.graft.sql.streamOptions."
 
   private def interceptStatement(sqlText: String): Option[LogicalPlan] =
     sqlText match {
@@ -173,18 +187,42 @@ object GraftSqlParser {
       if (inLiteral(m.start))
         scala.util.matching.Regex.quoteReplacement(m.matched)
       else {
-        val (ns, t) = (m.group(3), m.group(4))
-        val version = Option(m.group(6)).map(_.toLong)
-        val asOf = Option(m.group(7))
-        val view = s"graft_${ns}_${t}" + version.fold("")(v => s"_v$v") +
-          asOf.fold("")(s => "_t" + java.lang.Integer.toHexString(s.hashCode))
-        val df = (version, asOf) match {
-          case (Some(v), _) => catalogOf(spark).read(ns, t, Some(v.toInt))
-          case (_, Some(ts)) => catalogOf(spark).readAsOf(ns, t, parseAsOf(ts))
-          case _ => catalogOf(spark).read(ns, t)
+        val stream = m.group(3) != null
+        val (ns, t) = (m.group(4), m.group(5))
+        val version = Option(m.group(7)).map(_.toLong)
+        val asOf = Option(m.group(8))
+        if (stream) {
+          // `FROM STREAM graft.ns.t` — the Databricks STREAM idiom: the
+          // reference becomes a graft-lake readStream view, so the whole
+          // statement plans as a STREAMING DataFrame the caller hands to
+          // writeStream. Options come from the session conf
+          // ([[StreamOptionPrefix]]); offsets/time travel make no sense
+          // on a continuous read and refuse loudly.
+          require(version.isEmpty && asOf.isEmpty,
+            s"STREAM graft.$ns.$t cannot combine with VERSION/TIMESTAMP AS " +
+              "OF — a stream's position is its checkpoint, not a snapshot pin")
+          val root = spark.conf.getOption(RootConf).getOrElse(sys.error(
+            s"set $RootConf to the lake root before using graft.<ns>.<table> SQL"))
+          val opts = spark.conf.getAll
+            .collect { case (k, v) if k.startsWith(StreamOptionPrefix) =>
+              k.stripPrefix(StreamOptionPrefix) -> v }
+          val view = s"graft_stream_${ns}_$t"
+          spark.readStream.format("graft-lake")
+            .option("root", root).option("table", s"$ns.$t")
+            .options(opts).load()
+            .createOrReplaceTempView(view)
+          m.group(1) + m.group(2) + view
+        } else {
+          val view = s"graft_${ns}_${t}" + version.fold("")(v => s"_v$v") +
+            asOf.fold("")(s => "_t" + java.lang.Integer.toHexString(s.hashCode))
+          val df = (version, asOf) match {
+            case (Some(v), _) => catalogOf(spark).read(ns, t, Some(v.toInt))
+            case (_, Some(ts)) => catalogOf(spark).readAsOf(ns, t, parseAsOf(ts))
+            case _ => catalogOf(spark).read(ns, t)
+          }
+          df.createOrReplaceTempView(view)
+          m.group(1) + m.group(2) + view
         }
-        df.createOrReplaceTempView(view)
-        m.group(1) + m.group(2) + view
       })
   }
 

@@ -336,6 +336,12 @@ final class LakeStreamSource(
     * refusal contract as unsliced windows).
     */
   private def slicedBatch(startP: Option[Pos], endP: Pos): DataFrame = {
+    // a sliced offset can only have been written by a non-changeFeed
+    // incarnation (diff windows are never dir-sliced); flipping the mode
+    // on an existing checkpoint must refuse, not stream diffless slices
+    require(!changeFeed,
+      s"$ns.$table checkpoint holds dir-sliced offsets but changeFeed=true " +
+        "was set — restart from a fresh checkpoint to switch modes")
     // the window this slice belongs to is named by the END offset when
     // mid-window, else by the start offset's window (final slice)
     val (v, snap) =

@@ -259,6 +259,35 @@ class SqlFacadeSpec extends SparkSpec {
     }
   }
 
+  test("FROM STREAM graft.ns.t plans a continuous read (SQL-first streaming)") {
+    import spark.implicits._
+    withRoot { root =>
+      (1 to 8).map(i => (i.toLong, i * 2.0)).toDF("id", "v")
+        .createOrReplaceTempView("st_src")
+      spark.sql("CREATE TABLE graft.refsql.st AS SELECT * FROM st_src").collect()
+      // the statement composes with the full language and stays streaming
+      val df = spark.sql("SELECT id, v FROM STREAM graft.refsql.st WHERE id <= 6")
+      assert(df.isStreaming, "STREAM ref must plan a streaming frame")
+      val out = Files.createTempDirectory("graft_sqlstream_")
+      val q = df.writeStream.format("parquet")
+        .option("path", out.resolve("data").toString)
+        .option("checkpointLocation", out.resolve("cp").toString).start()
+      try q.processAllAvailable() finally q.stop()
+      assert(spark.read.parquet(out.resolve("data").toString).count() == 6L)
+      // a stream cannot time-travel
+      val e = intercept[Exception] {
+        spark.sql("SELECT * FROM STREAM graft.refsql.st VERSION AS OF 1")
+      }
+      assert(e.getMessage.contains("checkpoint"), e.getMessage)
+      // conf-forwarded source options: changeFeed adds the _change column
+      spark.conf.set(GraftSqlParser.StreamOptionPrefix + "changeFeed", "true")
+      try {
+        val cf = spark.sql("SELECT * FROM STREAM graft.refsql.st")
+        assert(cf.isStreaming && cf.schema.fieldNames.contains("_change"))
+      } finally spark.conf.unset(GraftSqlParser.StreamOptionPrefix + "changeFeed")
+    }
+  }
+
   test("non-graft SQL delegates verbatim; unset root fails loudly") {
     assert(spark.sql("SELECT 1 + 1 AS x").head().getInt(0) == 2)
     // `graft.x.y` OUTSIDE table position (a string literal, a property
