@@ -133,15 +133,33 @@ final class TableMerger(
     * row.
     */
   def applyCdc(
-      delta: DataFrame,
+      deltaRaw: DataFrame,
       ns: String,
       table: String,
       key: Option[String] = None,
       opCol: String = "_op",
       orderCol: Option[String] = None): MergeResult = {
-    require(delta.columns.contains(opCol), s"CDC delta needs a `$opCol` column")
-    orderCol.foreach(oc => require(delta.columns.contains(oc),
+    require(deltaRaw.columns.contains(opCol), s"CDC delta needs a `$opCol` column")
+    orderCol.foreach(oc => require(deltaRaw.columns.contains(oc),
       s"ordering column `$oc` not in delta"))
+    // the delta feeds count + the upsert/tombstone splits + (via
+    // mergeScoped) the prune/plan/rewrite jobs — PIN IT ONCE. In the
+    // streaming sink the delta is a change-feed micro-batch whose plan
+    // re-derives the file-scoped snapshot diff on every action; pinning
+    // caps that at one derivation per window (at 100 TB, one scan of the
+    // changed commits instead of one per consumer).
+    val delta = deltaRaw.persist()
+    try applyCdcPinned(delta, ns, table, key, opCol, orderCol)
+    finally { delta.unpersist(); () }
+  }
+
+  private def applyCdcPinned(
+      delta: DataFrame,
+      ns: String,
+      table: String,
+      key: Option[String],
+      opCol: String,
+      orderCol: Option[String]): MergeResult = {
     val k = key.orElse(findKeyColumn(delta.drop(opCol))).getOrElse(
       sys.error(s"no merge key among ${keyCandidates.mkString(",")} — pass one explicitly"))
     val sourceRows = delta.count()
