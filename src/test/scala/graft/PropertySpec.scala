@@ -28,6 +28,33 @@ class PropertySpec extends org.scalatest.funsuite.AnyFunSuite {
     lead <- Gen.oneOf("", " ", "\n")
   } yield lead + words.zip(seps).map { case (w, s) => w + s }.mkString
 
+  test("lake stream Pos: offset encoding round-trips and the order is a strict total order") {
+    import org.apache.spark.sql.graft.LakeStreamSource.{Pos, SlicedOffset}
+    import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+    val posGen: Gen[Pos] = for {
+      v <- Gen.chooseNum(0, 1000000)
+      d <- Gen.oneOf(Gen.const(-1), Gen.chooseNum(0, 100000))
+      snap <- Gen.oneOf(true, false)
+    } yield Pos(v, d, if (d < 0) false else snap)
+    // parse(render(p)) == p for both encodings (plain long when complete)
+    check(Prop.forAll(posGen) { p =>
+      val json = if (p.d < 0) LongOffset(p.v.toLong).json else SlicedOffset(p).json
+      Pos.parse(json) == p
+    })
+    // strict total order: antisymmetric + transitive + complete(v) above
+    // every cursor at v, below everything at v+1
+    check(Prop.forAll(posGen, posGen, posGen) { (a, b, c) =>
+      val anti = math.signum(a.compare(b)) == -math.signum(b.compare(a))
+      val trans = !(a.compare(b) <= 0 && b.compare(c) <= 0) || a.compare(c) <= 0
+      anti && trans
+    })
+    check(Prop.forAll(posGen) { p =>
+      val full = Pos(p.v, -1, snap = false)
+      val nextV = Pos(p.v + 1, 0, snap = false)
+      (p.d < 0 || p.compare(full) < 0) && full.compare(nextV) < 0
+    })
+  }
+
   test("BPE: decode∘encode == whitespace-normalized identity for arbitrary text/models") {
     import graft.operators.BpeTokenizer._
     val corpusGen = Gen.listOfN(20, Gen.zip(wordGen, Gen.choose(1L, 30L)))
