@@ -3,6 +3,7 @@ package org.apache.spark.sql.graft
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, GraftBridge, SQLContext, SparkSession}
 import org.apache.spark.sql.classic
+import org.apache.spark.sql.connector.read.streaming.{ReadLimit, SupportsTriggerAvailableNow, Offset => OffsetV2}
 import org.apache.spark.sql.execution.datasources.LogicalRelation
 import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
@@ -88,7 +89,8 @@ final class LakeStreamSource(
     table: String,
     params: Map[String, String],
     metadataPath: String = "",
-    schemaOpt: Option[StructType] = None) extends Source {
+    schemaOpt: Option[StructType] = None)
+  extends Source with SupportsTriggerAvailableNow {
 
   import LakeStreamSource._
 
@@ -420,6 +422,39 @@ final class LakeStreamSource(
     spark.asInstanceOf[classic.SparkSession].internalCreateDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.catalyst.InternalRow],
       schema, isStreaming = true)
+
+  // ----- Trigger.AvailableNow (SupportsTriggerAvailableNow) ---------------
+  // The 100 TB catch-up shape: a scheduled JOB drains everything available
+  // at start time in rate-limited micro-batches, then exits. `prepare`
+  // pins the drain target (commits landing DURING the drain are excluded,
+  // the contract of the trigger); latestOffset serves the same
+  // rate-limited positions getOffset computes, capped at the target.
+  // Implementing SupportsAdmissionControl means the engine uses
+  // latestOffset in EVERY trigger mode — it delegates to getOffset, so
+  // continuous-trigger behavior is unchanged.
+
+  @volatile private var availableNowCap: Option[Pos] = None
+
+  override def prepareForTriggerAvailableNow(): Unit = {
+    val latest = catalog.versions(ns, table).lastOption.getOrElse(0)
+    availableNowCap = Some(Pos(latest, -1, snap = false))
+  }
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
+    val next = getOffset
+    (next.map(parsePos), availableNowCap) match {
+      case (Some(n), Some(cap)) => render(if (n > cap) cap else n)
+      case (Some(n), None) => render(n)
+      case (None, _) => null
+    }
+  }
+
+  override def reportLatestOffset(): OffsetV2 = {
+    val latest = catalog.versions(ns, table).lastOption.getOrElse(0)
+    if (latest == 0) null else render(Pos(latest, -1, snap = false))
+  }
 
   override def commit(end: OffsetV1): Unit = {
     val p = parsePos(end)

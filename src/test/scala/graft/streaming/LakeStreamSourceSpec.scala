@@ -270,6 +270,29 @@ class LakeStreamSourceSpec extends SparkSpec {
     assert(all.select("id").distinct().count() === 23)
   }
 
+  test("Trigger.AvailableNow drains the rate-limited backlog as bounded batches, then stops") {
+    val root = tmp()
+    val cat = LakeCatalog(spark, root.toString)
+    (0 until 4).foreach(i =>
+      cat.write("s", "an", rows(3, i * 3), if (i == 0) SaveMode.Overwrite else SaveMode.Append))
+    val cp = root.resolve("cp").toString
+    val outDir = root.resolve("out").toString
+    // the 100 TB catch-up shape: a scheduled JOB (not a resident stream)
+    // drains everything available in rate-limited micro-batches and exits
+    val q = EventStreams.readLakeStream(spark, cat.root, "s", "an",
+      Map("maxfilespertrigger" -> "2"))
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", cp)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), "AvailableNow query must self-terminate")
+    val out = spark.read.parquet(outDir)
+    assert(out.count() === 12)
+    assert(out.select("id").distinct().count() === 12)
+    val batches = new java.io.File(cp, "offsets").list().count(!_.startsWith("."))
+    assert(batches >= 2, s"expected the 4-dir snapshot split across batches, got $batches")
+  }
+
   test("persisted position: a restarted rate-limited source never regresses below the committed checkpoint") {
     val root = tmp()
     val cat = LakeCatalog(spark, root.toString)
