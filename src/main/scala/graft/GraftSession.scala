@@ -46,6 +46,12 @@ object GraftSession {
         (cpus.toInt * 8).toString)
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      // the `graft` v2 catalog: graft.<ns>.<table> names resolve through
+      // the catalog manager like any other table (GraftTableCatalog marker
+      // + GraftRelationRule swap), and SHOW NAMESPACES/TABLES, DESCRIBE,
+      // DROP TABLE, VERSION/TIMESTAMP AS OF all speak standard grammar.
+      // A runtime SQL conf — spark-submit/conf.set work on a real cluster.
+      .config("spark.sql.catalog.graft", "graft.sql.GraftTableCatalog")
       // scheme-qualified on purpose: every run (tests, bench, verify)
       // exercises the Hadoop-FS path the warehouse-dir consumers must
       // speak, the same contract as the lake catalog's file://hdfs://s3a://

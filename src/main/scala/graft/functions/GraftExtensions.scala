@@ -29,6 +29,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // CREATE TABLE graft.ns.t AS ..., and graft.ns.t [VERSION AS OF n]
     // reads inside any query — everything else delegates verbatim
     ext.injectParser((_, delegate) => new graft.sql.GraftSqlParser(delegate))
+    // side-effect-free resolution of graft.<ns>.<t> references: the parser
+    // leaves them as (3- or 4-part) UnresolvedRelations; this rule resolves
+    // them in the analyzer — no parse-time temp views (VERDICT r14 #2)
+    ext.injectResolutionRule(s => graft.sql.GraftRelationRule(s))
     ext.injectFunction((
       new FunctionIdentifier("graft_shingle_hashes"),
       new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingle_hashes"),

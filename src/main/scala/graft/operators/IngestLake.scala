@@ -291,9 +291,15 @@ object IngestLake {
         (p.toString, Some(p))
     }
 
+  // ONE hook covers every memoized-scenario cache (ADVICE r14: the
+  // sqlSurface cache copied the memoization pattern but its scratch dirs
+  // weren't in the hook, so they leaked on exit unless a dead-session
+  // eviction happened to run first)
   private lazy val cdcShutdownHook: Unit =
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      cdcCache.values().forEach(_._2.foreach(deleteRecQuiet))))
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      cdcCache.values().forEach(_._2.foreach(deleteRecQuiet))
+      sqlSurfaceCache.values().forEach(_._2.foreach(deleteRecQuiet))
+    }))
 
   private def deleteRecQuiet(root: java.nio.file.Path): Unit =
     try {

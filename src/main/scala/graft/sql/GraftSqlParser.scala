@@ -144,7 +144,20 @@ object GraftSqlParser {
     sqlText match {
       case _ if MergeHead.findPrefixMatchOf(sqlText).isDefined =>
         Some(parseMerge(sqlText))
-      case Ctas(ns, t, _, select) => Some(GraftCtasCommand(ns, t, select))
+      case Ctas(ns, t, fmt, select) =>
+        // graft tables are parquet + versioned manifests — the layout
+        // IcebergExport/DeltaExport can render as either open spec, so
+        // iceberg/delta/parquet are render-equivalent and accepted. Any
+        // other `USING <format>` (csv, json, …) would silently store
+        // different bytes than asked for: refuse loudly, the same policy
+        // as unsupported MERGE WHEN shapes (ADVICE r14).
+        Option(fmt).map(_.toLowerCase).foreach(f =>
+          require(Set("iceberg", "delta", "parquet").contains(f),
+            s"CREATE TABLE graft.$ns.$t USING $fmt: graft CTAS stores " +
+              "parquet + versioned manifests (adoptable as iceberg or " +
+              "delta); USING iceberg|delta|parquet are the render-" +
+              s"equivalent spellings — '$fmt' is not"))
+        Some(GraftCtasCommand(ns, t, select))
       case UpdateHead(ns, t, rest) =>
         // top-level WHERE split (string literals and parens are opaque)
         val i = topLevelIndexOf(rest, "WHERE")
@@ -166,68 +179,47 @@ object GraftSqlParser {
       case _ => None
     }
 
-  /** Swap every `graft.ns.t [VERSION AS OF n]` reference for a temp view
-    * backed by the catalog read — parse-time resolution, so the delegate
-    * parser (and the analyzer) see ordinary SQL. Deterministic view names
-    * make re-parsing idempotent.
+  /** Rewrite the one NON-SPARK piece of read grammar — the `STREAM`
+    * prefix (Databricks idiom; Spark has no spelling for "this relation
+    * is a stream") — into the 4-part name `graft.ns.t.`@stream``, which
+    * [[GraftTableCatalog]] refuses (NoSuchTable) so [[GraftRelationRule]]
+    * can claim the still-unresolved relation and plan a `graft-lake`
+    * readStream. A PURE string transform (VERDICT r14 #2): no session
+    * access, no temp views, no side effects — `EXPLAIN` and dry parses
+    * mutate nothing.
+    *
+    * Everything else — plain `graft.ns.t`, `VERSION AS OF n`,
+    * `TIMESTAMP AS OF 'ts'` — is left UNTOUCHED: those are standard
+    * grammar the delegate parses natively, resolved by the registered
+    * `graft` catalog's loadTable (time-travel overloads included).
     */
   private def rewriteReads(sqlText: String): String = {
     if (!TableRef.findFirstIn(sqlText).isDefined) return sqlText
-    val spark = SparkSession.getActiveSession.getOrElse(
-      return sqlText) // no session (shouldn't happen mid-sql): leave as-is
-    // string literals are opaque: `SELECT 'see FROM graft.x.y' …` must
-    // pass through byte-identical (the keyword anchor alone protects
-    // identifiers, not quoted strings — VERDICT r13). A match is
-    // rewritten only when it STARTS outside every quoted span — the
-    // match itself may legitimately contain one (`TIMESTAMP AS OF '…'`).
+    // string literals and backticked identifiers are opaque: `SELECT
+    // 'see FROM STREAM graft.x.y' …` must pass through byte-identical
+    // (the keyword anchor alone protects bare identifiers, not quoted
+    // spans — VERDICT r13/ADVICE r14). A match is rewritten only when it
+    // STARTS outside every quoted span.
     val spans = literalSpans(sqlText)
     def inLiteral(pos: Int): Boolean =
       spans.exists(sp => pos >= sp._1 && pos < sp._2)
     TableRef.replaceAllIn(sqlText, m =>
-      if (inLiteral(m.start))
+      if (inLiteral(m.start) || m.group(3) == null)
         scala.util.matching.Regex.quoteReplacement(m.matched)
       else {
-        val stream = m.group(3) != null
         val (ns, t) = (m.group(4), m.group(5))
-        val version = Option(m.group(7)).map(_.toLong)
-        val asOf = Option(m.group(8))
-        if (stream) {
-          // `FROM STREAM graft.ns.t` — the Databricks STREAM idiom: the
-          // reference becomes a graft-lake readStream view, so the whole
-          // statement plans as a STREAMING DataFrame the caller hands to
-          // writeStream. Options come from the session conf
-          // ([[StreamOptionPrefix]]); offsets/time travel make no sense
-          // on a continuous read and refuse loudly.
-          require(version.isEmpty && asOf.isEmpty,
-            s"STREAM graft.$ns.$t cannot combine with VERSION/TIMESTAMP AS " +
-              "OF — a stream's position is its checkpoint, not a snapshot pin")
-          val root = spark.conf.getOption(RootConf).getOrElse(sys.error(
-            s"set $RootConf to the lake root before using graft.<ns>.<table> SQL"))
-          val opts = spark.conf.getAll
-            .collect { case (k, v) if k.startsWith(StreamOptionPrefix) =>
-              k.stripPrefix(StreamOptionPrefix) -> v }
-          val view = s"graft_stream_${ns}_$t"
-          spark.readStream.format("graft-lake")
-            .option("root", root).option("table", s"$ns.$t")
-            .options(opts).load()
-            .createOrReplaceTempView(view)
-          m.group(1) + m.group(2) + view
-        } else {
-          val view = s"graft_${ns}_${t}" + version.fold("")(v => s"_v$v") +
-            asOf.fold("")(s => "_t" + java.lang.Integer.toHexString(s.hashCode))
-          val df = (version, asOf) match {
-            case (Some(v), _) => catalogOf(spark).read(ns, t, Some(v.toInt))
-            case (_, Some(ts)) => catalogOf(spark).readAsOf(ns, t, parseAsOf(ts))
-            case _ => catalogOf(spark).read(ns, t)
-          }
-          df.createOrReplaceTempView(view)
-          m.group(1) + m.group(2) + view
-        }
+        // offsets/time travel make no sense on a continuous read
+        require(m.group(7) == null && m.group(8) == null,
+          s"STREAM graft.$ns.$t cannot combine with VERSION/TIMESTAMP AS " +
+            "OF — a stream's position is its checkpoint, not a snapshot pin")
+        m.group(1) + m.group(2) + s"graft.$ns.$t.`@stream`"
       })
   }
 
-  /** Spans [start, endExcl) of single- or double-quoted string literals;
-    * a backslash escapes the next char inside a literal, and a doubled
+  /** Spans [start, endExcl) of single-/double-quoted string literals AND
+    * backtick-quoted identifiers (ADVICE r14: an identifier whose text
+    * contains `FROM graft.x.y` must survive the read rewrite too); a
+    * backslash escapes the next char inside a literal, and a doubled
     * quote reads as close-then-reopen (net effect: still masked).
     */
   private def literalSpans(s: String): Seq[(Int, Int)] = {
@@ -236,7 +228,7 @@ object GraftSqlParser {
     val n = s.length
     while (i < n) {
       val c = s.charAt(i)
-      if (c == '\'' || c == '"') {
+      if (c == '\'' || c == '"' || c == '`') {
         val start = i
         var j = i + 1
         while (j < n && s.charAt(j) != c) {
@@ -249,21 +241,6 @@ object GraftSqlParser {
       } else i += 1
     }
     out.result()
-  }
-
-  /** `TIMESTAMP AS OF` literal: epoch millis when all digits, else the SQL
-    * timestamp format (`yyyy-MM-dd[ HH:mm:ss[.f…]]`), interpreted in UTC —
-    * the engine's session timezone (GraftSession pins UTC), so SQL time
-    * travel and `readAsOf` agree.
-    */
-  private def parseAsOf(ts: String): Long = {
-    val s = ts.trim
-    if (s.forall(_.isDigit)) s.toLong
-    else {
-      val full = if (s.contains(" ") || s.contains("T")) s else s + " 00:00:00"
-      java.time.LocalDateTime.parse(full.replace(' ', 'T'))
-        .atZone(java.time.ZoneOffset.UTC).toInstant.toEpochMilli
-    }
   }
 
   /** Full MERGE grammar — covers the reference's LITERAL emitted statement
@@ -428,19 +405,21 @@ object GraftSqlParser {
     out.result().filter(_.nonEmpty)
   }
 
-  /** Split on TOP-LEVEL commas only (parens and single-quoted strings are
-    * opaque), so `SET a = greatest(b, c), d = 'x,y'` parses as two
-    * assignments.
+  /** Split on TOP-LEVEL commas only (parens and quoted spans — single,
+    * double, backtick, the same three kinds [[topLevelIndexOf]] masks —
+    * are opaque), so `SET a = greatest(b, c), d = 'x,y', e = "p,q"`
+    * parses as three assignments (ADVICE r14 closed the double-quote
+    * hole).
     */
   private[sql] def splitTop(s: String): Seq[String] = {
     val out = Seq.newBuilder[String]
     val cur = new StringBuilder
     var depth = 0
-    var inStr = false
+    var quote: Char = 0
     s.foreach { c =>
-      if (inStr) { if (c == '\'') inStr = false; cur += c }
+      if (quote != 0) { if (c == quote) quote = 0; cur += c }
       else c match {
-        case '\'' => inStr = true; cur += c
+        case '\'' | '"' | '`' => quote = c; cur += c
         case '(' => depth += 1; cur += c
         case ')' => depth -= 1; cur += c
         case ',' if depth == 0 => out += cur.result(); cur.clear()

@@ -199,7 +199,7 @@ object EventStreams {
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        catalog.writeTxn(ns, table, appId, batchId, batch.toDF())
+        SinkOps.landAppend(catalog, ns, table, appId, batchId, batch.toDF())
         (): Unit
       }
       .start()
@@ -281,8 +281,15 @@ object EventStreams {
       key: String,
       checkpoint: String,
       options: Map[String, String] = Map.empty): org.apache.spark.sql.streaming.StreamingQuery = {
-    val feed = readLakeStream(spark, srcRoot, srcNs, srcTable,
+    val feed0 = readLakeStream(spark, srcRoot, srcNs, srcTable,
       options + ("changefeed" -> "true"))
+    // a source whose DATA already carries `_op` would be silently clobbered
+    // by the CDC op column below and then dropped by applyCdc — refuse
+    // loudly, the `_change` collision treatment (ADVICE r14)
+    require(!feed0.schema.fieldNames.contains("_op"),
+      s"$srcNs.$srcTable already has an `_op` column — replication would " +
+        "clobber it with CDC op metadata; rename the column before replicating")
+    val feed = feed0
       .withColumn("_op",
         when(col("_change") === lit("delete"), lit("delete"))
           .otherwise(lit("upsert")))
@@ -337,7 +344,6 @@ object EventStreams {
       table: String,
       key: String,
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
-    val merger = new graft.lake.TableMerger(catalog)
     // MERGE converges under replay by construction (same keys upsert to
     // the same rows), so correctness never needed a guard — the watermark
     // makes a replayed batch SKIP the merge entirely (exactly-once result
@@ -348,10 +354,7 @@ object EventStreams {
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        if (!catalog.txnVersion(ns, table, appId).exists(_ >= batchId)) {
-          if (!batch.isEmpty) { merger.mergeTable(batch.toDF(), ns, table, Some(key)); () }
-          catalog.recordTxn(ns, table, appId, batchId)
-        }
+        SinkOps.landUpsert(catalog, ns, table, key, appId, batchId, batch.toDF())
         (): Unit
       }
       .start()
@@ -380,7 +383,6 @@ object EventStreams {
       key: String,
       checkpoint: String,
       orderCol: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
-    val merger = new graft.lake.TableMerger(catalog)
     // same replay-skip watermark as streamUpsertIntoLake: applyCdc
     // converges under replay (latest-event-wins), the guard skips the work
     val appId = sinkAppId(ns, table, checkpoint)
@@ -388,12 +390,7 @@ object EventStreams {
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        if (!catalog.txnVersion(ns, table, appId).exists(_ >= batchId)) {
-          if (!batch.isEmpty) {
-            merger.applyCdc(batch.toDF(), ns, table, Some(key), orderCol = orderCol); ()
-          }
-          catalog.recordTxn(ns, table, appId, batchId)
-        }
+        SinkOps.landCdc(catalog, ns, table, key, appId, batchId, batch.toDF(), orderCol)
         (): Unit
       }
       .start()

@@ -1,0 +1,69 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+
+/** The landing bodies of the stream→lake sinks, factored out of
+  * [[EventStreams]]' foreachBatch helpers (VERDICT r14 #1) so the native
+  * `writeStream.format("graft-lake")` sink
+  * ([[org.apache.spark.sql.graft.LakeStreamSink]]) and the code-first
+  * helpers run the SAME exactly-once machinery — one implementation, two
+  * entrypoints. Every mode is idempotent under Structured Streaming's
+  * at-least-once batch redelivery via the B39 txn watermark (appId ×
+  * batchId riding the atomically-published manifest):
+  *
+  *   - `append`: [[graft.lake.LakeCatalog.writeTxn]] — a replayed batch
+  *     is a metadata-checked NO-OP (exactly-once data);
+  *   - `upsert`: file-scoped MERGE per batch; the merge converges under
+  *     replay by construction, and the watermark makes a replayed batch
+  *     skip the work entirely (exactly-once result, at-most-twice work);
+  *   - `cdc`: [[graft.lake.TableMerger.applyCdc]] — upserts + delete
+  *     tombstones (an `_op` column) in ONE file-scoped pass per batch,
+  *     same replay-skip guard.
+  */
+object SinkOps {
+
+  /** Public spelling of the sink's replay-guard identity (see
+    * [[EventStreams.sinkAppId]] for the normalization contract).
+    */
+  def appIdFor(ns: String, table: String, checkpoint: String): String =
+    EventStreams.sinkAppId(ns, table, checkpoint)
+
+  def landAppend(
+      catalog: graft.lake.LakeCatalog,
+      ns: String, table: String,
+      appId: String, batchId: Long,
+      batch: DataFrame): Unit = {
+    catalog.writeTxn(ns, table, appId, batchId, batch)
+    ()
+  }
+
+  def landUpsert(
+      catalog: graft.lake.LakeCatalog,
+      ns: String, table: String, key: String,
+      appId: String, batchId: Long,
+      batch: DataFrame): Unit =
+    if (!catalog.txnVersion(ns, table, appId).exists(_ >= batchId)) {
+      if (!batch.isEmpty) {
+        new graft.lake.TableMerger(catalog).mergeTable(batch, ns, table, Some(key))
+        ()
+      }
+      catalog.recordTxn(ns, table, appId, batchId)
+      ()
+    }
+
+  def landCdc(
+      catalog: graft.lake.LakeCatalog,
+      ns: String, table: String, key: String,
+      appId: String, batchId: Long,
+      batch: DataFrame,
+      orderCol: Option[String]): Unit =
+    if (!catalog.txnVersion(ns, table, appId).exists(_ >= batchId)) {
+      if (!batch.isEmpty) {
+        new graft.lake.TableMerger(catalog)
+          .applyCdc(batch, ns, table, Some(key), orderCol = orderCol)
+        ()
+      }
+      catalog.recordTxn(ns, table, appId, batchId)
+      ()
+    }
+}

@@ -28,6 +28,26 @@ object GraftBridge {
   def column(e: Expression): Column =
     classic.ExpressionUtils.column(e)
 
+  /** A DataFrame's ANALYZED logical plan — the substitution target for
+    * analyzer-rule relation resolution (graft.sql.GraftRelationRule).
+    */
+  def analyzed(df: Dataset[Row]): LogicalPlan =
+    df.asInstanceOf[classic.Dataset[Row]].queryExecution.analyzed
+
+  /** Pin a v1 `Sink.addBatch` frame as a fresh BATCH DataFrame: the frame
+    * Spark hands a v1 sink rides the micro-batch's already-incrementalized
+    * plan, which must not be re-analyzed under batch rules — wrap its
+    * executed RDD in a non-streaming LogicalRDD first (the ForeachBatchSink
+    * pattern) so downstream batch machinery (MERGE planning, writers) can
+    * re-plan freely.
+    */
+  def sinkBatch(df: Dataset[Row]): Dataset[Row] = {
+    val cdf = df.asInstanceOf[classic.Dataset[Row]]
+    val node = execution.LogicalRDD.fromDataset(
+      cdf.queryExecution.toRdd, cdf, isStreaming = false)
+    ofRows(df.sparkSession, node)
+  }
+
   /** Stable per-session identity (collision-free, unlike identityHashCode) —
     * used to key session-scoped caches.
     */

@@ -226,9 +226,20 @@ final class LakeStreamSource(
     (data.sorted, dvs.nonEmpty)
   }
 
-  /** Sorted dirs ADDED by version v over its predecessor. */
+  /** Sorted dirs ADDED by version v over its predecessor. Guards the
+    * predecessor's existence up front (ADVICE r14): getOffset's rate-limit
+    * planning reads v-1's manifest too, and an expired predecessor must
+    * surface as the restart-from-a-fresh-checkpoint message — the same
+    * contract getBatch/slicedBatch enforce — not a raw manifest-read error.
+    */
   private def deltaDirs(v: Int): Seq[String] = {
-    val (oldData, _) = catalog.snapshotEntries(ns, table, v - 1)
+    val vs = catalog.versions(ns, table)
+    require(vs.contains(v) && (v == 1 || vs.contains(v - 1)),
+      s"snapshot window for v$v of $ns.$table has been expired; restart " +
+        "from a fresh checkpoint (and align snapshot retention with the " +
+        "longest consumer downtime)")
+    val oldData =
+      if (v == 1) Seq.empty[String] else catalog.snapshotEntries(ns, table, v - 1)._1
     val (newData, _) = catalog.snapshotEntries(ns, table, v)
     newData.filterNot(oldData.toSet).sorted
   }
@@ -479,7 +490,13 @@ object LakeStreamSource {
     override def compare(that: Pos): Int = {
       if (v != that.v) v.compare(that.v)
       else if ((d < 0) != (that.d < 0)) { if (d < 0) 1 else -1 }
-      else d.compare(that.d)
+      else if (d != that.d) d.compare(that.d)
+      // snap tie-break keeps the Ordered instance CONSISTENT WITH EQUALS
+      // (ADVICE r14): snapshot and delta cursors never share a version
+      // today, but max()/sorting over persisted markers must not pick an
+      // arbitrary winner if that invariant ever breaks. A snapshot cursor
+      // (the initial, bigger window) sorts above the same-v delta cursor.
+      else java.lang.Boolean.compare(snap, that.snap)
     }
   }
 
