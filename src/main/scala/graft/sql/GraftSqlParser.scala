@@ -140,6 +140,16 @@ object GraftSqlParser {
     */
   val StreamOptionPrefix = "spark.graft.sql.streamOptions."
 
+  /** Session conf naming the CHECKPOINT ROOT for one-statement streaming
+    * INSERTs (`INSERT INTO graft.ns.dst SELECT … FROM STREAM
+    * graft.ns.src`): each destination's query checkpoints at
+    * `<root>/<ns>.<table>`, so re-running the SAME statement resumes the
+    * SAME lineage — the scheduled-job shape, exactly-once across runs
+    * (source offsets ride the checkpoint; the sink's txn watermark makes
+    * replays no-ops).
+    */
+  val StreamCheckpointConf = "spark.graft.sql.streamCheckpoints"
+
   private def interceptStatement(sqlText: String): Option[LogicalPlan] =
     sqlText match {
       case _ if MergeHead.findPrefixMatchOf(sqlText).isDefined =>
@@ -483,16 +493,48 @@ object GraftSqlParser {
     * merge_utils.py:46-54), prior versions still time-travelable. The
     * inner query goes back through the session parser, so it may itself
     * read `graft.<ns>.<t>` tables.
+    *
+    * ONE-STATEMENT STREAMING PIPELINE (VERDICT r14 #1): when the inner
+    * select reads `FROM STREAM graft.ns.src`, the whole statement plans
+    * source→transform→sink as a `graft-lake`-sink streaming query run
+    * under `Trigger.AvailableNow` — drain everything available in
+    * rate-limited micro-batches, then return. The checkpoint lives at
+    * `<[[StreamCheckpointConf]]>/<ns>.<table>`, so RE-RUNNING the same
+    * statement resumes the same lineage and processes only what's new:
+    * the scheduled-incremental-job shape, exactly-once end to end
+    * (snapshot-version offsets in, txn-watermarked commits out).
     */
   case class GraftInsertCommand(ns: String, table: String, select: String,
       overwrite: Boolean = false) extends LeafRunnableCommand {
     override def output: Seq[Attribute] = outCols
     override def run(spark: SparkSession): Seq[Row] = {
       val cat = catalogOf(spark)
-      val v = cat.write(ns, table, spark.sql(select),
-        if (overwrite) org.apache.spark.sql.SaveMode.Overwrite
-        else org.apache.spark.sql.SaveMode.Append)
-      Seq(Row(s"$ns.$table", v.toLong))
+      val df = spark.sql(select)
+      val v: Long =
+        if (df.isStreaming) {
+          require(!overwrite,
+            "INSERT OVERWRITE cannot take a STREAM source — a stream lands " +
+              "incremental appends; use a batch INSERT OVERWRITE, or a " +
+              "foreachBatch sink for per-batch overwrite semantics")
+          val cpRoot = spark.conf.getOption(StreamCheckpointConf).getOrElse(
+            sys.error(s"set $StreamCheckpointConf to a durable checkpoint " +
+              "root before INSERT INTO … FROM STREAM (re-running the " +
+              "statement resumes its lineage from there)"))
+          val root = spark.conf.getOption(RootConf).getOrElse(sys.error(
+            s"set $RootConf to the lake root before using graft.<ns>.<table> SQL"))
+          val q = df.writeStream.format("graft-lake")
+            .option("root", root).option("table", s"$ns.$table")
+            .option("checkpointLocation",
+              s"${cpRoot.stripSuffix("/")}/$ns.$table")
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          try q.awaitTermination() finally { if (q.isActive) q.stop() }
+          cat.versions(ns, table).lastOption.getOrElse(0).toLong
+        } else cat.write(ns, table, df,
+          if (overwrite) org.apache.spark.sql.SaveMode.Overwrite
+          else org.apache.spark.sql.SaveMode.Append).toLong
+      Seq(Row(s"$ns.$table", v))
     }
   }
 

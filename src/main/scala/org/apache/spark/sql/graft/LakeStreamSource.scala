@@ -523,17 +523,76 @@ object LakeStreamSource {
   private val StartMarker = """start-(\d+)""".r
 }
 
-/** `spark.readStream.format("graft-lake")` provider. Options (lowercased
-  * by Spark): `root` (lake warehouse root), `table` ("ns.table"),
-  * `startingVersion` (int or "latest"), `ignoreChanges` (bool),
-  * `maxVersionsPerTrigger` (int — backlog rate limit),
-  * `maxFilesPerTrigger` (int — dir-granular rate limit: splits the
-  * initial snapshot and over-sized append windows across micro-batches),
-  * `changeFeed` (bool — emit the snapshot diff per window with a
-  * `_change` column, inserts AND deletes, so non-append commits stream
-  * faithfully).
+/** A graft lake table as a NATIVE STREAMING SINK (VERDICT r14 #1) —
+  * `stream.writeStream.format("graft-lake").option(...)` lands every
+  * micro-batch through the SAME exactly-once machinery the foreachBatch
+  * helpers use ([[graft.streaming.SinkOps]]): the B39 txn watermark
+  * (appId × batchId in the atomically-published manifest) makes a
+  * replayed batch a no-op. With the source above this completes the
+  * symmetric SQL-first story: `FROM STREAM graft.ns.t` reads and
+  * `INSERT INTO graft.ns.dst SELECT … FROM STREAM graft.ns.src` writes,
+  * each one statement.
+  *
+  * Modes (`mode` option): `append` (default — one idempotent append
+  * commit per batch), `upsert` (file-scoped MERGE per batch on `key`),
+  * `cdc` (upserts + `_op` tombstones through applyCdc, optional
+  * `orderCol`). A durable `checkpointLocation` is REQUIRED — the replay
+  * guard's identity is the checkpoint lineage.
   */
-final class LakeStreamProvider extends StreamSourceProvider with DataSourceRegister {
+final class LakeStreamSink(
+    spark: SparkSession,
+    root: String,
+    ns: String,
+    table: String,
+    params: Map[String, String],
+    checkpoint: String) extends org.apache.spark.sql.execution.streaming.Sink {
+
+  import graft.streaming.SinkOps
+
+  private val catalog = graft.lake.LakeCatalog(spark, root)
+  private val mode = params.getOrElse("mode", "append").toLowerCase
+  require(Set("append", "upsert", "cdc").contains(mode),
+    s"graft-lake sink mode must be append|upsert|cdc, got '$mode'")
+  private val key = params.get("key")
+  require(mode == "append" || key.isDefined,
+    s"graft-lake sink mode=$mode requires option 'key' (the merge key column)")
+  private val orderCol = params.get("ordercol")
+  private val appId = SinkOps.appIdFor(ns, table, checkpoint)
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    // the engine hands a frame riding the micro-batch's incrementalized
+    // plan; pin it as a fresh batch frame (the ForeachBatchSink pattern)
+    // before the landing logic re-plans it
+    val batch = GraftBridge.sinkBatch(data)
+    mode match {
+      case "append" => SinkOps.landAppend(catalog, ns, table, appId, batchId, batch)
+      case "upsert" => SinkOps.landUpsert(catalog, ns, table, key.get, appId, batchId, batch)
+      case "cdc" => SinkOps.landCdc(catalog, ns, table, key.get, appId, batchId, batch, orderCol)
+    }
+  }
+
+  override def toString: String = s"LakeStreamSink($ns.$table @ $root, mode=$mode)"
+}
+
+/** `spark.readStream.format("graft-lake")` source provider AND
+  * `writeStream.format("graft-lake")` sink provider (one registration —
+  * the same short name reads and writes, like the Delta source).
+  *
+  * Source options (lowercased by Spark): `root` (lake warehouse root),
+  * `table` ("ns.table"), `startingVersion` (int or "latest"),
+  * `ignoreChanges` (bool), `maxVersionsPerTrigger` (int — backlog rate
+  * limit), `maxFilesPerTrigger` (int — dir-granular rate limit: splits
+  * the initial snapshot and over-sized append windows across
+  * micro-batches), `changeFeed` (bool — emit the snapshot diff per
+  * window with a `_change` column, inserts AND deletes, so non-append
+  * commits stream faithfully).
+  *
+  * Sink options: `root`, `table`, `mode` (append|upsert|cdc), `key`
+  * (merge key for upsert/cdc), `orderCol` (cdc LSN column); a durable
+  * `checkpointLocation` is required.
+  */
+final class LakeStreamProvider extends StreamSourceProvider
+    with org.apache.spark.sql.sources.StreamSinkProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-lake"
 
@@ -547,6 +606,26 @@ final class LakeStreamProvider extends StreamSourceProvider with DataSourceRegis
       case _ => throw new IllegalArgumentException(
         s"option 'table' must be \"ns.table\", got: $tbl")
     }
+  }
+
+  override def createSink(
+      ctx: SQLContext,
+      params: Map[String, String],
+      partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode): org.apache.spark.sql.execution.streaming.Sink = {
+    val (root, ns, t) = resolve(params)
+    // Complete mode re-emits the FULL result every trigger: landing that
+    // as appends would duplicate, and as merges would never delete
+    // dropped groups — no lake-commit semantics match it; refuse loudly.
+    require(outputMode != org.apache.spark.sql.streaming.OutputMode.Complete(),
+      "graft-lake sink supports Append/Update output (per-batch delta " +
+        "commits); land a Complete-mode aggregate through foreachBatch + " +
+        "INSERT OVERWRITE instead")
+    val cp = params.getOrElse("checkpointlocation",
+      throw new IllegalArgumentException(
+        "graft-lake sink requires a durable checkpointLocation — the " +
+          "exactly-once replay guard is keyed on the checkpoint lineage"))
+    new LakeStreamSink(ctx.sparkSession, root, ns, t, params, cp)
   }
 
   override def sourceSchema(

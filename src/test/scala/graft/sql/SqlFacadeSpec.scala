@@ -324,6 +324,51 @@ class SqlFacadeSpec extends SparkSpec {
     }
   }
 
+  test("one-statement streaming pipeline: INSERT INTO … SELECT … FROM STREAM, exactly-once across re-runs (VERDICT r14 #1)") {
+    import spark.implicits._
+    withRoot { root =>
+      val cpRoot = Files.createTempDirectory("graft_sqlcp_").toString
+      spark.conf.set(GraftSqlParser.StreamCheckpointConf, cpRoot)
+      try {
+        (1 to 8).map(i => (i.toLong, i * 2.0)).toDF("id", "v")
+          .createOrReplaceTempView("osp_src")
+        spark.sql(
+          "CREATE TABLE graft.osp.src AS SELECT * FROM osp_src WHERE id <= 4")
+          .collect()
+        // ONE statement: stream source → transform → graft-lake sink,
+        // drained under Trigger.AvailableNow
+        val stmt =
+          """INSERT INTO graft.osp.dst
+             SELECT id, v * 10 AS v10 FROM STREAM graft.osp.src WHERE id <> 3"""
+        spark.sql(stmt).collect()
+        assert(spark.sql("SELECT id FROM graft.osp.dst ORDER BY id")
+          .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 4L))
+        // append to the source, re-run the SAME statement: the shared
+        // checkpoint lineage processes ONLY the delta (the scheduled-job
+        // shape) — no snapshot re-emission, no duplicates
+        spark.sql("INSERT INTO graft.osp.src SELECT * FROM osp_src WHERE id > 4")
+          .collect()
+        spark.sql(stmt).collect()
+        val rows = spark.sql("SELECT id, v10 FROM graft.osp.dst ORDER BY id")
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        assert(rows == Seq(1L -> 20.0, 2L -> 40.0, 4L -> 80.0,
+          5L -> 100.0, 6L -> 120.0, 7L -> 140.0, 8L -> 160.0), rows.toString)
+        // a third run with nothing new lands nothing (no empty commits
+        // would be wrong too — version count stays put)
+        val vBefore = graft.lake.LakeCatalog(spark, root).versions("osp", "dst")
+        spark.sql(stmt).collect()
+        assert(graft.lake.LakeCatalog(spark, root).versions("osp", "dst") == vBefore)
+        // OVERWRITE + STREAM refuses loudly
+        val e = intercept[Exception] {
+          spark.sql(
+            "INSERT OVERWRITE graft.osp.dst SELECT * FROM STREAM graft.osp.src")
+            .collect()
+        }
+        assert(e.getMessage.contains("STREAM"), e.getMessage)
+      } finally spark.conf.unset(GraftSqlParser.StreamCheckpointConf)
+    }
+  }
+
   test("resolution is side-effect-free: EXPLAIN/parse leave the temp-view catalog unchanged (VERDICT r14 #2)") {
     import spark.implicits._
     withRoot { root =>
