@@ -284,6 +284,65 @@ final class LakeCatalog(
       wanted: Seq[String]): DataFrame =
     readDirsClean(ns, t, manifestEntries(ns, t, version), wanted)
 
+  /** Streaming-source seam (r15 `maxBytesPerTrigger`): the parquet files
+    * of one commit dir — (name, bytes) sorted by name — when the dir is
+    * FLAT (no hive partitioning), None otherwise. One `listStatus` of
+    * metadata; commit dirs are immutable so callers may cache.
+    */
+  def commitFilesIfFlat(ns: String, t: String, rel: String): Option[Seq[(String, Long)]] = {
+    val sts = fs.listStatus(new Path(tPath(ns, t), rel))
+    if (sts.exists(_.isDirectory)) None
+    else Some(sts.toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName).map(st => (st.getPath.getName, st.getLen)))
+  }
+
+  /** Total bytes under a commit dir (nested layouts included) — the
+    * byte-cap admission weight of an UNSPLITTABLE unit.
+    */
+  def commitBytes(ns: String, t: String, rel: String): Long =
+    fs.getContentSummary(new Path(tPath(ns, t), rel)).getLength
+
+  /** Data entries of snapshot `version` that carry deletion-vector marks —
+    * a marked dir cannot stream as a plain file slice (its rows need the
+    * DV anti-join), so the byte-capped source treats it as one unit read
+    * through [[readSnapshotDirs]]. Metadata-plus-one-tiny-collect (the
+    * KB-sized dv sidecars' distinct file parents).
+    */
+  def dvMarkedDataRels(ns: String, t: String, version: Int): Set[String] = {
+    val e = manifestEntries(ns, t, version)
+    val dvs = dvRels(e)
+    if (dvs.isEmpty) Set.empty
+    else {
+      val m = markedDirs(ns, t, dvs)
+      dataRels(e).filter(rel => entryMarked(m, rel)).toSet
+    }
+  }
+
+  /** Streaming-source seam: scan of a WINDOW SLICE — `fullDirs` in one
+    * grouped scan plus per-dir explicit FILE sub-lists (`partials`, each
+    * (dir, fileNames)). `cleanVersion = Some(v)` reads the full dirs
+    * DV-clean against snapshot v (partial dirs must be unmarked — the
+    * byte-capped source never splits a marked dir).
+    */
+  def readWindowSlice(
+      ns: String, t: String,
+      fullDirs: Seq[String],
+      partials: Seq[(String, Seq[String])],
+      cleanVersion: Option[Int]): DataFrame = {
+    val fulls =
+      if (fullDirs.isEmpty) Nil
+      else Seq(cleanVersion match {
+        case Some(v) => readSnapshotDirs(ns, t, v, fullDirs)
+        case None => readDirs(ns, t, fullDirs)
+      })
+    val parts = partials.map { case (rel, names) =>
+      val d = new Path(tPath(ns, t), rel)
+      spark.read.parquet(names.map(n => new Path(d, n).toString): _*)
+    }
+    SchemaTools.unifySchemas(fulls ++ parts)
+  }
+
   /** Latest committed version and its manifest entries (relative data
     * dirs) — the read side of a file-scoped rewrite: callers stage against
     * this version and pass it to [[commitRewrite]] as the CAS base.

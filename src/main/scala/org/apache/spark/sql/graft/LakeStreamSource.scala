@@ -55,7 +55,18 @@ import org.apache.spark.sql.types.StructType
   *     `{"v":V,"d":D,"snap":B}` (completed versions keep the plain
   *     integer encoding, so pre-r14 checkpoints parse unchanged).
   *     Change-feed windows are snapshot DIFFS, not dir unions, so the
-  *     file cap does not apply there (the version cap does).
+  *     file cap does not apply there (the version cap does);
+  *   - `maxBytesPerTrigger` (r15, VERDICT r14 #4): at most ~N BYTES per
+  *     micro-batch, slicing WITHIN a dir by FILE — the refinement dir
+  *     granularity can't reach (after OPTIMIZE a snapshot is a few huge
+  *     dirs and dir slices regrow to commit size; a single-CTAS table is
+  *     ONE dir). Offsets gain a file cursor (`"f":F` in the JSON, only
+  *     present mid-dir — dir-granular lineages stay byte-identical), so
+  *     restarts resume mid-dir. Hive-partitioned and DV-marked dirs
+  *     can't split (their scan needs the dir layout / the snapshot's
+  *     anti-join) and admit whole; each batch admits at least one unit
+  *     (soft cap, the Delta contract). Composes with the dir and
+  *     version caps.
   *
   * The source's POSITION (the rate-limit base) is persisted as marker
   * files under the checkpoint's metadata path at every commit: a
@@ -172,6 +183,22 @@ final class LakeStreamSource(
   maxFilesPerTrigger.foreach(n =>
     require(n >= 1, s"maxFilesPerTrigger must be >= 1, got $n"))
 
+  /** BYTE-granular rate limit (r15, VERDICT r14 #4): at most ~this many
+    * bytes of data files per micro-batch, slicing WITHIN a commit dir by
+    * FILE — the refinement dir granularity can't reach: after OPTIMIZE a
+    * snapshot is a few huge dirs, and dir slices regrow to commit size.
+    * Offsets gain a file cursor (`{"v":V,"d":D,"f":F,"snap":B}`), so a
+    * restart resumes MID-DIR. Units that cannot split — hive-partitioned
+    * dirs, DV-marked dirs (their rows need the snapshot's anti-join) —
+    * admit whole; every batch admits at least one unit, so an over-cap
+    * single file still progresses (the Delta maxBytesPerTrigger
+    * contract: a soft cap).
+    */
+  private val maxBytesPerTrigger: Option[Long] =
+    params.get("maxbytespertrigger").map(_.trim.toLong)
+  maxBytesPerTrigger.foreach(n =>
+    require(n >= 1L, s"maxBytesPerTrigger must be >= 1, got $n"))
+
   /** Highest position this source knows DELIVERED — max of the persisted
     * checkpoint position (restart base) and what this incarnation has
     * seen via getBatch/commit. The rate-limit base: getOffset never
@@ -183,25 +210,34 @@ final class LakeStreamSource(
     if (metadataPath.isEmpty) return None
     val fs = posDir.getFileSystem(hadoopConf)
     if (!fs.exists(posDir)) return None
-    val all = fs.listStatus(posDir).toSeq.map(_.getPath.getName).collect {
-      case PosMarker(v, d, s) =>
-        Pos(v.toInt, if (d == "c") -1 else d.toInt, s == "1")
-    }
+    val all = fs.listStatus(posDir).toSeq.map(_.getPath.getName)
+      .flatMap(markerPos)
     if (all.isEmpty) None else Some(all.max)
+  }
+
+  private def markerPos(name: String): Option[Pos] = name match {
+    case PosMarkerF(v, d, f, s) => Some(Pos(v.toInt, d.toInt, s == "1", f.toInt))
+    case PosMarker(v, d, s) =>
+      Some(Pos(v.toInt, if (d == "c") -1 else d.toInt, s == "1"))
+    case _ => None
   }
 
   private def persistPos(p: Pos): Unit = {
     if (metadataPath.isEmpty) return
     val fs = posDir.getFileSystem(hadoopConf)
     fs.mkdirs(posDir)
-    val name = s"pos-${p.v}-${if (p.d < 0) "c" else p.d.toString}-${if (p.snap) "1" else "0"}"
+    // mid-dir file cursors get the 4-segment spelling; everything else
+    // keeps the r14 3-segment one (old engines resuming an unsliced
+    // lineage parse it unchanged)
+    val name =
+      if (p.f > 0) s"pos-${p.v}-${p.d}-f${p.f}-${if (p.snap) "1" else "0"}"
+      else s"pos-${p.v}-${if (p.d < 0) "c" else p.d.toString}-${if (p.snap) "1" else "0"}"
     fs.create(new Path(posDir, name), true).close()
     // prune older markers best-effort (the read side takes the max, so a
     // failed delete is cosmetic)
     fs.listStatus(posDir).foreach { st =>
-      st.getPath.getName match {
-        case PosMarker(v, d, s)
-            if Pos(v.toInt, if (d == "c") -1 else d.toInt, s == "1") < p =>
+      markerPos(st.getPath.getName) match {
+        case Some(old) if old < p =>
           try { fs.delete(st.getPath, false); () } catch { case _: java.io.IOException => () }
         case _ => ()
       }
@@ -244,6 +280,75 @@ final class LakeStreamSource(
     newData.filterNot(oldData.toSet).sorted
   }
 
+  /** One admission unit of a sliceable window: a commit dir with its file
+    * list when it can split by file (flat + DV-unmarked), or an opaque
+    * whole-dir unit otherwise. Commit dirs are immutable, so units cache
+    * per (version, snap) for the window's lifetime.
+    */
+  private case class WUnit(rel: String, files: IndexedSeq[(String, Long)],
+      splittable: Boolean, bytes: Long)
+
+  private val unitsCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, Boolean), IndexedSeq[WUnit]]
+
+  private def windowUnits(v: Int, snap: Boolean): IndexedSeq[WUnit] =
+    unitsCache.getOrElseUpdate((v, snap), {
+      val dirs = if (snap) snapshotDirs(v)._1 else deltaDirs(v)
+      val marked: Set[String] =
+        if (snap) catalog.dvMarkedDataRels(ns, table, v) else Set.empty
+      dirs.toIndexedSeq.map { rel =>
+        val flatFiles =
+          if (marked(rel)) None else catalog.commitFilesIfFlat(ns, table, rel)
+        flatFiles match {
+          case Some(files) =>
+            WUnit(rel, files.toIndexedSeq, splittable = true, files.map(_._2).sum)
+          case None =>
+            WUnit(rel, IndexedSeq.empty, splittable = false,
+              catalog.commitBytes(ns, table, rel))
+        }
+      }
+    })
+
+  /** The next END position within window (v, snap), given a consumed
+    * prefix of `fromD` full dirs + `fromF` files of dir `fromD`. With
+    * `maxBytesPerTrigger` the walk admits (dir, file) units until the
+    * byte budget (and the dir-count cap, when both are set) would be
+    * exceeded — always at least one unit; without it, the r14 dir-step
+    * applies.
+    */
+  private def nextPosIn(v: Int, snap: Boolean, fromD: Int, fromF: Int): Pos =
+    maxBytesPerTrigger match {
+      case Some(budget0) =>
+        val units = windowUnits(v, snap)
+        val dirCap = maxFilesPerTrigger.getOrElse(Int.MaxValue)
+        var d = fromD; var f = fromF
+        var budget = budget0; var any = false; var dirsDone = 0
+        while (d < units.size && dirsDone < dirCap) {
+          val u = units(d)
+          if (u.splittable) {
+            val files = u.files
+            while (f < files.size) {
+              val sz = files(f)._2
+              if (any && budget < sz) return Pos(v, d, snap, f)
+              budget -= sz; f += 1; any = true
+            }
+          } else {
+            if (any && budget < u.bytes) return Pos(v, d, snap)
+            budget -= u.bytes; any = true
+          }
+          d += 1; f = 0; dirsDone += 1
+        }
+        if (d >= units.size) Pos(v, -1, snap = false) else Pos(v, d, snap)
+      case None =>
+        val dirs = if (snap) snapshotDirs(v)._1 else deltaDirs(v)
+        val step = maxFilesPerTrigger.getOrElse(Int.MaxValue)
+        val nd = math.min(fromD.toLong + step, dirs.size.toLong).toInt
+        if (nd >= dirs.size) Pos(v, -1, snap = false) else Pos(v, nd, snap)
+    }
+
+  private def sliced: Boolean =
+    !changeFeed && (maxFilesPerTrigger.isDefined || maxBytesPerTrigger.isDefined)
+
   override def getOffset: Option[OffsetV1] = {
     val vs = catalog.versions(ns, table)
     val latest = vs.lastOption.getOrElse(0)
@@ -253,39 +358,27 @@ final class LakeStreamSource(
         Pos(startingBase.get, -1, snap = false)
       else highPos
     if (cur.d >= 0) {
-      // mid-window: advance the dir cursor within the SAME window
-      val dirs =
-        if (cur.snap) snapshotDirs(cur.v)._1 else deltaDirs(cur.v)
-      val step = maxFilesPerTrigger.getOrElse(Int.MaxValue)
-      val nd = math.min(cur.d.toLong + step, dirs.size.toLong).toInt
-      return Some(render(
-        if (nd >= dirs.size) Pos(cur.v, -1, snap = false) else Pos(cur.v, nd, cur.snap)))
+      // mid-window: advance the (dir, file) cursor within the SAME window
+      return Some(render(nextPosIn(cur.v, cur.snap, cur.d, cur.f)))
     }
     if (cur == Pos.zero) {
       // initial snapshot: version capped by maxVersionsPerTrigger, dirs
-      // split by maxFilesPerTrigger (not in changeFeed mode: a diff
+      // split by the dir/byte caps (not in changeFeed mode: a diff
       // window is not a dir union)
       val v0 = maxVersionsPerTrigger.fold(latest)(n => math.min(latest, n))
-      val split = maxFilesPerTrigger.filter(_ => !changeFeed).map { mf =>
-        val dirs = snapshotDirs(v0)._1
-        if (dirs.size > mf) Pos(v0, mf, snap = true) else Pos(v0, -1, snap = false)
-      }
-      return Some(render(split.getOrElse(Pos(v0, -1, snap = false))))
+      return Some(render(
+        if (sliced) nextPosIn(v0, snap = true, 0, 0)
+        else Pos(v0, -1, snap = false)))
     }
     if (cur.v >= latest) return Some(render(cur)) // nothing new
     // append/CDF windows from a complete position
-    maxFilesPerTrigger.filter(_ => !changeFeed) match {
-      case Some(mf) =>
-        // dir-capped: one version at a time, sliced when over the cap
-        val nextV = cur.v + 1
-        val dirs = deltaDirs(nextV)
-        Some(render(
-          if (dirs.size > mf) Pos(nextV, mf, snap = false)
-          else Pos(nextV, -1, snap = false)))
-      case None =>
-        val nextV = maxVersionsPerTrigger
-          .fold(latest)(n => math.max(math.min(latest, cur.v + n), cur.v))
-        Some(render(Pos(nextV, -1, snap = false)))
+    if (sliced) {
+      // capped: one version at a time, sliced when over the caps
+      Some(render(nextPosIn(cur.v + 1, snap = false, 0, 0)))
+    } else {
+      val nextV = maxVersionsPerTrigger
+        .fold(latest)(n => math.max(math.min(latest, cur.v + n), cur.v))
+      Some(render(Pos(nextV, -1, snap = false)))
     }
   }
 
@@ -362,9 +455,9 @@ final class LakeStreamSource(
       else (endP.v, startP.exists(p => p.v == endP.v && p.snap))
     startP.foreach(p => require(p.d < 0 || p.v == v,
       s"sliced offset window mismatch: start $p vs end $endP"))
-    val fromD = startP match {
-      case Some(p) if p.v == v && p.d >= 0 => p.d
-      case _ => 0
+    val (fromD, fromF) = startP match {
+      case Some(p) if p.v == v && p.d >= 0 => (p.d, p.f)
+      case _ => (0, 0)
     }
     val (dirs, hasDvs) =
       if (snap) snapshotDirs(v)
@@ -385,12 +478,48 @@ final class LakeStreamSource(
         (newData.filterNot(oldData.toSet).sorted, false)
       }
     val toD = if (endP.d >= 0) endP.d else dirs.size
-    val slice = dirs.slice(fromD, toD)
-    if (slice.isEmpty) emptyBatch
-    else if (snap) {
-      val df = align(catalog.readSnapshotDirs(ns, table, v, slice))
-      if (hasDvs) wrapOpaque(df) else tagStreaming(df)
-    } else tagStreaming(align(catalog.readCommitDirs(ns, table, slice)))
+    val toF = if (endP.d >= 0) endP.f else 0
+    if (fromF == 0 && toF == 0) {
+      // dir-granular slice (the r14 path, byte-identical)
+      val slice = dirs.slice(fromD, toD)
+      if (slice.isEmpty) return emptyBatch
+      if (snap) {
+        val df = align(catalog.readSnapshotDirs(ns, table, v, slice))
+        if (hasDvs) wrapOpaque(df) else tagStreaming(df)
+      } else tagStreaming(align(catalog.readCommitDirs(ns, table, slice)))
+    } else {
+      // FILE-granular slice (maxBytesPerTrigger): full dirs strictly
+      // between the cursors, plus partial head/tail dirs by explicit file
+      // list. Cursors only ever point inside SPLITTABLE dirs (flat,
+      // DV-unmarked), so partial reads are plain scans; full dirs read
+      // DV-clean on snapshot windows like the dir path.
+      def filesOf(i: Int): Seq[String] =
+        catalog.commitFilesIfFlat(ns, table, dirs(i)).getOrElse(sys.error(
+          s"offset file cursor points inside non-flat commit dir " +
+            s"${dirs(i)} of $ns.$table — the checkpoint does not match " +
+            "the table layout")).map(_._1)
+      val partials = Seq.newBuilder[(String, Seq[String])]
+      var fullFrom = fromD
+      if (fromF > 0) {
+        val names = filesOf(fromD)
+        val upto = if (toD == fromD && toF > 0) toF else names.size
+        if (upto > fromF) partials += ((dirs(fromD), names.slice(fromF, upto)))
+        fullFrom = fromD + 1
+      }
+      val fullTo = toD // dirs [fullFrom, fullTo) are whole
+      if (toF > 0 && !(fromF > 0 && toD == fromD)) {
+        val names = filesOf(toD)
+        if (toF > 0) partials += ((dirs(toD), names.take(toF)))
+      }
+      val fullDirs = dirs.slice(fullFrom, fullTo)
+      val parts = partials.result()
+      if (fullDirs.isEmpty && parts.isEmpty) return emptyBatch
+      val marked: Set[String] =
+        if (snap && hasDvs) catalog.dvMarkedDataRels(ns, table, v) else Set.empty
+      val df = align(catalog.readWindowSlice(ns, table, fullDirs, parts,
+        if (snap) Some(v) else None))
+      if (fullDirs.exists(marked)) wrapOpaque(df) else tagStreaming(df)
+    }
   }
 
   /** Project onto the source's declared schema: later commits may carry
@@ -483,14 +612,19 @@ object LakeStreamSource {
     * consumed — the plain-integer offset encoding); `snap` marks the
     * window as the initial snapshot at `v` (dir list = the full snapshot)
     * rather than the single-version delta (dir list = dirs v adds over
-    * v-1). Total order: by version, completed > any cursor, cursors by
-    * position.
+    * v-1); `f` (r15, byte-capped slicing) is the FILE cursor within dir
+    * index `d` — `f` files of that dir are consumed on top of `d` full
+    * dirs (0 for dir-granular positions; never equal to the dir's file
+    * count — a finished dir advances `d`). Total order: by version,
+    * completed > any cursor, cursors by (dir, file) position.
     */
-  final case class Pos(v: Int, d: Int, snap: Boolean) extends Ordered[Pos] {
+  final case class Pos(v: Int, d: Int, snap: Boolean, f: Int = 0)
+      extends Ordered[Pos] {
     override def compare(that: Pos): Int = {
       if (v != that.v) v.compare(that.v)
       else if ((d < 0) != (that.d < 0)) { if (d < 0) 1 else -1 }
       else if (d != that.d) d.compare(that.d)
+      else if (f != that.f) f.compare(that.f)
       // snap tie-break keeps the Ordered instance CONSISTENT WITH EQUALS
       // (ADVICE r14): snapshot and delta cursors never share a version
       // today, but max()/sorting over persisted markers must not pick an
@@ -504,22 +638,29 @@ object LakeStreamSource {
     val zero: Pos = Pos(0, -1, snap = false)
 
     private val Sliced =
-      """\s*\{\s*"v"\s*:\s*(\d+)\s*,\s*"d"\s*:\s*(\d+)\s*,\s*"snap"\s*:\s*(true|false)\s*\}\s*""".r
+      """\s*\{\s*"v"\s*:\s*(\d+)\s*,\s*"d"\s*:\s*(\d+)\s*,(?:\s*"f"\s*:\s*(\d+)\s*,)?\s*"snap"\s*:\s*(true|false)\s*\}\s*""".r
 
     def parse(json: String): Pos = json.trim match {
-      case Sliced(v, d, s) => Pos(v.toInt, d.toInt, s == "true")
+      case Sliced(v, d, f, s) =>
+        Pos(v.toInt, d.toInt, s == "true", Option(f).map(_.toInt).getOrElse(0))
       case plain => Pos(plain.toInt, -1, snap = false)
     }
   }
 
   /** Mid-window offset JSON (completed versions serialize as the plain
-    * integer [[LongOffset]] for checkpoint back-compat).
+    * integer [[LongOffset]]; dir-granular positions keep the r14 3-field
+    * encoding — the `f` field appears only for mid-dir file cursors — so
+    * pre-r15 checkpoints parse unchanged and unsliced lineages are
+    * byte-identical).
     */
   final case class SlicedOffset(p: Pos) extends OffsetV1 {
-    override val json: String = s"""{"v":${p.v},"d":${p.d},"snap":${p.snap}}"""
+    override val json: String =
+      if (p.f > 0) s"""{"v":${p.v},"d":${p.d},"f":${p.f},"snap":${p.snap}}"""
+      else s"""{"v":${p.v},"d":${p.d},"snap":${p.snap}}"""
   }
 
   private val PosMarker = """pos-(\d+)-(c|\d+)-([01])""".r
+  private val PosMarkerF = """pos-(\d+)-(\d+)-f(\d+)-([01])""".r
   private val StartMarker = """start-(\d+)""".r
 }
 
@@ -553,8 +694,12 @@ final class LakeStreamSink(
   private val mode = params.getOrElse("mode", "append").toLowerCase
   require(Set("append", "upsert", "cdc").contains(mode),
     s"graft-lake sink mode must be append|upsert|cdc, got '$mode'")
-  private val key = params.get("key")
-  require(mode == "append" || key.isDefined,
+  // comma-separated for composite keys (cdc mode runs the tuple-keyed
+  // apply; upsert takes a single key — MERGE's composite path is
+  // mergeTableKeys, reachable through the SQL façade)
+  private val keys: Seq[String] =
+    params.get("key").toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+  require(mode == "append" || keys.nonEmpty,
     s"graft-lake sink mode=$mode requires option 'key' (the merge key column)")
   private val orderCol = params.get("ordercol")
   private val appId = SinkOps.appIdFor(ns, table, checkpoint)
@@ -566,8 +711,8 @@ final class LakeStreamSink(
     val batch = GraftBridge.sinkBatch(data)
     mode match {
       case "append" => SinkOps.landAppend(catalog, ns, table, appId, batchId, batch)
-      case "upsert" => SinkOps.landUpsert(catalog, ns, table, key.get, appId, batchId, batch)
-      case "cdc" => SinkOps.landCdc(catalog, ns, table, key.get, appId, batchId, batch, orderCol)
+      case "upsert" => SinkOps.landUpsert(catalog, ns, table, keys.head, appId, batchId, batch)
+      case "cdc" => SinkOps.landCdc(catalog, ns, table, keys, appId, batchId, batch, orderCol)
     }
   }
 
@@ -583,9 +728,11 @@ final class LakeStreamSink(
   * `ignoreChanges` (bool), `maxVersionsPerTrigger` (int — backlog rate
   * limit), `maxFilesPerTrigger` (int — dir-granular rate limit: splits
   * the initial snapshot and over-sized append windows across
-  * micro-batches), `changeFeed` (bool — emit the snapshot diff per
-  * window with a `_change` column, inserts AND deletes, so non-append
-  * commits stream faithfully).
+  * micro-batches), `maxBytesPerTrigger` (long — byte-granular rate
+  * limit slicing WITHIN dirs by file; soft cap, at least one unit per
+  * batch), `changeFeed` (bool — emit the snapshot diff per window with
+  * a `_change` column, inserts AND deletes, so non-append commits
+  * stream faithfully).
   *
   * Sink options: `root`, `table`, `mode` (append|upsert|cdc), `key`
   * (merge key for upsert/cdc), `orderCol` (cdc LSN column); a durable
