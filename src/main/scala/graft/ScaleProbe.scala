@@ -20,7 +20,7 @@ object ScaleProbe {
   private[graft] val knownSections = Set("minhash", "ann", "text",
     "mega-bucket", "rank", "merge", "mor", "pq", "skew", "sem", "stream",
     "width", "streamparts", "iceimport", "deltaimport", "annrank", "lloyd",
-    "lakestream", "ivfsearch")
+    "lakestream", "ivfsearch", "replicate")
 
   /** Validates requested section names against the whitelist; throws on
     * any unknown name. Factored out of main so the contract is spec-pinned.
@@ -169,6 +169,59 @@ object ScaleProbe {
         f"files=$f1%d time=$t1%.2fs; base 10x files=$f10%d time=$t10%.2fs " +
         f"time_ratio=${t10 / t1}%.2f (flat = window cost tracks the append, " +
         "not the table)")
+    }
+
+    // E24 REPLICATION probe (r15, VERDICT r14 #6): a mutation window's
+    // replication cost must track the CHANGE SIZE, not the table size.
+    // Setup: a src table of 8×mult range-clustered commits, seeded into
+    // the replica under maxFilesPerTrigger=8 (rate-limited seeding is
+    // itself the scale lesson: it leaves the replica MULTI-COMMIT, so the
+    // later apply stays file-scoped — a one-window seed would fuse the
+    // replica into one commit and every future upsert would rewrite it
+    // all). Then ONE fixed-size UPDATE (1000 rows inside commit 0's key
+    // range) lands on src and the timed pass replicates that window. At
+    // 10x the table the diff is the same two commits and the apply
+    // rewrites the same one replica commit — the pass must stay within
+    // session-overhead noise of the 1x time, and the probe THROWS when
+    // the 10x mutation pass exceeds 3x the 1x pass (table-proportional
+    // work would show as ~10x).
+    if (on("replicate")) {
+      val root = "/tmp/graft_scale_replicate"
+      org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(root), true)
+      val cat = lake.LakeCatalog(spark, root)
+      def run(mult: Int): Double = {
+        val t = s"src$mult"
+        for (m <- 0 until 8 * mult)
+          cat.write("rp", t,
+            spark.range(m * 25000L, (m + 1) * 25000L)
+              .select(col("id"), (col("id") % 100).cast("double").as("v")),
+            if (m == 0) SaveMode.Overwrite else SaveMode.Append)
+        val cp = s"$root/cp$mult"
+        def pass(): Unit = {
+          val q = streaming.EventStreams.replicateLakeToLake(spark, root,
+            "rp", t, cat, "rp", s"dst$mult", Seq("id"), cp,
+            Map("maxfilespertrigger" -> "8"))
+          try q.processAllAvailable() finally q.stop()
+        }
+        pass() // seed (untimed; rate-limited into 8×mult-dir batches)
+        cat.update("rp", t, Seq("v" -> lit(9.9)), col("id") < 1000)
+        val t0 = System.nanoTime()
+        pass() // the timed mutation window
+        val dt = (System.nanoTime() - t0) / 1e9
+        val (srcN, dstN) = (cat.rowCount("rp", t), cat.rowCount("rp", s"dst$mult"))
+        require(srcN == dstN, s"replica diverged: src=$srcN dst=$dstN")
+        require(cat.read("rp", s"dst$mult").filter(col("v") === 9.9).count() == 1000L,
+          "mutation window did not apply")
+        dt
+      }
+      val t1 = run(1)
+      val t10 = run(10)
+      println(f"[scale] replicate mutation-window: 1x=$t1%.2fs 10x=$t10%.2fs " +
+        f"ratio=${t10 / t1}%.2f (flat = window cost tracks the change)")
+      require(t10 / t1 < 3.0,
+        f"mutation-window replication cost grew ${t10 / t1}%.2fx across a 10x " +
+          "table step — per-window work is no longer change-proportional")
     }
 
     // SCALED-CELL IVF probe (r14, VERDICT r13 #4): numCells = ceil(n/2000)

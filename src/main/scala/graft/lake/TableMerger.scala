@@ -139,7 +139,28 @@ final class TableMerger(
       key: Option[String] = None,
       opCol: String = "_op",
       orderCol: Option[String] = None): MergeResult = {
+    val k = key.orElse(findKeyColumn(deltaRaw.drop(opCol))).getOrElse(
+      sys.error(s"no merge key among ${keyCandidates.mkString(",")} — pass one explicitly"))
+    applyCdcKeys(deltaRaw, ns, table, Seq(k), opCol, orderCol)
+  }
+
+  /** [[applyCdc]] on a COMPOSITE key tuple (r15, VERDICT r14 #6): the
+    * ordering window, the upsert dedupe, the tombstone key set and the
+    * file-scoped rewrite all operate on the column TUPLE, with the same
+    * conjunctive-bounds stats pruning as [[mergeTableKeys]].
+    */
+  def applyCdcKeys(
+      deltaRaw: DataFrame,
+      ns: String,
+      table: String,
+      keys: Seq[String],
+      opCol: String = "_op",
+      orderCol: Option[String] = None): MergeResult = {
+    require(keys.nonEmpty, "applyCdcKeys needs at least one key column")
     require(deltaRaw.columns.contains(opCol), s"CDC delta needs a `$opCol` column")
+    require(keys.forall(deltaRaw.columns.contains),
+      s"CDC keys ${keys.mkString(",")} not all present in delta columns " +
+        deltaRaw.columns.mkString(","))
     orderCol.foreach(oc => require(deltaRaw.columns.contains(oc),
       s"ordering column `$oc` not in delta"))
     // the delta feeds count + the upsert/tombstone splits + (via
@@ -149,7 +170,7 @@ final class TableMerger(
     // caps that at one derivation per window (at 100 TB, one scan of the
     // changed commits instead of one per consumer).
     val delta = deltaRaw.persist()
-    try applyCdcPinned(delta, ns, table, key, opCol, orderCol)
+    try applyCdcPinned(delta, ns, table, keys, opCol, orderCol)
     finally { delta.unpersist(); () }
   }
 
@@ -157,13 +178,12 @@ final class TableMerger(
       delta: DataFrame,
       ns: String,
       table: String,
-      key: Option[String],
+      ks: Seq[String],
       opCol: String,
       orderCol: Option[String]): MergeResult = {
-    val k = key.orElse(findKeyColumn(delta.drop(opCol))).getOrElse(
-      sys.error(s"no merge key among ${keyCandidates.mkString(",")} — pass one explicitly"))
+    val keyDesc = s"key${if (ks.size > 1) "s" else ""} `${ks.mkString("`, `")}`"
     val sourceRows = delta.count()
-    // with an ordering column: ONE winner per key by (orderCol desc,
+    // with an ordering column: ONE winner per key tuple by (orderCol desc,
     // delete-beats-upsert on ties), then split; the window shares the
     // key's hash partitioning with the downstream anti-join. Exact
     // (key, orderCol, op) ties — two upserts carrying the same LSN —
@@ -173,10 +193,10 @@ final class TableMerger(
       case Some(oc) =>
         import org.apache.spark.sql.expressions.Window
         val trailing = delta.schema.fields
-          .filter(f => f.name != k && f.name != oc && f.name != opCol &&
+          .filter(f => !ks.contains(f.name) && f.name != oc && f.name != opCol &&
             org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(f.dataType))
           .map(f => col(f.name).desc_nulls_last)
-        val w = Window.partitionBy(col(k))
+        val w = Window.partitionBy(ks.map(col): _*)
           .orderBy(col(oc).desc_nulls_last +: col(opCol).asc +: // "delete" < "upsert"
             trailing.toSeq: _*)
         delta.withColumn("__graft_rn",
@@ -185,18 +205,19 @@ final class TableMerger(
       case None => delta
     }
     val ups = dedupeOnKey(
-      resolved.filter(col(opCol) === "upsert").drop(opCol +: orderCol.toSeq: _*), k)
-    val dels = resolved.filter(col(opCol) === "delete").select(col(k)).distinct()
+      resolved.filter(col(opCol) === "upsert").drop(opCol +: orderCol.toSeq: _*), ks)
+    val dels = resolved.filter(col(opCol) === "delete")
+      .select(ks.map(col): _*).distinct()
     val strategy =
       if (!catalog.tableExists(ns, table)) {
-        if (ups.isEmpty) s"CDC NO-OP (delete-only delta, no target table, key `$k`)"
+        if (ups.isEmpty) s"CDC NO-OP (delete-only delta, no target table, $keyDesc)"
         else {
           catalog.write(ns, table, ups, SaveMode.Overwrite)
-          s"CDC CREATE from upserts (key `$k`)"
+          s"CDC CREATE from upserts ($keyDesc)"
         }
       } else {
-        mergeScoped(ups, ns, table, Seq(k), sourceRows, tombstones = Some(dels))
-        s"CDC apply (upsert + delete) using key `$k`"
+        mergeScoped(ups, ns, table, ks, sourceRows, tombstones = Some(dels))
+        s"CDC apply (upsert + delete) using $keyDesc"
       }
     val finalRows =
       if (catalog.tableExists(ns, table)) catalog.rowCount(ns, table) else 0L

@@ -278,7 +278,7 @@ object EventStreams {
       catalog: graft.lake.LakeCatalog,
       dstNs: String,
       dstTable: String,
-      key: String,
+      keys: Seq[String],
       checkpoint: String,
       options: Map[String, String] = Map.empty): org.apache.spark.sql.streaming.StreamingQuery = {
     val feed0 = readLakeStream(spark, srcRoot, srcNs, srcTable,
@@ -294,7 +294,7 @@ object EventStreams {
         when(col("_change") === lit("delete"), lit("delete"))
           .otherwise(lit("upsert")))
       .drop("_change")
-    streamCdcApplyIntoLake(feed, catalog, dstNs, dstTable, key, checkpoint)
+    streamCdcApplyKeysIntoLake(feed, catalog, dstNs, dstTable, keys, checkpoint)
   }
 
   /** E21: AUDITED streaming ingestion — every micro-batch commits onto a
@@ -382,6 +382,21 @@ object EventStreams {
       table: String,
       key: String,
       checkpoint: String,
+      orderCol: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery =
+    streamCdcApplyKeysIntoLake(stream, catalog, ns, table, Seq(key), checkpoint,
+      orderCol)
+
+  /** [[streamCdcApplyIntoLake]] on a COMPOSITE key tuple (r15) — the
+    * replica shape for sources whose identity is multi-column (the
+    * mergeTableKeys analog on the streaming path).
+    */
+  def streamCdcApplyKeysIntoLake(
+      stream: DataFrame,
+      catalog: graft.lake.LakeCatalog,
+      ns: String,
+      table: String,
+      keys: Seq[String],
+      checkpoint: String,
       orderCol: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
     // same replay-skip watermark as streamUpsertIntoLake: applyCdc
     // converges under replay (latest-event-wins), the guard skips the work
@@ -390,7 +405,7 @@ object EventStreams {
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        SinkOps.landCdc(catalog, ns, table, key, appId, batchId, batch.toDF(), orderCol)
+        SinkOps.landCdc(catalog, ns, table, keys, appId, batchId, batch.toDF(), orderCol)
         (): Unit
       }
       .start()

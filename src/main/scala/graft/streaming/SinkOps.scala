@@ -53,14 +53,14 @@ object SinkOps {
 
   def landCdc(
       catalog: graft.lake.LakeCatalog,
-      ns: String, table: String, key: String,
+      ns: String, table: String, keys: Seq[String],
       appId: String, batchId: Long,
       batch: DataFrame,
       orderCol: Option[String]): Unit =
     if (!catalog.txnVersion(ns, table, appId).exists(_ >= batchId)) {
       if (!batch.isEmpty) {
         new graft.lake.TableMerger(catalog)
-          .applyCdc(batch, ns, table, Some(key), orderCol = orderCol)
+          .applyCdcKeys(batch, ns, table, keys, orderCol = orderCol)
         ()
       }
       catalog.recordTxn(ns, table, appId, batchId)

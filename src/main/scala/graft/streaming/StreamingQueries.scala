@@ -850,7 +850,7 @@ object StreamingQueries {
         val cp = root.resolve("cp").toString
         def pass(): Unit = {
           val q = EventStreams.replicateLakeToLake(s, cat.root, "st", "src",
-            cat, "st", "replica", "o_orderkey", cp)
+            cat, "st", "replica", Seq("o_orderkey"), cp)
           try q.processAllAvailable() finally q.stop()
         }
         pass() // initial snapshot: replica = source

@@ -288,6 +288,92 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("E11 composite keys: tuple-identity CDC apply converges (r15)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val cat = graft.lake.LakeCatalog(spark,
+      java.nio.file.Files.createTempDirectory("graft_stream_cdck").toString)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_cdck_ck").toString
+    val input = MemoryStream[(Long, Long, String, String)]
+    val q = streamCdcApplyKeysIntoLake(
+      input.toDS().toDF("id", "sub", "v", "_op"), cat, "cdc", "ck",
+      Seq("id", "sub"), ckpt)
+    try {
+      input.addData((1L, 10L, "a", "upsert"), (1L, 20L, "b", "upsert"),
+        (2L, 10L, "c", "upsert"))
+      q.processAllAvailable()
+      // correction for the (1, 20) TUPLE only, tombstone for (2, 10), and
+      // a new (2, 20): single-column identity would clobber (1, 10)
+      input.addData((1L, 20L, "B!", "upsert"), (2L, 10L, "x", "delete"),
+        (2L, 20L, "d", "upsert"))
+      q.processAllAvailable()
+      val rows = cat.read("cdc", "ck").orderBy("id", "sub")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+      assert(rows == Seq((1L, 10L, "a"), (1L, 20L, "B!"), (2L, 20L, "d")),
+        rows.toString)
+    } finally q.stop()
+  }
+
+  test("E24: composite-key replica converges through UPDATE/DELETE windows (r15)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_repk_")
+    val cat = graft.lake.LakeCatalog(spark, root.resolve("lake").toString)
+    val base = (1L to 12L).map(i => (i % 4, i, s"v$i")).toDF("grp", "seq", "v")
+    cat.write("rep", "src", base.filter(col("seq") <= 8))
+    cat.write("rep", "src", base.filter(col("seq") > 8),
+      org.apache.spark.sql.SaveMode.Append)
+    val cp = root.resolve("cp").toString
+    def pass(): Unit = {
+      val q = replicateLakeToLake(spark, cat.root, "rep", "src",
+        cat, "rep", "dst", Seq("grp", "seq"), cp)
+      try q.processAllAvailable() finally q.stop()
+    }
+    pass() // initial snapshot
+    cat.update("rep", "src", Seq("v" -> concat(col("v"), lit("!"))),
+      col("seq") % 3 === 0)
+    cat.delete("rep", "src", col("seq") % 5 === 0)
+    pass() // the UPDATE+DELETE diff window applies on the tuple key
+    val dst = cat.read("rep", "dst").orderBy("seq")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    val src = cat.read("rep", "src").orderBy("seq")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(dst == src, s"replica must equal source; dst=$dst src=$src")
+  }
+
+  test("E24 policy pin: schema evolution replicates PROJECT-AND-APPLY; a restart refreshes the schema (r15)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_repsch_")
+    val cat = graft.lake.LakeCatalog(spark, root.resolve("lake").toString)
+    cat.write("rep", "esrc", (1L to 6L).map(i => (i, s"v$i")).toDF("id", "v"))
+    val cp = root.resolve("cp").toString
+    def pass(): Unit = {
+      val q = replicateLakeToLake(spark, cat.root, "rep", "esrc",
+        cat, "rep", "edst", Seq("id"), cp)
+      try q.processAllAvailable() finally q.stop()
+    }
+    pass() // replica at the original (id, v) schema
+    assert(cat.read("rep", "edst").columns.sorted.toSeq == Seq("id", "v"))
+    // the source EVOLVES: a later commit carries an extra column `w`
+    cat.write("rep", "esrc",
+      (7L to 9L).map(i => (i, s"v$i", i * 10.0)).toDF("id", "v", "w"),
+      org.apache.spark.sql.SaveMode.Append)
+    // a RESTARTED replication (the policy: the stream's schema is pinned
+    // per SESSION and refreshed at restart) picks the evolved schema up:
+    // new rows carry w, pre-evolution replica rows null-fill — the
+    // project-and-apply contract, not a refusal, because applyCdc's
+    // unionByName(allowMissingColumns) makes the widened replica converge
+    pass()
+    val dst = cat.read("rep", "edst").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) null else r.getDouble(2))).toSeq
+    assert(dst.map(_._1) == (1L to 9L), dst.toString)
+    assert(dst.filter(_._1 <= 6).forall(_._3 == null),
+      s"pre-evolution rows null-fill the new column: $dst")
+    assert(dst.filter(_._1 >= 7).map(_._3) == Seq(70.0, 80.0, 90.0), dst.toString)
+  }
+
   test("stream_sessions_twin == batch gaps-and-islands on sf0.001 (every session emitted)") {
     // Spark-vs-Spark pin of the new driver query: the streamed sessions
     // (including each user's FINAL session, closed via the sentinel
