@@ -49,6 +49,22 @@ object Bench {
     // why a 13 s entry stamped 82 s (the r12 driver-box artifact, where
     // all three repeats of the median were contended).
     val canary = new BenchCanary(spark)
+    // CANARY-GATED RERUN (r15, VERDICT r14 #7): a contended stamp is
+    // RE-MEASURED, not just annotated. The run's canary BASELINE is the
+    // median of three passes taken here, before any entry; after an
+    // entry's repeats, if even its least-contended pass ran under a
+    // canary >1.5x this baseline, up to `repeat` extra passes are taken
+    // and the `repeat` LEAST-CONTENDED passes form the median — so a
+    // transiently-contended entry (the r14 ingest_wide_schema 12.6↔18 s
+    // swing, canary-attributed) converges to its clean number instead of
+    // shipping the contended one with a footnote. A box that is busy for
+    // the WHOLE run leaves the baseline itself high and the gate never
+    // fires (no infinite retries; the canaries field still tells the
+    // reader).
+    val canaryBaseline = {
+      val cs = Seq.fill(3)(canary.run()).sorted
+      cs(1)
+    }
     // STREAM entries of a FULL-surface run are stamped from their own
     // fresh JVM (VERDICT r12 #2): after ~150 prior entries, the parent
     // JVM's accumulated footprint inflated the state-store-heavy stream
@@ -87,10 +103,18 @@ object Bench {
             GraftSession.syncBarrier()
             (r, c)
           }
-          val runs = Seq.fill(repeat)(once())
-          val cs = runs.map(_._2).sorted
-          val med = runs.map(_._1).collectFirst { case l @ Left(_) => l }.getOrElse {
-            val ts = runs.map(_._1).collect { case Right(v) => v }.sorted
+          var runs = Seq.fill(repeat)(once())
+          // canary gate: retry while even the cleanest pass was contended
+          var extras = 0
+          while (extras < repeat && runs.forall(_._1.isRight) &&
+              runs.map(_._2).min > canaryBaseline * 1.5) {
+            runs :+= once(); extras += 1
+          }
+          // median over the `repeat` least-contended passes
+          val kept = runs.sortBy(_._2).take(repeat)
+          val cs = kept.map(_._2).sorted
+          val med = kept.map(_._1).collectFirst { case l @ Left(_) => l }.getOrElse {
+            val ts = kept.map(_._1).collect { case Right(v) => v }.sorted
             Right(ts(ts.length / 2))
           }
           (name, med, cs(cs.length / 2))

@@ -391,8 +391,12 @@ class SqlFacadeSpec extends SparkSpec {
         .collect().map(_.name).toSet
       assert(viewsAfter == viewsBefore,
         s"resolution leaked views: ${viewsAfter -- viewsBefore}")
-      // and no graft_* rewrite views exist at all (the pre-r15 mechanism)
-      assert(!viewsAfter.exists(_.startsWith("graft_")), viewsAfter.toString)
+      // and the pre-r15 mechanism's rewrite views (graft_<ns>_<t>[_vN],
+      // graft_stream_<ns>_<t>) for THIS table do not exist (other suites
+      // may name their own views graft_*, so only the mechanism's exact
+      // spellings prove anything)
+      assert(!viewsAfter.exists(v => v == "graft_sfx_t" || v == "graft_sfx_t_v1" ||
+        v == "graft_stream_sfx_t"), viewsAfter.toString)
     }
   }
 
