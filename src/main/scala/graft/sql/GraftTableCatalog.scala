@@ -189,14 +189,21 @@ final case class GraftTable(
 
   override def name(): String = s"graft.$ns.$table"
 
-  override lazy val schema: StructType = read().schema
+  /** The real read plan this marker stands for — built ONCE per marker
+    * (loadTable's schema() and the resolution rule's swap share it; the
+    * multi-commit plan construction costs manifest reads + scan-group
+    * probes, and a self-join statement would otherwise pay it four times).
+    */
+  private lazy val realRead: org.apache.spark.sql.DataFrame =
+    (pinnedVersion, asOfMs) match {
+      case (Some(v), _) => lake.read(ns, table, Some(v))
+      case (_, Some(ms)) => lake.readAsOf(ns, table, ms)
+      case _ => lake.read(ns, table)
+    }
 
-  /** The real read plan this marker stands for. */
-  def read(): org.apache.spark.sql.DataFrame = (pinnedVersion, asOfMs) match {
-    case (Some(v), _) => lake.read(ns, table, Some(v))
-    case (_, Some(ms)) => lake.readAsOf(ns, table, ms)
-    case _ => lake.read(ns, table)
-  }
+  def read(): org.apache.spark.sql.DataFrame = realRead
+
+  override lazy val schema: StructType = realRead.schema
 
   override def capabilities(): util.Set[TableCapability] =
     util.Collections.emptySet()

@@ -369,6 +369,22 @@ class SqlFacadeSpec extends SparkSpec {
     }
   }
 
+  test("same-version SELF-JOIN of one graft table resolves (relation dedup over the shared marker plan)") {
+    import spark.implicits._
+    withRoot { root =>
+      (1 to 5).map(i => (i.toLong, i * 10L)).toDF("id", "n")
+        .createOrReplaceTempView("sj_src")
+      spark.sql("CREATE TABLE graft.refsql.sj AS SELECT * FROM sj_src").collect()
+      // both references resolve through the SAME memoized marker read —
+      // the analyzer must re-instance one side (the df.join(df) shape)
+      val pairs = spark.sql(
+        """SELECT a.id, b.id AS other FROM graft.refsql.sj a
+           JOIN graft.refsql.sj b ON a.id = b.id - 1 ORDER BY a.id""")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(pairs == Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)), pairs.toString)
+    }
+  }
+
   test("resolution is side-effect-free: EXPLAIN/parse leave the temp-view catalog unchanged (VERDICT r14 #2)") {
     import spark.implicits._
     withRoot { root =>
