@@ -20,7 +20,7 @@ object ScaleProbe {
   private[graft] val knownSections = Set("minhash", "ann", "text",
     "mega-bucket", "rank", "merge", "mor", "pq", "skew", "sem", "stream",
     "width", "streamparts", "iceimport", "deltaimport", "annrank", "lloyd",
-    "lakestream", "ivfsearch", "replicate")
+    "lakestream", "ivfsearch", "replicate", "imisearch")
 
   /** Validates requested section names against the whitelist; throws on
     * any unknown name. Factored out of main so the contract is spec-pinned.
@@ -253,6 +253,56 @@ object ScaleProbe {
       require(c1 / c0 < (n1.toDouble / n0) / 2,
         f"scaled K must hold candidates/query ~flat: ${c0}%.0f -> ${c1}%.0f " +
           f"across a ${n1.toDouble / n0}%.1fx corpus step")
+    }
+
+    // IMI probe (r15, VERDICT r14 #8 stretch): ONE MORE DECADE past the
+    // single-level cap. At n > MaxCells×TargetCellSize (~8.2M vectors)
+    // IvfIndex clamps and candidates/query grow linearly again; ImiIndex's
+    // product quantizer (kSide = ceil(sqrt(n/2000)) per half) keeps cells
+    // scaling as kSide², so candidates/query must stay ~flat across sizes
+    // that BOTH sit past the cap. Corpora are synthesized directly
+    // (deterministic hash-derived vectors — embCorpus's union-of-selects
+    // does not scale to 40M rows), and the probe THROWS if the flatness
+    // assertion fails. The search itself runs end-to-end: md5-sample
+    // codebooks, product assignment over the full corpus, pair-ranked
+    // probes, cosine top-k.
+    if (on("imisearch")) {
+      val stats = Seq(10000000L, 40000000L).map { n =>
+        val vdim = 16
+        val vec = array((0 until vdim).map(j =>
+          ((pmod(xxhash64(col("id"), lit(j)), lit(2000L)) - lit(1000L)) / lit(1000.0))
+            .cast("float")): _*)
+        val path = s"/tmp/graft_scale_imi_$n"
+        spark.range(n).select(col("id").as("vec_id"), vec.as("embedding"))
+          .write.mode(SaveMode.Overwrite).parquet(path)
+        val loaded = spark.read.parquet(path)
+        require(operators.ImiIndex.needed(n),
+          s"probe sizes must sit past the single-level cap, got n=$n")
+        val kSide = operators.ImiIndex.kSideFor(n)
+        val (a, b) = operators.ImiIndex.codebooksDet(loaded, "vec_id", "embedding", kSide)
+        val queries = loaded.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+        val t0 = System.nanoTime()
+        val kept = operators.ImiIndex.searchTopK(
+          loaded, "vec_id", "embedding", a, b, queries, 5).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        val candPerQuery = 4.0 * n / (kSide.toDouble * kSide)
+        // wall time is dominated by the one-pass corpus ASSIGNMENT, whose
+        // per-vector cost is 2×kSide half-L2s — ∝ sqrt(n/2000), the
+        // standard IMI trade (FAISS scans the same two codebooks). In
+        // production the cell is computed ONCE per vector at ingest and
+        // stored with the corpus, so queries never re-pay it; the flat
+        // quantity this probe asserts is the per-QUERY candidate bound.
+        println(f"[scale] imisearch n=$n%d: kSide=$kSide%d cells=${kSide.toLong * kSide}%d " +
+          f"cand/query=$candPerQuery%.0f kept=$kept%d time=$dt%.1fs " +
+          "(time includes the once-per-corpus assignment pass)")
+        (n, candPerQuery, dt)
+      }
+      val (n0, c0, _) = stats.head
+      val (n1, c1, _) = stats.last
+      require(c1 / c0 < (n1.toDouble / n0) / 2,
+        f"IMI cells must keep candidates/query ~flat past the single-level " +
+          f"cap: ${c0}%.0f -> ${c1}%.0f across a ${n1.toDouble / n0}%.1fx step")
     }
 
     if (on("lloyd")) for (mult <- Seq(1, 3, 10)) {

@@ -394,6 +394,111 @@ object Similarity {
     WHERE "rank" <= 5 ORDER BY query_id, "rank" """
   }
 
+  /** INVERTED MULTI-INDEX, deterministic (r15 — see [[ImiIndex]]): the
+    * scale path PAST single-level IVF's ~8.2M-vector capacity, proven on
+    * the oracle corpus with the same md5-sample determinism: one shared
+    * sample split into two half-vector codebooks, product-cell
+    * assignment (cellA × kSide + cellB), per-side top-nProbe probe ranks
+    * crossed and ranked by dA+dB (exact containment argument in the
+    * ImiIndex doc), cosine ranking over the probed cells. kSide scales as
+    * ceil(sqrt(n/2000)) — the DuckDB oracle recomputes it from the same
+    * COUNT(*), and ScaleProbe `imisearch` pins candidates/query ~flat a
+    * decade past the single-level cap.
+    */
+  val annImiDet: Q = Q(
+    "ann_imi_det",
+    (s, dir) => {
+      val emb = Tables(s, dir).embeddings
+      val kSide = ImiIndex.kSideFor(emb.count())
+      val (a, b) = ImiIndex.codebooksDet(emb, "vec_id", "embedding", kSide)
+      val queries = emb.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      ImiIndex.searchTopK(emb, "vec_id", "embedding", a, b, queries,
+        k = TopK, nProbe = IvfIndex.DefaultNProbe)
+    },
+    Some(imiDetOracleSql)
+  )
+
+  /** Bit-exact DuckDB twin of the IMI pipeline: the md5-ordered sample
+    * sliced into per-side codebooks, per-side L2 argmin assignment
+    * (lowest-cell ties), product cell, per-side top-nProbe probe ranks
+    * crossed by (dA+dB, cellA, cellB), then the proven cosine ranking.
+    */
+  private def imiDetOracleSql: String = {
+    def l2(a: String, b: String): String =
+      s"""list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len($b)+1),
+          i -> ($a[i]::DOUBLE - $b[i]::DOUBLE) * ($a[i]::DOUBLE - $b[i]::DOUBLE))), (x,y) -> x+y)"""
+    s"""WITH dims AS (
+      SELECT len(embedding) // 2 AS h, len(embedding) AS d FROM embeddings LIMIT 1),
+    kside AS (
+      SELECT GREATEST(16, LEAST(4096,
+        CAST(CEIL(SQRT(COUNT(*) / 2000.0)) AS BIGINT))) AS k FROM embeddings),
+    halved AS (
+      SELECT vec_id, embedding[1:(SELECT h FROM dims)] AS e1,
+        embedding[(SELECT h FROM dims)+1:(SELECT d FROM dims)] AS e2
+      FROM embeddings),
+    ordered AS (
+      SELECT vec_id, e1, e2,
+        row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid
+      FROM halved),
+    centA AS (
+      SELECT cid AS "cellA", e1 AS ca FROM ordered WHERE cid < (SELECT k FROM kside)),
+    centB AS (
+      SELECT cid AS "cellB", e2 AS cb FROM ordered WHERE cid < (SELECT k FROM kside)),
+    adists AS (
+      SELECT e.vec_id, "cellA", ${l2("e.e1", "ca")} AS da
+      FROM halved e, centA),
+    bdists AS (
+      SELECT e.vec_id, "cellB", ${l2("e.e2", "cb")} AS db
+      FROM halved e, centB),
+    acell AS (
+      SELECT vec_id, "cellA" FROM (
+        SELECT vec_id, "cellA", row_number() OVER (PARTITION BY vec_id ORDER BY da, "cellA") AS rn
+        FROM adists) t WHERE rn = 1),
+    bcell AS (
+      SELECT vec_id, "cellB" FROM (
+        SELECT vec_id, "cellB", row_number() OVER (PARTITION BY vec_id ORDER BY db, "cellB") AS rn
+        FROM bdists) t WHERE rn = 1),
+    assigned AS (
+      SELECT a.vec_id AS neighbor_id,
+        a."cellA" * (SELECT k FROM kside) + b."cellB" AS cell
+      FROM acell a JOIN bcell b USING (vec_id)),
+    aprobe AS (
+      SELECT vec_id, "cellA", da FROM (
+        SELECT vec_id, "cellA", da,
+          row_number() OVER (PARTITION BY vec_id ORDER BY da, "cellA") AS ra
+        FROM adists WHERE vec_id < 10) t WHERE ra <= 4),
+    bprobe AS (
+      SELECT vec_id, "cellB", db FROM (
+        SELECT vec_id, "cellB", db,
+          row_number() OVER (PARTITION BY vec_id ORDER BY db, "cellB") AS rb
+        FROM bdists WHERE vec_id < 10) t WHERE rb <= 4),
+    probes AS (
+      SELECT query_id, "cellA" * (SELECT k FROM kside) + "cellB" AS cell FROM (
+        SELECT a.vec_id AS query_id, a."cellA", b."cellB",
+          row_number() OVER (PARTITION BY a.vec_id
+            ORDER BY a.da + b.db, a."cellA", b."cellB") AS pr
+        FROM aprobe a JOIN bprobe b ON a.vec_id = b.vec_id) t WHERE pr <= 4),
+    scored AS (
+      SELECT p.query_id, a.neighbor_id,
+        list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(q.embedding)+1),
+          i -> q.embedding[i]::DOUBLE * n.embedding[i]::DOUBLE)), (x,y) -> x+y)
+        / (sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(q.embedding)+1),
+            i -> q.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE)), (x,y) -> x+y))
+         * sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(n.embedding)+1),
+            i -> n.embedding[i]::DOUBLE * n.embedding[i]::DOUBLE)), (x,y) -> x+y))) AS score
+      FROM probes p JOIN assigned a USING (cell)
+      JOIN embeddings q ON q.vec_id = p.query_id
+      JOIN embeddings n ON n.vec_id = a.neighbor_id
+      WHERE a.neighbor_id <> p.query_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, score,
+        row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS "rank"
+      FROM scored)
+    SELECT query_id, "rank", neighbor_id, score FROM ranked
+    WHERE "rank" <= 5 ORDER BY query_id, "rank" """
+  }
+
   /** DETERMINISTIC IVF (r8): the exact [[IvfIndex.searchTopK]] pipeline —
     * cell assignment, nProbe nearest-cell probing, cosine ranking — under
     * a coarse quantizer built by the md5-sample centroid recipe
@@ -840,8 +945,8 @@ object Similarity {
     WHERE "rank" <= 5 ORDER BY query_id, "rank" """)
   )
 
-  val all: Seq[Q] = Seq(annBruteforce, annLsh, annIvf, annIvfDet, annQuantized,
-    annPq, annJlSketch)
+  val all: Seq[Q] = Seq(annBruteforce, annLsh, annIvf, annIvfDet, annImiDet,
+    annQuantized, annPq, annJlSketch)
 }
 
 /** IVF (inverted-file) ANN with a PERSISTABLE coarse quantizer: a
@@ -1049,6 +1154,129 @@ object IvfIndex {
       .withColumn("crank", row_number().over(probeW))
       .filter(col("crank") <= nProbe)
       .select("query_id", "q_emb", "cell")
+    val scored = assigned
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Similarity.cosine(col("q_emb"), col("embedding")).as("score"))
+    Similarity.rankTopK(scored, "query_id",
+      Seq(desc("score"), asc("neighbor_id")), k, "rank")
+      .select("query_id", "rank", "neighbor_id", "score")
+      .orderBy("query_id", "rank")
+  }
+}
+
+/** INVERTED MULTI-INDEX (r15, VERDICT r14 #8 stretch — the FAISS IMI
+  * shape): past [[IvfIndex.MaxCells]] × TargetCellSize (~8.2M vectors) the
+  * single-level quantizer's bounded-driver-model cap reactivates linear
+  * probe growth. IMI takes the PRODUCT of two sub-quantizers over the
+  * vector's halves: `kSide` centroids per half give kSide² effective
+  * cells from a driver model of 2 × kSide × (dim/2) floats — the SAME
+  * memory as one kSide×dim codebook — so the cell count keeps scaling to
+  * kSide² × TargetCellSize (~33 B vectors at the cap) with
+  * candidates/query still bounded at ~nProbe × TargetCellSize.
+  *
+  * Probing is EXACT w.r.t. the additive cell metric dA+dB: the top-n
+  * cells by sum are contained in (top-n of side A) × (top-n of side B) —
+  * if a pair ranks top-n by sum, each coordinate ranks top-n on its own
+  * axis — so the probe ranks only nProbe² candidate PAIRS per query,
+  * never the kSide² cell space. Every stage reuses the deterministic
+  * machinery the IVF oracles already prove (the md5-sample codebook
+  * recipe, the chunked least-of-structs argmin, fixed fold order, fixed
+  * tie-breaks), so `ann_imi_det` carries a full DuckDB oracle.
+  *
+  * At 100 TB: assignment is two narrow broadcast argmins (no shuffle),
+  * probing ranks 2 × kSide broadcast distances + nProbe² pairs per
+  * query, and candidate scoring touches ~nProbe × TargetCellSize rows —
+  * ScaleProbe's `imisearch` section pins candidates/query ~flat one
+  * decade PAST the single-level cap.
+  */
+object ImiIndex {
+
+  /** True past the single-level IVF capacity — the IMI switch point. */
+  def needed(n: Long): Boolean =
+    n > IvfIndex.MaxCells.toLong * IvfIndex.TargetCellSize
+
+  /** Per-side centroid count: kSide² cells target
+    * [[IvfIndex.TargetCellSize]] mean population, each side clamped to
+    * the same bounded-model range as single-level IVF.
+    */
+  def kSideFor(n: Long): Int =
+    math.min(IvfIndex.MaxCells.toLong, math.max(IvfIndex.DefaultNumCells.toLong,
+      math.ceil(math.sqrt(n.toDouble / IvfIndex.TargetCellSize)).toLong)).toInt
+
+  /** Deterministic per-side codebooks: the shared md5-sample's first
+    * `kSide` vectors, split at dim/2 (one sample, two halves — the
+    * oracle reproduces it as one ordered CTE sliced twice).
+    */
+  def codebooksDet(corpus: DataFrame, idCol: String, vecCol: String, kSide: Int)
+      : (IndexedSeq[(Int, Array[Float])], IndexedSeq[(Int, Array[Float])]) = {
+    val sample = Similarity.sampledVectors(corpus, idCol, vecCol, kSide)
+    val h = sample.head.length / 2
+    require(h >= 1, s"IMI needs dim >= 2, got ${sample.head.length}")
+    (sample.zipWithIndex.map { case (v, i) => (i, v.take(h)) }.toIndexedSeq,
+      sample.zipWithIndex.map { case (v, i) => (i, v.drop(h)) }.toIndexedSeq)
+  }
+
+  /** Product-cell assignment: two codegen'd half-vector argmins, combined
+    * as cellA × kSide + cellB — a pure narrow map, like IVF's.
+    */
+  def assign(corpus: DataFrame, vecCol: String,
+      a: IndexedSeq[(Int, Array[Float])],
+      b: IndexedSeq[(Int, Array[Float])]): DataFrame = {
+    val kSide = a.size
+    val h = a.head._2.length
+    val dim = h + b.head._2.length
+    corpus
+      .withColumn("__ca", IvfIndex.argminCell(slice(col(vecCol), 1, h), a))
+      .withColumn("__cb", IvfIndex.argminCell(slice(col(vecCol), h + 1, dim - h), b))
+      .withColumn("cell", col("__ca") * kSide + col("__cb"))
+      .drop("__ca", "__cb")
+  }
+
+  /** Probe-and-rank over the product cells (see class doc for the
+    * exactness argument). Returns (query_id, rank, neighbor_id, score).
+    */
+  def searchTopK(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      a: IndexedSeq[(Int, Array[Float])],
+      b: IndexedSeq[(Int, Array[Float])],
+      queries: DataFrame, // (query_id, q_emb)
+      k: Int,
+      nProbe: Int = IvfIndex.DefaultNProbe): DataFrame = {
+    val s = corpus.sparkSession
+    import s.implicits._
+    val kSide = a.size
+    val h = a.head._2.length
+    val dim = h + b.head._2.length
+    val assigned = assign(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("embedding")),
+      "embedding", a, b)
+    val cbA = a.map { case (c, v) => (c, v.toSeq) }.toDF("cellA", "ca")
+    val cbB = b.map { case (c, v) => (c, v.toSeq) }.toDF("cellB", "cb")
+    val wA = Window.partitionBy("query_id").orderBy(asc("da"), asc("cellA"))
+    val aTop = queries
+      .crossJoin(broadcast(cbA))
+      .select(col("query_id"), col("q_emb"), col("cellA"),
+        Similarity.l2sq(slice(col("q_emb"), 1, h), col("ca")).as("da"))
+      .withColumn("ra", row_number().over(wA)).filter(col("ra") <= nProbe)
+      .drop("ra")
+    val wB = Window.partitionBy("query_id").orderBy(asc("db"), asc("cellB"))
+    val bTop = queries
+      .crossJoin(broadcast(cbB))
+      .select(col("query_id"), col("cellB"),
+        Similarity.l2sq(slice(col("q_emb"), h + 1, dim - h), col("cb")).as("db"))
+      .withColumn("rb", row_number().over(wB)).filter(col("rb") <= nProbe)
+      .drop("rb")
+    val wP = Window.partitionBy("query_id")
+      .orderBy(asc("dsum"), asc("cellA"), asc("cellB"))
+    val probes = aTop.join(bTop, "query_id")
+      .withColumn("dsum", col("da") + col("db"))
+      .withColumn("pr", row_number().over(wP)).filter(col("pr") <= nProbe)
+      .select(col("query_id"), col("q_emb"),
+        (col("cellA") * kSide + col("cellB")).as("cell"))
     val scored = assigned
       .join(broadcast(probes), Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))

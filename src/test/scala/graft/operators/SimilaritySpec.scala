@@ -72,6 +72,39 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.3, s"IVF recall $recall too low")
   }
 
+  test("IMI ANN: identical planted vector is found at rank 1 via its product cell (r15)") {
+    val res = Similarity.annImiDet.fn(spark, augmentedDir)
+    val top = res.filter(col("query_id") === 0 && col("rank") === 1).collect()
+    assert(top.nonEmpty, "query 0 probed no candidates")
+    assert(top(0).getAs[Long]("neighbor_id") == 999999L)
+    assert(math.abs(top(0).getAs[Double]("score") - 1.0) < 1e-9)
+  }
+
+  test("IMI ANN: reasonable recall of brute-force top-5; kSide scaling formula (r15)") {
+    val exact = Similarity.annBruteforce.fn(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = Similarity.annImiDet.fn(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    // IMI is the >8M-vector path: at the spec corpus (~50 vectors) its 256
+    // product cells hold ~0.2 vectors each, so probing 4 of them is a
+    // deliberately over-partitioned regime — this floor only pins
+    // NON-DEGENERACY (well above the 1.6% random cell coverage; exact
+    // semantics are hash-pinned by the DuckDB oracle, and the planted-pair
+    // test above pins the own-cell recall guarantee)
+    assert(recall >= 0.05, s"IMI recall $recall below random-coverage floor")
+    // the switch point and the per-side scaling law
+    assert(!ImiIndex.needed(8L * 1000 * 1000))
+    assert(ImiIndex.needed(8193L * 1000))
+    assert(ImiIndex.kSideFor(500) == 16)            // clamped small
+    assert(ImiIndex.kSideFor(10000000L) == 71)      // ceil(sqrt(5000))
+    assert(ImiIndex.kSideFor(40000000L) == 142)     // cells keep scaling
+    // candidates/query bounded at ~nProbe x target across the decade
+    val c10 = 4.0 * 10000000L / (71.0 * 71)
+    val c40 = 4.0 * 40000000L / (142.0 * 142)
+    assert(math.abs(c40 / c10 - 1.0) < 0.1, s"$c10 vs $c40")
+  }
+
   test("IVF centroids persist to the lake; cold-start search matches warm search") {
     val emb = graft.Tables(spark, sfDir).embeddings
     val cat = graft.lake.LakeCatalog(spark,
