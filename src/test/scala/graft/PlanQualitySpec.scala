@@ -406,6 +406,28 @@ class PlanQualitySpec extends SparkSpec {
     assertWindowsAboveTopK(p)
   }
 
+  test("ann_imi_det: the corpus-bounded rank rides TopKPerGroup; probe windows stay model-bounded") {
+    val p = plan(operators.Similarity.annImiDet)
+    // the CANDIDATE rank (corpus-proportional input) must reduce map-side
+    assert(p.contains("PartialTopKPerGroup"), s"ann_imi_det:\n$p")
+    // exactly FOUR Windows are allowed: the three probe ranks (side A,
+    // side B, pair rank — inputs are queries × codebook, ≤ NumQueries ×
+    // kSide rows, a MODEL artifact, then nProbe² pairs) and the final
+    // rank-labeling window whose input is already the TopK cut (bounded
+    // by k per query). A fifth would mean a window leaked onto the
+    // corpus side, which only the assignment projection and the
+    // probed-cell join + TopK cut may touch.
+    val windows = """(?m)(?:^|\s)Window\s\[""".r.findAllIn(p).length
+    assert(windows == 4,
+      s"expected the 3 probe windows + the rank label window, got $windows:\n$p")
+    // the rank-label window (first in the parents-first print) must sit
+    // ABOVE the TopK cut — its input is k-bounded, never the corpus
+    val lines = p.linesIterator.toIndexedSeq
+    val firstWindow = lines.indexWhere(_.contains("Window ["))
+    assert(lines.drop(firstWindow + 1).exists(_.contains("TopKPerGroup")),
+      s"final rank window has no bounded cut below it:\n$p")
+  }
+
   test("ann_lsh / ann_quantized / ann_pq: same bounded rank shape") {
     Seq(operators.Similarity.annLsh, operators.Similarity.annQuantized,
       operators.Similarity.annPq).foreach { q =>
