@@ -1218,6 +1218,39 @@ object ImiIndex {
       sample.zipWithIndex.map { case (v, i) => (i, v.drop(h)) }.toIndexedSeq)
   }
 
+  /** Persist the codebooks into the lake as ONE tiny (side, cell,
+    * centroid) table — versioned and time-travelable like any other, the
+    * [[IvfIndex.buildIndex]] treatment: train once, cold-start forever.
+    */
+  def buildIndex(
+      catalog: graft.lake.LakeCatalog,
+      ns: String,
+      table: String,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      kSide: Int): Int = {
+    val (a, b) = codebooksDet(corpus, idCol, vecCol, kSide)
+    val s = corpus.sparkSession
+    import s.implicits._
+    val rows = a.map { case (c, v) => ("a", c, v.toSeq) } ++
+      b.map { case (c, v) => ("b", c, v.toSeq) }
+    catalog.write(ns, table, rows.toDF("side", "cell", "centroid"))
+  }
+
+  /** Cold-start: the stored codebooks, straight from the lake. */
+  def loadCodebooks(catalog: graft.lake.LakeCatalog, ns: String, table: String)
+      : (IndexedSeq[(Int, Array[Float])], IndexedSeq[(Int, Array[Float])]) = {
+    val rows = catalog.read(ns, table).select("side", "cell", "centroid")
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    val a = rows.filter(_._1 == "a").map(t => (t._2, t._3)).sortBy(_._1).toIndexedSeq
+    val b = rows.filter(_._1 == "b").map(t => (t._2, t._3)).sortBy(_._1).toIndexedSeq
+    require(a.nonEmpty && a.size == b.size,
+      s"stored IMI codebooks are malformed: |a|=${a.size} |b|=${b.size}")
+    (a, b)
+  }
+
   /** Product-cell assignment: two codegen'd half-vector argmins, combined
     * as cellA × kSide + cellB — a pure narrow map, like IVF's.
     */

@@ -105,6 +105,28 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(c40 / c10 - 1.0) < 0.1, s"$c10 vs $c40")
   }
 
+  test("IMI codebooks persist to the lake; cold-start search matches warm search (r15)") {
+    val t = graft.Tables(spark, sfDir)
+    val emb = t.embeddings
+    val kSide = ImiIndex.kSideFor(emb.count())
+    val (a, b) = ImiIndex.codebooksDet(emb, "vec_id", "embedding", kSide)
+    val root = java.nio.file.Files.createTempDirectory("graft_imi_").toString
+    val cat = graft.lake.LakeCatalog(spark, root)
+    ImiIndex.buildIndex(cat, "ann", "imi_codebooks", emb, "vec_id", "embedding", kSide)
+    val (a2, b2) = ImiIndex.loadCodebooks(cat, "ann", "imi_codebooks")
+    // the round-trip is bit-exact (floats through parquet)
+    assert(a2.size == a.size && b2.size == b.size)
+    assert(a.zip(a2).forall { case ((c1, v1), (c2, v2)) =>
+      c1 == c2 && java.util.Arrays.equals(v1, v2) })
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val warm = ImiIndex.searchTopK(emb, "vec_id", "embedding", a, b, queries, 5)
+      .collect().map(_.toString).toSeq
+    val cold = ImiIndex.searchTopK(emb, "vec_id", "embedding", a2, b2, queries, 5)
+      .collect().map(_.toString).toSeq
+    assert(warm == cold, "cold-start search must match the warm search exactly")
+  }
+
   test("IVF centroids persist to the lake; cold-start search matches warm search") {
     val emb = graft.Tables(spark, sfDir).embeddings
     val cat = graft.lake.LakeCatalog(spark,
