@@ -768,6 +768,15 @@ final class LakeStreamProvider extends StreamSourceProvider
       "graft-lake sink supports Append/Update output (per-batch delta " +
         "commits); land a Complete-mode aggregate through foreachBatch + " +
         "INSERT OVERWRITE instead")
+    // Update mode re-emits a GROUP each time it changes: appending those
+    // rows stacks every revision of the group in the table — only the
+    // keyed modes (upsert/cdc) converge under re-emission; refuse the
+    // silent-duplication pairing loudly.
+    require(outputMode != org.apache.spark.sql.streaming.OutputMode.Update() ||
+        params.getOrElse("mode", "append").toLowerCase != "append",
+      "graft-lake sink in Update output mode needs mode=upsert or mode=cdc " +
+        "(re-emitted groups must MERGE on their key; plain appends would " +
+        "stack every revision)")
     val cp = params.getOrElse("checkpointlocation",
       throw new IllegalArgumentException(
         "graft-lake sink requires a durable checkpointLocation — the " +

@@ -185,6 +185,15 @@ class LakeSinkProviderSpec extends SparkSpec {
           .outputMode("complete").start()
       }
       assert(e4.getMessage.contains("Complete"), e4.getMessage)
+      // Update output + plain-append mode would stack every group
+      // revision — only the keyed modes converge under re-emission
+      val e5 = intercept[Exception] {
+        agg.writeStream.format("graft-lake")
+          .option("root", lakeRoot).option("table", "st.bad")
+          .option("checkpointLocation", root.resolve("cpu").toString)
+          .outputMode("update").start()
+      }
+      assert(e5.getMessage.contains("upsert"), e5.getMessage)
     } finally rmrf(root)
   }
 }
