@@ -157,6 +157,39 @@ class LakeSinkProviderSpec extends SparkSpec {
     } finally rmrf(root)
   }
 
+  test("Update output + upsert mode: a stateful aggregate CONVERGES in the lake (re-emitted groups merge)") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_psink_")
+    try {
+      val lakeRoot = root.resolve("lake").toString
+      val cat = LakeCatalog(spark, lakeRoot)
+      val input = MemoryStream[(Long, Long)]
+      // running per-key counts, Update mode: each trigger re-emits only
+      // the keys whose count changed — the upsert sink must converge the
+      // table to the final counts, not stack revisions
+      val counts = input.toDS().toDF("k", "x")
+        .groupBy(col("k")).agg(count(lit(1)).as("n"))
+      val q = counts.writeStream.format("graft-lake")
+        .option("root", lakeRoot).option("table", "st.counts")
+        .option("checkpointLocation", root.resolve("cp").toString)
+        .option("mode", "upsert").option("key", "k")
+        .outputMode("update")
+        .start()
+      try {
+        input.addData((1L, 0L), (1L, 0L), (2L, 0L))
+        q.processAllAvailable()
+        input.addData((1L, 0L), (3L, 0L)) // key 1 re-emits with n=3
+        q.processAllAvailable()
+      } finally q.stop()
+      val rows = cat.read("st", "counts").orderBy("k")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(rows == Seq((1L, 3L), (2L, 1L), (3L, 1L)),
+        s"table must hold the FINAL counts, one row per key: $rows")
+    } finally rmrf(root)
+  }
+
   test("option validation refuses loudly: checkpoint, mode, key, Complete") {
     val root = Files.createTempDirectory("graft_psink_")
     try {
