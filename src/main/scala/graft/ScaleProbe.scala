@@ -174,17 +174,20 @@ object ScaleProbe {
     // E24 REPLICATION probe (r15, VERDICT r14 #6): a mutation window's
     // replication cost must track the CHANGE SIZE, not the table size.
     // Setup: a src table of 8×mult range-clustered commits, seeded into
-    // the replica under maxFilesPerTrigger=8 (rate-limited seeding is
-    // itself the scale lesson: it leaves the replica MULTI-COMMIT, so the
-    // later apply stays file-scoped — a one-window seed would fuse the
+    // the replica under maxVersionsPerTrigger=2 (the cap that composes
+    // with the change feed — r16 made the source REFUSE the dir/byte
+    // slicers under changeFeed instead of silently ignoring them, ADVICE
+    // r15). Rate-limited seeding is itself the scale lesson: version
+    // windows land the replica as MULTIPLE apply commits, so the later
+    // mutation apply stays file-scoped — a one-window seed would fuse the
     // replica into one commit and every future upsert would rewrite it
-    // all). Then ONE fixed-size UPDATE (1000 rows inside commit 0's key
+    // all. Then ONE fixed-size UPDATE (1000 rows inside commit 0's key
     // range) lands on src and the timed pass replicates that window. At
     // 10x the table the diff is the same two commits and the apply
-    // rewrites the same one replica commit — the pass must stay within
-    // session-overhead noise of the 1x time, and the probe THROWS when
-    // the 10x mutation pass exceeds 3x the 1x pass (table-proportional
-    // work would show as ~10x).
+    // rewrites only replica commits holding matched keys — the pass must
+    // stay within session-overhead noise of the 1x time, and the probe
+    // THROWS when the 10x mutation pass exceeds 3x the 1x pass
+    // (table-proportional work would show as ~10x).
     if (on("replicate")) {
       val root = "/tmp/graft_scale_replicate"
       org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
@@ -201,10 +204,10 @@ object ScaleProbe {
         def pass(): Unit = {
           val q = streaming.EventStreams.replicateLakeToLake(spark, root,
             "rp", t, cat, "rp", s"dst$mult", Seq("id"), cp,
-            Map("maxfilespertrigger" -> "8"))
+            Map("maxversionspertrigger" -> "2"))
           try q.processAllAvailable() finally q.stop()
         }
-        pass() // seed (untimed; rate-limited into 8×mult-dir batches)
+        pass() // seed (untimed; rate-limited into 2-version diff windows)
         cat.update("rp", t, Seq("v" -> lit(9.9)), col("id") < 1000)
         val t0 = System.nanoTime()
         pass() // the timed mutation window

@@ -42,9 +42,24 @@ object SinkOps {
       ns: String, table: String, key: String,
       appId: String, batchId: Long,
       batch: DataFrame): Unit =
+    landUpsertKeys(catalog, ns, table, Seq(key), appId, batchId, batch)
+
+  /** COMPOSITE-key upsert landing (ADVICE r15: the sink parsed `key` as a
+    * comma list but merged on keys.head alone — rows differing only in
+    * later key columns silently clobbered). Tuple keys route through
+    * [[graft.lake.TableMerger.mergeTableKeys]], the same conjunctive-
+    * bounds file-scoped MERGE the SQL façade's multi-column ON runs.
+    */
+  def landUpsertKeys(
+      catalog: graft.lake.LakeCatalog,
+      ns: String, table: String, keys: Seq[String],
+      appId: String, batchId: Long,
+      batch: DataFrame): Unit =
     if (!catalog.txnVersion(ns, table, appId).exists(_ >= batchId)) {
       if (!batch.isEmpty) {
-        new graft.lake.TableMerger(catalog).mergeTable(batch, ns, table, Some(key))
+        val merger = new graft.lake.TableMerger(catalog)
+        if (keys.size > 1) merger.mergeTableKeys(batch, ns, table, keys)
+        else merger.mergeTable(batch, ns, table, keys.headOption)
         ()
       }
       catalog.recordTxn(ns, table, appId, batchId)

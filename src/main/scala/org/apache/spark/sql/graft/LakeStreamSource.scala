@@ -199,6 +199,17 @@ final class LakeStreamSource(
   maxBytesPerTrigger.foreach(n =>
     require(n >= 1L, s"maxBytesPerTrigger must be >= 1, got $n"))
 
+  // change-feed windows are snapshot DIFFS, not dir unions — the dir/byte
+  // slicers have nothing to slice there. Silently ignoring the caps (the
+  // pre-r16 behavior) let a caller believe a feed was rate-limited when it
+  // was not (ADVICE r15): refuse loudly and point at the cap that DOES
+  // compose with changeFeed.
+  require(!(changeFeed &&
+      (maxFilesPerTrigger.isDefined || maxBytesPerTrigger.isDefined)),
+    s"$ns.$table: maxFilesPerTrigger/maxBytesPerTrigger slice dir unions " +
+      "and do not apply to changeFeed's snapshot-diff windows — use " +
+      "maxVersionsPerTrigger to rate-limit a change feed")
+
   /** Highest position this source knows DELIVERED — max of the persisted
     * checkpoint position (restart base) and what this incarnation has
     * seen via getBatch/commit. The rate-limit base: getOffset never
@@ -600,6 +611,15 @@ final class LakeStreamSource(
     val p = parsePos(end)
     highPos = Seq(highPos, p).max
     persistPos(highPos)
+    // evict admission-unit file lists for windows at or below the committed
+    // position — a long-running sliced stream must not accumulate one
+    // full-file-list entry per processed version on the driver forever
+    // (ADVICE r15). Entries still mid-window (v == highPos.v with a live
+    // dir cursor) stay until their version completes.
+    val h = highPos
+    unitsCache.keys
+      .filter { case (v, _) => v < h.v || (v == h.v && h.d < 0) }
+      .foreach(unitsCache.remove)
   }
   override def stop(): Unit = ()
   override def toString: String = s"LakeStreamSource($ns.$table @ $root)"
@@ -694,9 +714,9 @@ final class LakeStreamSink(
   private val mode = params.getOrElse("mode", "append").toLowerCase
   require(Set("append", "upsert", "cdc").contains(mode),
     s"graft-lake sink mode must be append|upsert|cdc, got '$mode'")
-  // comma-separated for composite keys (cdc mode runs the tuple-keyed
-  // apply; upsert takes a single key — MERGE's composite path is
-  // mergeTableKeys, reachable through the SQL façade)
+  // comma-separated for composite keys: cdc mode runs the tuple-keyed
+  // apply, upsert the tuple-keyed MERGE (mergeTableKeys — ADVICE r15
+  // closed the keys.head-only hole)
   private val keys: Seq[String] =
     params.get("key").toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
   require(mode == "append" || keys.nonEmpty,
@@ -711,7 +731,7 @@ final class LakeStreamSink(
     val batch = GraftBridge.sinkBatch(data)
     mode match {
       case "append" => SinkOps.landAppend(catalog, ns, table, appId, batchId, batch)
-      case "upsert" => SinkOps.landUpsert(catalog, ns, table, keys.head, appId, batchId, batch)
+      case "upsert" => SinkOps.landUpsertKeys(catalog, ns, table, keys, appId, batchId, batch)
       case "cdc" => SinkOps.landCdc(catalog, ns, table, keys, appId, batchId, batch, orderCol)
     }
   }

@@ -190,6 +190,37 @@ class LakeSinkProviderSpec extends SparkSpec {
     } finally rmrf(root)
   }
 
+  test("upsert mode with a COMPOSITE key merges on the tuple (ADVICE r15)") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_psink_")
+    try {
+      val lakeRoot = root.resolve("lake").toString
+      val cat = LakeCatalog(spark, lakeRoot)
+      val input = MemoryStream[(Long, Long, Double)]
+      val q = input.toDS().toDF("a", "b", "v").writeStream.format("graft-lake")
+        .option("root", lakeRoot).option("table", "st.ck")
+        .option("checkpointLocation", root.resolve("cp").toString)
+        .option("mode", "upsert").option("key", "a,b")
+        .outputMode("append")
+        .start()
+      try {
+        input.addData((1L, 1L, 1.0), (1L, 2L, 2.0), (2L, 1L, 3.0))
+        q.processAllAvailable()
+        // correction for (1,2) only — (1,1) differs only in the SECOND
+        // key column and must survive untouched (pre-r16 the sink merged
+        // on keys.head alone and would clobber it)
+        input.addData((1L, 2L, 99.0))
+        q.processAllAvailable()
+      } finally q.stop()
+      val rows = cat.read("st", "ck").orderBy("a", "b")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(rows == Seq((1L, 1L, 1.0), (1L, 2L, 99.0), (2L, 1L, 3.0)),
+        rows.toString)
+    } finally rmrf(root)
+  }
+
   test("option validation refuses loudly: checkpoint, mode, key, Complete") {
     val root = Files.createTempDirectory("graft_psink_")
     try {

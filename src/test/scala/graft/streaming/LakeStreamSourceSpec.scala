@@ -448,6 +448,26 @@ class LakeStreamSourceSpec extends SparkSpec {
     assert(e.getMessage.contains("_change"), e.getMessage)
   }
 
+  test("changeFeed refuses the dir/byte slicers; the version cap composes (ADVICE r15)") {
+    val root = tmp()
+    val cat = LakeCatalog(spark, root.toString)
+    cat.write("s", "cfc", rows(5))
+    // diff windows are not dir unions: silently ignoring the caps told the
+    // caller a feed was rate-limited when it was not — must refuse
+    val e = intercept[IllegalArgumentException] {
+      src(cat, "s", "cfc", Map("changefeed" -> "true", "maxfilespertrigger" -> "2"))
+    }
+    assert(e.getMessage.contains("maxVersionsPerTrigger"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      src(cat, "s", "cfc", Map("changefeed" -> "true", "maxbytespertrigger" -> "1024"))
+    }
+    assert(e2.getMessage.contains("maxVersionsPerTrigger"), e2.getMessage)
+    // maxVersionsPerTrigger IS the change-feed rate limit
+    val ok = src(cat, "s", "cfc",
+      Map("changefeed" -> "true", "maxversionspertrigger" -> "1"))
+    assert(ok.getOffset.contains(LongOffset(1L)))
+  }
+
   test("a user-supplied narrower schema becomes the projection target") {
     val root = tmp()
     val cat = LakeCatalog(spark, root.toString)
