@@ -931,6 +931,66 @@ object StreamingQueries {
     FROM events GROUP BY event_type ORDER BY event_type""")
   )
 
+  /** B45b/E25 end-to-end (r16, VERDICT r15 #1): the KEYED one-statement
+    * streaming pipeline — `MERGE INTO graft.ns.dst USING (streaming
+    * aggregate) ON key`, the continuous version of the reference's MERGE
+    * shape (merge_utils.py:74-80). The subquery is a STREAMING GROUP BY
+    * over `FROM STREAM graft.ns.src`; the statement plans source →
+    * stateful aggregate → the native sink in upsert mode under Update
+    * output, so re-emitted groups CONVERGE on their key. Run 1 aggregates
+    * the three-commit initial snapshot; a fourth quarter is appended and
+    * the SAME statement runs again — the checkpointed aggregate STATE
+    * carries across runs, so the re-run processes only the delta yet
+    * emits the updated TOTALS, and the merge converges the table to one
+    * row per group. The final read is the destination itself, so a
+    * lineage that re-counted the snapshot, dropped the delta, stacked
+    * group revisions (append-not-merge), or lost aggregate state across
+    * the restart each hash-mismatch the whole-events oracle.
+    */
+  val streamSqlMerge: Q = Q(
+    "stream_sql_merge",
+    (s, dir) => {
+      val feed = Tables(s, dir).events
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      def quarter(q: Int): DataFrame =
+        feed.filter(pmod(col("event_id"), lit(4)) === q)
+      val root = java.nio.file.Files.createTempDirectory("graft_sqlmrg_")
+      val prevRoot = s.conf.getOption(graft.sql.GraftSqlParser.RootConf)
+      val prevCp = s.conf.getOption(graft.sql.GraftSqlParser.StreamCheckpointConf)
+      try {
+        val cat = graft.lake.LakeCatalog(s, root.resolve("lake").toString)
+        cat.write("stm", "src", quarter(0))
+        cat.write("stm", "src", quarter(1), org.apache.spark.sql.SaveMode.Append)
+        cat.write("stm", "src", quarter(2), org.apache.spark.sql.SaveMode.Append)
+        s.conf.set(graft.sql.GraftSqlParser.RootConf, cat.root)
+        s.conf.set(graft.sql.GraftSqlParser.StreamCheckpointConf,
+          root.resolve("cp").toString)
+        val stmt = """MERGE INTO graft.stm.agg USING (
+            SELECT event_type, COUNT(*) AS n_events,
+              CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+            FROM STREAM graft.stm.src GROUP BY event_type
+          ) ON event_type
+          WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"""
+        s.sql(stmt).collect()            // initial snapshot (v1..v3)
+        cat.write("stm", "src", quarter(3), org.apache.spark.sql.SaveMode.Append)
+        s.sql(stmt).collect()            // re-run: delta in, TOTALS out
+        s.sql("""SELECT event_type, n_events, total_value
+          FROM graft.stm.agg ORDER BY event_type""")
+          .localCheckpoint(true)
+      } finally {
+        prevRoot.fold(s.conf.unset(graft.sql.GraftSqlParser.RootConf))(
+          s.conf.set(graft.sql.GraftSqlParser.RootConf, _))
+        prevCp.fold(s.conf.unset(graft.sql.GraftSqlParser.StreamCheckpointConf))(
+          s.conf.set(graft.sql.GraftSqlParser.StreamCheckpointConf, _))
+        rmrf(root)
+      }
+    },
+    Some("""SELECT event_type, COUNT(*) AS n_events,
+      CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY event_type ORDER BY event_type""")
+  )
+
   /** E9 end-to-end: streaming CDC UPSERT sink — micro-batch 1 lands every
     * event, micro-batch 2 re-sends corrections for 1-in-10 keys (+1000),
     * and the LAKE TABLE must converge to one row per key with the latest
@@ -1063,5 +1123,5 @@ object StreamingQueries {
     streamUpsertSink, streamCdcSink, streamNeardupRocks, streamBucketsRocks,
     streamSessionsRocks, streamJoinRocks, streamSemanticRocks, streamCdcRocks,
     streamDeltaSink, streamBranchSink, streamLakeSource, streamCdfSource,
-    streamLakeReplicate, streamSqlPipeline)
+    streamLakeReplicate, streamSqlPipeline, streamSqlMerge)
 }
