@@ -404,13 +404,25 @@ object Similarity {
     * ceil(sqrt(n/2000)) — the DuckDB oracle recomputes it from the same
     * COUNT(*), and ScaleProbe `imisearch` pins candidates/query ~flat a
     * decade past the single-level cap.
+    *
+    * r16 (VERDICT r15 #1-residue): the entry runs the PERSISTED-index
+    * economics, matching `ann_ivf`'s amortization contract — build-if-
+    * absent into the shared per-dir scratch lake, then cold-start from
+    * the stored codebooks; a repeat invocation runs ZERO fit work
+    * (spec-pinned in SimilaritySpec via [[ImiIndex.codebookFits]]).
     */
   val annImiDet: Q = Q(
     "ann_imi_det",
     (s, dir) => {
       val emb = Tables(s, dir).embeddings
-      val kSide = ImiIndex.kSideFor(emb.count())
-      val (a, b) = ImiIndex.codebooksDet(emb, "vec_id", "embedding", kSide)
+      val cat = ivfIndexFor(s, dir)
+      if (!cat.tableExists("ann", "imi_codebooks"))
+        // two processes racing the shared index root: the CAS loser falls
+        // through and reads the winner's codebooks (the ann_ivf treatment)
+        try ImiIndex.buildIndex(cat, "ann", "imi_codebooks", emb, "vec_id",
+          "embedding", kSide = ImiIndex.kSideFor(emb.count()))
+        catch { case _: graft.lake.CommitConflictException => () }
+      val (a, b) = ImiIndex.loadCodebooks(cat, "ann", "imi_codebooks")
       val queries = emb.filter(col("vec_id") < NumQueries)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
       ImiIndex.searchTopK(emb, "vec_id", "embedding", a, b, queries,
@@ -1205,12 +1217,18 @@ object ImiIndex {
     math.min(IvfIndex.MaxCells.toLong, math.max(IvfIndex.DefaultNumCells.toLong,
       math.ceil(math.sqrt(n.toDouble / IvfIndex.TargetCellSize)).toLong)).toInt
 
+  /** Fit counter (observability for the amortization spec pin — the
+    * registered entry's repeat invocation must not re-fit).
+    */
+  val codebookFits = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Deterministic per-side codebooks: the shared md5-sample's first
     * `kSide` vectors, split at dim/2 (one sample, two halves — the
     * oracle reproduces it as one ordered CTE sliced twice).
     */
   def codebooksDet(corpus: DataFrame, idCol: String, vecCol: String, kSide: Int)
       : (IndexedSeq[(Int, Array[Float])], IndexedSeq[(Int, Array[Float])]) = {
+    codebookFits.incrementAndGet()
     val sample = Similarity.sampledVectors(corpus, idCol, vecCol, kSide)
     val h = sample.head.length / 2
     require(h >= 1, s"IMI needs dim >= 2, got ${sample.head.length}")

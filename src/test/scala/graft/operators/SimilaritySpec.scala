@@ -168,6 +168,18 @@ class SimilaritySpec extends SparkSpec {
       s"IVF scratch must be rooted at the user-scoped $expectedBase")
   }
 
+  test("registered ann_imi_det amortizes: second invocation runs ZERO codebook fits, same rows (r16)") {
+    // the IMI entry must follow the same persisted-model economics as
+    // ann_ivf: build-if-absent into the lake, cold-start after that
+    val first = Similarity.annImiDet.fn(spark, sfDir).collect().toSeq
+    val fitsAfterFirst = ImiIndex.codebookFits.get()
+    val second = Similarity.annImiDet.fn(spark, sfDir).collect().toSeq
+    assert(ImiIndex.codebookFits.get() == fitsAfterFirst,
+      "repeat ann_imi_det invocation must not re-fit the codebooks")
+    assert(second == first,
+      "cold-start rows must match the invocation that built the index")
+  }
+
   test("scalar quantization: per-element error within half a level; top-1 mostly preserved") {
     val emb = graft.Tables(spark, sfDir).embeddings
     val joined = Similarity.quantizeRecon(emb, "vec_id", "embedding", "vec_id")
