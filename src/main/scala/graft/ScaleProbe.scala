@@ -20,7 +20,7 @@ object ScaleProbe {
   private[graft] val knownSections = Set("minhash", "ann", "text",
     "mega-bucket", "rank", "merge", "mor", "pq", "skew", "sem", "stream",
     "width", "streamparts", "iceimport", "deltaimport", "annrank", "lloyd",
-    "lakestream", "ivfsearch", "replicate", "imisearch")
+    "lakestream", "ivfsearch", "replicate", "imisearch", "imicell")
 
   /** Validates requested section names against the whitelist; throws on
     * any unknown name. Factored out of main so the contract is spec-pinned.
@@ -306,6 +306,77 @@ object ScaleProbe {
       require(c1 / c0 < (n1.toDouble / n0) / 2,
         f"IMI cells must keep candidates/query ~flat past the single-level " +
           f"cap: ${c0}%.0f -> ${c1}%.0f across a ${n1.toDouble / n0}%.1fx step")
+    }
+
+    // CELL-AT-INGEST probe (r16, VERDICT r15 #4): past ~10M vectors the
+    // IMI search's wall time is dominated by the once-per-corpus cell
+    // ASSIGNMENT (2×kSide half-argmins per vector) — at 100 TB that pass
+    // must be paid at INGEST, not per search session. The probe (a) lands
+    // a 10M-vector lake corpus, (b) materializes the product cell as a
+    // stored column through the E22 stream → assign → E4 sink pipeline,
+    // (c) shows search-over-preassigned beats the assignment-inclusive
+    // search (its cost is independent of the assignment pass), and (d)
+    // appends a fixed 200k slice and re-runs the SAME checkpoint: the
+    // increment must assign ONLY the delta — it THROWS if the incremental
+    // pass costs more than half the full ingest pass (corpus-proportional
+    // re-assignment would show as ~1x).
+    if (on("imicell")) {
+      val n = 10000000L
+      val vdim = 16
+      def vec(idc: org.apache.spark.sql.Column) =
+        array((0 until vdim).map(j =>
+          ((pmod(xxhash64(idc, lit(j)), lit(2000L)) - lit(1000L)) / lit(1000.0))
+            .cast("float")): _*)
+      val root = "/tmp/graft_scale_imicell"
+      org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(root), true)
+      val cat = lake.LakeCatalog(spark, root)
+      cat.write("ann", "corpus",
+        spark.range(n).select(col("id").as("vec_id"), vec(col("id")).as("embedding")))
+      val loaded = cat.read("ann", "corpus")
+      val kSide = operators.ImiIndex.kSideFor(n)
+      val (a, b) = operators.ImiIndex.codebooksDet(loaded, "vec_id", "embedding", kSide)
+      val cp = s"$root/cp"
+      def ingestPass(): Double = {
+        val t0 = System.nanoTime()
+        val q = operators.ImiIndex.assignIncremental(
+          spark, cat, "ann", "corpus", "corpus_cells", "embedding", a, b, cp)
+        try q.processAllAvailable() finally q.stop()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val tIngest = ingestPass() // the once-per-corpus assignment, at ingest
+      val pre = cat.read("ann", "corpus_cells")
+      val queries = loaded.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      def timedSearch(corpus: DataFrame, cellCol: Option[String]): (Long, Double) = {
+        val t0 = System.nanoTime()
+        val kept = operators.ImiIndex.searchTopK(
+          corpus, "vec_id", "embedding", a, b, queries, 5, cellCol = cellCol).count()
+        (kept, (System.nanoTime() - t0) / 1e9)
+      }
+      val (keptPre, tPre) = timedSearch(pre, Some("cell"))
+      val (keptInl, tInline) = timedSearch(loaded, None)
+      require(keptPre == keptInl,
+        s"preassigned search must return the same ranks: $keptPre vs $keptInl")
+      // append increment: the SAME checkpoint assigns only the new commit
+      cat.write("ann", "corpus",
+        spark.range(n, n + 200000L)
+          .select(col("id").as("vec_id"), vec(col("id")).as("embedding")),
+        SaveMode.Append)
+      val tInc = ingestPass()
+      val total = cat.rowCount("ann", "corpus_cells")
+      require(total == n + 200000L,
+        s"incremental assignment must cover exactly the appended slice: $total")
+      println(f"[scale] imicell n=$n%d kSide=$kSide%d: ingest-assign=$tIngest%.1fs " +
+        f"search_pre=$tPre%.1fs search_inline=$tInline%.1fs " +
+        f"increment(200k)=$tInc%.1fs (pre < inline = the argmin left the " +
+        "search path; increment ≪ ingest = appends assign only the delta)")
+      require(tPre < tInline,
+        f"search over stored cells ($tPre%.1fs) must beat assignment-" +
+          f"inclusive search ($tInline%.1fs)")
+      require(tInc < tIngest / 2,
+        f"append increment ($tInc%.1fs) must cost the delta, not the corpus " +
+          f"($tIngest%.1fs) — the stream is re-assigning history")
     }
 
     if (on("lloyd")) for (mult <- Seq(1, 3, 10)) {

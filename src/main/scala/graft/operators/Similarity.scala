@@ -1128,6 +1128,30 @@ object IvfIndex {
   def loadCentroids(catalog: graft.lake.LakeCatalog, ns: String, table: String): DataFrame =
     catalog.read(ns, table).select("cell", "centroid")
 
+  /** CELL-AT-INGEST (r16, VERDICT r15 #4): continuously materialize the
+    * assigned cell as a STORED column of a twin lake table. The E22 lake
+    * stream source tails `ns.srcTable`'s commits, the narrow broadcast
+    * argmin maps each appended window, and the txn-watermarked sink lands
+    * `ns.dstTable` exactly-once — a growing corpus assigns each vector
+    * ONCE, at ingest, and `searchTopK(cellCol = Some("cell"))` never
+    * re-pays the pass. Re-running from the same checkpoint processes only
+    * commits appended since.
+    */
+  def assignIncremental(
+      spark: org.apache.spark.sql.SparkSession,
+      catalog: graft.lake.LakeCatalog,
+      ns: String,
+      srcTable: String,
+      dstTable: String,
+      vecCol: String,
+      centroids: DataFrame,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val feed = graft.streaming.EventStreams.readLakeStream(
+      spark, catalog.root, ns, srcTable)
+    graft.streaming.EventStreams.streamIntoLake(
+      assign(feed, vecCol, centroids), catalog, ns, dstTable, checkpoint)
+  }
+
   /** Nearest-centroid cell assignment as a pure narrow map: the centroid
     * table (a bounded model artifact) is collected once driver-side and
     * unrolled into a codegen'd least-of-structs argmin — ties break to the
@@ -1146,6 +1170,12 @@ object IvfIndex {
     * own cell is always probed first — guaranteed recall of exact
     * duplicates) and ranks candidates by cosine. Returns
     * (query_id, rank, neighbor_id, score), rank 1..k per query.
+    *
+    * `cellCol` (r16, VERDICT r15 #4 — cell-at-ingest): when the corpus
+    * already carries its assigned cell as a STORED column (materialized at
+    * write time by [[assignIncremental]]), the search skips the per-vector
+    * argmin pass entirely — at 100 TB the assignment is paid ONCE at
+    * ingest, never per search session.
     */
   def searchTopK(
       corpus: DataFrame,
@@ -1154,10 +1184,15 @@ object IvfIndex {
       centroids: DataFrame,
       queries: DataFrame, // (query_id, q_emb)
       k: Int,
-      nProbe: Int = DefaultNProbe): DataFrame = {
-    val assigned = assign(
-      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("embedding")),
-      "embedding", centroids)
+      nProbe: Int = DefaultNProbe,
+      cellCol: Option[String] = None): DataFrame = {
+    val assigned = cellCol match {
+      case Some(c) => corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).as("embedding"), col(c).cast("int").as("cell"))
+      case None => assign(
+        corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("embedding")),
+        "embedding", centroids)
+    }
     val probeW = Window.partitionBy("query_id").orderBy(asc("cdist"), asc("cell"))
     val probes = queries
       .crossJoin(broadcast(centroids))
@@ -1269,6 +1304,28 @@ object ImiIndex {
     (a, b)
   }
 
+  /** [[IvfIndex.assignIncremental]] for the product quantizer: the stored
+    * `cell` column is the IMI product cell. At 40M vectors the once-per-
+    * corpus assignment dominates `imisearch` wall time (ScaleProbe r15
+    * note) — this moves that pass to ingest, where it is paid exactly
+    * once per vector regardless of how many search sessions follow.
+    */
+  def assignIncremental(
+      spark: org.apache.spark.sql.SparkSession,
+      catalog: graft.lake.LakeCatalog,
+      ns: String,
+      srcTable: String,
+      dstTable: String,
+      vecCol: String,
+      a: IndexedSeq[(Int, Array[Float])],
+      b: IndexedSeq[(Int, Array[Float])],
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val feed = graft.streaming.EventStreams.readLakeStream(
+      spark, catalog.root, ns, srcTable)
+    graft.streaming.EventStreams.streamIntoLake(
+      assign(feed, vecCol, a, b), catalog, ns, dstTable, checkpoint)
+  }
+
   /** Product-cell assignment: two codegen'd half-vector argmins, combined
     * as cellA × kSide + cellB — a pure narrow map, like IVF's.
     */
@@ -1287,6 +1344,11 @@ object ImiIndex {
 
   /** Probe-and-rank over the product cells (see class doc for the
     * exactness argument). Returns (query_id, rank, neighbor_id, score).
+    *
+    * `cellCol` (r16, VERDICT r15 #4): a corpus carrying its PRODUCT CELL
+    * as a stored column (materialized at ingest by [[assignIncremental]])
+    * skips the two per-vector half-argmins — the pass that dominates IMI
+    * search wall time at 10M+ vectors (ScaleProbe `imicell` receipts).
     */
   def searchTopK(
       corpus: DataFrame,
@@ -1296,15 +1358,20 @@ object ImiIndex {
       b: IndexedSeq[(Int, Array[Float])],
       queries: DataFrame, // (query_id, q_emb)
       k: Int,
-      nProbe: Int = IvfIndex.DefaultNProbe): DataFrame = {
+      nProbe: Int = IvfIndex.DefaultNProbe,
+      cellCol: Option[String] = None): DataFrame = {
     val s = corpus.sparkSession
     import s.implicits._
     val kSide = a.size
     val h = a.head._2.length
     val dim = h + b.head._2.length
-    val assigned = assign(
-      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("embedding")),
-      "embedding", a, b)
+    val assigned = cellCol match {
+      case Some(c) => corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).as("embedding"), col(c).cast("int").as("cell"))
+      case None => assign(
+        corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("embedding")),
+        "embedding", a, b)
+    }
     val cbA = a.map { case (c, v) => (c, v.toSeq) }.toDF("cellA", "ca")
     val cbB = b.map { case (c, v) => (c, v.toSeq) }.toDF("cellB", "cb")
     val wA = Window.partitionBy("query_id").orderBy(asc("da"), asc("cellA"))

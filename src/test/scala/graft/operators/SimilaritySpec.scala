@@ -180,6 +180,54 @@ class SimilaritySpec extends SparkSpec {
       "cold-start rows must match the invocation that built the index")
   }
 
+  test("cell-at-ingest: stored-cell search matches inline assignment; appends assign only the delta (r16)") {
+    val emb = graft.Tables(spark, sfDir).embeddings
+    val kSide = 8
+    val (a, b) = ImiIndex.codebooksDet(emb, "vec_id", "embedding", kSide)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    // IMI: a corpus carrying its stored product cell ranks identically
+    val pre = ImiIndex.assign(emb, "embedding", a, b)
+    val viaStored = ImiIndex.searchTopK(pre, "vec_id", "embedding", a, b,
+      queries, 5, cellCol = Some("cell")).collect().toSeq
+    val inline = ImiIndex.searchTopK(emb, "vec_id", "embedding", a, b,
+      queries, 5).collect().toSeq
+    assert(viaStored == inline, "stored-cell IMI search must match inline")
+    // IVF: same contract
+    val cents = IvfIndex.trainCentroids(emb, "vec_id", "embedding", 8)
+    val preIvf = IvfIndex.assign(emb, "embedding", cents)
+    val viaStoredIvf = IvfIndex.searchTopK(preIvf, "vec_id", "embedding",
+      cents, queries, 5, cellCol = Some("cell")).collect().toSeq
+    val inlineIvf = IvfIndex.searchTopK(emb, "vec_id", "embedding",
+      cents, queries, 5).collect().toSeq
+    assert(viaStoredIvf == inlineIvf, "stored-cell IVF search must match inline")
+    // incremental ingest-time assignment: the E22→assign→sink pipeline
+    // materializes the twin table, and an appended commit re-runs from
+    // the same checkpoint assigning ONLY the delta (exactly-once rows)
+    val root = java.nio.file.Files.createTempDirectory("graft_cellingest_")
+    val cat = graft.lake.LakeCatalog(spark, root.resolve("lake").toString)
+    cat.write("ann", "c", emb.filter(col("vec_id") % 2 === 0))
+    val cp = root.resolve("cp").toString
+    def pass(): Unit = {
+      val q = ImiIndex.assignIncremental(
+        spark, cat, "ann", "c", "c_cells", "embedding", a, b, cp)
+      try q.processAllAvailable() finally q.stop()
+    }
+    pass()
+    val half = cat.rowCount("ann", "c_cells")
+    assert(half == emb.filter(col("vec_id") % 2 === 0).count())
+    cat.write("ann", "c", emb.filter(col("vec_id") % 2 =!= 0),
+      org.apache.spark.sql.SaveMode.Append)
+    pass()
+    assert(cat.rowCount("ann", "c_cells") == emb.count(),
+      "append increment must add exactly the delta")
+    // the stored cells agree with a batch assignment of the same rows
+    val stored = cat.read("ann", "c_cells").select("vec_id", "cell")
+    val batch = ImiIndex.assign(emb, "embedding", a, b).select("vec_id", "cell")
+    assert(stored.exceptAll(batch).isEmpty && batch.exceptAll(stored).isEmpty,
+      "ingest-time cells must equal batch-assigned cells")
+  }
+
   test("scalar quantization: per-element error within half a level; top-1 mostly preserved") {
     val emb = graft.Tables(spark, sfDir).embeddings
     val joined = Similarity.quantizeRecon(emb, "vec_id", "embedding", "vec_id")
