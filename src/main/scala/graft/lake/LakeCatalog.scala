@@ -224,7 +224,7 @@ final class LakeCatalog(
     val v = version.getOrElse(vs.last)
     require(vs.contains(v), s"no snapshot v$v of $ns.$t (have: ${vs.mkString(",")})")
     val entries = manifestEntries(ns, t, v)
-    readDirsClean(ns, t, entries, dataRels(entries))
+    withDeclaredCols(readDirsClean(ns, t, entries, dataRels(entries)), entries)
   }
 
   /** Time travel by WALL CLOCK (Iceberg/Delta `TIMESTAMP AS OF` analog):
@@ -488,11 +488,63 @@ final class LakeCatalog(
   // order.
 
   private[lake] def dataRels(entries: Seq[String]): Seq[String] =
-    entries.filterNot(e => e.startsWith("dv/") || e.startsWith("txn/"))
+    entries.filterNot(e =>
+      e.startsWith("dv/") || e.startsWith("txn/") || e.startsWith("col/"))
   private[lake] def dvRels(entries: Seq[String]): Seq[String] =
     entries.filter(_.startsWith("dv/"))
   private[lake] def txnRels(entries: Seq[String]): Seq[String] =
     entries.filter(_.startsWith("txn/"))
+  private[lake] def colRels(entries: Seq[String]): Seq[String] =
+    entries.filter(_.startsWith("col/"))
+
+  /** DECLARED COLUMNS (r16, VERDICT r15 #5 — `ALTER TABLE ADD COLUMN`):
+    * manifest lines `col/<urlenc name>=<urlenc DataType.json>`, a sibling
+    * entry class to `txn/` (metadata riding the atomically-published
+    * manifest, filtered from every data path by [[dataRels]]). A declared
+    * column that no data dir carries yet reads as NULL ([[read]] injects
+    * it); the first write that CARRIES the column materializes it and the
+    * declaration becomes a no-op — the same null-fill semantics write-time
+    * `unionByName` evolution already gives, now reachable as a verb.
+    */
+  private[lake] def declaredCols(entries: Seq[String])
+      : Seq[(String, org.apache.spark.sql.types.DataType)] =
+    colRels(entries).flatMap { e =>
+      e.stripPrefix("col/").split("=", 2) match {
+        case Array(n, tj) =>
+          Some(dec(n) -> org.apache.spark.sql.types.DataType.fromJson(dec(tj)))
+        case _ => None
+      }
+    }
+
+  /** Null-fill the snapshot's declared-but-unwritten columns (appended at
+    * the end, the Delta/Iceberg ADD COLUMN position).
+    */
+  private def withDeclaredCols(df: DataFrame, entries: Seq[String]): DataFrame = {
+    val have = df.columns.map(_.toLowerCase).toSet
+    declaredCols(entries).filterNot(c => have(c._1.toLowerCase)).foldLeft(df) {
+      case (d, (n, dt)) =>
+        d.withColumn(n, org.apache.spark.sql.functions.lit(null).cast(dt))
+    }
+  }
+
+  /** `ALTER TABLE ADD COLUMN` (metadata-only): publish the current entry
+    * list plus one `col/` declaration — no data IO, prior snapshots keep
+    * the pre-evolution schema (time travel reads the old shape). The
+    * column must be new; reads null-fill it until data carries it.
+    * Mutating verbs against the declared-only column (UPDATE SET, a
+    * predicate on it) resolve once data materializes it — the write path
+    * is unchanged.
+    */
+  def addColumn(ns: String, t: String, name: String,
+      dataType: org.apache.spark.sql.types.DataType): Int = {
+    val (base, entries) = latestEntries(ns, t)
+    val existing = read(ns, t, Some(base)).schema.fieldNames
+      .map(_.toLowerCase).toSet
+    require(!existing.contains(name.toLowerCase),
+      s"column `$name` already exists in $ns.$t")
+    commit(ns, t, entries :+ s"col/${enc(name)}=${enc(dataType.json)}",
+      Some(base))
+  }
 
   /** File key relative to the table root ("data/<uuid>/…"), derived from
     * the scan's `_metadata.file_path` — URI-scheme-agnostic, so vectors
@@ -761,8 +813,14 @@ final class LakeCatalog(
         // maintenance overwrite racing a streaming sink would reopen the
         // sink's replay window
         val carried =
-          if (tableExists(ns, t)) txnRels(manifestEntries(ns, t, versions(ns, t).last))
-          else Nil
+          if (tableExists(ns, t)) {
+            val prev = manifestEntries(ns, t, versions(ns, t).last)
+            // declared columns survive an overwrite like txn watermarks do
+            // (Delta keeps the table schema across INSERT OVERWRITE); the
+            // read-side guard only injects them when the new data does not
+            // already carry the name
+            txnRels(prev) ++ colRels(prev)
+          } else Nil
         commit(ns, t, carried :+ rel, expectedVersion)
     }
   }
@@ -1073,7 +1131,7 @@ final class LakeCatalog(
     // sink's replay window
     val next =
       (if (rows == 0L && keptData.nonEmpty) { deleteRec(out); keptData ++ keptDvs }
-       else (keptData :+ rel) ++ keptDvs) ++ txnRels(entries)
+       else (keptData :+ rel) ++ keptDvs) ++ txnRels(entries) ++ colRels(entries)
     commit(ns, t, next, Some(baseVersion))
   }
 
@@ -1221,8 +1279,10 @@ final class LakeCatalog(
     // txn watermark lines move on every idempotent append — they are sink
     // metadata, not data, so the append-only test ignores them (otherwise
     // every streaming-sink table would lose the metadata fast path)
-    val before = manifestEntries(ns, t, fromV).filterNot(_.startsWith("txn/"))
-    val after = manifestEntries(ns, t, toV).filterNot(_.startsWith("txn/"))
+    val before = manifestEntries(ns, t, fromV)
+      .filterNot(e => e.startsWith("txn/") || e.startsWith("col/"))
+    val after = manifestEntries(ns, t, toV)
+      .filterNot(e => e.startsWith("txn/") || e.startsWith("col/"))
     val added = after.filterNot(before.toSet)
     // an added deletion vector is a logical DELETE, not an append — the
     // window then needs a real diff, same as a rewrite
@@ -1420,10 +1480,11 @@ final class LakeCatalog(
     val (protectedVs, expired) = old.partition(tagged)
     val kept = protectedVs ++ kept0
     val keptDirs = kept.flatMap(v => manifestEntries(ns, t, v)).toSet
-    // txn watermark lines are not dirs — nothing on disk to reclaim
+    // txn watermark and declared-column lines are not dirs — nothing on
+    // disk to reclaim
     val expiredDirs =
       (expired.flatMap(v => manifestEntries(ns, t, v)).toSet -- keptDirs)
-        .filterNot(_.startsWith("txn/"))
+        .filterNot(e => e.startsWith("txn/") || e.startsWith("col/"))
     expired.foreach(v => backend.delete(manifestFile(ns, t, v)))
     expiredDirs.foreach(rel => deleteRec(new Path(tPath(ns, t), rel)))
     expiredDirs.size

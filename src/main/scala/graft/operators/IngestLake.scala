@@ -1744,6 +1744,55 @@ object IngestLake {
     ORDER BY m.id""")
   )
 
+  /** B46 (r16, VERDICT r15 #5): SQL SCHEMA EVOLUTION — `ALTER TABLE
+    * graft.ns.t ADD COLUMN` through the v2 catalog, landing as a
+    * METADATA-ONLY `col/` manifest declaration (no data IO; prior
+    * snapshots keep the pre-evolution schema). Commit 1 writes two
+    * columns; the ALTER declares `priority`; commit 2 appends rows that
+    * CARRY it. The final read must null-fill the pre-evolution rows and
+    * surface the post-evolution values — a declaration that leaked into
+    * old snapshots, dropped under the append, or shadowed the real data
+    * each hash-mismatch the oracle.
+    */
+  val lakeAddColumn: Q = Q(
+    "lake_add_column",
+    (s, dir) => {
+      val orders = Tables(s, dir).orders
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      val root = java.nio.file.Files.createTempDirectory("graft_altab_")
+      val prev = s.conf.getOption(graft.sql.GraftSqlParser.RootConf)
+      s.conf.set(graft.sql.GraftSqlParser.RootConf, root.toString)
+      try {
+        val cat = graft.lake.LakeCatalog(s, root.toString)
+        cat.write("al", "t", orders.filter(col("o_orderkey") % 2 === 0)
+          .select("o_orderkey", "o_totalprice"))
+        // the metadata-only verb (v2 catalog alterTable -> col/ entry)
+        s.sql("ALTER TABLE graft.al.t ADD COLUMN priority STRING").collect()
+        // post-evolution data carries the column; pre-evolution commits
+        // are never rewritten
+        cat.write("al", "t", orders.filter(col("o_orderkey") % 2 === 1)
+          .select(col("o_orderkey"), col("o_totalprice"),
+            col("o_orderpriority").as("priority")),
+          org.apache.spark.sql.SaveMode.Append)
+        s.sql("""SELECT o_orderkey, o_totalprice, priority
+          FROM graft.al.t ORDER BY o_orderkey""")
+          .localCheckpoint(true)
+      } finally {
+        prev.fold(s.conf.unset(graft.sql.GraftSqlParser.RootConf))(
+          s.conf.set(graft.sql.GraftSqlParser.RootConf, _))
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq
+          .reverse.foreach(java.nio.file.Files.delete)
+      }
+    },
+    Some("""SELECT o_orderkey, o_totalprice, NULL AS priority
+      FROM orders WHERE o_orderkey % 2 = 0
+      UNION ALL
+      SELECT o_orderkey, o_totalprice, o_orderpriority AS priority
+      FROM orders WHERE o_orderkey % 2 = 1
+      ORDER BY o_orderkey""")
+  )
+
   val all: Seq[Q] = Seq(
     ingestCsvRoundtrip, ingestJsonRoundtrip, ingestParquet, ingestTextLines,
     ingestOrcRoundtrip, ingestXmlRoundtrip, ingestSchemaEvolution, ingestJsonProps,
@@ -1754,5 +1803,5 @@ object IngestLake {
     ingestJdbcRoundtrip, lakeTimeTravel, lakeExpiry, lakeTags, ingestWideSchema,
     lakeExportNested, lakeWriteModes, ingestAvroRoundtrip, lakeDeltaExport,
     ingestXlsxReal, lakeDeltaDv, lakeBranches, lakeIcebergEqDelete, lakeDeltaCdf,
-    lakeTxnAppend, lakeSqlSurface)
+    lakeTxnAppend, lakeSqlSurface, lakeAddColumn)
 }

@@ -520,6 +520,45 @@ class SqlFacadeSpec extends SparkSpec {
     }
   }
 
+  test("ALTER TABLE ADD COLUMN: metadata-only declaration, null-filled reads, old snapshots untouched (VERDICT r15 #5)") {
+    import spark.implicits._
+    withRoot { root =>
+      (1 to 4).map(i => (i.toLong, i * 2.0)).toDF("id", "v")
+        .createOrReplaceTempView("at_src")
+      spark.sql("CREATE TABLE graft.at.t AS SELECT * FROM at_src").collect()
+      spark.sql("ALTER TABLE graft.at.t ADD COLUMN note STRING").collect()
+      val cat = graft.lake.LakeCatalog(spark, root)
+      // one NEW metadata-only version; the data commit is untouched
+      assert(cat.versions("at", "t") == Seq(1, 2))
+      // declared-only: reads null-fill immediately
+      val rows = spark.sql("SELECT id, note FROM graft.at.t ORDER BY id").collect()
+      assert(rows.length == 4 && rows.forall(_.isNullAt(1)))
+      // DESCRIBE surfaces it; the pre-alter snapshot keeps the old shape
+      assert(spark.sql("DESCRIBE graft.at.t").collect()
+        .map(_.getString(0)).contains("note"))
+      assert(!spark.sql("SELECT * FROM graft.at.t VERSION AS OF 1")
+        .columns.contains("note"))
+      // later data MATERIALIZES the column; pre-evolution rows stay null
+      spark.sql("""INSERT INTO graft.at.t
+        SELECT CAST(id AS BIGINT) AS id, CAST(v AS DOUBLE) AS v, note
+        FROM VALUES (5, 10.0, 'n5'), (6, 12.0, 'n6') AS t(id, v, note)""")
+        .collect()
+      val after = spark.sql("SELECT id, note FROM graft.at.t ORDER BY id")
+        .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1)))
+      assert(after.toSeq == Seq(1L -> null, 2L -> null, 3L -> null,
+        4L -> null, 5L -> "n5", 6L -> "n6"), after.mkString(","))
+      // refusals stay loud: duplicate add, and anything but ADD COLUMN
+      val e = intercept[Exception] {
+        spark.sql("ALTER TABLE graft.at.t ADD COLUMN note STRING").collect()
+      }
+      assert(e.getMessage.contains("already exists"), e.getMessage)
+      val e2 = intercept[Exception] {
+        spark.sql("ALTER TABLE graft.at.t DROP COLUMN v").collect()
+      }
+      assert(e2.getMessage.contains("no graft spelling"), e2.getMessage)
+    }
+  }
+
   test("non-graft SQL delegates verbatim; unset root fails loudly") {
     assert(spark.sql("SELECT 1 + 1 AS x").head().getInt(0) == 2)
     // `graft.x.y` OUTSIDE table position (a string literal, a property
