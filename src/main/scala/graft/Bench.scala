@@ -104,10 +104,19 @@ object Bench {
             (r, c)
           }
           var runs = Seq.fill(repeat)(once())
-          // canary gate: retry while even the cleanest pass was contended
+          // canary gate: retry while even the cleanest pass was contended.
+          // Sub-2 s entries tighten the trigger to 1.2x (r16, VERDICT r15
+          // #6): their stamps are dominated by ABSOLUTE noise a 1.5x
+          // canary ratio does not catch — the r15 text_bpe_roundtrip
+          // 0.76 -> 1.59 s swing shipped under a formally-clean canary.
+          // The extra sensitivity costs at most `repeat` cheap re-passes.
+          def gateRatio(rs: Seq[(Either[String, Double], Double)]): Double = {
+            val ts = rs.map(_._1).collect { case Right(v) => v }
+            if (ts.nonEmpty && ts.min < 2.0) 1.2 else 1.5
+          }
           var extras = 0
           while (extras < repeat && runs.forall(_._1.isRight) &&
-              runs.map(_._2).min > canaryBaseline * 1.5) {
+              runs.map(_._2).min > canaryBaseline * gateRatio(runs)) {
             runs :+= once(); extras += 1
           }
           // median over the `repeat` least-contended passes

@@ -270,7 +270,13 @@ object ScaleProbe {
     // codebooks, product assignment over the full corpus, pair-ranked
     // probes, cosine top-k.
     if (on("imisearch")) {
-      val stats = Seq(10000000L, 40000000L).map { n =>
+      // sizes override (r16): GRAFT_IMI_SIZES="10000000,40000000,100000000"
+      // runs the stretch decade — every size must sit past the single-level
+      // cap, and the flatness assertion below spans first -> last
+      val sizes = sys.env.get("GRAFT_IMI_SIZES")
+        .map(_.split(",").toSeq.map(_.trim.toLong))
+        .getOrElse(Seq(10000000L, 40000000L))
+      val stats = sizes.map { n =>
         val vdim = 16
         val vec = array((0 until vdim).map(j =>
           ((pmod(xxhash64(col("id"), lit(j)), lit(2000L)) - lit(1000L)) / lit(1000.0))
