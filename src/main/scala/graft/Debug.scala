@@ -13,6 +13,44 @@ object Debug {
       spark.conf.set(kv(0), kv(1))
       println(s"[debug] conf ${kv(0)}=${kv(1)}")
     }
+    // `listen` arg: print each streaming micro-batch's progress durations
+    // (triggerExecution / addBatch / walCommit / stateOps) while queries run
+    if (names0.contains("listen")) {
+      spark.streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
+        import org.apache.spark.sql.streaming.StreamingQueryListener._
+        override def onQueryStarted(e: QueryStartedEvent): Unit =
+          println(s"[listen] started ${e.name} ${e.id}")
+        override def onQueryProgress(e: QueryProgressEvent): Unit = {
+          val p = e.progress
+          val dur = p.durationMs
+          val states = p.stateOperators.map(so =>
+            s"upd=${so.allUpdatesTimeMs} rm=${so.allRemovalsTimeMs} commit=${so.commitTimeMs}ms " +
+              s"rows=${so.numRowsTotal} mem=${so.memoryUsedBytes} " +
+              s"custom=${so.customMetrics}").mkString(";")
+          println(s"[listen] batch=${p.batchId} rows=${p.numInputRows} dur=$dur state[$states]")
+        }
+        override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+          println(s"[listen] terminated ${e.id}")
+      })
+    }
+    // `jobs` arg: print every Spark job's wall time + description
+    if (names0.contains("jobs")) {
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        private val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+        override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          val d = Option(e.properties).flatMap(p =>
+            Option(p.getProperty("spark.job.description"))).orElse(
+            Option(e.properties).flatMap(p => Option(p.getProperty("callSite.short"))))
+            .getOrElse("")
+          starts.put(e.jobId, (e.time, d))
+        }
+        override def onJobEnd(e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          val s = starts.remove(e.jobId)
+          if (s != null)
+            println(f"[job] ${e.jobId}%4d ${(e.time - s._1) / 1e3}%8.3fs  ${s._2.take(110)}")
+        }
+      })
+    }
     for (n <- names if n.startsWith("sql:")) {
       spark.sql(n.stripPrefix("sql:")).show(20, truncate = false)
     }
@@ -21,7 +59,8 @@ object Debug {
       println(s"===== $q =====")
       SparkEntry.queries(q)(spark, dir).explain("formatted")
     }
-    for (n <- names if !n.startsWith("sql:") && !n.startsWith("explain:")) {
+    for (n <- names if !n.startsWith("sql:") && !n.startsWith("explain:") &&
+        n != "listen" && n != "jobs") {
       val t0 = System.nanoTime()
       val cnt = SparkEntry.queries(n)(spark, dir).count()
       println(f"[debug] $n%-28s ${(System.nanoTime() - t0) / 1e9}%8.2fs rows=$cnt")
