@@ -56,6 +56,13 @@ final class LakeCatalog(
     val root: String,
     backendOpt: Option[CommitBackend] = None) {
 
+  /** The session this catalog plans on — the streaming sinks re-base each
+    * micro-batch here so the landing's batch jobs (merge/apply/append) run
+    * under the engine's batch planning policy (AQE on) instead of the
+    * micro-batch clone's (AQE force-disabled).
+    */
+  private[graft] def session: SparkSession = spark
+
   private val rootPath = new Path(root)
   private lazy val fs: FileSystem =
     rootPath.getFileSystem(spark.sessionState.newHadoopConf())

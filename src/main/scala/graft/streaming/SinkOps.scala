@@ -28,12 +28,27 @@ object SinkOps {
   def appIdFor(ns: String, table: String, checkpoint: String): String =
     EventStreams.sinkAppId(ns, table, checkpoint)
 
+  /** Pin the incoming micro-batch as a fresh batch LogicalRDD ON THE
+    * CATALOG'S SESSION. The frame foreachBatch / a v1 sink hands over is
+    * bound to the stream's cloned session, where Spark force-disables AQE
+    * (ResolveWriteToStream does this for every streaming query) — so the
+    * landing's own BATCH jobs, the file-scoped MERGE/CDC rewrite joins in
+    * particular, were planned without runtime broadcast recovery or
+    * partition coalescing: at any real batch size the rewrite's anti-join
+    * ran as a full-width sort-merge join. Re-basing onto the parent
+    * session restores the engine's batch policy for the landing while the
+    * stream's incremental plan keeps its own (unchanged) machinery.
+    */
+  private def rebase(
+      catalog: graft.lake.LakeCatalog, batch: DataFrame): DataFrame =
+    org.apache.spark.sql.GraftBridge.sinkBatch(batch, catalog.session)
+
   def landAppend(
       catalog: graft.lake.LakeCatalog,
       ns: String, table: String,
       appId: String, batchId: Long,
       batch: DataFrame): Unit = {
-    catalog.writeTxn(ns, table, appId, batchId, batch)
+    catalog.writeTxn(ns, table, appId, batchId, rebase(catalog, batch))
     ()
   }
 
@@ -56,10 +71,11 @@ object SinkOps {
       appId: String, batchId: Long,
       batch: DataFrame): Unit =
     if (!catalog.txnVersion(ns, table, appId).exists(_ >= batchId)) {
-      if (!batch.isEmpty) {
+      val b = rebase(catalog, batch)
+      if (!b.isEmpty) {
         val merger = new graft.lake.TableMerger(catalog)
-        if (keys.size > 1) merger.mergeTableKeys(batch, ns, table, keys)
-        else merger.mergeTable(batch, ns, table, keys.headOption)
+        if (keys.size > 1) merger.mergeTableKeys(b, ns, table, keys)
+        else merger.mergeTable(b, ns, table, keys.headOption)
         ()
       }
       catalog.recordTxn(ns, table, appId, batchId)
@@ -73,9 +89,10 @@ object SinkOps {
       batch: DataFrame,
       orderCol: Option[String]): Unit =
     if (!catalog.txnVersion(ns, table, appId).exists(_ >= batchId)) {
-      if (!batch.isEmpty) {
+      val b = rebase(catalog, batch)
+      if (!b.isEmpty) {
         new graft.lake.TableMerger(catalog)
-          .applyCdcKeys(batch, ns, table, keys, orderCol = orderCol)
+          .applyCdcKeys(b, ns, table, keys, orderCol = orderCol)
         ()
       }
       catalog.recordTxn(ns, table, appId, batchId)

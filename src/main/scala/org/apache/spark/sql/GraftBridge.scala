@@ -41,11 +41,23 @@ object GraftBridge {
     * pattern) so downstream batch machinery (MERGE planning, writers) can
     * re-plan freely.
     */
-  def sinkBatch(df: Dataset[Row]): Dataset[Row] = {
+  def sinkBatch(df: Dataset[Row]): Dataset[Row] = sinkBatch(df, df.sparkSession)
+
+  /** [[sinkBatch]] pinned onto an explicit TARGET session. The frame a
+    * v1 sink / foreachBatch hands over is bound to the micro-batch's
+    * cloned session, on which Spark force-disables AQE for the stream's
+    * own incremental planning — but the LANDING work (file-scoped MERGE,
+    * CDC apply, append) is ordinary batch planning that wants AQE's
+    * runtime broadcast recovery and partition coalescing. Re-basing the
+    * pinned LogicalRDD onto the parent session (same SparkContext; the
+    * RDD rides along) restores the engine's batch planning policy for
+    * everything downstream of the pin.
+    */
+  def sinkBatch(df: Dataset[Row], target: SparkSession): Dataset[Row] = {
     val cdf = df.asInstanceOf[classic.Dataset[Row]]
     val node = execution.LogicalRDD.fromDataset(
       cdf.queryExecution.toRdd, cdf, isStreaming = false)
-    ofRows(df.sparkSession, node)
+    ofRows(target, node)
   }
 
   /** Stable per-session identity (collision-free, unlike identityHashCode) —

@@ -726,9 +726,10 @@ final class LakeStreamSink(
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     // the engine hands a frame riding the micro-batch's incrementalized
-    // plan; pin it as a fresh batch frame (the ForeachBatchSink pattern)
-    // before the landing logic re-plans it
-    val batch = GraftBridge.sinkBatch(data)
+    // plan; SinkOps pins it as a fresh batch frame on the catalog's
+    // session (the ForeachBatchSink pattern + AQE re-enable) before the
+    // landing logic re-plans it
+    val batch = data
     mode match {
       case "append" => SinkOps.landAppend(catalog, ns, table, appId, batchId, batch)
       case "upsert" => SinkOps.landUpsertKeys(catalog, ns, table, keys, appId, batchId, batch)
