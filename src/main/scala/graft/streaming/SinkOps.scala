@@ -71,15 +71,26 @@ object SinkOps {
       appId: String, batchId: Long,
       batch: DataFrame): Unit =
     if (!catalog.txnVersion(ns, table, appId).exists(_ >= batchId)) {
-      val b = rebase(catalog, batch)
-      if (!b.isEmpty) {
-        val merger = new graft.lake.TableMerger(catalog)
-        if (keys.size > 1) merger.mergeTableKeys(b, ns, table, keys)
-        else merger.mergeTable(b, ns, table, keys.headOption)
+      // PIN the batch before the first action: the pinned LogicalRDD rides
+      // the micro-batch's incrementalized plan, and every landing action
+      // (isEmpty, the merge's count/key-collect/plan/rewrite) would
+      // otherwise RE-EXECUTE that plan — including the upstream scan and,
+      // for a stateful pipeline (MERGE INTO … USING a streaming aggregate),
+      // the state-store update+commit of every partition, once per action
+      // (measured on stream_sql_merge: state commitTimeMs summed 55 s per
+      // batch for a 15-row aggregate — three full executions of the state
+      // machinery where one carries the batch).
+      val b = rebase(catalog, batch).persist()
+      try {
+        if (!b.isEmpty) {
+          val merger = new graft.lake.TableMerger(catalog)
+          if (keys.size > 1) merger.mergeTableKeys(b, ns, table, keys)
+          else merger.mergeTable(b, ns, table, keys.headOption)
+          ()
+        }
+        catalog.recordTxn(ns, table, appId, batchId)
         ()
-      }
-      catalog.recordTxn(ns, table, appId, batchId)
-      ()
+      } finally { b.unpersist(); () }
     }
 
   def landCdc(
@@ -89,13 +100,18 @@ object SinkOps {
       batch: DataFrame,
       orderCol: Option[String]): Unit =
     if (!catalog.txnVersion(ns, table, appId).exists(_ >= batchId)) {
-      val b = rebase(catalog, batch)
-      if (!b.isEmpty) {
-        new graft.lake.TableMerger(catalog)
-          .applyCdcKeys(b, ns, table, keys, orderCol = orderCol)
+      // pin + persist before isEmpty — see landUpsertKeys (applyCdc's own
+      // internal persist of the same frame is then a no-op, and the
+      // emptiness probe no longer re-executes the incremental plan)
+      val b = rebase(catalog, batch).persist()
+      try {
+        if (!b.isEmpty) {
+          new graft.lake.TableMerger(catalog)
+            .applyCdcKeys(b, ns, table, keys, orderCol = orderCol)
+          ()
+        }
+        catalog.recordTxn(ns, table, appId, batchId)
         ()
-      }
-      catalog.recordTxn(ns, table, appId, batchId)
-      ()
+      } finally { b.unpersist(); () }
     }
 }
