@@ -51,6 +51,29 @@ object Debug {
         }
       })
     }
+    // `lakewrite` arg: decompose the cost of one lake commit at this SF —
+    // raw parquet write vs cat.write (write + footer-stats sidecar +
+    // manifest publish), 5 reps each, medians printed
+    if (names0.contains("lakewrite")) {
+      import org.apache.spark.sql.functions.col
+      val orders = Tables(spark, dir).orders
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      orders.count() // warm the scan
+      def med(xs: Seq[Double]): Double = xs.sorted.apply(xs.length / 2)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_lw_")
+      def time(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      val raw = (1 to 5).map(i => time(
+        orders.write.parquet(tmp.resolve(s"raw$i").toString)))
+      val cat = graft.lake.LakeCatalog(spark, tmp.resolve("lake").toString)
+      val full = (1 to 5).map(i => time(
+        cat.write("lw", s"t$i", orders)))
+      val append = (1 to 5).map(i => time(
+        cat.write("lw", "t1", orders, org.apache.spark.sql.SaveMode.Append)))
+      println(f"[lakewrite] raw parquet write median ${med(raw)}%.3fs  " +
+        f"cat.write(create) ${med(full)}%.3fs  cat.write(append) ${med(append)}%.3fs")
+    }
     for (n <- names if n.startsWith("sql:")) {
       spark.sql(n.stripPrefix("sql:")).show(20, truncate = false)
     }
@@ -60,7 +83,7 @@ object Debug {
       SparkEntry.queries(q)(spark, dir).explain("formatted")
     }
     for (n <- names if !n.startsWith("sql:") && !n.startsWith("explain:") &&
-        n != "listen" && n != "jobs") {
+        n != "listen" && n != "jobs" && n != "lakewrite") {
       val t0 = System.nanoTime()
       val cnt = SparkEntry.queries(n)(spark, dir).count()
       println(f"[debug] $n%-28s ${(System.nanoTime() - t0) / 1e9}%8.2fs rows=$cnt")
