@@ -112,9 +112,14 @@ object StreamingQueries {
     // the conf off). The conf is read at STREAM START, so setting it around
     // the query and restoring after is the submit-time conf a production
     // drain job would carry; continuous deployments keep the default.
+    // GRAFT_NODATA_BATCHES=true restores the default for a run — the A/B
+    // lever used for the 100x receipt (stream_neardup_twin at the sf10
+    // soak, same window: 108.5 s with no-data batches off vs 126.5 s on —
+    // the drain is faster without them at scale too, the relocated state
+    // eviction notwithstanding).
     val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
     val prevNoData = s.conf.getOption(noDataKey)
-    s.conf.set(noDataKey, "false")
+    s.conf.set(noDataKey, sys.env.getOrElse("GRAFT_NODATA_BATCHES", "false"))
     val query =
       try start(streams)
       finally prevNoData.fold(s.conf.unset(noDataKey))(s.conf.set(noDataKey, _))
