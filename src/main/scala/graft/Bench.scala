@@ -144,19 +144,32 @@ object Bench {
     // the memoized CDC scenario, report their MARGINAL warm cost under
     // repeat>1, while repeat=1 charges the family build to its first entry)
     val repeatField = if (repeat > 1) s""","repeat":$repeat""" else ""
+    // SLIM stdout line for full-surface runs (r17, VERDICT r16 #2): the
+    // per-entry canaries map doubled the line past the driver's tail
+    // capture — BENCH_r10..r15 all parsed null and PERF went dark for six
+    // rounds. The driver needs `queries` (and parses the LAST stdout
+    // line); per-entry canaries move to the side file, which keeps the
+    // FULL form for auditing. Child (forked, single-entry) runs keep the
+    // field inline — forkedEntry lifts its entry's canary out of it.
+    val canariesField =
+      if (args.nonEmpty) s""","canaries":$canaries""" else ""
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","errors":$errs$repeatField,"canary_best":$canaryBest,"canaries":$canaries,"queries":$qs,"sf":"$sfDir"}"""
-    println(line)
+      s"""{"metric":"total","value":$total,"unit":"sec","errors":$errs$repeatField,"canary_best":$canaryBest$canariesField,"queries":$qs,"sf":"$sfDir"}"""
     // The driver's BENCH_r{N}.json retains only a tail of the stdout line,
     // which loses half the per-query timings; persist the COMPLETE sorted
-    // JSON to a file as well (full CLEAN runs only — a subset run or one
-    // with errors must not replace the round's last good record).
+    // JSON (canaries included) to a file as well (full CLEAN runs only — a
+    // subset run or one with errors must not replace the round's last good
+    // record). Written BEFORE the println so the one-line JSON stays the
+    // LAST stdout line no matter what.
     if (args.isEmpty && errs == 0) {
+      val full =
+        s"""{"metric":"total","value":$total,"unit":"sec","errors":$errs$repeatField,"canary_best":$canaryBest,"canaries":$canaries,"queries":$qs,"sf":"$sfDir"}"""
       val out = java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH-full-latest.json"))
       java.nio.file.Files.write(out,
-        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
+    println(line)
     spark.stop()
   }
 

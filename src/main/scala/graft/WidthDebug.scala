@@ -45,7 +45,98 @@ object WidthDebug {
           org.apache.spark.sql.functions.count(lit(1)), sum(rowSum)))
       }
       timed("observed metrics + read plan") {
-        println(s"[width] metrics ${obs.get}  backCols=${cat.read("wide", "t").columns.length}")
+        println(s"[width] metrics ${obs.get.size}  backCols=${cat.read("wide", "t").columns.length}")
+      }
+      // decompose the same work OUTSIDE cat.write: observed write with the
+      // exact parquetWriter options, then the footer-stats pass, separately
+      val obs2 = new org.apache.spark.sql.Observation("width_entry2")
+      val out2 = root + "/direct"
+      timed("direct observed write (v2+nodict+blk8m)") {
+        val rowSum = call_function("graft_row_sum",
+          clean.columns.toIndexedSeq.map(col): _*)
+        clean.observe(obs2, org.apache.spark.sql.functions.count(lit(1)), sum(rowSum))
+          .write.mode(SaveMode.Overwrite)
+          .option("parquet.enable.dictionary", "false")
+          .option("parquet.writer.version", "PARQUET_2_0")
+          .option("parquet.block.size", (8 * 1024 * 1024).toString)
+          .parquet(out2)
+        println(s"[width] direct metrics ${obs2.get.size}")
+      }
+      timed("direct write NO observe (v2+nodict+blk8m)") {
+        clean.write.mode(SaveMode.Overwrite)
+          .option("parquet.enable.dictionary", "false")
+          .option("parquet.writer.version", "PARQUET_2_0")
+          .option("parquet.block.size", (8 * 1024 * 1024).toString)
+          .parquet(root + "/direct2")
+      }
+      timed("footer stats forDir") {
+        val hfs = org.apache.hadoop.fs.FileSystem.getLocal(
+          spark.sparkContext.hadoopConfiguration)
+        val r = lake.ParquetFooterStats.forDir(hfs,
+          spark.sessionState.newHadoopConf(),
+          new org.apache.hadoop.fs.Path(out2),
+          spark.sessionState.conf.sessionLocalTimeZone)
+        println(s"[width] stats rows=${r.map(_._1)} cols=${r.map(_._2.length)}")
+      }
+      spark.stop(); return
+    }
+    if (mode == "wexp3") {
+      // (1) corrupt-isolation overhead, (2) codec, (3) task-count trade
+      val schema = org.apache.spark.sql.types.StructType(
+        (0 until cols).map(j => org.apache.spark.sql.types.StructField(
+          sources.SchemaTools.sanitizeName(f"Col $j%04d (wide)"),
+          org.apache.spark.sql.types.IntegerType)))
+      def cleanCorrupt = {
+        val raw = spark.read
+          .option("header", "true").option("maxColumns", cols + 16)
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", sources.MultiFormatReader.CorruptCol)
+          .option("escape", "\"")
+          .schema(org.apache.spark.sql.types.StructType(schema.fields :+
+            org.apache.spark.sql.types.StructField(sources.MultiFormatReader.CorruptCol,
+              org.apache.spark.sql.types.StringType)))
+          .csv(csvDir)
+        raw.filter(col(sources.MultiFormatReader.CorruptCol).isNull)
+          .drop(sources.MultiFormatReader.CorruptCol)
+      }
+      def plainRead = spark.read
+        .option("header", "true").option("maxColumns", cols + 16)
+        .option("mode", "PERMISSIVE").option("escape", "\"")
+        .schema(schema).csv(csvDir)
+      for (r <- 1 to 2) {
+        timed(s"noop corrupt-isolated read (r$r)") {
+          cleanCorrupt.write.mode(SaveMode.Overwrite).format("noop").save()
+        }
+        timed(s"noop plain-schema read (r$r)") {
+          plainRead.write.mode(SaveMode.Overwrite).format("noop").save()
+        }
+      }
+      def wopts(w: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row]) = w
+        .option("parquet.enable.dictionary", "false")
+        .option("parquet.writer.version", "PARQUET_2_0")
+        .option("parquet.block.size", (8 * 1024 * 1024).toString)
+      for ((label, df, extra) <- Seq(
+        ("v2+nodict", () => cleanCorrupt, Map[String, String]()),
+        ("v2+nodict+nocomp", () => cleanCorrupt, Map("compression" -> "none")),
+        ("v2+nodict coalesce8", () => cleanCorrupt.coalesce(8), Map[String, String]()),
+        ("v2+nodict coalesce16", () => cleanCorrupt.coalesce(16), Map[String, String]()),
+        ("v2+nodict plainread", () => plainRead, Map[String, String]()),
+        ("v2+nodict dropmalformed", () => spark.read
+          .option("header", "true").option("maxColumns", cols + 16)
+          .option("mode", "DROPMALFORMED").option("escape", "\"")
+          .schema(schema).csv(csvDir), Map[String, String]()))) {
+        val out = s"/tmp/graft_wexp3_$cols"
+        org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+          .delete(new org.apache.hadoop.fs.Path(out), true)
+        timed(s"parse+write [$label]") {
+          val w = wopts(df().write.mode(SaveMode.Overwrite))
+          extra.foreach { case (k, v) => w.option(k, v) }
+          w.parquet(out)
+        }
+        val nf = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+          .listStatus(new org.apache.hadoop.fs.Path(out))
+          .count(_.getPath.getName.endsWith(".parquet"))
+        println(s"[width]   files=$nf")
       }
       spark.stop(); return
     }

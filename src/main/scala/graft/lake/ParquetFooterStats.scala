@@ -29,7 +29,7 @@ import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
   * dir, and the caller falls back to the scan — stats may then cost more,
   * but pruning never lies.
   */
-private[lake] object ParquetFooterStats {
+private[graft] object ParquetFooterStats {
 
   /** (rowCount, col -> (kind, minString, maxString)) for one commit dir,
     * or None when footers can't provide scan-equivalent stats.
@@ -45,51 +45,83 @@ private[lake] object ParquetFooterStats {
         !p.getName.startsWith("."))
     if (parts.isEmpty) return None
 
-    var rows = 0L
-    // accumulated (kind, min, max) per column, in schema order of first file
-    val acc = scala.collection.mutable.LinkedHashMap[String, (String, String, String)]()
-    val unsupported = scala.collection.mutable.Set[String]()
-
+    // One footer read per file, run CONCURRENTLY (r17, guide §5 — the
+    // driver should not serialize per-file metadata RTTs): a fresh commit
+    // of F files x C columns parses F footers of C chunk-stats each, and
+    // the sequential walk was measurable wall time on wide tables (1.4 s
+    // for 32 files x 4,450 columns) and is the per-commit floor on a
+    // remote object store. Results merge in file order below, so the
+    // accumulated column order (schema order of the first file) and every
+    // unsupported-marking rule are byte-identical to the sequential walk
+    // (ParquetStatsSpec pins sidecar equality).
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.DurationInt
     import scala.jdk.CollectionConverters._
-    for (part <- parts) {
-      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(part, conf))
-      try {
-        val footer = reader.getFooter
-        for (block <- footer.getBlocks.asScala) {
-          rows += block.getRowCount
-          for (chunk <- block.getColumns.asScala) {
-            val colPath = chunk.getPath.toDotString
-            if (!colPath.contains('.') && !unsupported.contains(colPath)) {
-              val stats = chunk.getStatistics
-              if (stats == null || stats.isEmpty)
-                // ABSENT stats (disabled by writer config, or discarded as
-                // corrupt) are indistinguishable from "no values" — they
-                // must mark the column unsupported, NOT contribute an
-                // empty range: a silent understatement here would make
-                // readWhere prune commits that DO contain matches
-                unsupported += colPath
-              else if (!stats.hasNonNullValue) {
-                // recorded stats with zero non-null values: genuinely an
-                // all-null chunk only when the null count confirms it
-                if (!(stats.isNumNullsSet && stats.getNumNulls == chunk.getValueCount))
-                  unsupported += colPath
-              }
-              else render(chunk.getPrimitiveType, stats, sessionTz) match {
-                case None => unsupported += colPath
-                case Some((kind, mn, mx)) =>
-                  acc.get(colPath) match {
-                    case None => acc(colPath) = (kind, mn, mx)
-                    case Some((k0, mn0, mx0)) =>
-                      // belt-and-braces: a cross-file bound that fails to
-                      // combine marks the column unsupported, never throws
-                      try acc(colPath) = (k0, minOf(k0, mn0, mn), maxOf(k0, mx0, mx))
-                      catch { case _: NumberFormatException => unsupported += colPath }
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    final case class PartStats(rows: Long,
+        cols: Seq[(String, (String, String, String))], unsupported: Set[String])
+    val perPart: Seq[PartStats] = Await.result(
+      Future.sequence(parts.toList.map { part =>
+        Future {
+          var rows = 0L
+          val acc = scala.collection.mutable.LinkedHashMap[String, (String, String, String)]()
+          val unsupported = scala.collection.mutable.Set[String]()
+          val reader = ParquetFileReader.open(HadoopInputFile.fromPath(part, conf))
+          try {
+            val footer = reader.getFooter
+            for (block <- footer.getBlocks.asScala) {
+              rows += block.getRowCount
+              for (chunk <- block.getColumns.asScala) {
+                val colPath = chunk.getPath.toDotString
+                if (!colPath.contains('.') && !unsupported.contains(colPath)) {
+                  val stats = chunk.getStatistics
+                  if (stats == null || stats.isEmpty)
+                    // ABSENT stats (disabled by writer config, or discarded
+                    // as corrupt) are indistinguishable from "no values" —
+                    // they must mark the column unsupported, NOT contribute
+                    // an empty range: a silent understatement here would
+                    // make readWhere prune commits that DO contain matches
+                    unsupported += colPath
+                  else if (!stats.hasNonNullValue) {
+                    // recorded stats with zero non-null values: genuinely an
+                    // all-null chunk only when the null count confirms it
+                    if (!(stats.isNumNullsSet && stats.getNumNulls == chunk.getValueCount))
+                      unsupported += colPath
                   }
+                  else render(chunk.getPrimitiveType, stats, sessionTz) match {
+                    case None => unsupported += colPath
+                    case Some((kind, mn, mx)) =>
+                      acc.get(colPath) match {
+                        case None => acc(colPath) = (kind, mn, mx)
+                        case Some((k0, mn0, mx0)) =>
+                          // belt-and-braces: a cross-file bound that fails
+                          // to combine marks the column unsupported, never
+                          // throws
+                          try acc(colPath) = (k0, minOf(k0, mn0, mn), maxOf(k0, mx0, mx))
+                          catch { case _: NumberFormatException => unsupported += colPath }
+                      }
+                  }
+                }
               }
             }
-          }
+          } finally reader.close()
+          PartStats(rows, acc.toSeq, unsupported.toSet)
         }
-      } finally reader.close()
+      }), 10.minutes)
+    var rows = 0L
+    val acc = scala.collection.mutable.LinkedHashMap[String, (String, String, String)]()
+    val unsupported = scala.collection.mutable.Set[String]()
+    for (ps <- perPart) {
+      rows += ps.rows
+      unsupported ++= ps.unsupported
+      for ((colPath, (kind, mn, mx)) <- ps.cols if !unsupported.contains(colPath)) {
+        acc.get(colPath) match {
+          case None => acc(colPath) = (kind, mn, mx)
+          case Some((k0, mn0, mx0)) =>
+            try acc(colPath) = (k0, minOf(k0, mn0, mn), maxOf(k0, mx0, mx))
+            catch { case _: NumberFormatException => unsupported += colPath }
+        }
+      }
     }
     unsupported.foreach(acc.remove)
     Some((rows, acc.toSeq))

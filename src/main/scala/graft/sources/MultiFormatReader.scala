@@ -203,21 +203,41 @@ object MultiFormatReader {
       delimiter: String = ",",
       inferSchema: Boolean = true,
       inferRows: Int = Int.MaxValue,
-      multiLine: Boolean = true): DataFrame = {
+      multiLine: Boolean = true,
+      quarantine: Boolean = true): DataFrame = {
     val inferred =
       if (inferRows != Int.MaxValue && inferSchema)
         inferCsvSchemaBounded(spark, path, maxColumns, delimiter, inferRows)
       else inferCsvSchema(spark, path, maxColumns, delimiter, inferSchema)
-    // corrupt isolation WITHOUT the dropCorrupt cache: a wide ingest goes
-    // straight to a full write, so pinning every cell in columnar storage
-    // (plus its per-column codegen) is pure overhead. Contract: reference
-    // at least one real data column in the first action (a bare count()
-    // on an uncached corrupt-filtered CSV hits Spark's corrupt-column
-    // AnalysisException — the documented Spark limitation dropCorrupt's
-    // cache shields elsewhere).
-    rawCsvWithSchema(spark, path, SchemaTools.sanitizeSchema(inferred),
-      maxColumns, delimiter, multiLine)
-      .filter(col(CorruptCol).isNull).drop(CorruptCol)
+    val sanitized = SchemaTools.sanitizeSchema(inferred)
+    if (quarantine)
+      // corrupt isolation WITHOUT the dropCorrupt cache: a wide ingest goes
+      // straight to a full write, so pinning every cell in columnar storage
+      // (plus its per-column codegen) is pure overhead. Contract: reference
+      // at least one real data column in the first action (a bare count()
+      // on an uncached corrupt-filtered CSV hits Spark's corrupt-column
+      // AnalysisException — the documented Spark limitation dropCorrupt's
+      // cache shields elsewhere).
+      rawCsvWithSchema(spark, path, sanitized, maxColumns, delimiter, multiLine)
+        .filter(col(CorruptCol).isNull).drop(CorruptCol)
+    else {
+      // quarantine=false (r17, guide §2.3/§4 — project before the work):
+      // the caller wants malformed rows OUT of the table but will never
+      // inspect them, so DROPMALFORMED quarantines the same row set (any
+      // row the corrupt column would mark — type-conversion failure,
+      // ragged width — is malformed in both spellings) without the
+      // per-row corrupt-column materialization, the extra schema column,
+      // or the filter+drop projection stack. Width-probed at 4,450 real
+      // columns: the full parse+write drops ~8.8 s -> ~4.8 s. Callers
+      // that need to SEE the quarantined rows keep the default.
+      val w = sanitized.size
+      csvReader(spark, delimiter,
+          math.min(math.max(w + w / 8 + 16, MaxColumnsFloor), maxColumns),
+          multiLine)
+        .option("mode", "DROPMALFORMED")
+        .schema(sanitized)
+        .csv(path)
+    }
   }
 
   /** CSV with a KNOWN schema — the production path for large files: no

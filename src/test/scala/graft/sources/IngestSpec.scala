@@ -46,6 +46,30 @@ class IngestSpec extends SparkSpec {
       == Seq("1", "3"))
   }
 
+  test("readCsvSanitized quarantine=false drops the same malformed rows") {
+    // the r17 wide-ingest fast path: DROPMALFORMED must quarantine-out
+    // exactly the row set the corrupt-column filter removes — type
+    // conversion failures AND ragged rows — while keeping the sanitized
+    // names and inferred types (row-equivalence contract of the
+    // quarantine flag; the wide entry's oracle hash rides on it)
+    val d = Files.createTempDirectory("graft_csv_dm")
+    Files.writeString(d.resolve("w.csv"),
+      "Col A (x),Col-B!\n1,2\n3,4\nnotanint,6\n7,8,9,10\n11,12\n")
+    // bounded inference (the wide entry's shape) so Col_A_x types as INT
+    // and the "notanint" row genuinely fails conversion in both paths
+    val iso = MultiFormatReader.readCsvSanitized(spark, d.resolve("w.csv").toString,
+      inferRows = 2, multiLine = false)
+    val fast = MultiFormatReader.readCsvSanitized(spark, d.resolve("w.csv").toString,
+      inferRows = 2, multiLine = false, quarantine = false)
+    assert(fast.columns.toSeq == iso.columns.toSeq)
+    assert(fast.schema == iso.schema)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Int, Int)] =
+      df.select("Col_A_x", "Col_B").collect()
+        .map(r => (r.getInt(0), r.getInt(1))).sortBy(_._1).toSeq
+    assert(rows(fast) == rows(iso))
+    assert(rows(fast) == Seq((1, 2), (3, 4), (11, 12)))
+  }
+
   test("directory scan isolates corrupt and empty files") {
     val base = Files.createTempDirectory("graft_ingest").toString
     Files.createDirectories(Paths.get(base, "json"))
