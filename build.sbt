@@ -31,7 +31,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // opt-in JFR profiling of the forked JVM (dev loop only):
+  // GRAFT_JFR=/path/out.jfr attaches a flight recording for the whole run
+  sys.env.get("GRAFT_JFR").toSeq.map(p =>
+    s"-XX:StartFlightRecording=filename=$p,settings=profile")
 // Keep sbt's own chatter off stdout around the one-line JSON contracts:
 // no "[success] Total time" footer, so the bench JSON is the last line.
 Global / showSuccess := false

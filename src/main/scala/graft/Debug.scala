@@ -33,6 +33,23 @@ object Debug {
           println(s"[listen] terminated ${e.id}")
       })
     }
+    // `aqeplans` arg: print the EXECUTED physical plan of every batch query
+    // that contains a join — post-AQE (isFinalPlan=true), so the receipt
+    // shows what actually ran inside sink landings, not the static plan
+    if (names0.contains("aqeplans")) {
+      spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit = {
+          val p = qe.executedPlan.toString
+          if (p.contains("Join")) {
+            println(s"===== [aqeplan] $funcName ${durationNs / 1e9}%s =====")
+            println(p.linesIterator.take(80).mkString("\n"))
+          }
+        }
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, ex: Exception): Unit = ()
+      })
+    }
     // `jobs` arg: print every Spark job's wall time + description
     if (names0.contains("jobs")) {
       spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
@@ -83,7 +100,7 @@ object Debug {
       SparkEntry.queries(q)(spark, dir).explain("formatted")
     }
     for (n <- names if !n.startsWith("sql:") && !n.startsWith("explain:") &&
-        n != "listen" && n != "jobs" && n != "lakewrite") {
+        n != "listen" && n != "jobs" && n != "lakewrite" && n != "aqeplans") {
       val t0 = System.nanoTime()
       val cnt = SparkEntry.queries(n)(spark, dir).count()
       println(f"[debug] $n%-28s ${(System.nanoTime() - t0) / 1e9}%8.2fs rows=$cnt")

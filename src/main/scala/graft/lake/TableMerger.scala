@@ -277,6 +277,50 @@ final class TableMerger(
       .map(tb => deduped.select(keyCols: _*).unionByName(tb.select(keyCols: _*)))
       .getOrElse(deduped.select(keyCols: _*))
     try {
+      // ONE bounded collect of the DISTINCT delta keys serves all three
+      // decision passes (r17, VERDICT r16 #8 / guide §8 — decide with
+      // small rows): PRUNE tests each commit's recorded [min, max]
+      // against the exact key set; PLAN and REWRITE join against the
+      // collected keys as a broadcast LOCAL RELATION, so the delta side
+      // never re-executes its lineage (window dedupe + tombstone
+      // distinct, once per consumer before) and the key side of both
+      // joins broadcasts DETERMINISTICALLY — exact row count, no
+      // estimate, independent of AQE (streaming clones disable AQE; the
+      // static tier is 1 MB). Bounded by [[DeltaKeyCollectCap]], the same
+      // driver-side budget the exact prune always had; larger deltas keep
+      // the frame-join path below. The extra string column rides the same
+      // collect so the prune's bounds test sees EXACTLY Spark's
+      // cast-to-string rendering (the stats sidecar's format — a
+      // driver-side toString would diverge on timestamps/decimals).
+      val numericKey = deduped.schema(k).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType]
+      val strTag = StatsOrder.freshTag(ks, "_graft_keystr")
+      val collected: Option[Array[org.apache.spark.sql.Row]] =
+        if (sourceRows > DeltaKeyCollectCap) {
+          // observable cap: a scale soak must SEE the exact-key prune give
+          // way to the bounds fallback, not infer it
+          org.slf4j.LoggerFactory.getLogger(getClass).info(
+            s"merge: delta rows $sourceRows > collect cap $DeltaKeyCollectCap " +
+              "-> min/max bounds pruning (exact key-set prune skipped)")
+          None
+        } else Some {
+          val base = allKeys.distinct()
+          (if (ks.size == 1) base.withColumn(strTag, col(k).cast("string"))
+           else base).collect()
+        }
+      // the in-memory key relation for PLAN/REWRITE (typed key columns
+      // only; the prune's string rendering is stripped)
+      val keysLocal: Option[DataFrame] = collected.map { rows =>
+        import scala.jdk.CollectionConverters._
+        val typed =
+          if (ks.size == 1)
+            rows.map(r => org.apache.spark.sql.Row.fromSeq(r.toSeq.dropRight(1)))
+          else rows
+        catalog.session.createDataFrame(
+          typed.toSeq.asJava,
+          org.apache.spark.sql.types.StructType(
+            allKeys.schema.fields.toIndexedSeq))
+      }
       // PRUNE: commits whose key range can't contain any delta key. For a
       // small delta (the daily-upsert shape) the key set itself is
       // collected and each commit's [min, max] is tested for ANY member —
@@ -285,29 +329,20 @@ final class TableMerger(
       // Large deltas fall back to bounds. NaN/Infinity float keys don't
       // parse as BigDecimal: they simply disable pruning (candidates =
       // everything), never throw — pruning is an optimization.
-      val numericKey = deduped.schema(k).dataType
-        .isInstanceOf[org.apache.spark.sql.types.NumericType]
       val deltaKeys: Option[(Array[String], Array[java.math.BigDecimal])] =
         if (ks.size > 1) None // composite key: conjunctive bounds prune below
-        else if (sourceRows > DeltaKeyCollectCap) {
-          // observable cap: a scale soak must SEE the exact-key prune give
-          // way to the bounds fallback, not infer it
-          org.slf4j.LoggerFactory.getLogger(getClass).info(
-            s"merge: delta rows $sourceRows > collect cap $DeltaKeyCollectCap " +
-              "-> min/max bounds pruning (exact key-set prune skipped)")
-          None
-        } else {
-          val ks = allKeys.select(col(k).cast("string")).na.drop()
-            .collect().map(_.getString(0))
+        else collected.map { rows =>
+          val strs = rows.iterator.map(_.getAs[String](strTag))
+            .filter(_ != null).toArray
           if (numericKey) {
-            try Some((Array.empty,
-              ks.map(new java.math.BigDecimal(_)).sortWith((a, b) => a.compareTo(b) < 0)))
-            catch { case _: NumberFormatException => None }
+            try ((Array.empty[String],
+              strs.map(new java.math.BigDecimal(_)).sortWith((a, b) => a.compareTo(b) < 0)))
+            catch { case _: NumberFormatException => null }
           } else
             // sorted in the SAME order the sidecar bounds compare under
             // (unsigned UTF-8 bytes) or the binary search below lies
-            Some((ks.sortWith(StatsOrder.lt), Array.empty))
-        }
+            ((strs.sortWith(StatsOrder.lt), Array.empty[java.math.BigDecimal]))
+        }.filter(_ != null)
 
       def anyKeyIn(kind: String, mn: String, mx: String): Boolean = deltaKeys match {
         case None => true // handled by the bounds fallback below
@@ -365,9 +400,14 @@ final class TableMerger(
         }
 
       // PLAN: which candidates hold actual key matches. One job — the
-      // scan reads only the key column, the delta side broadcasts under
-      // AQE, and the distinct output is bounded by the commit count.
-      val keys = allKeys
+      // scan reads only the key column; the key side is the collected
+      // LOCAL RELATION with an explicit broadcast hint when the delta fit
+      // the collect cap (deterministic BroadcastHashJoin at any session
+      // policy — the streaming landings' sessions and non-AQE contexts
+      // included), the live frame otherwise (broadcast recovered by AQE).
+      val keys = keysLocal
+        .map(org.apache.spark.sql.functions.broadcast)
+        .getOrElse(allKeys)
       val touched: Set[String] =
         if (candidates.isEmpty) Set.empty
         else {

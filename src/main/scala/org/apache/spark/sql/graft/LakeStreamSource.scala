@@ -393,7 +393,16 @@ final class LakeStreamSource(
     }
   }
 
-  override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
+  private val trace = sys.env.get("GRAFT_TRACE_SOURCE").contains("1")
+  private def tr[T](label: String)(f: => T): T =
+    if (!trace) f else {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[src-trace] $label%-32s ${(System.nanoTime() - t0) / 1e9}%7.3fs")
+      r
+    }
+
+  override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = tr("getBatch") {
     val endP = parsePos(end)
     highPos = Seq(highPos, endP).max
     val startP = start.map(parsePos)
@@ -419,14 +428,18 @@ final class LakeStreamSource(
           s"stream checkpoint points at snapshot v$sv of $ns.$table which has " +
             "been expired; restart from a fresh checkpoint (and align snapshot " +
             "retention with the longest consumer downtime)")
-        if (changeFeed)
+        if (changeFeed) {
           // windows of any shape stream as the file-scoped snapshot diff
           // (the changelog plan carries exceptAll/anti-joins — opaque wrap,
           // like the DV initial snapshot; cost = changed commits' IO)
-          return wrapOpaque(align(
-            if (sv == 0) catalog.read(ns, table, Some(endV))
-              .withColumn("_change", lit("insert"))
-            else catalog.changelog(ns, table, sv, endV)))
+          val diff = tr("changelog-plan") {
+            align(
+              if (sv == 0) catalog.read(ns, table, Some(endV))
+                .withColumn("_change", lit("insert"))
+              else catalog.changelog(ns, table, sv, endV))
+          }
+          return tr("wrapOpaque") { wrapOpaque(diff) }
+        }
         val (oldData, oldDvs) =
           if (sv == 0) (Seq.empty[String], Seq.empty[String])
           else catalog.snapshotEntries(ns, table, sv)
@@ -565,9 +578,16 @@ final class LakeStreamSource(
     * leaves would make the incremental planner treat it as a stream-stream
     * join). One-time cost at stream start only.
     */
-  private def wrapOpaque(df: DataFrame): DataFrame =
+  private def wrapOpaque(df: DataFrame): DataFrame = {
+    if (trace) {
+      tr("  wrap.analyzed") { df.queryExecution.analyzed }
+      tr("  wrap.optimized") { df.queryExecution.optimizedPlan }
+      tr("  wrap.sparkPlan") { df.queryExecution.sparkPlan }
+      tr("  wrap.executedPlan") { df.queryExecution.executedPlan }
+    }
     spark.asInstanceOf[classic.SparkSession]
       .internalCreateDataFrame(df.queryExecution.toRdd, schema, isStreaming = true)
+  }
 
   private def emptyBatch: DataFrame =
     spark.asInstanceOf[classic.SparkSession].internalCreateDataFrame(
