@@ -94,13 +94,25 @@ object Debug {
     for (n <- names if n.startsWith("sql:")) {
       spark.sql(n.stripPrefix("sql:")).show(20, truncate = false)
     }
+    // `explainall` arg: dump .explain("formatted") of every NON-STREAM query
+    // (stream entries run queries internally; their evidence is traces) to
+    // stdout, delimited per entry — the plan-scan artifact source
+    if (names0.contains("explainall")) {
+      for (n <- SparkEntry.queries.keys.toSeq.sorted if !n.startsWith("stream_")) {
+        println(s"===== $n =====")
+        try SparkEntry.queries(n)(spark, dir).explain("formatted")
+        catch { case e: Throwable =>
+          println(s"[explainall] $n failed: ${e.getClass.getSimpleName}: ${e.getMessage}")
+        }
+      }
+    }
     for (n <- names if n.startsWith("explain:")) {
       val q = n.stripPrefix("explain:")
       println(s"===== $q =====")
       SparkEntry.queries(q)(spark, dir).explain("formatted")
     }
     for (n <- names if !n.startsWith("sql:") && !n.startsWith("explain:") &&
-        n != "listen" && n != "jobs" && n != "lakewrite" && n != "aqeplans") {
+        n != "listen" && n != "jobs" && n != "lakewrite" && n != "aqeplans" && n != "explainall") {
       val t0 = System.nanoTime()
       val cnt = SparkEntry.queries(n)(spark, dir).count()
       println(f"[debug] $n%-28s ${(System.nanoTime() - t0) / 1e9}%8.2fs rows=$cnt")
